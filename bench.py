@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing counts actions only (df.count() per query after a warm-up of the
+session); Spark session startup is excluded, matching BASELINE.md's plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_lakehouse_spark.registry import all_queries
+from nyc_taxi_lakehouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: kept to the operator-dense core so the number tracks
+# engine quality, not suite size. Override with BENCH_QUERIES=all or a CSV.
+HEADLINE = [
+    "q_ingest_clean",
+    "q_daily_summary",
+    "q_pricing_rollup",
+]
+
+
+def main() -> None:
+    sel = os.environ.get("BENCH_QUERIES", "")
+    specs = all_queries()
+    if sel == "all":
+        names = sorted(specs)
+    elif sel:
+        names = [n for n in sel.split(",") if n in specs]
+    else:
+        names = [n for n in HEADLINE if n in specs]
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("WARN")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch overheads.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "suite_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "nproc": os.cpu_count(),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Cross-engine-deterministic SQL building blocks.
+
+The correctness gate hash-compares Spark results against a DuckDB oracle.
+Floating-point SUM/AVG are order-dependent and shuffle order differs between
+engines — so every continuous aggregate in this engine is computed through
+exact DECIMAL sums (deterministic, associative) and only cast to DOUBLE at the
+very end. The final double is then identical across engines because both
+perform the same single decimal→double conversion and (for AVG) the same
+single IEEE-754 division.
+
+Most SQL here is valid in BOTH Spark SQL and DuckDB; the few divergent
+functions (epoch extraction, list aggregation, …) go through the ``Dialect``
+objects so one template renders both engines' SQL.
+"""
+
+from __future__ import annotations
+
+
+def dsum(expr: str, scale: int = 2) -> str:
+    """Order-independent SUM of a money-like expression.
+
+    The summand must have true decimal precision ≤ ``scale`` (testdata money
+    columns are exact 2-decimal values). Casting each row's value to
+    DECIMAL(28,scale) then snaps the double to its true value identically in
+    both engines — Spark converts double→decimal via Java shortest-repr
+    strings while DuckDB rounds the exact binary expansion, and the two only
+    agree when the rounding grid is far coarser than the double's ulp. The
+    decimal sum is exact/associative; the final cast back to DOUBLE is a
+    single correctly-rounded conversion.
+    """
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def davg(expr: str, count_expr: str = "COUNT(*)", scale: int = 2) -> str:
+    """Order-independent AVG: exact decimal sum, then one double division."""
+    return f"({dsum(expr, scale)} / {count_expr})"
+
+
+def dec2(expr: str) -> str:
+    """Snap an exact-2-decimal double column to DECIMAL(12,2)."""
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def disc_price(price: str, disc: str) -> str:
+    """price * (1 - disc) in exact decimal arithmetic (both engines).
+
+    Intermediate types pinned so neither engine's decimal-precision promotion
+    rules overflow or round: (12,2)*(4,2) → ≤(17,4), cast to (18,4).
+    """
+    return (
+        f"CAST({dec2(price)} * CAST(1 - {dec2(disc)} AS DECIMAL(4,2)) AS DECIMAL(18,4))"
+    )
+
+
+def charge(price: str, disc: str, tax: str) -> str:
+    """price * (1 - disc) * (1 + tax), exact decimal: (18,4)*(4,2) → (24,6)."""
+    return (
+        f"CAST({disc_price(price, disc)} * CAST(1 + {dec2(tax)} AS DECIMAL(4,2))"
+        f" AS DECIMAL(24,6))"
+    )
+
+
+def dsum_dec(expr: str) -> str:
+    """SUM of an already-exact decimal expression, emitted as DOUBLE."""
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+class Dialect:
+    """SQL fragments that differ between Spark SQL and DuckDB."""
+
+    name = "spark"
+
+    def epoch(self, ts: str) -> str:
+        """Epoch seconds (BIGINT) of a timestamp. Session tz must be UTC."""
+        return f"unix_timestamp({ts})"
+
+    def epoch_hour(self, ts: str) -> str:
+        """Hour-truncated timestamp as epoch seconds (BIGINT).
+
+        Emitting raw timestamps is unsafe: the events table is
+        nanosecond-precision and Spark truncates to microseconds while DuckDB
+        keeps TIMESTAMP_NS. An epoch BIGINT is identical in both engines.
+        """
+        return self.epoch(f"date_trunc('hour', {ts})")
+
+    def epoch_bucket(self, ts: str, seconds: int) -> str:
+        """Tumbling-window start as epoch seconds — portable equivalent of
+        Spark's window(ts, '<n> seconds').start / DuckDB's time_bucket."""
+        return f"(CAST(floor({self.epoch(ts)} / {seconds}) AS BIGINT) * {seconds})"
+
+    def dow(self, ts: str) -> str:
+        """Day of week, 1=Sunday..7=Saturday (Spark dayofweek convention;
+        reference uses IN (1,7) for weekends, comprehensive_analytics.py:366)."""
+        return f"dayofweek({ts})"
+
+    def sorted_set_csv(self, col: str) -> str:
+        """collect_set → sorted comma-joined string (deterministic encoding of
+        reference A7, weather_to_iceberg.py:115)."""
+        return f"concat_ws(',', sort_array(collect_set({col})))"
+
+    def json_int(self, col: str, key: str) -> str:
+        """Extract an int field from a JSON string column."""
+        return f"CAST(get_json_object({col}, '$.{key}') AS BIGINT)"
+
+    def split_tokens(self, col: str) -> str:
+        """Whitespace tokenization → array of words."""
+        return f"split({col}, ' +')"
+
+
+class DuckDialect(Dialect):
+    name = "duckdb"
+
+    def epoch(self, ts: str) -> str:
+        return f"CAST(floor(epoch({ts})) AS BIGINT)"
+
+    def dow(self, ts: str) -> str:
+        # DuckDB dayofweek: 0=Sunday..6=Saturday → shift to Spark's 1..7.
+        return f"(dayofweek({ts}) + 1)"
+
+    def sorted_set_csv(self, col: str) -> str:
+        return f"string_agg(DISTINCT {col}, ',' ORDER BY {col})"
+
+    def json_int(self, col: str, key: str) -> str:
+        return f"CAST(json_extract_string({col}, '$.{key}') AS BIGINT)"
+
+    def split_tokens(self, col: str) -> str:
+        return f"string_split_regex({col}, ' +')"
+
+
+SPARK = Dialect()
+DUCK = DuckDialect()

@@ -1,0 +1,170 @@
+"""Core batch ETL + summary queries.
+
+Re-expresses the reference's batch ingest spine (scan → multi-predicate clean
+→ rename → derive partition columns → project → aggregate) on the testdata
+star schema:
+
+- cleaning filter chain: reference nyc_taxi_to_iceberg.py:91-96 (P1)
+- column renames: nyc_taxi_to_iceberg.py:100-105 (P2)
+- derived year/month/day partition columns: nyc_taxi_to_iceberg.py:106-109 (P3)
+- explicit projection: nyc_taxi_to_iceberg.py:112-136 (P4), casts (P5)
+- CTAS daily summary aggregate: nyc_taxi_to_iceberg.py:165-184 (S8, A1, A2)
+
+`lineitem` stands in for the trips fact table (FIXTURES.md §7 mapping).
+All continuous aggregates use exact decimal sums (see functions/detsql.py)
+so results hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import charge, davg, disc_price, dsum, dsum_dec
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# q_ingest_clean — the ingest cleaning chain, DataFrame-API style (the one
+# pipeline the reference writes with the DataFrame API rather than SQL).
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = """
+SELECT
+  l_orderkey   AS order_id,
+  l_partkey    AS part_id,
+  l_suppkey    AS supplier_id,
+  l_linenumber AS line_number,
+  l_quantity   AS quantity,
+  l_extendedprice AS price,
+  l_discount   AS discount,
+  l_returnflag AS return_flag,
+  l_linestatus AS line_status,
+  CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
+  CAST(year(l_shipdate) AS INT)  AS year,
+  CAST(month(l_shipdate) AS INT) AS month,
+  CAST(day(l_shipdate) AS INT)   AS day
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+  AND l_quantity > 0
+  AND l_extendedprice > 0
+  AND l_linenumber BETWEEN 1 AND 7
+"""
+
+
+@df_query(
+    "q_ingest_clean",
+    duck_sql=_INGEST_ORACLE,
+    tables=["lineitem"],
+    doc="Ingest cleaning chain (filters P1, renames P2, derived partition "
+    "cols P3, projection P4, cast P5 — nyc_taxi_to_iceberg.py:91-136).",
+)
+def q_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    df = t["lineitem"]
+    # Multi-predicate cleaning filter (P1). Expressed as Column algebra so
+    # Catalyst pushes every conjunct into the parquet scan (PushedFilters).
+    cleaned = df.filter(
+        F.col("l_shipdate").isNotNull()
+        & (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & F.col("l_linenumber").between(1, 7)
+    )
+    renamed = (
+        cleaned.withColumnRenamed("l_orderkey", "order_id")
+        .withColumnRenamed("l_partkey", "part_id")
+        .withColumnRenamed("l_suppkey", "supplier_id")
+        .withColumnRenamed("l_linenumber", "line_number")
+        .withColumnRenamed("l_quantity", "quantity")
+        .withColumnRenamed("l_extendedprice", "price")
+        .withColumnRenamed("l_discount", "discount")
+        .withColumnRenamed("l_returnflag", "return_flag")
+        .withColumnRenamed("l_linestatus", "line_status")
+    )
+    derived = (
+        # Dates travel as ISO strings: pandas/Arrow represent Spark DATE and
+        # DuckDB DATE differently, which breaks the oracle value-hash.
+        renamed.withColumn("ship_date", F.col("l_shipdate").cast("date").cast("string"))
+        .withColumn("year", F.year("l_shipdate"))
+        .withColumn("month", F.month("l_shipdate"))
+        .withColumn("day", F.dayofmonth("l_shipdate"))
+    )
+    return derived.select(
+        "order_id",
+        "part_id",
+        "supplier_id",
+        "line_number",
+        "quantity",
+        "price",
+        "discount",
+        "return_flag",
+        "line_status",
+        "ship_date",
+        "year",
+        "month",
+        "day",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_daily_summary — the CTAS daily-summary aggregate (S8).
+# ---------------------------------------------------------------------------
+
+_DAILY_SUMMARY = f"""
+SELECT
+  CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
+  COUNT(*)                 AS total_items,
+  COUNT(DISTINCT l_orderkey) AS unique_orders,
+  {dsum('l_quantity')}     AS total_qty,
+  {davg('l_extendedprice')} AS avg_price,
+  {dsum_dec(disc_price('l_extendedprice', 'l_discount'))} AS total_revenue,
+  MAX(l_extendedprice)     AS max_price,
+  MIN(l_extendedprice)     AS min_price
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_quantity > 0 AND l_extendedprice > 0
+GROUP BY CAST(l_shipdate AS DATE)
+"""
+
+sql_query(
+    "q_daily_summary",
+    spark_sql=_DAILY_SUMMARY,
+    duck_sql=_DAILY_SUMMARY,
+    tables=["lineitem"],
+    doc="Daily summary CTAS aggregate (nyc_taxi_to_iceberg.py:165-184): "
+    "groupBy date → count / countDistinct / sum / avg / max / min (A1, A2, A9).",
+)
+
+# ---------------------------------------------------------------------------
+# q_pricing_rollup — flagship: grouped rollup with conditional aggregates.
+# ---------------------------------------------------------------------------
+
+_PRICING_ROLLUP = f"""
+SELECT
+  l_returnflag AS return_flag,
+  l_linestatus AS line_status,
+  COUNT(*) AS count_order,
+  COUNT(DISTINCT l_orderkey) AS unique_orders,
+  {dsum('l_quantity')} AS sum_qty,
+  {dsum('l_extendedprice')} AS sum_base_price,
+  {dsum_dec(disc_price('l_extendedprice', 'l_discount'))} AS sum_disc_price,
+  {dsum_dec(charge('l_extendedprice', 'l_discount', 'l_tax'))} AS sum_charge,
+  {davg('l_quantity')} AS avg_qty,
+  {davg('l_extendedprice')} AS avg_price,
+  {davg('l_discount')} AS avg_disc,
+  ({dsum_dec("CASE WHEN l_extendedprice > 0 THEN " + disc_price('l_extendedprice', 'l_discount') + " ELSE CAST(0 AS DECIMAL(18,4)) END")} / 100 / COUNT(*)) AS avg_disc_amt
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+sql_query(
+    "q_pricing_rollup",
+    spark_sql=_PRICING_ROLLUP,
+    duck_sql=_PRICING_ROLLUP,
+    tables=["lineitem"],
+    doc="Flagship grouped rollup: hash aggregation with exact COUNT DISTINCT "
+    "(A2) and conditional aggregate (A3 — comprehensive_analytics.py:258 "
+    "tip-percentage idiom). Map-side partial aggregation + single shuffle "
+    "on the 2-column group key; scales linearly with input splits.",
+)

@@ -1,0 +1,84 @@
+"""Central query registry.
+
+Every implemented operator/query registers a ``QuerySpec`` here: a Spark
+implementation (callable returning a DataFrame) plus, when SQL-expressible, an
+equivalent DuckDB oracle SQL string. ``__spark_entry__`` exposes the registry
+to the driver's correctness gate; tests run the same pairs locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    tables: list[str] = field(default_factory=list)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def sql_query(
+    name: str,
+    spark_sql: str,
+    duck_sql: str | None,
+    tables: list[str],
+    doc: str = "",
+) -> QuerySpec:
+    """Register a query whose Spark implementation is a SQL string over the
+    testdata temp views (the reference's dominant style: spark.sql over
+    catalog tables, comprehensive_analytics.py:204)."""
+    from .sources.tables import load_tables
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    fn.__doc__ = doc or f"Spark SQL query {name}"
+    fn.spark_sql = spark_sql
+    return register(QuerySpec(name=name, fn=fn, oracle=duck_sql, tables=tables, doc=doc))
+
+
+def df_query(
+    name: str,
+    duck_sql: str | None,
+    tables: list[str],
+    doc: str = "",
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    """Decorator for DataFrame-API implementations."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        register(QuerySpec(name=name, fn=fn, oracle=duck_sql, tables=tables, doc=doc))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register queries.
+    from .operators import relational  # noqa: F401
+    from .operators import analytics  # noqa: F401
+    from .operators import windows  # noqa: F401
+    from .operators import serving  # noqa: F401
+    from .llm import text  # noqa: F401
+    from .llm import dedup  # noqa: F401
+    from .llm import similarity  # noqa: F401
+    from .llm import multimodal  # noqa: F401
+    from .streaming import batch_equiv  # noqa: F401
+
+    return dict(_REGISTRY)
