@@ -1,1 +1,175 @@
-"""Placeholder — populated incrementally."""
+"""Analytics marts — the operator-dense core (SURVEY §2.3–2.4, §3.2).
+
+Re-expresses the reference's three mart builders (comprehensive_analytics.py)
+on the testdata star schema: multi-CTE pipelines with left joins on composite
+keys, conditional aggregates, COALESCE defaulting, CASE-ladder scoring,
+multi-level re-aggregation, and null-rejecting WHERE after LEFT JOIN
+(Catalyst's outer→inner conversion).
+
+Mapping (FIXTURES.md §7): `nation` = taxi_zones dim, `orders`/`lineitem` =
+trips fact, hourly aggregates of `events` = hourly_weather.
+
+Every query is a dialect template rendered for both Spark SQL and DuckDB so
+the oracle stays textually in lockstep with the implementation.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect, davg, dec2, disc_price, dsum, dsum_dec
+from ..registry import sql_query
+
+
+def _hourly_events_sql(d: Dialect) -> str:
+    """A1/A2/A8-batch/A12: hash aggregation keyed on a computed hour column."""
+    return f"""
+SELECT
+  {d.epoch_hour('ts')} AS hour_ts,
+  event_type,
+  COUNT(*) AS event_count,
+  COUNT(DISTINCT user_id) AS unique_users,
+  {dsum('value')} AS total_value,
+  {davg('value')} AS avg_value,
+  MAX(value) AS max_value,
+  MIN(value) AS min_value
+FROM events
+GROUP BY {d.epoch_hour('ts')}, event_type
+"""
+
+
+sql_query(
+    "q_hourly_events",
+    spark_sql=_hourly_events_sql(SPARK),
+    duck_sql=_hourly_events_sql(DUCK),
+    tables=["events"],
+    doc="Hourly event aggregation — reference A1/A12 (groupBy on computed "
+    "date_trunc column, comprehensive_analytics.py:182-200) with exact "
+    "COUNT DISTINCT (A2) and MIN/MAX freshness stats (A9). Shuffles once "
+    "on (hour, type); partials combined map-side.",
+)
+
+
+def _correlation_sql(d: Dialect) -> str:
+    """J1 + A3 + COALESCE + CASE ladder: the trip_weather_correlation shape
+    (comprehensive_analytics.py:141-213). 'Demand' = click/view traffic per
+    hour; 'weather' = hourly value profile of purchase events; LEFT JOIN on
+    the composite (hour) key with COALESCE('unknown') for missing hours."""
+    return f"""
+WITH demand AS (
+  SELECT {d.epoch_hour('ts')} AS hour_ts,
+         COUNT(*) AS demand_count,
+         COUNT(DISTINCT user_id) AS unique_users,
+         {dsum('value')} AS demand_value
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY {d.epoch_hour('ts')}
+),
+conditions AS (
+  SELECT {d.epoch_hour('ts')} AS hour_ts,
+         {davg('value')} AS avg_purchase_value,
+         COUNT(*) AS purchase_count,
+         {d.sorted_set_csv('event_type')} AS observed_types
+  FROM events
+  WHERE event_type IN ('purchase', 'signup')
+  GROUP BY {d.epoch_hour('ts')}
+)
+SELECT
+  dm.hour_ts,
+  dm.demand_count,
+  dm.unique_users,
+  dm.demand_value,
+  COALESCE(cn.purchase_count, 0) AS purchase_count,
+  COALESCE(cn.avg_purchase_value, 0.0) AS avg_purchase_value,
+  COALESCE(cn.observed_types, 'unknown') AS observed_types,
+  CASE
+    WHEN COALESCE(cn.avg_purchase_value, 0.0) > 150 THEN CAST(1.2 AS DOUBLE)
+    WHEN COALESCE(cn.avg_purchase_value, 0.0) > 50 THEN CAST(1.1 AS DOUBLE)
+    ELSE CAST(1.0 AS DOUBLE)
+  END AS demand_impact_score
+FROM demand dm
+LEFT JOIN conditions cn ON dm.hour_ts = cn.hour_ts
+"""
+
+
+sql_query(
+    "q_event_correlation",
+    spark_sql=_correlation_sql(SPARK),
+    duck_sql=_correlation_sql(DUCK),
+    tables=["events"],
+    doc="trip_weather_correlation analog (comprehensive_analytics.py:141-213):"
+    " two hourly aggregates LEFT-joined on the hour key (J1), COALESCE "
+    "defaulting, CASE-ladder impact score, collect_set (A7) as sorted CSV. "
+    "At scale both sides shuffle on the same hour key → co-partitioned join.",
+)
+
+
+def _zone_performance_sql(d: Dialect) -> str:
+    """J2/J3/J4/J5 + A4: zone_performance_metrics shape
+    (comprehensive_analytics.py:219-329). customer-side daily order metrics
+    joined to supplier-side daily shipment metrics on (nation, date), joined
+    to the nation dim (broadcast), joined back to a coarser re-aggregation,
+    LEFT JOIN made INNER by a null-rejecting WHERE."""
+    return f"""
+WITH cust_daily AS (
+  SELECT c.c_nationkey AS nation_key,
+         CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS metric_date,
+         COUNT(*) AS order_count,
+         {dsum('o.o_totalprice')} AS order_revenue,
+         {davg('o.o_totalprice')} AS avg_order_value
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, CAST(CAST(o.o_orderdate AS DATE) AS STRING)
+),
+supp_daily AS (
+  SELECT s.s_nationkey AS nation_key,
+         CAST(CAST(l.l_shipdate AS DATE) AS STRING) AS metric_date,
+         COUNT(*) AS ship_count,
+         {dsum_dec(disc_price('l.l_extendedprice', 'l.l_discount'))} AS ship_revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, CAST(CAST(l.l_shipdate AS DATE) AS STRING)
+),
+nation_stats AS (
+  SELECT nation_key,
+         ({dsum('order_count', scale=0)} / COUNT(*)) AS avg_daily_orders,
+         MAX(order_count) AS max_daily_orders
+  FROM cust_daily
+  GROUP BY nation_key
+)
+SELECT
+  cd.nation_key,
+  cd.metric_date,
+  n.n_name AS nation_name,
+  r.r_name AS region_name,
+  cd.order_count,
+  cd.order_revenue,
+  cd.avg_order_value,
+  COALESCE(sd.ship_count, 0) AS ship_count,
+  COALESCE(sd.ship_revenue, 0.0) AS ship_revenue,
+  ns.avg_daily_orders,
+  ns.max_daily_orders,
+  CASE
+    WHEN cd.order_count > ns.avg_daily_orders * 1.2 THEN 'high'
+    WHEN cd.order_count < ns.avg_daily_orders * 0.8 THEN 'low'
+    ELSE 'normal'
+  END AS demand_level
+FROM cust_daily cd
+LEFT JOIN supp_daily sd
+  ON cd.nation_key = sd.nation_key AND cd.metric_date = sd.metric_date
+LEFT JOIN nation n ON cd.nation_key = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN nation_stats ns ON cd.nation_key = ns.nation_key
+WHERE n.n_name IS NOT NULL
+"""
+
+
+sql_query(
+    "q_zone_performance",
+    spark_sql=_zone_performance_sql(SPARK),
+    duck_sql=_zone_performance_sql(DUCK),
+    tables=["orders", "customer", "lineitem", "supplier", "nation", "region"],
+    doc="zone_performance_metrics analog (comprehensive_analytics.py:219-329):"
+    " two-sided daily metrics joined on composite (nation, date) key (J2), "
+    "broadcast dim joins (J3: nation/region are tiny → Catalyst broadcasts), "
+    "join back to coarser re-aggregation (J4/A4), null-rejecting WHERE after "
+    "LEFT JOIN → Catalyst outer-to-inner conversion (J5).",
+)

@@ -1,1 +1,172 @@
-"""Placeholder — populated incrementally."""
+"""Window functions — lag features, rolling frames, NTILE, window-over-agg.
+
+Reference coverage (SURVEY §2.5):
+- W1 LAG(demand, k) k∈{1,2,3,24,168} PARTITION BY zone ORDER BY hour
+  (ml_feature_engineering.py:247-265)
+- W2/W3 rolling means ROWS BETWEEN 168/720 PRECEDING AND 1 PRECEDING
+  (comprehensive_analytics.py:388-398)
+- W4 rolling STDDEV, same frame (ml_feature_engineering.py:280-284)
+- W5 NTILE(10) ordered by an aggregate (ml_feature_engineering.py:207)
+- W6 AVG(COUNT(*)) OVER (PARTITION BY zone) surge factor (:418-422)
+- W7 tumbling window() — batch form here; streaming form in streaming/
+
+Determinism notes: rolling mean/stddev are computed from window SUM/COUNT of
+integer counts (exact in both engines) followed by an explicitly-written
+double formula, instead of the engines' built-in AVG/STDDEV window aggregates
+whose accumulation order/algorithm differs. ORDER BY keys always include a
+unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect, davg, dsum
+from ..registry import sql_query
+
+
+def _lag_features_sql(d: Dialect) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type,
+         {d.epoch_hour('ts')} AS hour_ts,
+         COUNT(*) AS demand
+  FROM events
+  GROUP BY event_type, {d.epoch_hour('ts')}
+)
+SELECT
+  event_type,
+  hour_ts,
+  demand,
+  LAG(demand, 1)   OVER w AS demand_lag_1h,
+  LAG(demand, 2)   OVER w AS demand_lag_2h,
+  LAG(demand, 3)   OVER w AS demand_lag_3h,
+  LAG(demand, 24)  OVER w AS demand_lag_24h,
+  LAG(demand, 168) OVER w AS demand_lag_168h,
+  CAST(SUM(demand) OVER w7 AS DOUBLE) / NULLIF(COUNT(demand) OVER w7, 0)
+    AS demand_avg_7d,
+  CAST(SUM(demand) OVER w30 AS DOUBLE) / NULLIF(COUNT(demand) OVER w30, 0)
+    AS demand_avg_30d,
+  CASE WHEN COUNT(demand) OVER w7 > 1 THEN
+    SQRT(
+      (CAST(SUM(demand * demand) OVER w7 AS DOUBLE)
+       - CAST(SUM(demand) OVER w7 AS DOUBLE) * CAST(SUM(demand) OVER w7 AS DOUBLE)
+         / COUNT(demand) OVER w7)
+      / (COUNT(demand) OVER w7 - 1))
+  END AS demand_stddev_7d
+FROM hourly
+WINDOW
+  w   AS (PARTITION BY event_type ORDER BY hour_ts),
+  w7  AS (PARTITION BY event_type ORDER BY hour_ts
+          ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING),
+  w30 AS (PARTITION BY event_type ORDER BY hour_ts
+          ROWS BETWEEN 720 PRECEDING AND 1 PRECEDING)
+"""
+
+
+sql_query(
+    "q_demand_lag_features",
+    spark_sql=_lag_features_sql(SPARK),
+    duck_sql=_lag_features_sql(DUCK),
+    tables=["events"],
+    doc="W1-W4: LAG ladder (1/2/3/24/168) + rolling 7d/30d mean + rolling "
+    "7d stddev over hourly demand per type (ml_feature_engineering.py:247-284)."
+    " Single shuffle on the partition key; frames evaluated in one window "
+    "exec pass. Rolling stats from exact integer window sums (see module doc).",
+)
+
+
+def _ntile_sql(d: Dialect) -> str:
+    """W5: NTILE(10) ordered by an aggregate computed in the same query —
+    the 'decile by average demand' idiom. user_id tiebreaker keeps the
+    global ordering total, so tile assignment is deterministic."""
+    return f"""
+WITH user_stats AS (
+  SELECT user_id,
+         COUNT(*) AS event_count,
+         {davg('value')} AS avg_value,
+         {dsum('value')} AS total_value
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  event_count,
+  avg_value,
+  total_value,
+  NTILE(10) OVER (ORDER BY avg_value, user_id) AS value_decile,
+  NTILE(4)  OVER (ORDER BY event_count, user_id) AS activity_quartile
+FROM user_stats
+"""
+
+
+sql_query(
+    "q_user_deciles",
+    spark_sql=_ntile_sql(SPARK),
+    duck_sql=_ntile_sql(DUCK),
+    tables=["events"],
+    doc="W5: NTILE(10) ordered by an aggregate (ml_feature_engineering.py:207)."
+    " Global NTILE needs a single-partition sort — acceptable because it runs "
+    "over the already-aggregated (small) per-user table, not the fact table.",
+)
+
+
+def _surge_sql(d: Dialect) -> str:
+    return f"""
+WITH hourly_counts AS (
+  SELECT event_type,
+         CAST(hour(ts) AS INT) AS hour_of_day,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY event_type, CAST(hour(ts) AS INT)
+)
+SELECT
+  event_type,
+  hour_of_day,
+  cnt,
+  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+    / COUNT(cnt) OVER (PARTITION BY event_type) AS avg_hourly_cnt,
+  CASE
+    WHEN cnt > 1.2 * (CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+                      / COUNT(cnt) OVER (PARTITION BY event_type)) THEN CAST(1.2 AS DOUBLE)
+    WHEN cnt < 0.8 * (CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+                      / COUNT(cnt) OVER (PARTITION BY event_type)) THEN CAST(0.8 AS DOUBLE)
+    ELSE CAST(1.0 AS DOUBLE)
+  END AS surge_factor
+FROM hourly_counts
+"""
+
+
+sql_query(
+    "q_surge_factor",
+    spark_sql=_surge_sql(SPARK),
+    duck_sql=_surge_sql(DUCK),
+    tables=["events"],
+    doc="W6: window-over-aggregate surge factor — AVG(COUNT(*)) OVER "
+    "(PARTITION BY zone) with 1.2/0.8 thresholds "
+    "(ml_feature_engineering.py:418-422).",
+)
+
+
+def _tumbling_sql(d: Dialect) -> str:
+    return f"""
+SELECT
+  {d.epoch_bucket('ts', 300)} AS window_start,
+  {d.epoch_bucket('ts', 300)} + 300 AS window_end,
+  event_type,
+  COUNT(*) AS event_count,
+  {dsum('value')} AS total_value,
+  COUNT(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY {d.epoch_bucket('ts', 300)}, event_type
+"""
+
+
+sql_query(
+    "q_tumbling_window_5m",
+    spark_sql=_tumbling_sql(SPARK),
+    duck_sql=_tumbling_sql(DUCK),
+    tables=["events"],
+    doc="W7/ST2 batch form: 5-minute tumbling windows keyed with type "
+    "(realtime_cdc_processor.py:161-171). The streaming form (watermark + "
+    "window() + append mode) lives in streaming/cdc.py; this batch query "
+    "pins the same window arithmetic to an oracle.",
+)

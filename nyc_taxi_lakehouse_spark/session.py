@@ -63,4 +63,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # The events table is nanosecond-precision parquet, which Spark 4 rejects
+    # by default; read as raw long and convert at the source layer.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

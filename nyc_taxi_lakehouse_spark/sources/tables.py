@@ -44,6 +44,14 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:
         df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            # ts arrives as raw nanosecond longs (see session.configure_runtime);
+            # truncate to microseconds — DuckDB keeps TIMESTAMP_NS, so queries
+            # must never emit raw ts values (engine convention: epoch bigints
+            # at second-or-coarser granularity).
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

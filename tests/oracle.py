@@ -30,6 +30,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Normalize a cell for comparison.
+
+    Deliberately type-sensitive for numerics (int 5 != float 5.0): the
+    driver's value-hash stringifies values, so a DuckDB HUGEINT arriving in
+    pandas as float would hash differently from Spark's int — the engine must
+    emit identical *types*, not just equal values.
+    """
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
@@ -44,6 +51,12 @@ def _norm_cell(v):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
+    if isinstance(v, bool) or type(v).__name__.startswith("bool"):
+        return ("b", bool(v))
+    if isinstance(v, (int,)) or type(v).__name__.startswith("int"):
+        return ("i", int(v))
+    if isinstance(v, float) or type(v).__name__.startswith("float"):
+        return ("f", float(v))
     return v
 
 
