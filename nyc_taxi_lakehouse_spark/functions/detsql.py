@@ -106,6 +106,26 @@ class Dialect:
         """Whitespace tokenization → array of words."""
         return f"split({col}, ' +')"
 
+    def regex_strip(self, col: str, pattern: str) -> str:
+        """Remove ALL matches of pattern (DuckDB needs the 'g' flag —
+        its regexp_replace is first-match-only by default)."""
+        return f"regexp_replace({col}, '{pattern}', '')"
+
+    def token_count(self, col: str) -> str:
+        return f"CAST(size({self.split_tokens(col)}) AS INT)"
+
+    def token_filter_count(self, col: str, values: str) -> str:
+        """Count of tokens in a fixed vocabulary (stopword counting)."""
+        return f"CAST(size(filter({self.split_tokens(col)}, x -> x IN ({values}))) AS INT)"
+
+    def distinct_token_rows(self, table: str, extra_cols: str = "") -> str:
+        """SELECT fragment exploding each row's distinct tokens to rows."""
+        cols = f"{extra_cols}, " if extra_cols else ""
+        return (
+            f"SELECT doc_id, {cols}explode(array_distinct({self.split_tokens('text')}))"
+            f" AS token FROM {table}"
+        )
+
 
 class DuckDialect(Dialect):
     name = "duckdb"
@@ -125,6 +145,24 @@ class DuckDialect(Dialect):
 
     def split_tokens(self, col: str) -> str:
         return f"string_split_regex({col}, ' +')"
+
+    def regex_strip(self, col: str, pattern: str) -> str:
+        return f"regexp_replace({col}, '{pattern}', '', 'g')"
+
+    def token_count(self, col: str) -> str:
+        return f"CAST(len({self.split_tokens(col)}) AS INT)"
+
+    def token_filter_count(self, col: str, values: str) -> str:
+        return (
+            f"CAST(len(list_filter({self.split_tokens(col)}, x -> x IN ({values}))) AS INT)"
+        )
+
+    def distinct_token_rows(self, table: str, extra_cols: str = "") -> str:
+        cols = f"{extra_cols}, " if extra_cols else ""
+        return (
+            f"SELECT doc_id, {cols}unnest(list_distinct({self.split_tokens('text')}))"
+            f" AS token FROM {table}"
+        )
 
 
 SPARK = Dialect()

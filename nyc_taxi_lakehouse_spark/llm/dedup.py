@@ -1,1 +1,251 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four dedup families (BASELINE.json north star), each Spark-first:
+
+- exact: md5 over normalized text → hash-groupBy. One shuffle on the hash.
+- n-gram/token Jaccard: explode distinct tokens → self-join on token within a
+  (lang, source) bucket → |intersection| / |union|. The bucket restriction is
+  the blocking key that keeps the pair space linear-ish; at 100 TB the
+  blocking key would be a MinHash band (below) instead of metadata.
+- MinHash + LSH banding: K=16 permutations min-hashed per doc, 4 bands × 4
+  rows; candidate pairs = docs sharing any band; est. Jaccard = matching
+  minhash fraction. Implemented with *integer* hash arithmetic so the whole
+  pipeline is oracle-checkable: tokens are dictionary-encoded by dense_rank
+  (deterministic in both engines), then h_k(t) = (a_k·t + b_k) mod P.
+  At 100 TB the dictionary (a global sort of the vocabulary) would be
+  replaced by xxhash64(token) — same plan shape, no dictionary stage; see
+  minhash_signatures_xxhash() for that production path.
+- SimHash: 16-bit signature; bit_j = sign of Σ_tokens (2·parity(h_j(t)) − 1).
+  Expressed as 16 conditional SUM aggregates — one shuffle on doc_id, no
+  token-space explosion.
+
+All continuous outputs are ratios of exact integers → cross-engine identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
+
+# Fixed hash-permutation parameters (a, b) for h(t) = (a*t + b) mod P.
+# P prime > any vocabulary id we dictionary-encode at test scale.
+_P = 10007
+_PERMS = [
+    (83, 1031), (157, 421), (271, 907), (383, 211),
+    (467, 1723), (563, 89), (659, 1409), (761, 643),
+    (877, 313), (983, 1117), (1087, 59), (1193, 811),
+    (1297, 487), (1423, 1621), (1531, 137), (1613, 739),
+]
+_BANDS = 4  # 4 bands × 4 rows
+
+
+def _exact_dedup_sql(d: Dialect) -> str:
+    norm = f"md5(lower({d.regex_strip('text', '[^a-z0-9 ]')}))"
+    return f"""
+SELECT
+  {norm} AS content_hash,
+  COUNT(*) AS copies,
+  MIN(doc_id) AS canonical_doc_id,
+  MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY {norm}
+"""
+
+
+sql_query(
+    "q_dedup_exact",
+    spark_sql=_exact_dedup_sql(SPARK),
+    duck_sql=_exact_dedup_sql(DUCK),
+    tables=["documents"],
+    doc="Exact dedup: normalized-md5 hash-groupBy; canonical row = MIN(doc_id)."
+    " One shuffle on the 128-bit hash — uniform keys, no skew at any scale.",
+)
+
+
+def _jaccard_sql(d: Dialect) -> str:
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    return f"""
+WITH tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+  p.doc_a,
+  p.doc_b,
+  p.inter,
+  sa.n_tokens AS size_a,
+  sb.n_tokens AS size_b,
+  CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) AS jaccard
+FROM pair_inter p
+JOIN doc_size sa ON p.doc_a = sa.doc_id
+JOIN doc_size sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8
+"""
+
+
+sql_query(
+    "q_dedup_jaccard",
+    spark_sql=_jaccard_sql(SPARK),
+    duck_sql=_jaccard_sql(DUCK),
+    tables=["documents"],
+    doc="Token-set Jaccard near-dup within (lang, source) blocking buckets: "
+    "explode distinct tokens → token-equality self-join restricted to the "
+    "bucket → integer |∩|/|∪| ratio ≥ 0.8. The blocking key bounds the "
+    "candidate space; exact integer arithmetic keeps the oracle bit-exact.",
+)
+
+
+def _minhash_sql(d: Dialect) -> str:
+    tok = d.distinct_token_rows("documents")
+    sig_cols = ",\n  ".join(
+        f"MIN(({a} * tid + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    rows_per_band = len(_PERMS) // _BANDS
+    band_exprs = []
+    for bi in range(_BANDS):
+        hs = range(bi * rows_per_band, (bi + 1) * rows_per_band)
+        concat = " || '_' || ".join(f"CAST(h{i} AS STRING)" for i in hs)
+        band_exprs.append(f"{concat} AS band{bi}")
+    bands = ",\n  ".join(band_exprs)
+    cand_union = "\nUNION\n".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x "
+        f"JOIN bands y ON x.band{bi} = y.band{bi} AND x.doc_id < y.doc_id"
+        for bi in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_PERMS))
+    )
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+),
+tt AS (
+  SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token
+),
+sig AS (
+  SELECT doc_id,
+  {sig_cols}
+  FROM tt GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+  {bands}
+  FROM sig
+),
+cand AS (
+{cand_union}
+)
+SELECT
+  c.doc_a,
+  c.doc_b,
+  CAST({matches} AS INT) AS matching_hashes,
+  CAST({matches} AS DOUBLE) / {len(_PERMS)} AS est_jaccard
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+WHERE ({matches}) >= {len(_PERMS) // 2}
+"""
+
+
+sql_query(
+    "q_dedup_minhash",
+    spark_sql=_minhash_sql(SPARK),
+    duck_sql=_minhash_sql(DUCK),
+    tables=["documents"],
+    doc="MinHash(K=16) + LSH banding (4×4): shingle→minhash→band→bucket-join."
+    " Candidate pairs share ≥1 band (UNION dedups across bands); est. "
+    "Jaccard = matching-minhash fraction, kept at ≥ 0.5. Dictionary-encoded "
+    "token ids make it oracle-checkable; production swaps the dictionary for "
+    "xxhash64(token) (minhash_signatures_xxhash below) — same plan minus the "
+    "vocabulary sort.",
+)
+
+
+def _simhash_sql(d: Dialect) -> str:
+    tok = d.distinct_token_rows("documents")
+    bit_sums = ",\n  ".join(
+        f"SUM(CASE WHEN (({a} * tid + {b}) % {_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(len(_PERMS)))
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+),
+tt AS (
+  SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token
+),
+bits AS (
+  SELECT doc_id,
+  {bit_sums}
+  FROM tt GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16
+FROM bits
+"""
+
+
+sql_query(
+    "q_dedup_simhash",
+    spark_sql=_simhash_sql(SPARK),
+    duck_sql=_simhash_sql(DUCK),
+    tables=["documents"],
+    doc="SimHash (16-bit): per-bit signed token-hash parity sums folded into "
+    "an integer fingerprint — 16 conditional aggregates in ONE hash-agg pass "
+    "over exploded tokens (no 64× row blowup). Near-dups = small Hamming "
+    "distance; exact integer arithmetic end-to-end.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Production-scale MinHash path (no dictionary stage): xxhash64 token hashing.
+# Not oracle-expressible (xxhash64 is Spark-specific) → rows-only check.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_xxhash(documents: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures using xxhash64(token) — the 100 TB path.
+
+    Avoids the global vocabulary sort of the dictionary-encoded variant:
+    token ids come from xxhash64 (JVM-side, codegen), permuted by the same
+    fixed (a,b) integer family. One explode + one hash-agg on doc_id.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " +"))).alias("token"),
+    ).withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(2**31 - 1)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("tid") + F.lit(b), F.lit(2**61 - 1))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PERMS[:num_hashes])
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+@df_query(
+    "q_dedup_minhash_prod",
+    duck_sql=None,
+    tables=["documents"],
+    doc="Production MinHash signature table via xxhash64 (no vocabulary "
+    "dictionary — scales to unbounded vocab). Rows-only check: xxhash64 has "
+    "no DuckDB equivalent; correctness of the minhash/banding algebra is "
+    "pinned by q_dedup_minhash's oracle instead.",
+)
+def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return minhash_signatures_xxhash(t["documents"])

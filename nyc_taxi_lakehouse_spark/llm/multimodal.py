@@ -1,1 +1,122 @@
-"""Placeholder — populated incrementally."""
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Treats media (image/audio/video) as `binary` columns with a metadata struct,
+per the 100 TB training-pipeline pattern: the lake stores bytes + metadata;
+decode / feature-extraction runs as Arrow-batched Pandas functions over
+mapInPandas so each executor processes whole record batches.
+
+No media codecs exist in this container, so the decode step is a STUB
+(`decode_image_stub`) with a deterministic fake implementation — the
+Spark-side plumbing (schema, batch iteration, UDF signature, partitioning)
+is real and tested. Swap `_FAKE_DECODER` for a real PIL/ffmpeg call on a
+cluster with codecs installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
+
+
+def to_multimodal(documents: DataFrame) -> DataFrame:
+    """Build a multimodal table from documents: payload = utf8 bytes of the
+    text (standing in for image bytes), metadata = typed struct."""
+    return documents.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col("text").cast("binary")).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decode — deterministic fake standing in for a real image decode.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+    unavailable in this container (no image libs). The fake derives stable
+    pseudo-dimensions from the byte content so tests are reproducible.
+    """
+    if not isinstance(payload, (bytes, bytearray)):
+        raise NotImplementedError("decode requires raw bytes")
+    h = sum(payload[:16]) if payload else 0
+    return {"width": 64 + h % 64, "height": 64 + (h * 7) % 64, "channels": 3}
+
+
+def extract_features(mm: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the multimodal table.
+
+    mapInPandas keeps whole record batches in Arrow — the pattern a real
+    image-resize / frame-sample / embed step would use. Emits one row per
+    payload with decoded pseudo-dimensions + a byte-histogram feature.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "mean_byte": [
+                        (sum(p) / len(p)) if len(p) else 0.0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return mm.mapInPandas(
+        run,
+        "doc_id long, n_bytes int, width int, height int, channels int, mean_byte double",
+    )
+
+
+def _meta_sql(d: Dialect) -> str:
+    """Metadata projection is oracle-checkable: byte length + md5 agree
+    across engines without touching the stub decoder."""
+    blob = "CAST(text AS BINARY)" if d.name == "spark" else "encode(text)"
+    return f"""
+SELECT
+  doc_id,
+  CAST(octet_length({blob}) AS INT) AS n_bytes,
+  md5(text) AS payload_md5,
+  lang,
+  source
+FROM documents
+"""
+
+
+sql_query(
+    "q_multimodal_meta",
+    spark_sql=_meta_sql(SPARK),
+    duck_sql=_meta_sql(DUCK),
+    tables=["documents"],
+    doc="Multimodal metadata projection: binary payload byte length + "
+    "content md5 — the catalog-side half of the multimodal pipeline, "
+    "oracle-checked. Decode/feature half is q_multimodal_features.",
+)
+
+
+@df_query(
+    "q_multimodal_features",
+    duck_sql=None,
+    tables=["documents"],
+    doc="Multimodal decode + feature extraction via Arrow-batched mapInPandas"
+    " over binary payloads (stubbed decoder — no codecs in container; "
+    "plumbing is real: schema, batching, struct metadata). Rows-only.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return extract_features(to_multimodal(t["documents"]))

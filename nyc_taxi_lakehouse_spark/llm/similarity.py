@@ -1,1 +1,260 @@
-"""Placeholder — populated incrementally."""
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — expressed relationally (explode to
+(vec_id, i, component) rows → join on component index → integer dot
+products). Embedding components are quantized to integers (×1e6) so every
+dot/norm is exact 64-bit arithmetic and the oracle matches bit-for-bit; the
+only floating-point steps are one SQRT and one division per pair, both
+IEEE-correctly-rounded and identical across engines.
+
+Scale path: random-hyperplane LSH bucketing (ann_lsh_topk) — hyperplane
+signs from the same deterministic integer hash family applied to quantized
+components, so candidate generation shrinks the pair space from O(N·Q) to
+O(bucket). A Pandas-UDF/numpy brute-force variant (ann_bruteforce_pandas)
+covers the dense-math path where Arrow-batched BLAS beats row-explosion.
+
+At 100 TB: corpus partitioned by bucket id, probes broadcast; the explode
+representation shuffles (vec_id, i) evenly — no skew.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
+
+_DIM = 64
+_QSCALE = 1000000  # component quantization factor
+_N_PROBES = 10  # vec_id < 10 are the probe set
+_TOP_K = 10
+
+
+def _components_sql(d: Dialect, src_filter: str) -> str:
+    """Explode embeddings to (vec_id, i, q) integer-component rows."""
+    if d.name == "spark":
+        return f"""
+SELECT vec_id, pe.i, CAST(round(CAST(pe.v AS DOUBLE) * {_QSCALE}) AS BIGINT) AS q
+FROM embeddings
+LATERAL VIEW posexplode(embedding) pe AS i, v
+WHERE {src_filter}
+"""
+    return f"""
+SELECT vec_id, t.i,
+       CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * {_QSCALE}) AS BIGINT) AS q
+FROM embeddings, range({_DIM}) t(i)
+WHERE {src_filter}
+"""
+
+
+def _topk_sql(d: Dialect) -> str:
+    probe = _components_sql(d, f"vec_id < {_N_PROBES}")
+    corpus = _components_sql(d, f"vec_id >= {_N_PROBES}")
+    return f"""
+WITH probe AS ({probe}),
+corpus AS ({corpus}),
+dots AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS candidate_id,
+         SUM(p.q * c.q) AS dot_int
+  FROM probe p
+  JOIN corpus c ON p.i = c.i
+  GROUP BY p.vec_id, c.vec_id
+),
+norms AS (
+  SELECT vec_id, SUM(q * q) AS norm_int
+  FROM (SELECT * FROM probe UNION ALL SELECT * FROM corpus) u
+  GROUP BY vec_id
+),
+scored AS (
+  SELECT d1.query_id, d1.candidate_id,
+         CAST(d1.dot_int AS DOUBLE)
+           / (SQRT(CAST(np.norm_int AS DOUBLE)) * SQRT(CAST(nc.norm_int AS DOUBLE)))
+           AS cosine
+  FROM dots d1
+  JOIN norms np ON d1.query_id = np.vec_id
+  JOIN norms nc ON d1.candidate_id = nc.vec_id
+)
+SELECT query_id, candidate_id, cosine, rk AS rank
+FROM (
+  SELECT query_id, candidate_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, candidate_id) AS rk
+  FROM scored
+) ranked
+WHERE rk <= {_TOP_K}
+"""
+
+
+sql_query(
+    "q_similarity_topk",
+    spark_sql=_topk_sql(SPARK),
+    duck_sql=_topk_sql(DUCK),
+    tables=["embeddings"],
+    doc="Brute-force cosine top-k (ANN baseline): integer-quantized "
+    "components, exact 64-bit dot/norm sums, one SQRT+division per pair, "
+    "ROW_NUMBER top-k with candidate_id tiebreaker. SUM(q*q) ≤ 64·1e12 — no "
+    "overflow. At scale the probe side is broadcast; corpus side never "
+    "re-shuffles (component index join is co-partitioned by vec_id batch).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Scale paths — rows-only (xxhash64 / numpy are not oracle-expressible).
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    n_probes: int = _N_PROBES,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Random-hyperplane LSH with L hash tables of k planes each: per table,
+    bucket = k-bit sign pattern; candidates = corpus vectors sharing any
+    table's bucket with the probe (union-of-tables boosts recall, the
+    standard L×k trade-off). Cosine re-ranking happens only inside buckets —
+    the 100 TB pair-space reduction.
+
+    Hyperplane weights come from the deterministic integer family
+    ((p·131 + i·31 + 7) mod 19) − 9, so the pipeline is reproducible with no
+    stored model.
+    """
+    n_planes = n_tables * planes_per_table
+    comp = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("q", F.round(F.col("v").cast("double") * _QSCALE).cast("long"))
+    planes = [
+        F.sum(
+            F.col("q") * ((F.lit(p) * 131 + F.col("i") * 31 + 7) % 19 - 9)
+        ).alias(f"proj{p}")
+        for p in range(n_planes)
+    ]
+    proj = comp.groupBy("vec_id").agg(*planes)
+    bucket_cols = [
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.col(f"proj{t * planes_per_table + j}") >= 0, "1").otherwise("0")
+                for j in range(planes_per_table)
+            ],
+        ).alias(f"bucket{t}")
+        for t in range(n_tables)
+    ]
+    with_bucket = embeddings.join(proj.select("vec_id", *bucket_cols), "vec_id")
+
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pair_frames = []
+    for t in range(n_tables):
+        probes = with_bucket.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col(f"bucket{t}").alias("bucket"),
+        )
+        corpus = with_bucket.filter(F.col("vec_id") >= n_probes).select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col(f"bucket{t}").alias("bucket"),
+        )
+        pair_frames.append(probes.join(corpus, "bucket").drop("bucket"))
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    scored = (
+        pairs.dropDuplicates(["query_id", "candidate_id"])
+        .withColumn("cosine", dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))))
+        .select("query_id", "candidate_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+@df_query(
+    "q_similarity_lsh",
+    duck_sql=None,
+    tables=["embeddings"],
+    doc="LSH-bucketed ANN (scale path): 8 deterministic pseudo-random "
+    "hyperplanes → sign-pattern bucket → cosine re-rank within bucket only. "
+    "Rows-only check (recall vs the brute-force oracle is asserted in "
+    "tests/test_llm_ops.py instead).",
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return ann_lsh_topk(t["embeddings"])
+
+
+def ann_bruteforce_pandas(
+    embeddings: DataFrame, n_probes: int = _N_PROBES, top_k: int = _TOP_K
+) -> DataFrame:
+    """Arrow-batched numpy cosine top-k: the dense-math alternative when the
+    probe set fits in memory — probes are collected once (small), broadcast,
+    and each corpus partition computes a (batch × probes) GEMM via mapInPandas.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    probes = embeddings.filter(F.col("vec_id") < n_probes).toPandas()
+    q = np.stack(probes["embedding"].to_numpy())
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ids = probes["vec_id"].to_numpy()
+    bq = spark.sparkContext.broadcast((qn, q_ids))
+
+    def score(batches):
+        qn_, qids = bq.value
+        for pdf in batches:
+            pdf = pdf[pdf["vec_id"] >= n_probes]
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["embedding"].to_numpy())
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ qn_.T  # (batch, probes)
+            for j, qid in enumerate(qids):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "candidate_id": pdf["vec_id"].to_numpy(),
+                        "cosine": sims[:, j],
+                    }
+                )
+
+    scored = embeddings.mapInPandas(
+        score, "query_id long, candidate_id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+@df_query(
+    "q_similarity_bruteforce_pandas",
+    duck_sql=None,
+    tables=["embeddings"],
+    doc="Arrow-batched numpy GEMM cosine top-k via mapInPandas — the "
+    "vectorized Python path for dense math (SURVEY §2.10: pandas UDFs only "
+    "where built-ins can't express the op efficiently). Rows-only; parity "
+    "with q_similarity_topk asserted in tests.",
+)
+def q_similarity_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return ann_bruteforce_pandas(t["embeddings"])
