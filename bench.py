@@ -22,12 +22,23 @@ from nyc_taxi_lakehouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline queries: kept to the operator-dense core so the number tracks
-# engine quality, not suite size. Override with BENCH_QUERIES=all or a CSV.
+# Headline queries: the operator-dense representative core — ingest, CTAS
+# summary, the flagship rollup, the join/window-heavy marts, streaming batch
+# twins, and one of each LLM-op family. Override with BENCH_QUERIES=all or CSV.
 HEADLINE = [
     "q_ingest_clean",
     "q_daily_summary",
     "q_pricing_rollup",
+    "q_zone_performance",
+    "q_route_features",
+    "q_event_correlation",
+    "q_demand_lag_features",
+    "q_tumbling_window_5m",
+    "q_activity_score",
+    "q_dedup_exact",
+    "q_dedup_embedding",
+    "q_similarity_topk",
+    "q_text_stats",
 ]
 
 

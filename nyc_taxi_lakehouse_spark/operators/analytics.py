@@ -162,9 +162,72 @@ WHERE n.n_name IS NOT NULL
 """
 
 
+def _zone_performance_spark_sql(d: Dialect) -> str:
+    """Spark-first form of the same query: the reference's nation_stats
+    re-aggregation + join-back (J4) is re-expressed as window functions over
+    cust_daily — identical results, but orders⨝customer is scanned ONCE
+    (Spark inlines CTEs, so the join-back form computes cust_daily twice)
+    and the join-back shuffle disappears. The DuckDB oracle keeps the
+    reference's join shape, pinning result equivalence of the rewrite.
+    Window arithmetic matches the oracle's: exact integer SUM/COUNT then one
+    double division."""
+    return f"""
+WITH cust_daily AS (
+  SELECT c.c_nationkey AS nation_key,
+         CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS metric_date,
+         COUNT(*) AS order_count,
+         {dsum('o.o_totalprice')} AS order_revenue,
+         {davg('o.o_totalprice')} AS avg_order_value
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, CAST(CAST(o.o_orderdate AS DATE) AS STRING)
+),
+supp_daily AS (
+  SELECT s.s_nationkey AS nation_key,
+         CAST(CAST(l.l_shipdate AS DATE) AS STRING) AS metric_date,
+         COUNT(*) AS ship_count,
+         {dsum_dec(disc_price('l.l_extendedprice', 'l.l_discount'))} AS ship_revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, CAST(CAST(l.l_shipdate AS DATE) AS STRING)
+),
+cust_windowed AS (
+  SELECT *,
+         CAST(SUM(CAST(order_count AS DECIMAL(28,0))) OVER wn AS DOUBLE)
+           / COUNT(*) OVER wn AS avg_daily_orders,
+         MAX(order_count) OVER wn AS max_daily_orders
+  FROM cust_daily
+  WINDOW wn AS (PARTITION BY nation_key)
+)
+SELECT
+  cd.nation_key,
+  cd.metric_date,
+  n.n_name AS nation_name,
+  r.r_name AS region_name,
+  cd.order_count,
+  cd.order_revenue,
+  cd.avg_order_value,
+  COALESCE(sd.ship_count, 0) AS ship_count,
+  COALESCE(sd.ship_revenue, 0.0) AS ship_revenue,
+  cd.avg_daily_orders,
+  cd.max_daily_orders,
+  CASE
+    WHEN cd.order_count > cd.avg_daily_orders * 1.2 THEN 'high'
+    WHEN cd.order_count < cd.avg_daily_orders * 0.8 THEN 'low'
+    ELSE 'normal'
+  END AS demand_level
+FROM cust_windowed cd
+LEFT JOIN supp_daily sd
+  ON cd.nation_key = sd.nation_key AND cd.metric_date = sd.metric_date
+LEFT JOIN nation n ON cd.nation_key = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_name IS NOT NULL
+"""
+
+
 sql_query(
     "q_zone_performance",
-    spark_sql=_zone_performance_sql(SPARK),
+    spark_sql=_zone_performance_spark_sql(SPARK),
     duck_sql=_zone_performance_sql(DUCK),
     tables=["orders", "customer", "lineitem", "supplier", "nation", "region"],
     doc="zone_performance_metrics analog (comprehensive_analytics.py:219-329):"
