@@ -44,6 +44,12 @@ class LakeTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def _invalidate(self) -> None:
+        """Drop Spark's cached file listing for this path after a mutation so
+        subsequent reads re-list (the session-level FileStatusCache would
+        otherwise serve deleted files)."""
+        self.spark.catalog.refreshByPath(self.path)
+
     def read_stream(self, schema) -> DataFrame:
         """Table-as-stream (reference S5: readStream on an Iceberg table,
         realtime_cdc_processor.py:200-203)."""
@@ -56,6 +62,23 @@ class LakeTable:
         if merge_schema:
             writer = writer.option("mergeSchema", "true")
         writer.parquet(self.path)
+        self._invalidate()
+
+    def _stage(self, df: DataFrame) -> tuple[DataFrame, str]:
+        """Materialize a DataFrame to a staging directory next to the table.
+
+        Plain parquet has no snapshot isolation: a lazy plan that reads this
+        table breaks (FILE_NOT_EXIST) or silently loses rows if the table's
+        files are rewritten before the plan executes. Every mutating op
+        therefore stages its inputs first — the parquet-layer analog of the
+        write-ahead half of a Delta/Iceberg commit. On Delta this staging
+        disappears (MERGE/replaceWhere read a pinned snapshot).
+        """
+        import uuid as _uuid
+
+        staging = f"{self.path.rstrip('/')}.staging-{_uuid.uuid4().hex[:8]}"
+        df.write.parquet(staging)
+        return self.spark.read.schema(df.schema).parquet(staging), staging
 
     def delete_where(self, predicate: str) -> None:
         """DELETE FROM t WHERE predicate (reference S9).
@@ -78,48 +101,74 @@ class LakeTable:
             ]
             if not parts:
                 return
-            survivors = current.filter(~F.expr(predicate))
             cond = F.lit(False)
             for p in parts:
                 c = F.lit(True)
                 for col, val in zip(self.partition_cols, p):
                     c = c & (F.col(col) == F.lit(val))
                 cond = cond | c
-            survivors = survivors.filter(cond).cache()
-            survived_parts = {
-                tuple(r)
-                for r in survivors.select(*self.partition_cols).distinct().collect()
-            }
-            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                survivors.write.mode("overwrite").partitionBy(
-                    *self.partition_cols
-                ).parquet(self.path)
-            finally:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-                survivors.unpersist()
-            # Dynamic overwrite only replaces partitions PRESENT in the
-            # written data — a fully-deleted partition writes nothing and
-            # would silently survive. Drop those directories explicitly.
+            survivors, staging = self._stage(
+                current.filter(~F.expr(predicate)).filter(cond)
+            )
             import shutil
 
-            for p in parts:
-                if p not in survived_parts:
-                    sub = "/".join(
-                        f"{col}={val}" for col, val in zip(self.partition_cols, p)
+            try:
+                survived_parts = {
+                    tuple(r)
+                    for r in survivors.select(*self.partition_cols).distinct().collect()
+                }
+                prev = self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    survivors.write.mode("overwrite").partitionBy(
+                        *self.partition_cols
+                    ).parquet(self.path)
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
                     )
-                    shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+                # Dynamic overwrite only replaces partitions PRESENT in the
+                # written data — a fully-deleted partition writes nothing and
+                # would silently survive. Drop those directories explicitly.
+                for p in parts:
+                    if p not in survived_parts:
+                        sub = "/".join(
+                            f"{col}={val}"
+                            for col, val in zip(self.partition_cols, p)
+                        )
+                        shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+                self._invalidate()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         else:
-            survivors = current.filter(~F.expr(predicate)).cache()
-            survivors.count()
-            survivors.write.mode("overwrite").parquet(self.path)
-            survivors.unpersist()
+            import shutil
+
+            survivors, staging = self._stage(current.filter(~F.expr(predicate)))
+            try:
+                survivors.write.mode("overwrite").parquet(self.path)
+                self._invalidate()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def refresh_where(self, df: DataFrame, predicate: str) -> None:
-        """The reference's DELETE+append idempotent refresh in one call."""
-        self.delete_where(predicate)
-        self.append(df)
+        """The reference's DELETE+append idempotent refresh in one call.
+
+        `df` is staged BEFORE the delete so it may safely derive from this
+        very table (the common mart-refresh shape: recompute recent rows from
+        current state, then replace them).
+        """
+        import shutil
+
+        staged, staging = self._stage(df)
+        try:
+            self.delete_where(predicate)
+            self.append(staged)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def merge_upsert(
         self,
@@ -155,15 +204,19 @@ class LakeTable:
             inserts = updates
             all_keys = updates.select(*keys)
         if self.exists():
+            import shutil
+
             current = self.read()
             kept = current.join(all_keys, keys, "left_anti")
-            merged = kept.unionByName(inserts).cache()
-            merged.count()
-            writer = merged.write.mode("overwrite")
-            if self.partition_cols:
-                writer = writer.partitionBy(*self.partition_cols)
-            writer.parquet(self.path)
-            merged.unpersist()
+            merged, staging = self._stage(kept.unionByName(inserts))
+            try:
+                writer = merged.write.mode("overwrite")
+                if self.partition_cols:
+                    writer = writer.partitionBy(*self.partition_cols)
+                writer.parquet(self.path)
+                self._invalidate()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         else:
             self.append(inserts)
 

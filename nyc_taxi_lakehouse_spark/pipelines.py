@@ -1,0 +1,134 @@
+"""Batch ETL pipelines — the reference's Airflow DAG flows as plain functions.
+
+Each reference DAG becomes a composable function over the lakehouse layer
+(SURVEY §3.1-3.2 lifecycle, minus the orchestrator):
+
+- ingest_facts        = nyc_taxi_iceberg_etl: high-watermark incremental read
+                        → cleaning chain → partitioned append → control update
+                        (nyc_taxi_to_iceberg.py:84-143, nyc_taxi_iceberg_etl.py:46-82)
+- refresh_mart        = comprehensive_analytics refresh idiom: DELETE recent
+                        partitions + re-append (comprehensive_analytics.py:207-213)
+- build_daily_summary = CTAS daily summary (nyc_taxi_to_iceberg.py:165-184)
+- run_quality_gates   = the DAG validation tasks (nyc_taxi_iceberg_etl.py:173-192)
+
+All operate on the testdata star schema (lineitem as the fact). Partition
+column is the derived ship year-month — the reference's (year, month) identity
+partitioning (nyc_taxi_to_iceberg.py:65), which at 100 TB bounds every
+refresh/delete to the touched months.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lake import ControlTable, LakeTable, validate_columns, validate_non_empty
+from .sources.tables import load_tables
+
+CLEAN_REQUIRED = ["order_key", "l_quantity", "l_extendedprice", "l_shipdate"]
+
+
+def clean_facts(raw: DataFrame) -> DataFrame:
+    """The reference cleaning chain (nyc_taxi_to_iceberg.py:91-136): P1
+    multi-predicate filter, P2 renames, P3 derived partition cols, P4
+    projection."""
+    return (
+        raw.filter(
+            F.col("l_shipdate").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+            & (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & F.col("l_discount").between(0, 0.1)
+        )
+        .withColumnRenamed("l_orderkey", "order_key")
+        .withColumnRenamed("l_partkey", "part_key")
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .withColumn("ship_month", F.month("l_shipdate"))
+        .withColumn("load_date", F.current_date())
+        .select(
+            "order_key",
+            "part_key",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+            "ship_year",
+            "ship_month",
+            "load_date",
+        )
+    )
+
+
+def ingest_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    table: LakeTable,
+    control: ControlTable | None = None,
+    source_name: str = "lineitem",
+) -> int:
+    """Incremental fact ingest with high-watermark bookkeeping.
+
+    Only rows with l_shipdate strictly above the stored watermark are
+    ingested (nyc_taxi_iceberg_etl.py:46-82's control-table pattern); the
+    watermark advances to the batch max afterwards. The shipdate predicate
+    reaches the parquet scan (PushedFilters) so re-runs scan nothing new.
+    """
+    raw = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    wm = control.get_watermark(source_name) if control else None
+    if wm:
+        raw = raw.filter(F.col("l_shipdate") > F.lit(wm))
+    cleaned = clean_facts(raw)
+    validate_columns(cleaned, CLEAN_REQUIRED, "facts")
+    cnt = cleaned.count()
+    if cnt == 0:
+        return 0
+    table.append(cleaned)
+    if control:
+        new_wm = cleaned.agg(F.max(F.col("l_shipdate").cast("string"))).collect()[0][0]
+        control.set_watermark(source_name, new_wm)
+    return cnt
+
+
+def build_daily_summary(spark: SparkSession, table: LakeTable, out: LakeTable) -> DataFrame:
+    """CTAS daily summary (nyc_taxi_to_iceberg.py:165-184): full rebuild of a
+    small rollup — the matview pattern (scheduled CTAS, SURVEY §2.1 S8)."""
+    df = (
+        table.read()
+        .groupBy(F.col("l_shipdate").cast("string").alias("ship_date"))
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+    # CREATE OR REPLACE: full overwrite of the small summary table.
+    df.write.mode("overwrite").parquet(out.path)
+    return out.read()
+
+
+def refresh_mart(
+    mart: LakeTable, fresh: DataFrame, months: list[tuple[int, int]]
+) -> None:
+    """The reference's idempotent DELETE-recent + append refresh
+    (comprehensive_analytics.py:207-213) bounded to the given (year, month)
+    partitions — only those partitions rewrite."""
+    pred = " OR ".join(
+        f"(ship_year = {y} AND ship_month = {m})" for y, m in months
+    )
+    mart.refresh_where(fresh, pred)
+
+
+def run_quality_gates(df: DataFrame, required: list[str]) -> dict:
+    """DAG validation tasks (nyc_taxi_iceberg_etl.py:173-192): non-empty +
+    column presence + null profile in one report."""
+    from .lake import null_profile
+
+    n = validate_non_empty(df, "facts")
+    validate_columns(df, required, "facts")
+    return {"rows": n, "null_pct": null_profile(df, required)}

@@ -81,5 +81,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import similarity  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
+    from .streaming import replay  # noqa: F401
 
     return dict(_REGISTRY)

@@ -115,8 +115,17 @@ def windowed_aggregation(
         .groupBy(F.window("event_time", window), F.col("event_type"))
         .agg(
             F.count("*").alias("event_count"),
-            F.sum("value").alias("total_value"),
-            F.avg("value").alias("avg_value"),
+            # Exact-decimal sum (associative → independent of micro-batch
+            # partial-aggregation order), cast to double once — the engine's
+            # determinism convention (functions/detsql.py), which also makes
+            # the streaming result oracle-checkable (streaming/replay.py).
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(

@@ -1,0 +1,137 @@
+"""End-to-end streaming CDC replay as a driver-contract query.
+
+q_cdc_windowed runs the ACTUAL Structured Streaming pipeline (Debezium
+envelope parse → watermark → 5-min tumbling windows → parquet sink) over a
+deterministic replay of the `events` table, then returns the sink. It is
+oracle-checkable because availableNow semantics are deterministic for a
+single-file drain:
+
+- batch 0 processes every row with watermark 0 → nothing is late, all
+  windows enter state;
+- the final no-data micro-batch runs with watermark = max(event_time) − 10min
+  and append mode emits exactly the windows with window_end <= watermark.
+
+So the DuckDB oracle is: clean-filtered tumbling windows restricted to
+window_end <= max(event_time) − 10min — pure SQL. approx_count_distinct is
+excluded from the projection (HLL has no cross-engine equivalent; it stays in
+the pipeline and is covered by tests/test_streaming.py).
+
+Envelope generation is Spark-side (to_json ×2 for the double encoding the
+reference's Debezium config produces — realtime_cdc_processor.py:103-146),
+written once per sf_dir and reused across runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import DUCK
+from ..registry import df_query
+from ..sources.tables import load_tables
+from .cdc import file_replay_source, parse_cdc, windowed_aggregation
+
+_REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_cdc_replay")
+
+
+def write_envelopes(events: DataFrame, out_dir: str) -> str:
+    """Encode events as double-encoded Debezium 'c' envelopes (one JSONL
+    file, deterministic order irrelevant — single-batch drain)."""
+    ts_ms = (F.unix_timestamp("ts") * 1000).alias("ts_ms")
+    env = events.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                ts_ms,
+                F.lit(None).cast("string").alias("before"),
+                F.to_json(
+                    F.struct(
+                        "event_id",
+                        F.col("ts").cast("string").alias("ts"),
+                        "user_id",
+                        "event_type",
+                        "value",
+                    )
+                ).alias("after"),
+                F.struct(
+                    F.lit("lakehouse").alias("db"),
+                    F.lit("events").alias("table"),
+                    (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    env.coalesce(1).write.mode("overwrite").text(out_dir)
+    return out_dir
+
+
+@df_query(
+    "q_cdc_windowed",
+    duck_sql=f"""
+WITH src AS (
+  SELECT event_type, value,
+         ({DUCK.epoch_bucket('ts', 300)}) AS window_start,
+         (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+wm AS (SELECT MAX(ts_us) - 600000000 AS watermark_us FROM src)
+SELECT window_start,
+       window_start + 300 AS window_end,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM src, wm
+GROUP BY window_start, event_type, watermark_us
+HAVING (window_start + 300) * 1000000 <= watermark_us
+""",
+    tables=["events"],
+    doc="ST1-ST5 end-to-end, oracle-checked: the real Structured Streaming "
+    "pipeline (Debezium double-encoded envelopes -> from_json x2 -> op/null "
+    "filters -> 10-min watermark -> 5-min tumbling windows -> append-mode "
+    "parquet sink via availableNow) replayed over the events table. Oracle = "
+    "the closed-window subset (window_end <= max event_time - 10min) of the "
+    "batch tumbling aggregation. approx_users (HLL) excluded from the "
+    "projection; exact-decimal total_value matches the streaming state's "
+    "decimal partials.",
+)
+def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, f"run-{uuid.uuid4().hex[:8]}")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    try:
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        q = (
+            windowed_aggregation(parsed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.read.parquet(sink).select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            F.unix_timestamp("window_end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+            "avg_value",
+        )
+        # Materialize before the temp sink is removed.
+        out = spark.createDataFrame(out.collect(), schema=out.schema)
+        return out
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
