@@ -161,18 +161,86 @@ WHERE ({matches}) >= {len(_PERMS) // 2}
 """
 
 
-sql_query(
+def _minhash_sig_sql(d: Dialect) -> str:
+    """The signature half of _minhash_sql, standalone (explode → vocab
+    dense_rank → 16 MIN aggregates)."""
+    tok = d.distinct_token_rows("documents")
+    sig_cols = ",\n  ".join(
+        f"MIN(({a} * tid + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+),
+tt AS (
+  SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token
+)
+SELECT doc_id,
+  {sig_cols}
+FROM tt GROUP BY doc_id
+"""
+
+
+def _minhash_pairs_sql(sig_view: str) -> str:
+    """Banding + candidate join + signature compare over a materialized
+    signature view."""
+    rows_per_band = len(_PERMS) // _BANDS
+    band_exprs = []
+    for bi in range(_BANDS):
+        hs = range(bi * rows_per_band, (bi + 1) * rows_per_band)
+        concat = " || '_' || ".join(f"CAST(h{i} AS STRING)" for i in hs)
+        band_exprs.append(f"{concat} AS band{bi}")
+    bands = ",\n  ".join(band_exprs)
+    cand_union = "\nUNION\n".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x "
+        f"JOIN bands y ON x.band{bi} = y.band{bi} AND x.doc_id < y.doc_id"
+        for bi in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_PERMS))
+    )
+    return f"""
+WITH bands AS (
+  SELECT doc_id,
+  {bands}
+  FROM {sig_view}
+),
+cand AS (
+{cand_union}
+)
+SELECT
+  c.doc_a,
+  c.doc_b,
+  CAST({matches} AS INT) AS matching_hashes,
+  CAST({matches} AS DOUBLE) / {len(_PERMS)} AS est_jaccard
+FROM cand c
+JOIN {sig_view} sa ON c.doc_a = sa.doc_id
+JOIN {sig_view} sb ON c.doc_b = sb.doc_id
+WHERE ({matches}) >= {len(_PERMS) // 2}
+"""
+
+
+@df_query(
     "q_dedup_minhash",
-    spark_sql=_minhash_sql(SPARK),
     duck_sql=_minhash_sql(DUCK),
     tables=["documents"],
     doc="MinHash(K=16) + LSH banding (4×4): shingle→minhash→band→bucket-join."
     " Candidate pairs share ≥1 band (UNION dedups across bands); est. "
-    "Jaccard = matching-minhash fraction, kept at ≥ 0.5. Dictionary-encoded "
-    "token ids make it oracle-checkable; production swaps the dictionary for "
-    "xxhash64(token) (minhash_signatures_xxhash below) — same plan minus the "
-    "vocabulary sort.",
+    "Jaccard = matching-minhash fraction, kept at ≥ 0.5. Spark side "
+    "materializes the signature table ONCE (cache + temp view) — the "
+    "single-CTE form recomputes the explode + vocabulary dense_rank 3x "
+    "because Catalyst inlines CTEs. Dictionary-encoded token ids make it "
+    "oracle-checkable; production swaps the dictionary for xxhash64(token) "
+    "(minhash_signatures_xxhash below) — same plan minus the vocab sort.",
 )
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    sig = spark.sql(_minhash_sig_sql(SPARK))
+    sig.persist()
+    sig.createOrReplaceTempView("mh_sig")
+    return spark.sql(_minhash_pairs_sql("mh_sig"))
 
 
 def _simhash_sql(d: Dialect) -> str:

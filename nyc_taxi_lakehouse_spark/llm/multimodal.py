@@ -120,3 +120,71 @@ sql_query(
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return extract_features(to_multimodal(t["documents"]))
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample plumbing (STUB transforms, real Spark pipeline).
+# ---------------------------------------------------------------------------
+
+
+def resize_image_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize — a real pipeline would decode, resample (PIL/cv2) and
+    re-encode; here the deterministic fake truncates/pads the byte stream to
+    an area-proportional length so output sizes are checkable."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise NotImplementedError("resize requires raw bytes")
+    target_len = max(1, (target_w * target_h) // 64)
+    out = bytes(payload[:target_len])
+    return out + b"\x00" * (target_len - len(out))
+
+
+def resize_images(mm: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Batch resize over mapInPandas: payload -> resized payload + new meta.
+
+    The Spark contract a real resampler drops into: binary in/out, Arrow
+    batches, metadata struct rebuilt with the new dimensions. One map-only
+    stage — no shuffle, scales linearly with executors.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            resized = [resize_image_stub(p, target_w, target_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, payload binary, width int, height int, n_bytes long"
+    )
+
+
+def sample_frames(mm: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame sampling: one input payload -> up to max_frames rows (video ->
+    keyframe pattern). The stub slices the byte stream at fixed strides; a
+    real implementation seeks keyframes via ffmpeg. Output is EXPLODED (one
+    row per frame) — the shape downstream per-frame embedding jobs expect."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not isinstance(payload, (bytes, bytearray)):
+                    raise NotImplementedError("frame sampling requires raw bytes")
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    rows["doc_id"].append(did)
+                    rows["frame_no"].append(i)
+                    rows["frame"].append(bytes(payload[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, frame_no int, frame binary"
+    )

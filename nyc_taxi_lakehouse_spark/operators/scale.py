@@ -1,0 +1,109 @@
+"""Scale techniques: skew salting, bucketed co-located joins, broadcast.
+
+The reference runs at demo scale and needs none of these; at the 100 TB
+target they are the difference between a plan that finishes and one that
+doesn't (SURVEY §7.3 posture). Each helper is deterministic and
+plan-shape-tested in tests/test_scale.py:
+
+- salted_aggregate: two-phase aggregation through an explicit salt column —
+  for aggregations whose group key is so skewed that one reducer partition
+  receives a hot key's entire data. (Spark's map-side partial aggregation
+  already handles commutative aggs; the salt phase matters for
+  size-accumulating aggs like collect_list / exact count-distinct re-keying.)
+- salted_join: replicate the build side R times, salt the probe side
+  deterministically by a row-unique column — spreads one hot join key over R
+  reducer partitions. AQE skew-join handles moderate skew automatically
+  (session.py enables it); explicit salting is for pathological keys known in
+  advance.
+- bucketed joins: write both sides bucketed by the join key
+  (spark_bucket_table) and the sort-merge join needs NO Exchange at all —
+  the co-located join the reference approximates with Iceberg sorted writes
+  (iceberg-sink-config.json sorted.by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    Phase 1 groups by (keys + salt) where salt = xxhash64(salt_col) % buckets
+    (deterministic — no rand(), results reproducible), phase 2 merges the
+    partials by keys. agg_exprs maps output column -> one of
+    count / sum / min / max (the decomposable aggregates).
+    """
+    mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            getattr(F, fn)(F.col(col) if fn != "count" else F.lit(1)).alias(out)
+            for out, (fn, col) in agg_exprs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, mergers[fn])(F.col(out)).alias(out)
+            for out, (fn, _col) in agg_exprs.items()
+        ]
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_source: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: build side replicated `buckets` times, probe side
+    salted deterministically from `salt_source` (a row-unique probe column).
+    Join key becomes (key, salt) so a hot key's rows spread over `buckets`
+    reducer partitions instead of one.
+    """
+    build_rep = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    probe_s = probe.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets)).cast("int")
+    )
+    return probe_s.join(build_rep, [key, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_key: str, num_buckets: int = 8
+) -> None:
+    """Persist as a bucketed+sorted managed table: the co-located layout that
+    lets equal-bucketed joins run with zero Exchange (tested)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A crashed prior run can leave the managed location behind without a
+    # catalog entry; saveAsTable refuses to reuse it.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh.rstrip('/')}/{table_name.lower()}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two identically-bucketed tables on the bucket key — Catalyst
+    plans a sort-merge join with NO shuffle on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key)

