@@ -258,3 +258,108 @@ def ann_bruteforce_pandas(
 def q_similarity_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return ann_bruteforce_pandas(t["embeddings"])
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_probe_cells: int = 4,
+    n_probes: int = _N_PROBES,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus partitioned into Voronoi cells around
+    coarse centroids; each probe searches only its n_probe_cells nearest
+    cells. The second scale path beside LSH (ann_lsh_topk).
+
+    Centroids are deterministic — the first n_centroids corpus vectors by
+    vec_id (a fixed coarse quantizer; k-means would refine but adds a stored
+    model). Cell assignment is relational: explode components → broadcast
+    join with centroid components → one hash-agg dot product per (vector,
+    cell) — no giant literal expressions, one shuffle on vec_id.
+
+    At 100 TB: the corpus is written partitioned BY cell id (partition
+    pruning skips unprobed cells entirely); centroids broadcast. Shuffle
+    cost: one pass to assign + one pruned scan per query batch.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    quant = embeddings.selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
+    )
+    cents = (
+        quant.filter(F.col("vec_id") >= n_probes).orderBy("vec_id").limit(n_centroids)
+    )
+    cent_rows = [list(r.q) for r in cents.collect()]
+    cent_comp = spark.createDataFrame(
+        [
+            (cell, i, int(v), float(sum(x * x for x in cq)) ** 0.5)
+            for cell, cq in enumerate(cent_rows)
+            for i, v in enumerate(cq)
+        ],
+        "cell int, i int, cv long, cnorm double",
+    )
+
+    comp = quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
+    # Rank cells by dot/|c| — |q| is constant per vector, so the argmax over
+    # cells is unchanged; exact integer dot, one double division.
+    cell_scores = (
+        comp.join(F.broadcast(cent_comp), "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            (F.sum(F.col("qv") * F.col("cv")).cast("double") / F.first("cnorm")).alias(
+                "score"
+            )
+        )
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    ranked = cell_scores.withColumn("rk", F.row_number().over(w_cell))
+
+    corpus_cells = ranked.filter((F.col("vec_id") >= n_probes) & (F.col("rk") == 1))
+    probe_cells = ranked.filter((F.col("vec_id") < n_probes) & (F.col("rk") <= n_probe_cells))
+
+    corpus = quant.join(corpus_cells.select("vec_id", "cell"), "vec_id").select(
+        F.col("vec_id").alias("candidate_id"), F.col("q").alias("cq"), "cell"
+    )
+    probes = quant.join(probe_cells.select("vec_id", "cell"), "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("pq"), "cell"
+    )
+
+    pairs = probes.join(corpus, "cell")
+    dot = F.aggregate(
+        F.zip_with("pq", "cq", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        pairs.dropDuplicates(["query_id", "candidate_id"])
+        .withColumn("cosine", dot / (nrm(F.col("pq")) * nrm(F.col("cq"))))
+        .select("query_id", "candidate_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+@df_query(
+    "q_similarity_ivf",
+    duck_sql=None,
+    tables=["embeddings"],
+    doc="IVF-bucketed ANN (second scale path beside LSH): deterministic "
+    "coarse centroids, Voronoi cell assignment by exact quantized cosine, "
+    "probes search their 4 nearest cells only. Rows-only (recall vs the "
+    "brute-force oracle asserted in tests/test_llm_ops.py). At scale the "
+    "corpus partitions by cell id so unprobed cells are pruned at the scan.",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return ann_ivf_topk(t["embeddings"])

@@ -84,3 +84,23 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
         pdf2.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probes only 4/16 cells; recall@10 must still be far above random
+    (nearest-centroid cells hold the near neighbors)."""
+    from nyc_taxi_lakehouse_spark.llm.similarity import ann_ivf_topk
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    truth = (
+        SPECS["q_similarity_topk"].fn(spark, sf_dir).select("query_id", "candidate_id")
+    ).toPandas()
+    ivf = ann_ivf_topk(t["embeddings"]).select("query_id", "candidate_id").toPandas()
+    truth_set = set(map(tuple, truth.values))
+    ivf_set = set(map(tuple, ivf.values))
+    n_corpus = t["embeddings"].count() - 10
+    recall = len(truth_set & ivf_set) / len(truth_set)
+    random_expect = 10 / n_corpus
+    assert recall > 5 * random_expect, f"recall {recall:.3f} ~ random {random_expect:.3f}"
+    # Every probe still returns a full (or near-full) top-k from its cells.
+    assert ivf.groupby("query_id").size().min() >= 5

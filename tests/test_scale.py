@@ -98,3 +98,33 @@ def test_broadcast_dim_join_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_lake_table(spark, tmp_path):
+    """A date-partition predicate must reach the scan as a PartitionFilter
+    (pruned directories, zero data read outside them) — the 100 TB contract
+    for every time-bounded query (SURVEY §4)."""
+    from nyc_taxi_lakehouse_spark.lake import LakeTable
+    from nyc_taxi_lakehouse_spark.pipelines import ingest_facts
+
+    t = LakeTable(spark, str(tmp_path / "facts"), ["ship_year", "ship_month"])
+    ingest_facts(spark, SF, t)
+    q = t.read().filter("ship_year = 1995 AND ship_month = 3").select("l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ship_year" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    # Column pruning: only the projected column (+ partition cols) is read.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_filter_pushdown_to_parquet(spark):
+    """Value predicates reach the parquet reader as PushedFilters."""
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter("l_quantity > 10")
+        .select("l_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,10" in plan.split("PushedFilters:")[1].split("]")[0]
