@@ -188,3 +188,29 @@ def sample_frames(mm: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) 
     return mm.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, frame_no int, frame binary"
     )
+
+
+@df_query(
+    "q_multimodal_resize",
+    duck_sql=None,
+    tables=["documents"],
+    doc="Batch image-resize plumbing (mapInPandas, binary in/out, metadata "
+    "rebuilt) — stub resampler, real Spark contract. Rows-only; byte-length "
+    "invariants asserted in tests/test_multimodal_json.py.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return resize_images(to_multimodal(t["documents"]), target_w=32, target_h=32)
+
+
+@df_query(
+    "q_multimodal_frames",
+    duck_sql=None,
+    tables=["documents"],
+    doc="Frame-sampling plumbing: one payload -> up to 8 frame rows "
+    "(exploded shape downstream per-frame embedding jobs expect). Stub "
+    "keyframe slicer, real mapInPandas contract. Rows-only.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return sample_frames(to_multimodal(t["documents"]))
