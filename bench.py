@@ -58,13 +58,19 @@ def main() -> None:
     # query, not first-touch overheads.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Best-of-2 per query: run 1 pays parquet-footer / broadcast first-touch,
+    # run 2 measures the query. Reported number = min (standard bench
+    # practice; BASELINE.md compares DuckDB the same way — warm OS cache).
     timings: dict[str, float] = {}
     for name in names:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
