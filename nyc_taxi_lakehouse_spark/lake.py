@@ -55,7 +55,17 @@ class LakeTable:
         realtime_cdc_processor.py:200-203)."""
         return self.spark.readStream.schema(schema).parquet(self.path)
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Partitioned append. sort_cols orders rows WITHIN each written file
+        (the reference's Iceberg `sorted.by source_ts_ms` — better min/max
+        stats for data skipping; iceberg-sink-config.json)."""
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
@@ -63,6 +73,58 @@ class LakeTable:
             writer = writer.option("mergeSchema", "true")
         writer.parquet(self.path)
         self._invalidate()
+
+    def compact(self, target_file_bytes: int = 128 << 20, min_files: int = 2) -> int:
+        """Bin-pack small files per partition toward the target file size —
+        the reference's `write-target-file-size-bytes=134217728` sink setting
+        and the OPTIMIZE half of Delta maintenance. Streaming sinks and
+        frequent small appends fragment partitions; at 100 TB unfragmented
+        128 MiB files keep scan task counts (and S3 request counts) sane.
+
+        Returns the number of partitions rewritten. Only partitions with more
+        files than their data needs are touched.
+        """
+        import math
+        import shutil
+
+        if not self.exists():
+            return 0
+
+        def partition_dirs(root: str, depth: int) -> list[str]:
+            dirs = [root]
+            for _ in range(depth):
+                dirs = [
+                    os.path.join(d, n)
+                    for d in dirs
+                    for n in sorted(os.listdir(d))
+                    if os.path.isdir(os.path.join(d, n)) and "=" in n
+                ]
+            return dirs
+
+        rewritten = 0
+        for pdir in partition_dirs(self.path, len(self.partition_cols)):
+            files = [
+                os.path.join(pdir, n)
+                for n in os.listdir(pdir)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+            total = sum(os.path.getsize(f) for f in files)
+            want = max(1, math.ceil(total / target_file_bytes))
+            if len(files) < max(min_files, want + 1):
+                continue
+            df = self.spark.read.parquet(pdir).coalesce(want)
+            staging = f"{pdir}.compact-tmp"
+            df.write.mode("overwrite").parquet(staging)
+            for f in files:
+                os.remove(f)
+            for n in os.listdir(staging):
+                if not n.startswith((".", "_")):
+                    shutil.move(os.path.join(staging, n), os.path.join(pdir, n))
+            shutil.rmtree(staging, ignore_errors=True)
+            rewritten += 1
+        if rewritten:
+            self._invalidate()
+        return rewritten
 
     def _stage(self, df: DataFrame) -> tuple[DataFrame, str]:
         """Materialize a DataFrame to a staging directory next to the table.

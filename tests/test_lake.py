@@ -97,3 +97,47 @@ def test_validation_gates(spark, trips):
         trips.withColumn("maybe", F.when(F.col("id") % 2 == 0, F.col("amount")))
     )
     assert prof["id"] == 0.0 and abs(prof["maybe"] - 50.0) < 0.01
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "frag"), ["day"])
+    base = spark.createDataFrame(
+        [("d1", i, float(i)) for i in range(200)], "day string, id int, v double"
+    )
+    # 5 small appends → fragmented partition
+    for k in range(5):
+        t.append(base.withColumn("id", F.col("id") + k * 1000))
+    import os
+
+    pdir = str(tmp_path / "frag" / "day=d1")
+    files_before = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files_before) >= 5
+    before_rows = sorted(r.id for r in t.read().collect())
+
+    n = t.compact(target_file_bytes=1 << 30)  # everything fits one file
+    assert n == 1
+    files_after = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    assert sorted(r.id for r in t.read().collect()) == before_rows
+    # Idempotent: second compact touches nothing.
+    assert t.compact(target_file_bytes=1 << 30) == 0
+
+
+def test_sorted_append_orders_within_files(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "sorted"))
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(1000)], "id int, ts int"
+    ).repartition(2)
+    t.append(df, sort_cols=["ts"])
+    import pyarrow.parquet as pq
+    import os
+
+    for f in os.listdir(t.path):
+        if f.endswith(".parquet"):
+            ts = pq.read_table(os.path.join(t.path, f), columns=["ts"])["ts"].to_pylist()
+            assert ts == sorted(ts), f"file {f} not sorted"

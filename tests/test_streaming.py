@@ -156,3 +156,32 @@ def test_table_as_stream_chain(spark, cdc_dir, tmp_path):
     assert len(pdf) == spark.read.parquet(str(sink)).count()
     assert set(pdf.activity_level) <= {"low", "medium", "high"}
     assert (pdf.activity_score > 0).all()
+
+
+def test_parse_cdc_drops_corrupt_lines(spark, tmp_path):
+    """Malformed JSON / wrong-shape envelopes must not kill the stream —
+    from_json yields nulls which the op/null filters drop."""
+    import json
+
+    src = tmp_path / "corrupt"
+    src.mkdir()
+    good = json.dumps(
+        {
+            "op": "c",
+            "ts_ms": 1,
+            "before": None,
+            "after": json.dumps(
+                {"event_id": 1, "ts": "2026-01-01 10:00:00", "user_id": 1,
+                 "event_type": "a", "value": 2.0}
+            ),
+            "source": {"db": "d", "table": "t", "ts_ms": 1},
+        }
+    )
+    (src / "b.jsonl").write_text(
+        "not json at all\n{\"op\": \"c\", \"after\": 17}\n" + good + "\n{broken"
+    )
+    from nyc_taxi_lakehouse_spark.streaming.cdc import parse_cdc
+
+    raw = spark.read.text(str(src))  # batch read exercises the same exprs
+    out = parse_cdc(raw).collect()
+    assert len(out) == 1 and out[0].event_id == 1
