@@ -60,6 +60,19 @@ def charge(price: str, disc: str, tax: str) -> str:
     )
 
 
+def dround(expr: str, n: int = 2) -> str:
+    """Cross-engine-deterministic ROUND of a double expression.
+
+    ROUND on raw doubles diverges at .xx5 boundaries: a true rational like
+    95.025 stores as 95.02499999999999; Spark rounds the binary value (→
+    95.02) while DuckDB rounds the shortest decimal repr (→ 95.03). Fix:
+    snap to DECIMAL(28,6) first — the 1e-6 grid is far coarser than the
+    double's ulp, so both engines land on the same decimal — then round in
+    decimal arithmetic, where both use half-away-from-zero.
+    """
+    return f"CAST(round(CAST(({expr}) AS DECIMAL(28,6)), {n}) AS DOUBLE)"
+
+
 def dsum_dec(expr: str) -> str:
     """SUM of an already-exact decimal expression, emitted as DOUBLE."""
     return f"CAST(SUM({expr}) AS DOUBLE)"

@@ -11,7 +11,7 @@ pseudo-random (seeded rand() still differs across engines).
 
 from __future__ import annotations
 
-from ..functions.detsql import DUCK, SPARK, Dialect, davg, dsum
+from ..functions.detsql import dround, DUCK, SPARK, Dialect, davg, dsum
 from ..registry import sql_query
 
 
@@ -61,8 +61,7 @@ SELECT
     AS summer_orders,
   CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
     AS finished_orders,
-  ROUND(CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100
-        / NULLIF(COUNT(*), 0), 2) AS finished_pct
+  {dround("CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100 / NULLIF(COUNT(*), 0)")} AS finished_pct
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -90,7 +89,7 @@ SELECT
   CASE WHEN {d.dow('ts')} IN (1, 7) THEN true ELSE false END AS is_weekend,
   COUNT(*) AS event_count,
   {davg('value')} AS avg_value,
-  ROUND({davg('value')}, 2) AS avg_value_rounded
+  {dround(davg('value'))} AS avg_value_rounded
 FROM events
 GROUP BY CAST(hour(ts) AS INT), {d.dow('ts')}
 """
@@ -121,7 +120,7 @@ SELECT
   COUNT(*) AS event_count,
   {davg('value')} AS avg_value,
   {davg('CASE WHEN value > 0 THEN value ELSE 0 END')} AS avg_nonneg_value,
-  LEAST(ROUND({davg('value')}, 1), 100.0) AS capped_avg,
+  LEAST({dround(davg('value'), 1)}, 100.0) AS capped_avg,
   CASE
     WHEN {davg('value')} > 100 THEN CAST(1.2 AS DOUBLE)
     WHEN {davg('value')} > 30 THEN CAST(1.1 AS DOUBLE)
@@ -164,8 +163,7 @@ SELECT
   f.h AS hours_ahead,
   CAST((b.hist_count % 97) * 31 + f.h * 17 AS BIGINT) % 100 AS noise,
   LEAST(
-    ROUND(CAST(b.hist_count AS DOUBLE) / 720
-          * (1.0 + (CAST((b.hist_count % 97) * 31 + f.h * 17 AS BIGINT) % 100 - 50) / 200.0), 2),
+    {dround("CAST(b.hist_count AS DOUBLE) / 720 * (1.0 + (CAST((b.hist_count % 97) * 31 + f.h * 17 AS BIGINT) % 100 - 50) / 200.0)")},
     10000.0) AS predicted_demand,
   CASE WHEN f.h BETWEEN 17 AND 19 THEN true ELSE false END AS is_peak
 FROM base b
