@@ -21,6 +21,15 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck_smoke():
+    from .conftest import SF_SMOKE
+
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_parity(name, spark, sf_dir, duck):
     spec = SPECS[name]
@@ -30,4 +39,17 @@ def test_query_parity(name, spark, sf_dir, duck):
         assert result.count() >= 0
         return
     expected = duck.execute(spec.oracle).fetchdf()
+    compare(result, expected, name)
+
+
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if SPECS[n].oracle))
+def test_query_parity_smoke_sf(name, spark, duck_smoke):
+    """Same gate at the SMALLEST scale factor. Tiny data hits different
+    numeric edge cases — an sf0.001-only run caught a cross-engine ROUND
+    divergence (dround in detsql.py) that sf0.01/sf0.1 never exposed."""
+    from .conftest import SF_SMOKE
+
+    spec = SPECS[name]
+    result = spec.fn(spark, SF_SMOKE)
+    expected = duck_smoke.execute(spec.oracle).fetchdf()
     compare(result, expected, name)
