@@ -62,3 +62,30 @@ sql_query(
     "double fma chain) to the oracle. One shuffle on (window, type); "
     "COUNT(DISTINCT) is exact here, approx_count_distinct in the stream.",
 )
+
+
+def _unique_users_approx_sql() -> str:
+    """Spark-only: HLL++ approx distinct per type+hour — the documented
+    100 TB substitution for the exact two-shuffle COUNT(DISTINCT) (the
+    streaming pipeline already uses it; SURVEY §7.3 posture)."""
+    return """
+SELECT
+  event_type,
+  CAST(hour(ts) AS INT) AS hour_of_day,
+  COUNT(*) AS event_count,
+  approx_count_distinct(user_id, 0.02) AS approx_users
+FROM events
+GROUP BY event_type, CAST(hour(ts) AS INT)
+"""
+
+
+sql_query(
+    "q_unique_users_approx",
+    spark_sql=_unique_users_approx_sql(),
+    duck_sql=None,
+    tables=["events"],
+    doc="A2 scale option: approx_count_distinct (HLL++) per (type, hour) — "
+    "single shuffle, no distinct-expand, mergeable partials; rows-only "
+    "(HLL estimates have no cross-engine equivalent). Accuracy vs the "
+    "exact count is asserted in tests/test_llm_ops.py (within 5%).",
+)

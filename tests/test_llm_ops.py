@@ -104,3 +104,20 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 5 * random_expect, f"recall {recall:.3f} ~ random {random_expect:.3f}"
     # Every probe still returns a full (or near-full) top-k from its cells.
     assert ivf.groupby("query_id").size().min() >= 5
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ estimate within 5% of exact on every (type, hour) group."""
+    from pyspark.sql import functions as F
+
+    approx = SPECS["q_unique_users_approx"].fn(spark, sf_dir).toPandas()
+    t = load_tables(spark, sf_dir, ["events"])
+    exact = (
+        t["events"]
+        .groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    ).toPandas()
+    merged = approx.merge(exact, on=["event_type", "hour_of_day"])
+    assert len(merged) == len(approx)
+    rel_err = (merged.approx_users - merged.exact_users).abs() / merged.exact_users
+    assert rel_err.max() <= 0.05, f"max HLL error {rel_err.max():.3f}"
