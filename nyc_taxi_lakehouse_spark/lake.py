@@ -22,10 +22,12 @@ parquet (SURVEY §1.4 mapping — on a real cluster each maps 1:1 onto Delta):
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class LakeTable:
@@ -41,7 +43,38 @@ class LakeTable:
             not n.startswith(("_", ".")) for n in os.listdir(self.path)
         )
 
+    # -- schema evolution ---------------------------------------------------
+    # Plain parquet has no table-level schema: after an evolved-schema append
+    # a bare spark.read.parquet picks an arbitrary footer's schema, silently
+    # dropping new columns. The Delta/Iceberg fix is a logged table schema;
+    # the parquet-layer analog here is a `_merged_schema.json` sidecar
+    # ("_"-prefixed → invisible to parquet scans) that read() applies
+    # explicitly — files missing a column yield NULLs, no per-read
+    # footer-merge pass (mergeSchema) needed at 100 TB.
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_merged_schema.json")
+
+    def _saved_schema(self) -> T.StructType | None:
+        if not os.path.isfile(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _save_schema(self, schema: T.StructType) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._schema_path, "w") as f:
+            json.dump(schema.jsonValue(), f)
+
+    def _drop_saved_schema(self) -> None:
+        if os.path.isfile(self._schema_path):
+            os.remove(self._schema_path)
+
     def read(self) -> DataFrame:
+        saved = self._saved_schema()
+        if saved is not None:
+            return self.spark.read.schema(saved).parquet(self.path)
         return self.spark.read.parquet(self.path)
 
     def _invalidate(self) -> None:
@@ -63,15 +96,46 @@ class LakeTable:
     ) -> None:
         """Partitioned append. sort_cols orders rows WITHIN each written file
         (the reference's Iceberg `sorted.by source_ts_ms` — better min/max
-        stats for data skipping; iceberg-sink-config.json)."""
+        stats for data skipping; iceberg-sink-config.json).
+
+        merge_schema=True allows the incoming frame to add columns (the
+        reference's writeTo(...).option("mergeSchema","true"),
+        nyc_taxi_to_iceberg.py:141-143): the union schema is persisted to the
+        table's schema sidecar so read() sees old and new files consistently
+        (old files' missing columns read as NULL). Same-name/different-type
+        is rejected — parquet has no transparent type widening.
+        """
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
+        merged_schema: T.StructType | None = None
+        if merge_schema and self.exists():
+            current = self.read().schema
+            cur_by_name = {f.name: f for f in current.fields}
+            for f in df.schema.fields:
+                have = cur_by_name.get(f.name)
+                if have is not None and have.dataType != f.dataType:
+                    raise ValidationError(
+                        f"append(merge_schema=True): column {f.name!r} type "
+                        f"conflict {have.dataType} vs {f.dataType}"
+                    )
+            new_fields = [f for f in df.schema.fields if f.name not in cur_by_name]
+            if new_fields or {f.name for f in df.schema.fields} != set(cur_by_name):
+                merged_schema = T.StructType(list(current.fields) + new_fields)
+        elif not merge_schema and self.exists():
+            current_names = set(self.read().columns)
+            if set(df.columns) != current_names:
+                extra = sorted(set(df.columns) - current_names)
+                missing = sorted(current_names - set(df.columns))
+                raise ValidationError(
+                    f"append: schema mismatch (extra={extra}, missing={missing}) "
+                    "— pass merge_schema=True to evolve the table schema"
+                )
         writer = df.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        if merge_schema:
-            writer = writer.option("mergeSchema", "true")
         writer.parquet(self.path)
+        if merged_schema is not None:
+            self._save_schema(merged_schema)
         self._invalidate()
 
     def compact(self, target_file_bytes: int = 128 << 20, min_files: int = 2) -> int:
@@ -150,11 +214,18 @@ class LakeTable:
         their files. At 100 TB the predicate should imply the partition
         columns so pruning bounds the rewrite — same contract as Delta's
         replaceWhere.
+
+        SQL DELETE semantics: only rows where the predicate is TRUE are
+        removed — NULL-valued predicates keep the row (survivors filter is
+        NOT coalesce(pred, FALSE), not the naive ~pred which would drop
+        NULL rows).
         """
         if not self.exists():
             return
         current = self.read()
+        # Rows to delete = predicate strictly TRUE (filter() semantics).
         affected = current.filter(predicate)
+        keep_pred = ~F.coalesce(F.expr(predicate), F.lit(False))
         if self.partition_cols:
             # Partitions that contain matching rows, as a small local set.
             parts = [
@@ -169,9 +240,7 @@ class LakeTable:
                 for col, val in zip(self.partition_cols, p):
                     c = c & (F.col(col) == F.lit(val))
                 cond = cond | c
-            survivors, staging = self._stage(
-                current.filter(~F.expr(predicate)).filter(cond)
-            )
+            survivors, staging = self._stage(current.filter(cond).filter(keep_pred))
             import shutil
 
             try:
@@ -209,9 +278,12 @@ class LakeTable:
         else:
             import shutil
 
-            survivors, staging = self._stage(current.filter(~F.expr(predicate)))
+            survivors, staging = self._stage(current.filter(keep_pred))
             try:
                 survivors.write.mode("overwrite").parquet(self.path)
+                # Full rewrite materializes every column in every file —
+                # the schema sidecar (if any) is no longer needed.
+                self._drop_saved_schema()
                 self._invalidate()
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
@@ -245,8 +317,12 @@ class LakeTable:
 
         Shape equals Delta MERGE WHEN MATCHED UPDATE / DELETE / NOT MATCHED
         INSERT; implemented as anti-join + union rewrite. At 100 TB, updates
-        are typically a tiny fraction — with partition columns present, only
-        affected partitions rewrite (same mechanism as delete_where).
+        are typically a tiny fraction — with partition columns present, ONLY
+        the partitions that contain a matched key or receive an insert are
+        rewritten (dynamic partition overwrite, same mechanism as
+        delete_where); every other partition's files are untouched. Without
+        partition columns the whole table rewrites — partition your CDC
+        landing tables.
         """
         from pyspark.sql import Window
 
@@ -265,22 +341,67 @@ class LakeTable:
         else:
             inserts = updates
             all_keys = updates.select(*keys)
-        if self.exists():
-            import shutil
+        if not self.exists():
+            self.append(inserts)
+            return
+        import shutil
 
-            current = self.read()
+        current = self.read()
+        if not self.partition_cols:
             kept = current.join(all_keys, keys, "left_anti")
             merged, staging = self._stage(kept.unionByName(inserts))
             try:
-                writer = merged.write.mode("overwrite")
-                if self.partition_cols:
-                    writer = writer.partitionBy(*self.partition_cols)
-                writer.parquet(self.path)
+                merged.write.mode("overwrite").parquet(self.path)
+                self._drop_saved_schema()
                 self._invalidate()
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
-        else:
-            self.append(inserts)
+            return
+
+        # Partition-bounded rewrite. Affected partitions = those holding a
+        # row whose key is updated/deleted ∪ those an insert lands in. The
+        # semi-join on keys prunes `current` to matched rows only before the
+        # distinct — at 100 TB this is one shuffle over the (small) updates
+        # batch joined against the table, not a table rewrite.
+        pcols = self.partition_cols
+        touched = (
+            current.join(all_keys, keys, "left_semi")
+            .select(*pcols)
+            .unionByName(inserts.select(*pcols))
+            .distinct()
+        )
+        parts = [tuple(r) for r in touched.collect()]
+        if not parts:
+            return  # nothing matched, nothing to insert
+        cond = F.lit(False)
+        for p in parts:
+            c = F.lit(True)
+            for col, val in zip(pcols, p):
+                c = c & (F.col(col) == F.lit(val))
+            cond = cond | c
+        kept = current.filter(cond).join(all_keys, keys, "left_anti")
+        merged, staging = self._stage(kept.unionByName(inserts))
+        try:
+            survived_parts = {
+                tuple(r) for r in merged.select(*pcols).distinct().collect()
+            }
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(*pcols).parquet(self.path)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # A partition whose every row was deleted writes no data under
+            # dynamic overwrite and would silently survive — drop it.
+            for p in parts:
+                if p not in survived_parts:
+                    sub = "/".join(f"{col}={val}" for col, val in zip(pcols, p))
+                    shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+            self._invalidate()
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 class ControlTable:

@@ -78,6 +78,109 @@ def test_merge_upsert_last_write_wins(spark, tmp_path):
     assert float(pdf[pdf.id == 2].v.iloc[0]) == 20.0
 
 
+def _partition_snapshot(pdir):
+    import os
+
+    return sorted(
+        (f, os.path.getsize(os.path.join(pdir, f)), os.path.getmtime(os.path.join(pdir, f)))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+
+
+def test_merge_upsert_rewrites_only_affected_partitions(spark, trips, tmp_path):
+    """A merge touching day-02 must leave day-01/day-03 files byte-identical
+    (VERDICT r1 #1: the CDC landing path must not rewrite the table)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(trips)
+    before_d1 = _partition_snapshot(str(tmp_path / "t" / "day=2024-01-01"))
+    before_d3 = _partition_snapshot(str(tmp_path / "t" / "day=2024-01-03"))
+    updates = spark.createDataFrame(
+        [(4, "2024-01-02", 400.0, False), (999, "2024-01-02", 999.0, False)],
+        "id long, day string, amount double, __del boolean",
+    )
+    t.merge_upsert(updates, keys=["id"], delete_col="__del")
+    assert _partition_snapshot(str(tmp_path / "t" / "day=2024-01-01")) == before_d1
+    assert _partition_snapshot(str(tmp_path / "t" / "day=2024-01-03")) == before_d3
+    df = t.read()
+    assert df.count() == 31  # 30 + 1 insert
+    assert df.filter("id = 4").collect()[0].amount == 400.0
+    assert str(df.filter("id = 999").collect()[0].day) == "2024-01-02"
+
+
+def test_merge_upsert_drops_fully_deleted_partition(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0)], "id long, day string, v double"
+        )
+    )
+    deletes = spark.createDataFrame(
+        [(1, "d1", 1.0, True)], "id long, day string, v double, __del boolean"
+    )
+    t.merge_upsert(deletes, keys=["id"], delete_col="__del")
+    df = t.read()
+    assert [r.id for r in df.collect()] == [2]
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "t" / "day=d1"))
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE removes only TRUE rows — a NULL predicate keeps the row,
+    consistently across partitions (ADVICE r1: lake.py delete_where)."""
+    for pcols in ([], ["day"]):
+        t = LakeTable(spark, str(tmp_path / f"t{len(pcols)}"), partition_cols=pcols)
+        t.append(
+            spark.createDataFrame(
+                [(1, "d1", 5.0), (2, "d1", None), (3, "d2", None), (4, "d2", 1.0)],
+                "id long, day string, amount double",
+            )
+        )
+        t.delete_where("amount > 2")  # NULL > 2 is NULL, not TRUE
+        got = sorted(r.id for r in t.read().collect())
+        assert got == [2, 3, 4], f"pcols={pcols}: {got}"
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema append: new column visible on read, old rows NULL, and
+    reads stay deterministic via the schema sidecar (ADVICE r1: mergeSchema
+    is a read option — writer option was a silent no-op)."""
+    import pytest as _pytest
+
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(
+        spark.createDataFrame([(1, "d1", 1.0)], "id long, day string, amount double")
+    )
+    evolved = spark.createDataFrame(
+        [(2, "d2", 2.0, "card")], "id long, day string, amount double, pay_type string"
+    )
+    with _pytest.raises(ValidationError):
+        t.append(evolved)  # must be explicit
+    t.append(evolved, merge_schema=True)
+    df = t.read().orderBy("id")
+    assert df.columns == ["id", "amount", "pay_type", "day"] or set(df.columns) == {
+        "id",
+        "day",
+        "amount",
+        "pay_type",
+    }
+    rows = df.collect()
+    assert rows[0].pay_type is None and rows[1].pay_type == "card"
+    # Narrower appends are also evolution (old footer vs new footer races).
+    narrow = spark.createDataFrame([(3, "d3", 3.0)], "id long, day string, amount double")
+    with _pytest.raises(ValidationError):
+        t.append(narrow)
+    t.append(narrow, merge_schema=True)
+    assert t.read().filter("id = 3").collect()[0].pay_type is None
+    # Type conflict is rejected.
+    bad = spark.createDataFrame([(4, "d4", "x")], "id long, day string, amount string")
+    with _pytest.raises(ValidationError):
+        t.append(bad, merge_schema=True)
+
+
 def test_control_table_watermark(spark, tmp_path):
     c = ControlTable(spark, str(tmp_path / "ctl"))
     assert c.get_watermark("trips") is None
