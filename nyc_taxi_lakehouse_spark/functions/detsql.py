@@ -78,6 +78,47 @@ def dsum_dec(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE)"
 
 
+def dxsum(x: str, y: str, p1: int = 12, s1: int = 2, p2: int = 12, s2: int = 2) -> str:
+    """Order-independent SUM of a product of two exact-decimal columns.
+
+    Each operand snaps to its true decimal value; the product is exact
+    decimal (p1+p2+1 ≤ 38 digits — both engines compute it exactly), the sum
+    is exact/associative, and the single final cast to DOUBLE is correctly
+    rounded identically in both engines. This is the moment-sum building
+    block for STDDEV/CORR (reference A5/A6, ml_feature_engineering.py:508,
+    529-538): every second moment is Σxy over exact decimals, so the
+    aggregates are deterministic under any shuffle order.
+    """
+    return (
+        f"CAST(SUM(CAST({x} AS DECIMAL({p1},{s1}))"
+        f" * CAST({y} AS DECIMAL({p2},{s2}))) AS DOUBLE)"
+    )
+
+
+def dstddev(n: str, sx: str, sxx: str) -> str:
+    """Sample standard deviation from exact moment sums (already DOUBLE).
+
+    sqrt((n·Σx² − (Σx)²) / (n·(n−1))) — the numerically direct form is safe
+    here because Σx/Σx² are exact decimal sums cast once to double, and both
+    engines evaluate this identical IEEE-754 expression tree; matches
+    STDDEV_SAMP (Spark STDDEV / DuckDB stddev default).
+    """
+    nd = f"CAST({n} AS DOUBLE)"
+    return f"SQRT(({nd} * {sxx} - {sx} * {sx}) / ({nd} * ({nd} - 1)))"
+
+
+def dcorr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    """Pearson correlation from exact moment sums (already DOUBLE):
+    (n·Σxy − ΣxΣy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²)).
+    Identical expression tree in both engines → identical double."""
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({nd} * {sxy} - {sx} * {sy})"
+        f" / (SQRT({nd} * {sxx} - {sx} * {sx})"
+        f" * SQRT({nd} * {syy} - {sy} * {sy})))"
+    )
+
+
 class Dialect:
     """SQL fragments that differ between Spark SQL and DuckDB."""
 

@@ -11,7 +11,18 @@ taxi_zones aliased as pickup_zone/dropoff_zone, ml_feature_engineering.py:
 
 from __future__ import annotations
 
-from ..functions.detsql import DUCK, SPARK, Dialect, davg, disc_price, dsum, dsum_dec
+from ..functions.detsql import (
+    DUCK,
+    SPARK,
+    Dialect,
+    davg,
+    dcorr,
+    disc_price,
+    dstddev,
+    dsum,
+    dsum_dec,
+    dxsum,
+)
 from ..registry import sql_query
 
 
@@ -75,6 +86,103 @@ LEFT JOIN route_history rh
 LEFT JOIN daily_pickup dp
   ON r.pickup_nation = dp.pickup_nation AND r.order_date = dp.order_date
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature statistics + correlation reports (reference
+# ml_feature_engineering.py:499-538 generate_feature_statistics). Both are
+# scalar aggregates over the recent-window slice; STDDEV (A5) and CORR (A6)
+# are computed from exact decimal moment sums so the doubles hash-match the
+# oracle under any shuffle order (see functions/detsql.py dstddev/dcorr).
+# One aggregation pass each: at 100 TB this is a map-side partial agg + a
+# single-row reduce — no shuffle of the fact table.
+# ---------------------------------------------------------------------------
+
+_FEATURE_STATS_SQL = f"""
+WITH recent AS (
+  SELECT l_quantity, l_extendedprice, l_orderkey, l_shipdate
+  FROM lineitem
+  WHERE l_shipdate >= (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 90 DAY
+),
+sums AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(DISTINCT l_orderkey) AS unique_orders,
+    {dsum('l_extendedprice')} AS sx,
+    {dxsum('l_extendedprice', 'l_extendedprice')} AS sxx,
+    {dsum('l_quantity')} AS sy,
+    {dxsum('l_quantity', 'l_quantity')} AS syy,
+    CAST(MIN(CAST(l_shipdate AS DATE)) AS STRING) AS earliest_ship,
+    CAST(MAX(CAST(l_shipdate AS DATE)) AS STRING) AS latest_ship
+  FROM recent
+)
+SELECT
+  n AS total_trips,
+  unique_orders,
+  sx / CAST(n AS DOUBLE) AS avg_price,
+  {dstddev('n', 'sx', 'sxx')} AS stddev_price,
+  sy / CAST(n AS DOUBLE) AS avg_quantity,
+  {dstddev('n', 'sy', 'syy')} AS stddev_quantity,
+  earliest_ship,
+  latest_ship
+FROM sums
+"""
+
+sql_query(
+    "q_feature_stats",
+    spark_sql=_FEATURE_STATS_SQL,
+    duck_sql=_FEATURE_STATS_SQL,
+    tables=["lineitem"],
+    doc="Feature-statistics report (A5 plain STDDEV + A13 scalar agg; "
+    "reference ml_feature_engineering.py:503-527): COUNT, COUNT DISTINCT, "
+    "AVG, STDDEV, MIN/MAX over the 90-day recent slice (P8). STDDEV_SAMP "
+    "from exact decimal moment sums — sqrt((nΣx²−(Σx)²)/(n(n−1))) evaluated "
+    "as an identical IEEE expression in both engines.",
+)
+
+
+_FEATURE_CORR_SQL = f"""
+WITH recent AS (
+  SELECT l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_shipdate >= (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 90 DAY
+    AND l_discount IS NOT NULL
+),
+sums AS (
+  SELECT
+    COUNT(*) AS n,
+    {dsum('l_extendedprice')} AS sp,
+    {dxsum('l_extendedprice', 'l_extendedprice')} AS spp,
+    {dsum('l_quantity')} AS sq,
+    {dxsum('l_quantity', 'l_quantity')} AS sqq,
+    {dsum('l_discount')} AS sd,
+    {dxsum('l_discount', 'l_discount', p2=4)} AS sdd,
+    {dxsum('l_extendedprice', 'l_quantity')} AS spq,
+    {dxsum('l_extendedprice', 'l_discount', p2=4)} AS spd,
+    {dxsum('l_quantity', 'l_discount', p2=4)} AS sqd
+  FROM recent
+)
+SELECT
+  n AS total_rows,
+  {dcorr('n', 'sp', 'sq', 'spq', 'spp', 'sqq')} AS price_quantity_corr,
+  {dcorr('n', 'sp', 'sd', 'spd', 'spp', 'sdd')} AS price_discount_corr,
+  {dcorr('n', 'sq', 'sd', 'sqd', 'sqq', 'sdd')} AS quantity_discount_corr
+FROM sums
+"""
+
+sql_query(
+    "q_feature_correlation",
+    spark_sql=_FEATURE_CORR_SQL,
+    duck_sql=_FEATURE_CORR_SQL,
+    tables=["lineitem"],
+    doc="Feature-correlation analysis (A6 CORR ×3; reference "
+    "ml_feature_engineering.py:529-538): three Pearson correlations in one "
+    "scalar aggregate over the recent NOT-NULL slice. Each CORR is "
+    "(nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) over exact decimal moment "
+    "sums — matches CORR()/corr() semantics (sample) while staying "
+    "deterministic under shuffle; all ten moments come from ONE partial-agg "
+    "pass over the fact table (no per-CORR scans).",
+)
 
 
 sql_query(
