@@ -366,54 +366,94 @@ WHERE CAST(dot_int AS DOUBLE)
 """
 
 
+_GEMM_BLOCKS = 8  # corpus block count B; scale knob — see q_dedup_embedding doc
+
+
+def embedding_pairs_blocked(embeddings: DataFrame, n_blocks: int = _GEMM_BLOCKS) -> DataFrame:
+    """All-pairs cosine >= 0.40 as a distributed block-nested-loop GEMM.
+
+    Vectors hash into B blocks (xxhash64 of vec_id — uniform, no skew); every
+    unordered vector pair {u, v} belongs to exactly ONE unordered block pair
+    (blk(u), blk(v)), so emitting each row to its B block-pairs and running
+    one exact integer GEMM per block-pair via applyInPandas enumerates every
+    pair exactly once. Nothing is collected to the driver; each task holds at
+    most 2·N/B vectors, so executor memory is bounded by choosing
+    B ≈ N·dim·8 / task_budget_bytes. Replication cost is N·B rows — the
+    distributed price of an exact O(N²) operator (the approximate scale path
+    is the LSH/IVF prefilter family in llm/similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    quant = embeddings.selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
+    ).withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    # Each row participates in the B unordered block pairs {blk, other}.
+    exploded = (
+        quant.withColumn(
+            "other", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+        )
+        .withColumn("bi", F.least("blk", "other"))
+        .withColumn("bj", F.greatest("blk", "other"))
+        .drop("other")
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if bi == bj:
+            side_a = side_b = pdf.drop_duplicates("vec_id")
+        else:
+            side_a = pdf[pdf["blk"] == bi]
+            side_b = pdf[pdf["blk"] == bj]
+        if len(side_a) == 0 or len(side_b) == 0:
+            return empty
+        ids_a = side_a["vec_id"].to_numpy()
+        ids_b = side_b["vec_id"].to_numpy()
+        qa = np.stack(side_a["q"].to_numpy()).astype(np.float64)
+        qb = np.stack(side_b["q"].to_numpy()).astype(np.float64)
+        dots = qa @ qb.T  # exact: every |q| <= 1e6+, 64-dim sum < 2^53
+        na = np.sqrt((qa * qa).sum(axis=1))
+        nb = np.sqrt((qb * qb).sum(axis=1))
+        cos = dots / (na[:, None] * nb[None, :])
+        if bi == bj:
+            # Triangular: each unordered pair once, oriented by id.
+            mask = (cos >= 0.40) & (ids_a[:, None] < ids_b[None, :])
+        else:
+            # Cross-block: every (a, b) combination is a distinct unordered
+            # pair — orient the output by id below, never drop.
+            mask = cos >= 0.40
+        ia, ib = np.nonzero(mask)
+        if len(ia) == 0:
+            return empty
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
+
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        gemm, "id_a long, id_b long, cosine double"
+    )
+
+
 @df_query(
     "q_dedup_embedding",
     duck_sql=_embedding_dedup_sql(DUCK),
     tables=["embeddings"],
     doc="Embedding-cosine near-dup: unordered pairs with cosine >= 0.40. "
-    "Spark side is an exact integer GEMM via mapInPandas: components "
-    "quantized BIGINT by the same SQL expression as the oracle, then "
-    "float64 matmul — every product <= 64*1e12 < 2^53 so the GEMM is "
-    "bit-exact integer arithmetic, and the final dot/(sqrt*sqrt) is the "
-    "identical IEEE expression to the oracle's. ~40x faster than the "
-    "explode-join form (no O(N^2 * dim) shuffle). At 100 TB the broadcast "
-    "side becomes tiled corpus blocks (block-nested-loop GEMM) and the "
-    "LSH sign-bucket blocking in llm/similarity prefilters the pair space.",
+    "Spark side is a DISTRIBUTED block-nested-loop exact integer GEMM "
+    "(embedding_pairs_blocked): vectors hash into B blocks, one applyInPandas "
+    "task per unordered block pair — no driver collect, task memory bounded "
+    "at 2·N/B vectors regardless of corpus size. Components quantized BIGINT "
+    "by the same SQL expression as the oracle, float64 matmul with every "
+    "64-dim product-sum < 2^53 (bit-exact integer arithmetic), and the final "
+    "dot/(sqrt·sqrt) is the identical IEEE expression to the oracle's — so "
+    "the result hash-matches the all-pairs SQL. An exact all-pairs op is "
+    "inherently O(N²); the sub-quadratic approximate path is LSH/IVF "
+    "blocking (llm/similarity.py), traded off in SURVEY §2.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     t = load_tables(spark, sf_dir, ["embeddings"])
-    # Quantize in Spark SQL with the exact oracle expression (round half-up).
-    quant = t["embeddings"].selectExpr(
-        "vec_id",
-        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS q",
-    )
-    rows = quant.toPandas()
-    all_ids = rows["vec_id"].to_numpy()
-    all_q = np.stack(rows["q"].to_numpy()).astype(np.float64)
-    all_norms = np.sqrt((all_q * all_q).sum(axis=1))
-    b = spark.sparkContext.broadcast((all_ids, all_q, all_norms))
-
-    def find_pairs(batches):
-        ids_all, q_all, n_all = b.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
-            dots = q @ q_all.T  # exact: integer values < 2^53
-            norms = np.sqrt((q * q).sum(axis=1))
-            cos = dots / (norms[:, None] * n_all[None, :])
-            ia, ib = np.nonzero((cos >= 0.40) & (ids[:, None] < ids_all[None, :]))
-            if len(ia):
-                yield pd.DataFrame(
-                    {
-                        "id_a": ids[ia],
-                        "id_b": ids_all[ib],
-                        "cosine": cos[ia, ib],
-                    }
-                )
-
-    return quant.mapInPandas(find_pairs, "id_a long, id_b long, cosine double")
+    return embedding_pairs_blocked(t["embeddings"])
