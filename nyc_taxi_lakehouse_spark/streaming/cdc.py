@@ -62,8 +62,8 @@ EVENT_PAYLOAD_SCHEMA = T.StructType(
 def file_replay_source(
     spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
-    """File-source replay of CDC JSON lines (tests; Kafka in production —
-    swap for spark.readStream.format('kafka') with the same downstream).
+    """File-source replay of CDC JSON lines (tests; production uses
+    kafka_source below — same `value`-column contract downstream).
 
     maxFilesPerTrigger=1 makes each file its own micro-batch so event-time
     ordering across files drives the watermark exactly like Kafka batches
@@ -75,6 +75,42 @@ def file_replay_source(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.text(dir_path)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str | list[str],
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka stream source carrying CDC envelopes (S4/ST6).
+
+    Mirrors the reference reader (realtime_cdc_processor.py:91-98): subscribe
+    to the CDC topics, startingOffsets=latest (resume from the checkpoint's
+    committed offsets on restart — 'latest' only seeds the FIRST run),
+    failOnDataLoss=false so an expired/compacted offset logs instead of
+    killing the query.
+
+    Returns the same single-`value`-column contract as file_replay_source:
+    Kafka's `value` is BINARY, the file source's is STRING, and parse_cdc
+    casts to string first — the downstream pipeline is source-agnostic
+    (pinned by tests/test_streaming.py::test_parse_cdc_source_agnostic).
+
+    Requires the spark-sql-kafka connector on the classpath; in this sandbox
+    (no broker, no connector jar) `.load()` raises the missing-data-source
+    error, which the unit test asserts to prove the options are plumbed.
+    """
+    subscribe = topics if isinstance(topics, str) else ",".join(topics)
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
+        .load()
+        .select("value")
+    )
 
 
 def parse_cdc(raw: DataFrame, payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA) -> DataFrame:
