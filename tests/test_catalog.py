@@ -1,0 +1,76 @@
+"""S11 SQL DDL surface: CREATE DATABASE / CREATE TABLE ... USING parquet
+PARTITIONED BY ... TBLPROPERTIES, catalog append, and LakeTable interop
+(reference nyc_taxi_to_iceberg.py:37-71)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_lakehouse_spark.catalog import create_database, create_table
+
+
+@pytest.fixture
+def trips_table(spark, tmp_path):
+    create_database(spark, "taxi_test")
+    t = create_table(
+        spark,
+        "taxi_test.trips",
+        "trip_id BIGINT, fare DOUBLE, year INT, month INT",
+        partition_by=["year", "month"],
+        properties={"write.format.default": "parquet", "write.parquet.compression-codec": "zstd"},
+        location=str(tmp_path / "trips"),
+    )
+    yield t
+    t.drop()
+    spark.sql("DROP DATABASE IF EXISTS taxi_test")
+
+
+def test_create_append_query(spark, trips_table, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0, 2024, 1), (2, 20.0, 2024, 1), (3, 30.0, 2024, 2)],
+        "trip_id bigint, fare double, year int, month int",
+    )
+    # append re-orders by name: feed it a shuffled column order.
+    trips_table.append(df.select("fare", "month", "trip_id", "year"))
+
+    out = spark.table("taxi_test.trips")
+    assert out.count() == 3
+    assert {r.trip_id for r in out.filter("month = 1").collect()} == {1, 2}
+
+    # Partition layout is real (year=/month= dirs) and pruning applies.
+    assert (tmp_path / "trips" / "year=2024" / "month=2").is_dir()
+    plan = out.filter("year = 2024 AND month = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan
+
+    # Idempotent DDL: re-issuing CREATE TABLE IF NOT EXISTS is a no-op.
+    again = create_table(
+        spark,
+        "taxi_test.trips",
+        "trip_id BIGINT, fare DOUBLE, year INT, month INT",
+        partition_by=["year", "month"],
+        location=str(tmp_path / "trips"),
+    )
+    assert again.df().count() == 3
+
+
+def test_tblproperties_roundtrip(spark, trips_table):
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES taxi_test.trips").collect()
+    }
+    assert props.get("write.format.default") == "parquet"
+    assert props.get("write.parquet.compression-codec") == "zstd"
+
+
+def test_lake_interop_delete_then_repair(spark, trips_table):
+    df = spark.createDataFrame(
+        [(1, 10.0, 2024, 1), (2, 20.0, 2024, 1), (3, 30.0, 2024, 2)],
+        "trip_id bigint, fare double, year int, month int",
+    )
+    trips_table.append(df)
+    lake = trips_table.lake()
+    lake.delete_where("month = 1 AND trip_id = 2")
+    trips_table.repair()
+    rows = spark.table("taxi_test.trips").orderBy("trip_id").collect()
+    assert [r.trip_id for r in rows] == [1, 3]
