@@ -305,6 +305,48 @@ def minhash_signatures_xxhash(documents: DataFrame, num_hashes: int = 16) -> Dat
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_candidate_pairs(sig: DataFrame, num_hashes: int = 16, bands: int = _BANDS) -> DataFrame:
+    """Banding over a MinHash signature table → candidate pairs (production).
+
+    Each signature folds into `bands` band keys (xxhash64 of its row group +
+    band id); docs stack to (band, key) rows and candidates are the bucketed
+    self-join on the band key — the pair space never materializes, only
+    same-bucket pairs shuffle. distinct() dedups pairs colliding in several
+    bands. With b bands of r rows, P(candidate | Jaccard s) = 1-(1-s^r)^b —
+    the S-curve that prunes low-similarity pairs; pinned on a realistic
+    (non-degenerate-vocabulary) corpus by
+    tests/test_llm_ops.py::test_lsh_banding_prunes_realistic_corpus.
+    """
+    rows = num_hashes // bands
+    stacked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[f"h{b * rows + r}" for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @df_query(
     "q_dedup_minhash_prod",
     duck_sql=None,

@@ -121,3 +121,45 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert len(merged) == len(approx)
     rel_err = (merged.approx_users - merged.exact_users).abs() / merged.exact_users
     assert rel_err.max() <= 0.05, f"max HLL error {rel_err.max():.3f}"
+
+
+def test_lsh_banding_prunes_realistic_corpus(spark):
+    """MinHash banding on a NON-degenerate vocabulary (the synthetic
+    documents table's ~40-word vocab makes every pair look similar, so
+    banding there is output-bound by construction). Here: 300 base docs of
+    10 shared stopwords + 20 doc-unique tokens (unrelated-pair Jaccard
+    ~0.2), plus 60 planted near-dups sharing 28/30 tokens (~0.88). Banding
+    must admit only a few percent of the 64,620-pair space yet recover the
+    planted pairs — the 1-(1-s^4)^4 S-curve doing its job."""
+    from nyc_taxi_lakehouse_spark.llm.dedup import lsh_candidate_pairs
+
+    n_base, n_dup = 300, 60
+    base = spark.range(n_base).selectExpr(
+        "id AS doc_id",
+        # 10 corpus-wide stopwords + 20 tokens unique to this doc.
+        "concat_ws(' ', "
+        " concat_ws(' ', transform(sequence(0, 9), j -> concat('the', j))),"
+        " concat_ws(' ', transform(sequence(0, 19), j -> concat('w', xxhash64(id, j))))"
+        ") AS text",
+    )
+    dups = spark.range(n_dup).selectExpr(
+        f"id + {n_base} AS doc_id",
+        # Copy doc `id`, replacing 2 of its 20 unique tokens.
+        "concat_ws(' ', "
+        " concat_ws(' ', transform(sequence(0, 9), j -> concat('the', j))),"
+        " concat_ws(' ', transform(sequence(0, 17), j -> concat('w', xxhash64(id, j)))),"
+        " concat_ws(' ', transform(sequence(0, 1), j -> concat('v', xxhash64(id, j))))"
+        ") AS text",
+    )
+    docs = base.unionByName(dups)
+    sig = minhash_signatures_xxhash(docs)
+    cand = lsh_candidate_pairs(sig).toPandas()
+    n_docs = n_base + n_dup
+    total_pairs = n_docs * (n_docs - 1) // 2
+    admitted = len(cand) / total_pairs
+    assert admitted <= 0.05, f"banding admitted {admitted:.1%} of pair space"
+
+    planted = {(i, i + n_base) for i in range(n_dup)}
+    found = {(a, b) for a, b in zip(cand.doc_a, cand.doc_b)}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.75, f"planted near-dup recall {recall:.2f}"
