@@ -1,0 +1,129 @@
+"""Training-data curation operators: deterministic splits and decontamination.
+
+Two pipeline stages every large-scale training corpus needs, expressed so the
+oracle gate can hash-check them:
+
+- q_train_split: stable train/val/test assignment by multiplicative hashing
+  of the document key. Map-only — no shuffle at any scale, and re-running on
+  a grown corpus never reassigns an existing document (the property that
+  makes incremental corpus builds reproducible).
+- q_contamination: exact n-gram overlap between the training corpus and an
+  evaluation set (the GPT-3-style 8-gram decontamination check; n is a knob, 4 here so the synthetic small-vocabulary corpus produces hits). N-grams are
+  deduped per document BEFORE the join via array_distinct (no shuffle), the
+  eval side is tiny and broadcast, so the only shuffle is the final
+  per-(train_doc, eval_doc) count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
+
+# Multiplicative-hash split: Knuth's 2^32/phi multiplier. Buckets 0..999;
+# 96% train / 2% val / 2% test. doc_id * A stays < 2^63 for doc_id < 3.5e9;
+# beyond that, hash a key column instead (xxhash64 path, rows-only).
+_SPLIT_A = 2654435761
+_SPLIT_B = 104729
+
+
+def _split_sql(d: Dialect) -> str:
+    bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
+    return f"""
+SELECT
+  doc_id,
+  lang,
+  source,
+  CAST({bucket} AS INT) AS bucket,
+  CASE WHEN {bucket} < 960 THEN 'train'
+       WHEN {bucket} < 980 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+sql_query(
+    "q_train_split",
+    spark_sql=_split_sql(SPARK),
+    duck_sql=_split_sql(DUCK),
+    tables=["documents"],
+    doc="Deterministic stratified-by-construction train/val/test split via "
+    "multiplicative hashing (bucket = (id*A+B) mod 1000 -> 96/2/2). Pure "
+    "map: no shuffle, no RNG state, stable under corpus growth — the same "
+    "doc always lands in the same split on any cluster size.",
+)
+
+
+_NGRAM = 4  # real corpora use 8-13; the ~40-word synthetic vocab needs 4 to exercise hits
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> evaluation set (~1% of corpus)
+
+
+def _contamination_sql(d: Dialect) -> str:
+    """DuckDB oracle: n-gram generation + overlap join in one query."""
+    if d.name == "spark":
+        gram_list = (
+            f"array_distinct(transform(sequence(1, size(t) - {_NGRAM - 1}),"
+            f" i -> array_join(slice(t, i, {_NGRAM}), ' ')))"
+        )
+        toks, size_fn, unnest = "split(text, ' +')", "size", "explode"
+    else:
+        gram_list = (
+            f"list_distinct(list_transform(range(1, len(t) - {_NGRAM - 2}),"
+            f" i -> array_to_string(t[i:i+{_NGRAM - 1}], ' ')))"
+        )
+        toks, size_fn, unnest = "string_split_regex(text, ' +')", "len", "unnest"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_EVAL_MOD} = 0 AS is_eval, {toks} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_eval, {unnest}({gram_list}) AS gram
+  FROM toks WHERE {size_fn}(t) >= {_NGRAM}
+)
+SELECT
+  tr.doc_id AS train_doc,
+  ev.doc_id AS eval_doc,
+  CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM grams tr
+JOIN grams ev ON tr.gram = ev.gram AND NOT tr.is_eval AND ev.is_eval
+GROUP BY tr.doc_id, ev.doc_id
+"""
+
+
+@df_query(
+    "q_contamination",
+    duck_sql=_contamination_sql(DUCK),
+    tables=["documents"],
+    doc="Eval-set decontamination: exact n-gram (n=4 on this corpus) overlap counts between every "
+    "training document and the evaluation subset (doc_id % 97 == 0). "
+    "Per-doc n-grams are deduped with array_distinct BEFORE exploding (no "
+    "dedup shuffle); the eval side is ~1% of the corpus and explicitly "
+    "broadcast, so the plan is scan -> broadcast hash join -> one "
+    "count aggregation. A hit means the training doc shares >= 1 verbatim "
+    "n-gram with an eval doc — the standard leakage report.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    gram_list = F.expr(
+        f"array_distinct(transform(sequence(1, size(t) - {_NGRAM - 1}),"
+        f" i -> array_join(slice(t, i, {_NGRAM}), ' ')))"
+    )
+
+    def grams_of(side: DataFrame) -> DataFrame:
+        toked = side.select("doc_id", F.split("text", " +").alias("t")).filter(
+            F.size("t") >= _NGRAM
+        )
+        return toked.select("doc_id", F.explode(gram_list).alias("gram"))
+
+    train = grams_of(docs.filter(F.col("doc_id") % _EVAL_MOD != 0))
+    ev = grams_of(docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
+    return (
+        train.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_doc")), "gram")
+        .groupBy(F.col("doc_id").alias("train_doc"), "eval_doc")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )

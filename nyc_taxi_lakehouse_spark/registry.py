@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import dedup  # noqa: F401
     from .llm import similarity  # noqa: F401
     from .llm import multimodal  # noqa: F401
+    from .llm import curation  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
     from .streaming import replay  # noqa: F401
 
