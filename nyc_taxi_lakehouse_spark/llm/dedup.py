@@ -480,6 +480,147 @@ def embedding_pairs_blocked(embeddings: DataFrame, n_blocks: int = _GEMM_BLOCKS)
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pair edges.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation connected components, Spark-first.
+
+    edges: (src, dst) — undirected input given in BOTH orientations.
+    vertices: (doc_id) — the full vertex set (isolated vertices become
+    singleton components labelled by themselves).
+
+    Each iteration is one shuffle (neighbor-min join + groupBy-min), and the
+    loop runs until a fixpoint — O(component diameter) rounds, which for
+    near-dup clusters is tiny (dup clusters are dense, diameter 2-3). The
+    iteration state is localCheckpoint()ed so the plan/lineage stays O(1)
+    instead of growing per round; the convergence probe is a LIMIT-1 count,
+    never a data collect. Only vertices that touch an edge enter the loop —
+    singletons (the overwhelming majority of a real corpus) are unioned back
+    at the end without ever shuffling. At 100 TB the same loop holds: state
+    is (vertex, label) pairs hash-partitioned on vertex; the alternating
+    large-star/small-star variant would cut rounds to O(log d) but the
+    plain form is already bounded by the tiny diameter of dup clusters.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        vertices.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def _cluster_oracle_sql(d: Dialect) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE over the same
+    Jaccard >= 0.8 edge set, component label = min reachable doc_id."""
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    return f"""
+WITH RECURSIVE tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, dst AS reached FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reached = e.src
+),
+labels AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.reached), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+"""
+
+
+@df_query(
+    "q_dedup_clusters",
+    duck_sql=_cluster_oracle_sql(DUCK),
+    tables=["documents"],
+    doc="Dedup clustering: connected components over the Jaccard >= 0.8 "
+    "near-dup pair graph (same edge set as q_dedup_jaccard). Spark side is "
+    "iterative min-label propagation — one shuffle per round, O(diameter) "
+    "rounds, lineage truncated per round with localCheckpoint; the DuckDB "
+    "oracle computes the identical fixpoint by recursive-CTE transitive "
+    "closure. Output covers the WHOLE corpus: cluster_id = min doc_id of "
+    "the component (singletons label themselves), is_canonical marks the "
+    "one row per cluster a dedup pipeline keeps.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges, t["documents"].select("doc_id"))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 @df_query(
     "q_dedup_embedding",
     duck_sql=_embedding_dedup_sql(DUCK),
