@@ -57,6 +57,59 @@ sql_query(
 )
 
 
+# Sequence packing: concat-and-chunk at fixed token capacity (the GPT-style
+# pretraining packing scheme — documents concatenated in a deterministic
+# order, the token stream chunked into fixed-length training sequences;
+# documents may span a chunk boundary).
+_PACK_CAP = 2048
+
+
+def _seq_packing_sql(d: Dialect) -> str:
+    cap = _PACK_CAP
+    first = f"CAST(FLOOR(CAST(tok_offset AS DOUBLE) / {cap}) AS BIGINT)"
+    last = f"CAST(FLOOR(CAST(tok_offset + n_tokens - 1 AS DOUBLE) / {cap}) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST({d.token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS BIGINT) AS tok_offset
+  FROM toks
+)
+SELECT
+  source,
+  doc_id,
+  n_tokens,
+  tok_offset,
+  {first} AS seq_first,
+  {last} AS seq_last,
+  {last} - {first} + 1 AS seqs_spanned
+FROM pos
+"""
+
+
+sql_query(
+    "q_seq_packing",
+    spark_sql=_seq_packing_sql(SPARK),
+    duck_sql=_seq_packing_sql(DUCK),
+    tables=["documents"],
+    doc=f"Sequence packing manifest: documents concatenated per source shard "
+    f"in doc_id order and chunked into {_PACK_CAP}-token training sequences "
+    "(concat-and-chunk — every sequence except a shard's last is exactly "
+    "full, so fill ratio is optimal by construction). Emits each document's "
+    "token offset and the [seq_first, seq_last] range it lands in. The "
+    "cumulative sum is a window PARTITIONED BY the shard key, so shards pack "
+    "in parallel with no global sort; a corpus-global pack would use the "
+    "standard two-pass prefix sum (per-partition subtotals broadcast back) "
+    "with identical output semantics.",
+)
+
+
 _NGRAM = 4  # real corpora use 8-13; the ~40-word synthetic vocab needs 4 to exercise hits
 _EVAL_MOD = 97  # doc_id % 97 == 0 -> evaluation set (~1% of corpus)
 
