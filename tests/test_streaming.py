@@ -187,6 +187,53 @@ def test_parse_cdc_drops_corrupt_lines(spark, tmp_path):
     assert len(out) == 1 and out[0].event_id == 1
 
 
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives a restart: a key
+    redelivered in a LATER run over the same checkpoint is dropped, while a
+    genuinely new key passes. (Within-batch duplicates are covered by the
+    oracle-checked q_stream_dedup replay.)"""
+    d = tmp_path / "dup_src"
+    d.mkdir()
+
+    def run(sink, ckpt):
+        parsed = parse_cdc(file_replay_source(spark, str(d)))
+        q = (
+            parsed.withWatermark("event_time", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    sink, ckpt = tmp_path / "dedup_sink", tmp_path / "dedup_ckpt"
+    (d / "delivery1.json").write_text(
+        "\n".join(
+            [
+                _envelope("c", 1, "2024-01-01T00:01:00", 10, "click", 5.0, 1000),
+                _envelope("c", 2, "2024-01-01T00:02:00", 11, "view", 3.0, 1001),
+            ]
+        )
+    )
+    run(sink, ckpt)
+    # Redelivery of event 1 (same payload) + a new event 3 in a second run:
+    # checkpointed dedup state drops 1, admits 3.
+    (d / "delivery2.json").write_text(
+        "\n".join(
+            [
+                _envelope("c", 1, "2024-01-01T00:01:00", 10, "click", 5.0, 1002),
+                _envelope("c", 3, "2024-01-01T00:03:00", 12, "click", 2.0, 1003),
+            ]
+        )
+    )
+    run(sink, ckpt)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(sink)).collect())
+    assert ids == [1, 2, 3]
+
+
 def test_kafka_source_options_plumbed(spark):
     """kafka_source builds a real format('kafka') reader: without the
     connector jar, .load() must die with the missing-data-source error
