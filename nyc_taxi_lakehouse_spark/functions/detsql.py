@@ -180,6 +180,25 @@ class Dialect:
             f" AS token FROM {table}"
         )
 
+    def positional_token_rows(self, table: str) -> str:
+        """SELECT fragment exploding tokens WITH their 1-based position."""
+        return (
+            f"SELECT doc_id, p.i + 1 AS i, p.token FROM {table} "
+            f"LATERAL VIEW posexplode({self.split_tokens('text')}) p AS i, token"
+        )
+
+    def md5_int32(self, expr: str) -> str:
+        """First 32 bits of md5 as a BIGINT — a cross-engine integer token
+        hash (both engines agree: hex digits of the same md5)."""
+        return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+    def regex_tokens(self, col: str, pat: str) -> str:
+        """All matches of pat as an array (whole-match group)."""
+        return f"regexp_extract_all({col}, '{pat}', 0)"
+
+    def arr_len(self, expr: str) -> str:
+        return f"CAST(size({expr}) AS INT)"
+
 
 class DuckDialect(Dialect):
     name = "duckdb"
@@ -217,6 +236,23 @@ class DuckDialect(Dialect):
             f"SELECT doc_id, {cols}unnest(list_distinct({self.split_tokens('text')}))"
             f" AS token FROM {table}"
         )
+
+    def positional_token_rows(self, table: str) -> str:
+        # Indexed list_transform lambda: i is 1-based in DuckDB.
+        return (
+            f"SELECT doc_id, u.i, u.tok AS token FROM ("
+            f"SELECT doc_id, unnest(list_transform({self.split_tokens('text')},"
+            f" (x, i) -> {{'tok': x, 'i': i}})) AS u FROM {table}) s"
+        )
+
+    def md5_int32(self, expr: str) -> str:
+        return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+    def regex_tokens(self, col: str, pat: str) -> str:
+        return f"regexp_extract_all({col}, '{pat}')"
+
+    def arr_len(self, expr: str) -> str:
+        return f"CAST(len({expr}) AS INT)"
 
 
 SPARK = Dialect()

@@ -100,6 +100,102 @@ sql_query(
 )
 
 
+# BPE-ish pre-tokenization pattern (the GPT-2 pre-tokenizer's core classes:
+# letter runs, digit runs, punctuation runs — whitespace never inside a
+# token). The synthetic corpus is ASCII + single spaces, so ASCII classes
+# suffice; a production pattern adds \p{L}/\p{N} unicode classes.
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def _token_bpe_sql(d: Dialect) -> str:
+    bpe = d.arr_len(d.regex_tokens("text", _BPE_PAT))
+    alpha = d.arr_len(d.regex_tokens("text", "[a-zA-Z]+"))
+    digit = d.arr_len(d.regex_tokens("text", "[0-9]+"))
+    return f"""
+SELECT
+  doc_id,
+  {d.token_count('text')} AS ws_tokens,
+  {bpe} AS bpe_tokens,
+  {alpha} AS alpha_runs,
+  {digit} AS digit_runs,
+  {bpe} - {alpha} - {digit} AS punct_runs,
+  CAST({bpe} AS DOUBLE) / {d.token_count('text')} AS subword_ratio
+FROM documents
+"""
+
+
+sql_query(
+    "q_token_bpe",
+    spark_sql=_token_bpe_sql(SPARK),
+    duck_sql=_token_bpe_sql(DUCK),
+    tables=["documents"],
+    doc="BPE-ish regex token counting alongside the whitespace count: "
+    "regexp_extract_all over the GPT-2-style run classes (letters / digits / "
+    "punctuation), per-class run counts, and the subword-inflation ratio "
+    "a token-budget planner uses to convert word counts to token counts. "
+    "Map-only (regex stays in codegen); no shuffle at any scale.",
+)
+
+
+# Winnowing fingerprint parameters: 3-token shingles hashed with distinct
+# multipliers mod a 31-bit prime (products stay < 2^63 exact), window w=4.
+_WIN_P = 1000000007
+_SHINGLE_K = 3
+_WINNOW_W = 4
+
+
+def _winnow_sql(d: Dialect) -> str:
+    pos = d.positional_token_rows("documents")
+    h = d.md5_int32("token")
+    return f"""
+WITH pos_tok AS ({pos}),
+hashed AS (
+  SELECT doc_id, i, {h} AS h FROM pos_tok
+),
+shingles AS (
+  SELECT doc_id, i,
+    (31 * h
+     + 37 * LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY i)
+     + 41 * LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY i)
+    ) % {_WIN_P} AS s
+  FROM hashed
+),
+winnowed AS (
+  SELECT doc_id,
+    MIN(s) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW
+    ) AS fp
+  FROM shingles
+  WHERE s IS NOT NULL
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+SELECT doc_id,
+  CAST(COUNT(*) AS INT) AS n_fingerprints,
+  CAST(SUM(fp) AS BIGINT) AS fp_checksum,
+  MIN(fp) AS min_fp,
+  MAX(fp) AS max_fp
+FROM fps
+GROUP BY doc_id
+"""
+
+
+sql_query(
+    "q_winnow_fingerprint",
+    spark_sql=_winnow_sql(SPARK),
+    duck_sql=_winnow_sql(DUCK),
+    tables=["documents"],
+    doc="Rolling-hash document fingerprinting by winnowing (the MOSS "
+    "algorithm): 3-token shingle hashes (32-bit md5 prefix per token, "
+    "distinct multipliers mod a 31-bit prime — exact BIGINT arithmetic), "
+    "then the minimum over each sliding window of 4 shingles, deduplicated "
+    "— the fingerprint set a near-dup index stores per document. All "
+    "windows PARTITION BY doc_id, so fingerprinting distributes per-doc "
+    "with no global sort; summarised here per doc (count / checksum / "
+    "extrema) to keep the verified surface compact.",
+)
+
+
 def _fingerprint_sql(d: Dialect) -> str:
     strip_nonalnum = d.regex_strip("text", "[^a-z0-9 ]")
     strip_nonalpha = d.regex_strip("text", "[^a-z]")
