@@ -118,6 +118,34 @@ def test_partition_pruning_on_lake_table(spark, tmp_path):
     assert "l_quantity" in read_schema and "l_extendedprice" not in read_schema
 
 
+def test_new_llm_query_plan_shapes(spark):
+    """Pin the plan shapes of the curation/text operators: contamination
+    broadcasts the (tiny) eval side; winnowing's two windows AND both
+    aggregates reuse ONE doc_id exchange; BPE token stats never shuffle."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    specs = all_queries()
+
+    plan = (
+        specs["q_contamination"].fn(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    plan = (
+        specs["q_winnow_fingerprint"].fn(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = (
+        specs["q_token_bpe"].fn(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_filter_pushdown_to_parquet(spark):
     """Value predicates reach the parquet reader as PushedFilters."""
     df = (
