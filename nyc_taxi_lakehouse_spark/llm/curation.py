@@ -23,14 +23,92 @@ from ..functions.detsql import DUCK, SPARK, Dialect
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
-# Multiplicative-hash split: Knuth's 2^32/phi multiplier. Buckets 0..999;
-# 96% train / 2% val / 2% test. doc_id * A stays < 2^63 for doc_id < 3.5e9;
-# beyond that, hash a key column instead (xxhash64 path, rows-only).
+# Multiplicative-hash bucketing: Knuth's 2^32/phi multiplier. Buckets 0..999;
+# doc_id * A stays < 2^63 for doc_id < 3.5e9; beyond that, hash a key column
+# instead (xxhash64 path, rows-only). Shared by the split, sampling, and
+# decontamination queries.
 _SPLIT_A = 2654435761
 _SPLIT_B = 104729
 
 
+def _data_mixture_sql(d: Dialect) -> str:
+    """Per-source token inventory + alpha-weighted sampling weights.
+
+    alpha = 0.5 so the reweighting is SQRT — IEEE-exact in both engines
+    (pow(x, 0.3) is NOT guaranteed identical across libm implementations).
+    The sqrt weights are quantized to DECIMAL(28,6) before the global sum so
+    the normalizer is an exact, order-independent decimal total.
+    """
+    sq = "CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,6))"
+    return f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens
+  FROM (SELECT source, {d.token_count('text')} AS tc FROM documents) t
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM({sq}) AS DECIMAL(38,6)) AS z
+  FROM per_source
+)
+SELECT
+  source,
+  n_docs,
+  n_tokens,
+  CAST(n_tokens AS DOUBLE) / total_tokens AS raw_share,
+  CAST({sq} AS DOUBLE) / CAST(z AS DOUBLE) AS alpha_weight
+FROM per_source, tot
+"""
+
+
+sql_query(
+    "q_data_mixture",
+    spark_sql=_data_mixture_sql(SPARK),
+    duck_sql=_data_mixture_sql(DUCK),
+    tables=["documents"],
+    doc="Training-data mixture report: per-source doc/token inventory, raw "
+    "corpus share, and the alpha=0.5 temperature-reweighted sampling weight "
+    "(sqrt(tokens)/sum sqrt(tokens)) that upsamples small sources — the "
+    "standard pretraining mixture knob. One shuffle (groupBy source) plus a "
+    "broadcast scalar total; the per-source table is tiny at any corpus "
+    "size.",
+)
+
+
+def _stratified_sample_sql(d: Dialect) -> str:
+    """Equalized per-language subsample, all-integer decision rule."""
+    bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
+    return f"""
+WITH strata AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(n_lang) AS min_lang FROM strata)
+SELECT d.doc_id, d.lang, d.source, CAST({bucket} AS INT) AS strat_bucket
+FROM documents d
+JOIN strata s ON d.lang = s.lang
+CROSS JOIN m
+WHERE {bucket} * s.n_lang < 1000 * m.min_lang
+"""
+
+
+sql_query(
+    "q_stratified_sample",
+    spark_sql=_stratified_sample_sql(SPARK),
+    duck_sql=_stratified_sample_sql(DUCK),
+    tables=["documents"],
+    doc="Deterministic stratified subsample that equalizes language strata: "
+    "each doc's multiplicative-hash bucket is compared against the stratum's "
+    "keep-rate min_stratum/n_stratum using EXACT integer cross-multiplication "
+    "(bucket*n < 1000*min) — no RNG, no floats, stable under corpus growth. "
+    "Plan: tiny strata aggregate broadcast back onto a map-side filter; the "
+    "corpus itself never shuffles.",
+)
+
+
 def _split_sql(d: Dialect) -> str:
+    """96% train / 2% val / 2% test by multiplicative-hash bucket."""
     bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
     return f"""
 SELECT

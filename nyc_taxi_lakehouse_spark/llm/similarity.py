@@ -102,6 +102,170 @@ sql_query(
 
 
 # ---------------------------------------------------------------------------
+# K-means (spherical / cosine) — one oracle-checked Lloyd step + an
+# iterating helper. The step is the verified unit; iteration composes it.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 16
+
+
+def _kmeans_step_sql(d: Dialect) -> str:
+    comp = _components_sql(d, "true")
+    return f"""
+WITH comp AS ({comp}),
+cent_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}) s
+),
+ccomp AS (
+  SELECT ci.cell, c.i, c.q AS cv
+  FROM cent_ids ci JOIN comp c ON c.vec_id = ci.vec_id
+),
+cnorm AS (
+  SELECT cell, SQRT(CAST(SUM(cv * cv) AS DOUBLE)) AS cnorm
+  FROM ccomp GROUP BY cell
+),
+scores AS (
+  SELECT c.vec_id, cc.cell,
+         CAST(SUM(c.q * cc.cv) AS DOUBLE) / MAX(n.cnorm) AS score
+  FROM comp c
+  JOIN ccomp cc ON c.i = cc.i
+  JOIN cnorm n ON cc.cell = n.cell
+  GROUP BY c.vec_id, cc.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+    FROM scores
+  ) r WHERE rk = 1
+)
+SELECT a.cell, c.i,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(c.q) AS BIGINT) AS sum_q,
+       CAST(SUM(c.q) AS DOUBLE) / COUNT(*) AS mean_q
+FROM assign a JOIN comp c ON a.vec_id = c.vec_id
+GROUP BY a.cell, c.i
+"""
+
+
+def kmeans_assign(comp: DataFrame, ccomp: DataFrame) -> DataFrame:
+    """Assign each vector to its argmax-cosine centroid, relationally.
+
+    comp: (vec_id, i, q) integer components; ccomp: (cell, i, cv) centroid
+    components. Centroid norms are |c| only — |v| is constant per vector so
+    the argmax is unchanged (same trick as ann_ivf_topk). The centroid side
+    is broadcast (K·dim rows); the corpus side shuffles once on vec_id for
+    the dot-product aggregate, then once for the argmax window — and both
+    use the SAME key, so AQE coalesces to one exchange.
+    """
+    from pyspark.sql import Window
+
+    cnorm = ccomp.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv")).cast("double")).alias("cnorm")
+    )
+    scores = (
+        comp.join(F.broadcast(ccomp.join(cnorm, "cell")), "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            (F.sum(F.col("q") * F.col("cv")).cast("double") / F.max("cnorm")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def _quant_components(embeddings: DataFrame) -> DataFrame:
+    return embeddings.selectExpr(
+        "vec_id",
+        f"posexplode(transform(embedding,"
+        f" v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT))) AS (i, q)",
+    )
+
+
+@df_query(
+    "q_kmeans_step",
+    duck_sql=_kmeans_step_sql(DUCK),
+    tables=["embeddings"],
+    doc="One Lloyd iteration of spherical (cosine) k-means, fully "
+    "relational and oracle-checked: deterministic seeds (first K vectors by "
+    "vec_id), argmax-cosine assignment via exact integer dot products "
+    "against broadcast centroid components, then new centroids as exact "
+    "per-(cell, dim) sums with one double division. No vector literal "
+    "expressions (Catalyst project-collapse hazard) and no driver "
+    "materialization — the iterative form (kmeans_lloyd) loops this step "
+    "with localCheckpoint between rounds.",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    comp = _quant_components(emb)
+    from pyspark.sql import Window
+
+    cent_ids = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+    )
+    ccomp = cent_ids.join(comp, "vec_id").select(
+        "cell", "i", F.col("q").alias("cv")
+    )
+    assign = kmeans_assign(comp, ccomp)
+    return (
+        assign.join(comp, "vec_id")
+        .groupBy("cell", "i")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("q").alias("sum_q"),
+            (F.sum("q").cast("double") / F.count("*")).alias("mean_q"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame, k: int = _KMEANS_K, iterations: int = 5
+) -> DataFrame:
+    """Iterated Lloyd steps → final (vec_id, cell) assignment.
+
+    Each round: broadcast centroid components, one corpus shuffle for the
+    assignment, one hash-agg for the new means (rounded back to the integer
+    grid so every round's arithmetic stays exact). localCheckpoint truncates
+    lineage so the plan does not grow with the iteration count. Rows-only
+    (the per-step algebra is pinned by q_kmeans_step's oracle)."""
+    from pyspark.sql import Window
+
+    comp = _quant_components(embeddings).localCheckpoint(eager=True)
+    cent_ids = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+        )
+    )
+    ccomp = cent_ids.join(comp, "vec_id").select("cell", "i", F.col("q").alias("cv"))
+    assign = None
+    for _ in range(iterations):
+        assign = kmeans_assign(comp, ccomp).localCheckpoint(eager=True)
+        ccomp = (
+            assign.join(comp, "vec_id")
+            .groupBy("cell", "i")
+            .agg(F.round(F.sum("q") / F.count("*")).cast("bigint").alias("cv"))
+        )
+    return assign
+
+
+# ---------------------------------------------------------------------------
 # Scale paths — rows-only (xxhash64 / numpy are not oracle-expressible).
 # ---------------------------------------------------------------------------
 

