@@ -196,6 +196,100 @@ sql_query(
 )
 
 
+# PII patterns (training-data redaction): email, phone-ish digit runs, IPv4.
+# Conservative ASCII patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB) — no lookaround, no backreferences (RE2 has neither), and
+# NO backslashes: Spark SQL string literals process backslash escapes while
+# DuckDB's do not, so a `\.` would silently become `.` on one side only.
+# Literal dot/plus are spelled as character classes instead.
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PII_PHONE = "[+]?[0-9][0-9(). -]{7,}[0-9]"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+def _pii_scrub_sql(d: Dialect) -> str:
+    def scrub(expr: str, pat: str, token: str) -> str:
+        if d.name == "duckdb":
+            return f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+        return f"regexp_replace({expr}, '{pat}', '{token}')"
+
+    scrubbed = scrub(
+        scrub(scrub("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_email = d.arr_len(d.regex_tokens("text", _PII_EMAIL))
+    n_ip = d.arr_len(d.regex_tokens("text", _PII_IPV4))
+    return f"""
+SELECT
+  doc_id,
+  {n_email} AS n_emails,
+  {n_ip} AS n_ips,
+  CAST(length(text) - length({scrubbed}) AS INT) AS chars_redacted_delta,
+  md5({scrubbed}) AS scrubbed_hash,
+  CASE WHEN {n_email} + {n_ip} > 0 THEN true ELSE false END AS has_pii
+FROM documents
+"""
+
+
+sql_query(
+    "q_pii_scrub",
+    spark_sql=_pii_scrub_sql(SPARK),
+    duck_sql=_pii_scrub_sql(DUCK),
+    tables=["documents"],
+    doc="PII redaction pass: email / IPv4 / phone patterns replaced with "
+    "typed placeholder tokens (RE2-safe patterns — no lookaround — so Spark "
+    "and DuckDB scrub identically), per-doc match counts, and the md5 of the "
+    "scrubbed text as the verified artifact (the scrubbed corpus itself "
+    "would be the sink column in production). Map-only, stays in codegen, "
+    "no shuffle.",
+)
+
+
+def _repetition_sql(d: Dialect) -> str:
+    """Gopher-style repetition gate: fraction of 2-gram occurrences taken by
+    the single most frequent 2-gram."""
+    pos = d.positional_token_rows("documents")
+    return f"""
+WITH pos_tok AS ({pos}),
+bigrams AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM pos_tok
+),
+counts AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM bigrams WHERE g IS NOT NULL
+  GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_bigram_count,
+       CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+       CASE WHEN CAST(top_bigram_count AS DOUBLE) / n_bigrams > 0.2
+            THEN true ELSE false END AS repetition_flag
+FROM per_doc
+"""
+
+
+sql_query(
+    "q_repetition",
+    spark_sql=_repetition_sql(SPARK),
+    duck_sql=_repetition_sql(DUCK),
+    tables=["documents"],
+    doc="Repetition detection (the Gopher rules' repeated-n-gram family): "
+    "per-doc share of 2-gram occurrences captured by the most frequent "
+    "2-gram, flagged above 20%. Bigrams form with a LEAD window partitioned "
+    "by doc_id; the count and the per-doc rollup share that partitioning, "
+    "so the whole query is one doc_id exchange. Exact integer ratio "
+    "numerators/denominators keep the oracle bit-exact.",
+)
+
+
 def _fingerprint_sql(d: Dialect) -> str:
     strip_nonalnum = d.regex_strip("text", "[^a-z0-9 ]")
     strip_nonalpha = d.regex_strip("text", "[^a-z]")

@@ -180,3 +180,27 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
         assert a.cell.between(0, 7).all()
     # Iteration should consolidate, not explode, the cluster count.
     assert a4.cell.nunique() <= 8
+
+
+def test_pii_scrub_planted(spark):
+    """The corpus has no real PII (counts verified 0 by the oracle gate), so
+    plant some: emails / IPs / phones must be counted and replaced."""
+    from nyc_taxi_lakehouse_spark.functions.detsql import SPARK
+    from nyc_taxi_lakehouse_spark.llm.text import _pii_scrub_sql
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+spam@example.co.uk for details"),
+            (2, "server at 192.168.001.12 responded then 10.0.0.1 failed"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    out = {r.doc_id: r for r in spark.sql(_pii_scrub_sql(SPARK)).collect()}
+    assert out[1].n_emails == 1 and out[1].has_pii
+    assert out[2].n_ips == 2 and out[2].has_pii
+    assert out[3].chars_redacted_delta > 0  # phone collapsed to <PHONE>
+    assert not out[4].has_pii and out[4].chars_redacted_delta == 0
+    spark.catalog.dropTempView("documents")
