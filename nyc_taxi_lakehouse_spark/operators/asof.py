@@ -1,0 +1,232 @@
+"""As-of and range joins — time-series operators Spark has no native form of.
+
+Two operators the reference's event-analytics family implies but no SQL
+engine-agnostic form exists for in Spark (SURVEY §2.3 join family; DuckDB
+grew native ASOF JOIN precisely because plain SQL can't plan it well):
+
+- q_asof_join: purchase→click attribution — each purchase matched to the
+  SAME user's most recent click at-or-before it. Spark side is the canonical
+  distributed merge-as-of: union both sides, one shuffle on the key, one
+  ordered window pass with a forward-fill (last ignoreNulls). That is the
+  shape that scales — the naive inequality join would plan as a per-user
+  range cross product, and a pure theta-join would fall off the hash-join
+  path entirely. The DuckDB oracle uses its native ASOF LEFT JOIN, so this
+  also pins our window encoding against a reference implementation.
+- q_range_join: per-purchase lookback aggregate (clicks in the preceding 30
+  minutes). The equality key (user_id) keeps it on the hash/sort-merge join
+  path; the range predicate is a post-join filter — at scale the join
+  shuffles once on user_id and AQE handles skewed users.
+
+Both emit epoch-microsecond BIGINTs (events parquet is ns-precision; raw
+timestamps would hash-mismatch — see functions/detsql.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import df_query
+from ..sources.tables import load_tables
+
+_CLEAN = "event_id IS NOT NULL AND ts IS NOT NULL AND value > 0"
+
+_ASOF_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events WHERE {_CLEAN}
+),
+clicks AS (
+  SELECT user_id, ts_us, MAX(event_id) AS click_event_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+),
+purch AS (
+  SELECT event_id AS purchase_event_id, user_id, ts_us, value FROM ev
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_event_id,
+       p.user_id,
+       p.ts_us AS purchase_ts_us,
+       p.value AS purchase_value,
+       c.click_event_id,
+       c.ts_us AS click_ts_us,
+       p.ts_us - c.ts_us AS gap_us
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed merge-as-of: for each left row, the right row with the
+    greatest right_ts <= left_ts within the same `on` key (inclusive).
+
+    Union-sentinel encoding: right rows sort before left rows at equal
+    timestamps (kind 0 < 1), a forward-fill window (last ignoreNulls, rows
+    unbounded-preceding..current) carries the latest right values onto every
+    left row, then left rows are filtered back out. ONE shuffle on the key,
+    one sort, no range join — linear in partition size, skew-bounded by the
+    key's own cardinality. Right side must be unique per (on, right_ts);
+    pre-aggregate to enforce (callers here dedup by MAX id).
+    """
+    lcols = [c for c in left.columns if c != on]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in right_cols],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l)
+    for c in right_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "__rts", F.last(F.when(F.col("__kind") == 0, F.col("__ts")), ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__kind") == 1).drop("__kind")
+
+
+@df_query(
+    "q_asof_join",
+    duck_sql=_ASOF_ORACLE,
+    tables=["events"],
+    doc="As-of join (purchase→click attribution): each purchase matched to "
+    "the same user's most recent click at-or-before it, NULL-preserving for "
+    "never-clicked purchases. Spark: union-sentinel merge-as-of — one "
+    "shuffle on user_id, one ordered window with forward-fill; oracle: "
+    "DuckDB's native ASOF LEFT JOIN, pinning the encoding against a "
+    "first-class implementation. Clicks pre-deduped per (user, ts) by MAX "
+    "event_id so ties are deterministic in both engines.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = (
+        t["events"]
+        .filter(_CLEAN)
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "ts_us",
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["click_event_id"],
+    )
+    return joined.select(
+        "purchase_event_id",
+        "user_id",
+        F.col("__ts").alias("purchase_ts_us"),
+        "purchase_value",
+        "click_event_id",
+        F.col("__rts").alias("click_ts_us"),
+        (F.col("__ts") - F.col("__rts")).alias("gap_us"),
+    )
+
+
+_RANGE_WINDOW_US = 30 * 60 * 1000000  # 30-minute lookback
+
+_RANGE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events WHERE {_CLEAN}
+),
+clicks AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click'),
+purch AS (
+  SELECT event_id AS purchase_event_id, user_id, ts_us FROM ev
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_event_id,
+       p.user_id,
+       p.ts_us AS purchase_ts_us,
+       CAST(COUNT(c.ts_us) AS BIGINT) AS n_clicks_30m,
+       CAST(SUM(CAST(c.value AS DECIMAL(28,2))) AS DOUBLE) AS click_value_30m
+FROM purch p
+LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.ts_us > p.ts_us - {_RANGE_WINDOW_US}
+ AND c.ts_us <= p.ts_us
+GROUP BY p.purchase_event_id, p.user_id, p.ts_us
+"""
+
+
+@df_query(
+    "q_range_join",
+    duck_sql=_RANGE_ORACLE,
+    tables=["events"],
+    doc="Range (interval) join: per-purchase count/value of the same user's "
+    "clicks in the preceding 30 minutes, zero-click purchases kept at count "
+    "0. The user_id equality keeps Spark on the shuffled hash-join path "
+    "(the range predicate is a join-level filter, NOT a nested-loop "
+    "trigger); decimal-exact click-value sum per the engine's determinism "
+    "conventions.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = (
+        t["events"]
+        .filter(_CLEAN)
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    # Both sides derive from the same `ev` plan — rename the click side's
+    # columns outright so the join carries no ambiguous attribute (a
+    # drop(clicks.user_id) would resolve by expression id, not by side, and
+    # can silently keep the null-filled click copy).
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    joined = purch.join(
+        clicks,
+        (purch.user_id == clicks.c_user)
+        & (clicks.c_ts > purch.purchase_ts_us - _RANGE_WINDOW_US)
+        & (clicks.c_ts <= purch.purchase_ts_us),
+        "left",
+    ).drop("c_user")
+    return joined.groupBy("purchase_event_id", "user_id", "purchase_ts_us").agg(
+        F.count("c_ts").alias("n_clicks_30m"),
+        F.sum(F.col("c_value").cast("decimal(28,2)")).cast("double").alias(
+            "click_value_30m"
+        ),
+    )
