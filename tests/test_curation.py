@@ -1,0 +1,77 @@
+"""Behavioral properties of the curation operators — the guarantees a
+training-data pipeline actually relies on, beyond row-level oracle parity."""
+
+from __future__ import annotations
+
+from nyc_taxi_lakehouse_spark.registry import all_queries
+
+SPECS = all_queries()
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def test_train_split_stable_under_corpus_growth(spark):
+    """The split is a pure function of doc_id: growing the corpus (sf0.001 ⊂
+    sf0.01 id space) must never reassign an existing document."""
+    small = {
+        r.doc_id: r.split
+        for r in SPECS["q_train_split"].fn(spark, SF_SMALL).collect()
+    }
+    big = {
+        r.doc_id: r.split for r in SPECS["q_train_split"].fn(spark, SF_MED).collect()
+    }
+    overlap = set(small) & set(big)
+    assert overlap, "expected overlapping doc_ids between scale factors"
+    assert all(small[d] == big[d] for d in overlap)
+
+
+def test_train_split_partitioning_invariant(spark):
+    """Same assignment regardless of physical parallelism (no RNG, no
+    row-order dependence)."""
+    base = SPECS["q_train_split"].fn(spark, SF_SMALL)
+    a = {(r.doc_id, r.split) for r in base.collect()}
+    b = {(r.doc_id, r.split) for r in base.repartition(13).collect()}
+    assert a == b
+
+
+def test_stratified_sample_equalizes_strata(spark):
+    """Kept counts per language land within rounding slack of the smallest
+    stratum (the integer cross-multiplication targets min_stratum exactly)."""
+    pdf = SPECS["q_stratified_sample"].fn(spark, SF_MED).toPandas()
+    full = spark.read.parquet(f"{SF_MED}/documents.parquet").groupBy("lang").count()
+    min_stratum = min(r["count"] for r in full.collect())
+    kept = pdf.groupby("lang").size()
+    # Hash buckets are uniform-ish, not exact: allow 25% relative slack.
+    assert (kept >= 0.75 * min_stratum).all(), kept.to_dict()
+    assert (kept <= 1.25 * min_stratum).all(), kept.to_dict()
+
+
+def test_seq_packing_offsets_contiguous(spark):
+    """Concat-and-chunk invariants: within each source shard, offsets are
+    contiguous (no gaps/overlaps) and every boundary doc spans the right
+    number of sequences."""
+    pdf = (
+        SPECS["q_seq_packing"]
+        .fn(spark, SF_MED)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    cap = 2048
+    for _, g in pdf.groupby("source"):
+        offs = g.tok_offset.to_numpy()
+        toks = g.n_tokens.to_numpy()
+        assert offs[0] == 0
+        assert (offs[1:] == offs[:-1] + toks[:-1]).all()
+        # seq range arithmetic holds row-wise.
+        assert (g.seq_first == offs // cap).all()
+        assert (g.seq_last == (offs + toks - 1) // cap).all()
+        assert (g.seqs_spanned == g.seq_last - g.seq_first + 1).all()
+
+
+def test_contamination_only_flags_eval_overlap(spark):
+    """Every reported pair is (train_doc, eval_doc) with the eval membership
+    rule applied — no train-train or eval-eval pairs leak through."""
+    pdf = SPECS["q_contamination"].fn(spark, SF_MED).toPandas()
+    assert (pdf.eval_doc % 97 == 0).all()
+    assert (pdf.train_doc % 97 != 0).all()
+    assert (pdf.shared_ngrams >= 1).all()
