@@ -236,3 +236,74 @@ sql_query(
     "join back to coarser re-aggregation (J4/A4), null-rejecting WHERE after "
     "LEFT JOIN → Catalyst outer-to-inner conversion (J5).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Percentile report — A-family extension (distribution monitoring).
+# ---------------------------------------------------------------------------
+
+
+def _percentiles_sql(d: Dialect) -> str:
+    if d.name == "spark":
+        def disc(p: str) -> str:
+            return f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+
+        def cont(p: str) -> str:
+            return f"percentile_cont({p}) WITHIN GROUP (ORDER BY value)"
+    else:
+        def disc(p: str) -> str:
+            return f"quantile_disc(value, {p})"
+
+        def cont(p: str) -> str:
+            return f"quantile_cont(value, {p})"
+
+    return f"""
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {disc('0.50')} AS p50_disc,
+  {disc('0.90')} AS p90_disc,
+  {disc('0.99')} AS p99_disc,
+  {cont('0.50')} AS p50_cont,
+  {cont('0.95')} AS p95_cont,
+  MAX(value) AS max_value
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY event_type
+"""
+
+
+sql_query(
+    "q_value_percentiles",
+    spark_sql=_percentiles_sql(SPARK),
+    duck_sql=_percentiles_sql(DUCK),
+    tables=["events"],
+    doc="Exact percentile report per event type: percentile_disc (an actual "
+    "data value — no interpolation arithmetic) and percentile_cont (linear "
+    "interpolation — verified bit-identical across engines on this data). "
+    "Exact percentiles need a per-group sort; the documented 100 TB "
+    "substitution is approx_percentile (t-digest/GK sketch, single pass, "
+    "mergeable partials) exactly as COUNT DISTINCT degrades to HLL in "
+    "q_unique_users_approx.",
+)
+
+
+sql_query(
+    "q_value_percentiles_approx",
+    spark_sql="""
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  approx_percentile(value, array(0.5, 0.9, 0.99), 10000) AS p_approx
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY event_type
+""",
+    duck_sql=None,
+    tables=["events"],
+    doc="Scale variant of q_value_percentiles: approx_percentile (GK "
+    "sketch, accuracy 1/10000) — single pass, mergeable partials, no "
+    "per-group sort. Rows-only (sketch estimates have no cross-engine "
+    "equivalent); accuracy vs the exact percentiles is asserted in "
+    "tests/test_llm_ops.py.",
+)

@@ -19,8 +19,12 @@ unique tiebreaker.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions.detsql import DUCK, SPARK, Dialect, davg, dsum
-from ..registry import sql_query
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
 
 
 def _lag_features_sql(d: Dialect) -> str:
@@ -170,3 +174,72 @@ sql_query(
     "window() + append mode) lives in streaming/cdc.py; this batch query "
     "pins the same window arithmetic to an oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based session windows (beyond-reference event op).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
+
+_SESSION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+marked AS (
+  SELECT user_id, ts_us, value,
+    CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+           OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              >= {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@df_query(
+    "q_sessionization",
+    duck_sql=_SESSION_ORACLE,
+    tables=["events"],
+    doc="Gap-based sessionization (30-min inactivity): Spark side uses "
+    "the NATIVE session_window aggregate — merged while consecutive "
+    "events are < gap apart, exactly the gaps-and-islands LAG/cumsum "
+    "fixpoint the DuckDB oracle computes. Emits observed session bounds "
+    "(min/max event time, not the gap-padded window end, which is "
+    "engine-specific), event count, and the exact-decimal value sum. "
+    "One shuffle on user_id; the identical expression runs under "
+    "Structured Streaming with a watermark (session_window is "
+    "streaming-capable) — the batch form here pins the algebra.",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter("event_id IS NOT NULL AND ts IS NOT NULL AND value > 0")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .drop("session_window")
+    )

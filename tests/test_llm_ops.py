@@ -204,3 +204,22 @@ def test_pii_scrub_planted(spark):
     assert out[3].chars_redacted_delta > 0  # phone collapsed to <PHONE>
     assert not out[4].has_pii and out[4].chars_redacted_delta == 0
     spark.catalog.dropTempView("documents")
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """GK-sketch percentiles land within 2% of the exact disc percentiles."""
+    specs = __import__(
+        "nyc_taxi_lakehouse_spark.registry", fromlist=["all_queries"]
+    ).all_queries()
+    exact = {
+        r.event_type: r for r in specs["q_value_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in specs["q_value_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        p50, p90, p99 = approx[et].p_approx
+        for got, want in [(p50, ex.p50_disc), (p99, ex.p99_disc)]:
+            assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (et, got, want)
