@@ -15,8 +15,12 @@ the oracle stays textually in lockstep with the implementation.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions.detsql import DUCK, SPARK, Dialect, davg, dec2, disc_price, dsum, dsum_dec
-from ..registry import sql_query
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
 
 
 def _hourly_events_sql(d: Dialect) -> str:
@@ -307,3 +311,79 @@ GROUP BY event_type
     "equivalent); accuracy vs the exact percentiles is asserted in "
     "tests/test_llm_ops.py.",
 )
+
+
+# ---------------------------------------------------------------------------
+# OLAP shapes: hierarchical ROLLUP and pivot (wide) aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _rollup_sql(d: Dialect) -> str:
+    return f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+sql_query(
+    "q_rollup_report",
+    spark_sql=_rollup_sql(SPARK),
+    duck_sql=_rollup_sql(DUCK),
+    tables=["orders"],
+    doc="Hierarchical rollup (status → priority → grand total) in ONE pass: "
+    "GROUP BY ROLLUP with grouping() flags disambiguating subtotal rows "
+    "from genuine NULL keys. Spark plans this as a single Expand + "
+    "hash-agg — one shuffle for all three aggregation levels, the "
+    "hypertable-rollup shape (vs three separate GROUP BYs = three scans). "
+    "Exact-decimal money sums per the determinism conventions.",
+)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_oracle_sql() -> str:
+    cases = ",\n  ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+  {cases}
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY CAST(hour(ts) AS INT)
+"""
+
+
+@df_query(
+    "q_event_pivot",
+    duck_sql=_pivot_oracle_sql(),
+    tables=["events"],
+    doc="Pivot (long→wide): per-hour event counts spread into one "
+    "column per type via Spark's native groupBy().pivot() with an "
+    "EXPLICIT value list — the two-pass value-discovery scan is "
+    "skipped and the output schema is deterministic (pivot without "
+    "values would scan once just to learn the columns). Single "
+    "shuffle; oracle is the equivalent conditional aggregation.",
+)
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter("event_id IS NOT NULL AND ts IS NOT NULL AND value > 0")
+    wide = (
+        ev.withColumn("hour_of_day", F.hour("ts").cast("int"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
