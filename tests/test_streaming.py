@@ -275,3 +275,45 @@ def test_parse_cdc_source_agnostic(spark, cdc_dir):
     from_text = parse_cdc(text_shaped).drop("event_time").collect()
     assert sorted(map(tuple, from_kafka)) == sorted(map(tuple, from_text))
     assert sorted(r.event_id for r in from_kafka) == [1, 2, 2, 3, 5]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window under Structured Streaming: sessions whose close is
+    beyond the final watermark stay in state; closed sessions emit with the
+    same bounds the batch form (q_sessionization) computes."""
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            [
+                _envelope("c", 1, "2024-01-01T00:00:00", 1, "click", 1.0, 1),
+                _envelope("c", 2, "2024-01-01T00:02:00", 1, "click", 2.0, 2),
+                _envelope("c", 3, "2024-01-01T00:20:00", 1, "view", 3.0, 3),
+                _envelope("c", 4, "2024-01-01T01:00:00", 1, "click", 4.0, 4),
+            ]
+        )
+    )
+    parsed = parse_cdc(file_replay_source(spark, str(d)))
+    sess = (
+        parsed.withWatermark("event_time", "10 minutes")
+        .groupBy("user_id", F.session_window("event_time", "5 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out, ckpt = tmp_path / "sess_out", tmp_path / "sess_ckpt"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = sorted(
+        (str(r["session_window"]["start"]), r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # Final watermark = 01:00 - 10min = 00:50: the two early sessions closed
+    # (00:00+00:02 merged within the 5-min gap; 00:20 alone); the 01:00
+    # session is still open in state and must NOT emit.
+    assert rows == [("2024-01-01 00:00:00", 2), ("2024-01-01 00:20:00", 1)]
