@@ -387,3 +387,34 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_of_day",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
     )
+
+
+def _json_props_sql(d: Dialect) -> str:
+    """§2.8 JSON function family exercised on the events.props payload
+    column: typed extraction + null-safe bucketing + aggregation."""
+    k = d.json_int("props", "k")
+    return f"""
+SELECT
+  event_type,
+  CAST(FLOOR(({k}) / 10.0) AS INT) AS k_decile,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN({k}) AS BIGINT) AS k_min,
+  CAST(MAX({k}) AS BIGINT) AS k_max,
+  CAST(SUM({k}) AS BIGINT) AS k_sum
+FROM events
+WHERE event_id IS NOT NULL AND props IS NOT NULL
+GROUP BY event_type, CAST(FLOOR(({k}) / 10.0) AS INT)
+"""
+
+
+sql_query(
+    "q_json_props",
+    spark_sql=_json_props_sql(SPARK),
+    duck_sql=_json_props_sql(DUCK),
+    tables=["events"],
+    doc="JSON payload-column extraction (§2.8 family, exercised on real "
+    "data rather than literals): get_json_object / json_extract_string "
+    "typed to BIGINT, bucketed, aggregated exactly. The JSON path "
+    "evaluation stays in codegen; at scale the one shuffle carries the "
+    "tiny (type, decile) grouped partials.",
+)
