@@ -371,8 +371,11 @@ GROUP BY CAST(hour(ts) AS INT)
     "column per type via Spark's native groupBy().pivot() with an "
     "EXPLICIT value list — the two-pass value-discovery scan is "
     "skipped and the output schema is deterministic (pivot without "
-    "values would scan once just to learn the columns). Single "
-    "shuffle; oracle is the equivalent conditional aggregation.",
+    "values would scan once just to learn the columns). Two-phase plan: "
+    "the first shuffle groups (hour, type); the second spreads columns "
+    "over only those grouped partials (~|hours|x|types| rows — "
+    "negligible at any scale). Oracle is the equivalent conditional "
+    "aggregation.",
 )
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
