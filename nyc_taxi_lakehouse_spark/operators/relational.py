@@ -168,3 +168,67 @@ sql_query(
     "tip-percentage idiom). Map-side partial aggregation + single shuffle "
     "on the 2-column group key; scales linearly with input splits.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling — per-column observability report (SURVEY §2.11 family).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB: one wide aggregate CTE, unpivoted by UNION ALL branches (the
+    CTE is one row; DuckDB evaluates it once)."""
+    aggs = ", ".join(
+        f"COUNT(*) - COUNT({c}) AS {c}__nulls, COUNT(DISTINCT {c}) AS {c}__distinct"
+        for c in _PROFILE_COLS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, "
+        f"CAST({c}__nulls AS BIGINT) AS n_nulls, "
+        f"CAST({c}__distinct AS BIGINT) AS n_distinct FROM wide"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {aggs} FROM orders
+)
+{branches}
+"""
+
+
+@df_query(
+    "q_data_profile",
+    duck_sql=_profile_oracle_sql(),
+    tables=["orders"],
+    doc="Per-column data-profiling report (null + exact distinct counts) in "
+    "ONE aggregation pass: all 2N+1 aggregates computed together, then the "
+    "single wide row unpivoted with stack() — a Project over one row, so "
+    "the table is scanned exactly once (a UNION-ALL-per-column form would "
+    "re-aggregate per column under Catalyst's CTE inlining). Exact "
+    "COUNT(DISTINCT) is the oracle anchor; at 100 TB each becomes "
+    "approx_count_distinct — same single-pass shape, mergeable sketches.",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    orders = t["orders"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
