@@ -243,3 +243,40 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("session_window")
     )
+
+
+def _rank_report_sql(d: Dialect) -> str:
+    """Full ranking-function family over per-customer spend. All four
+    functions are exact-rank arithmetic (percent_rank = (rank-1)/(n-1),
+    cume_dist = peers≤/n) — identical doubles in both engines; the unique
+    c_custkey tiebreaker makes every rank deterministic."""
+    return f"""
+WITH spend AS (
+  SELECT o_custkey, {dsum('o_totalprice')} AS total_spend,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  o_custkey,
+  total_spend,
+  n_orders,
+  RANK() OVER w AS spend_rank,
+  DENSE_RANK() OVER (ORDER BY n_orders DESC) AS order_count_dense_rank,
+  PERCENT_RANK() OVER w AS spend_percentile,
+  CUME_DIST() OVER w AS spend_cume_dist
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+"""
+
+
+sql_query(
+    "q_rank_report",
+    spark_sql=_rank_report_sql(SPARK),
+    duck_sql=_rank_report_sql(DUCK),
+    tables=["orders"],
+    doc="Ranking-function family (RANK / DENSE_RANK / PERCENT_RANK / "
+    "CUME_DIST) over per-customer spend. Global ranking is inherently an "
+    "Exchange SinglePartition — but its input is the already-aggregated "
+    "per-customer table (bounded by customer cardinality, not order rows), "
+    "the same accepted cost as q_user_deciles' NTILE.",
+)
