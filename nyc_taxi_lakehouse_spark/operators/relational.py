@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detsql import charge, davg, disc_price, dsum, dsum_dec
+from ..functions.detsql import DUCK, SPARK, Dialect, charge, davg, disc_price, dsum, dsum_dec
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -232,3 +232,31 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def _set_ops_sql(d: Dialect) -> str:
+    """Set-operator family over yearly customer cohorts: INTERSECT (retained),
+    EXCEPT (churned), UNION (either) — all dedup by definition, labeled and
+    recombined so one result pins all three."""
+    y95 = "SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1995"
+    y96 = "SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1996"
+    return f"""
+SELECT 'retained' AS cohort, o_custkey FROM ({y95} INTERSECT {y96}) a
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM ({y95} EXCEPT {y96}) b
+UNION ALL
+SELECT 'new' AS cohort, o_custkey FROM ({y96} EXCEPT {y95}) c
+"""
+
+
+sql_query(
+    "q_set_ops",
+    spark_sql=_set_ops_sql(SPARK),
+    duck_sql=_set_ops_sql(DUCK),
+    tables=["orders"],
+    doc="Set-operator family (§2.7): 1995 vs 1996 customer cohorts via "
+    "INTERSECT / EXCEPT ×2, recombined with UNION ALL into one labeled "
+    "result. Spark plans each set op as a hash aggregate + join on the "
+    "full row — the year predicates push to the parquet scan, and AQE "
+    "dedups the two shared subquery scans where possible.",
+)
