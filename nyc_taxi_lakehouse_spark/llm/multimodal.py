@@ -214,3 +214,36 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return sample_frames(to_multimodal(t["documents"]))
+
+
+@df_query(
+    "q_multimodal_bytes",
+    duck_sql="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       md5(lower(hex(CAST(text AS BLOB)))) AS payload_md5,
+       substring(lower(hex(CAST(text AS BLOB))), 1, 16) AS head_hex
+FROM documents
+""",
+    tables=["documents"],
+    doc="Byte-level verification of the binary payload column itself (not "
+    "just metadata): octet length, an md5 content checksum, and the first "
+    "8 bytes as hex — computed on the Spark side over the real "
+    "binary-typed column and oracle-checked against DuckDB's BLOB "
+    "functions. Engines disagree on md5(BLOB) availability and hex case, "
+    "so the checksum canonicalizes through lower(hex(payload)) — "
+    "byte-identical both sides. Map-only, codegen, no shuffle; this is "
+    "the integrity-manifest pass a multimodal lake runs after ingest.",
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    mm = to_multimodal(t["documents"])
+    hexp = F.lower(F.hex("payload"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.md5(hexp).alias("payload_md5"),
+        F.substring(hexp, 1, 16).alias("head_hex"),
+    )
