@@ -260,3 +260,35 @@ sql_query(
     "full row — the year predicates push to the parquet scan, and AQE "
     "dedups the two shared subquery scans where possible.",
 )
+
+
+def _fuzzy_entity_sql(d: Dialect) -> str:
+    """Entity-resolution candidate pairs over the nation dim: levenshtein
+    (exact integer edit distance — identical across engines) under a
+    threshold, normalized by the longer name."""
+    return """
+SELECT a.n_name AS name_a,
+       b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance,
+       CAST(1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
+              / GREATEST(length(a.n_name), length(b.n_name)) AS DOUBLE)
+         AS name_similarity
+FROM nation a
+JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 5
+"""
+
+
+sql_query(
+    "q_fuzzy_entity",
+    spark_sql=_fuzzy_entity_sql(SPARK),
+    duck_sql=_fuzzy_entity_sql(DUCK),
+    tables=["nation"],
+    doc="Fuzzy entity matching (data-cleaning family): candidate name pairs "
+    "from the nation dim under levenshtein <= 5, with a length-normalized "
+    "similarity score. Edit distance is exact integer arithmetic — "
+    "bit-identical across engines. The dim self-join is broadcast (25 "
+    "rows); at scale fuzzy entity resolution blocks on a cheap key "
+    "(prefix/soundex/LSH band) before paying the quadratic distance, the "
+    "same blocking pattern as llm/dedup.py.",
+)

@@ -223,3 +223,61 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         p50, p90, p99 = approx[et].p_approx
         for got, want in [(p50, ex.p50_disc), (p99, ex.p99_disc)]:
             assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (et, got, want)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check of the generic asof_join against an independent
+    reference implementation (pandas.merge_asof, backward direction)."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_taxi_lakehouse_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "lt": rng.randint(0, 10000, 200).astype("int64"),
+            "lv": rng.randn(200),
+        }
+    ).assign(lid=lambda d: range(len(d)))
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 80),
+                "rt": rng.randint(0, 10000, 80).astype("int64"),
+                "rid": range(80),
+            }
+        )
+        .drop_duplicates(["k", "rt"])  # asof requires unique (key, ts)
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left.rename(columns={"lt": "ts"})),
+            spark.createDataFrame(right.rename(columns={"rt": "ts"})),
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["rid"],
+        )
+        .select("lid", "rid")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("lt"),
+            right.sort_values("rt"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction="backward",
+        )[["lid", "rid"]]
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert ((got.rid.fillna(-1) == want.rid.fillna(-1)).all()), (
+        pd.concat([got, want], axis=1)
+    )
