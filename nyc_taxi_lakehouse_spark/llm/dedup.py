@@ -520,6 +520,7 @@ def connected_components(
     # decreasing potential until the fixpoint — an unchanged sum IS
     # convergence. One scalar aggregate per round, no compare-join.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = edges.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
@@ -532,8 +533,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Silent partial convergence would emit WRONG cluster labels (some
+        # vertices not yet reached by their component's minimum). Refuse.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter (rounds are "
+            "O(diameter)) or pre-contract with large-star/small-star."
+        )
     return (
         vertices.join(labels, "doc_id", "left")
         .select(

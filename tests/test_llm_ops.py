@@ -281,3 +281,23 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert ((got.rid.fillna(-1) == want.rid.fillna(-1)).all()), (
         pd.concat([got, want], axis=1)
     )
+
+
+def test_connected_components_convergence_guard(spark):
+    """A path graph with diameter > max_iter must RAISE, not silently emit
+    partial labels; with enough rounds it converges to one cluster."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.llm.dedup import connected_components
+
+    n = 12  # path 0-1-2-...-11, diameter 11
+    verts = spark.range(n).selectExpr("id AS doc_id")
+    fwd = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    edges = fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, verts, max_iter=3)
+
+    labels = connected_components(edges, verts, max_iter=n + 2)
+    assert [r.cluster_id for r in labels.orderBy("doc_id").collect()] == [0] * n
