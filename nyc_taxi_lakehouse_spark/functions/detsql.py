@@ -180,6 +180,11 @@ class Dialect:
             f" AS token FROM {table}"
         )
 
+    def epoch_us(self, ts: str) -> str:
+        """Epoch microseconds as BIGINT (the safe cross-engine encoding for
+        the ns-precision events timestamps)."""
+        return f"unix_micros({ts})"
+
     def positional_token_rows(self, table: str) -> str:
         """SELECT fragment exploding tokens WITH their 1-based position."""
         return (
@@ -236,6 +241,9 @@ class DuckDialect(Dialect):
             f"SELECT doc_id, {cols}unnest(list_distinct({self.split_tokens('text')}))"
             f" AS token FROM {table}"
         )
+
+    def epoch_us(self, ts: str) -> str:
+        return f"(epoch_ns({ts}) // 1000)"
 
     def positional_token_rows(self, table: str) -> str:
         # Indexed list_transform lambda: i is 1-based in DuckDB.

@@ -280,3 +280,43 @@ sql_query(
     "per-customer table (bounded by customer cardinality, not order rows), "
     "the same accepted cost as q_user_deciles' NTILE.",
 )
+
+
+def _rolling_time_range_sql(d: Dialect) -> str:
+    """Time-based RANGE frame (vs the ROWS frames of W2/W3): the trailing
+    1-hour window is defined by actual event time, so sparse and dense
+    periods get the same temporal horizon. RANGE peers (equal timestamps)
+    aggregate identically in both engines — deterministic without a
+    tiebreaker."""
+    hour_us = 3600 * 1000000
+    return f"""
+WITH ev AS (
+  SELECT user_id, {d.epoch_us('ts')} AS ts_us, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT
+  user_id,
+  ts_us,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS value_1h
+FROM ev
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us
+  RANGE BETWEEN {hour_us - 1} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+sql_query(
+    "q_rolling_time_range",
+    spark_sql=_rolling_time_range_sql(SPARK),
+    duck_sql=_rolling_time_range_sql(DUCK),
+    tables=["events"],
+    doc="Trailing 1-hour per-user activity via a time-based RANGE window "
+    "frame (the ROWS frames elsewhere count rows; this one bounds by "
+    "actual elapsed time — the correct form for rate limiting / velocity "
+    "features on irregular event streams). One shuffle on user_id, "
+    "exact-decimal sums; RANGE-peer semantics verified identical across "
+    "engines.",
+)
