@@ -1,0 +1,60 @@
+"""Registry-wide physical-plan linter — the 100 TB scale guard.
+
+Every registered query's executed plan is checked for the three shapes that
+do not survive a 100× scale-up: cartesian products, broadcast-nested-loop
+joins, and single-partition exchanges. Queries where the shape is inherent
+AND bounded are whitelisted with the reason; anything new that trips a flag
+fails CI until it is either fixed or consciously whitelisted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_lakehouse_spark.registry import all_queries
+
+SPECS = all_queries()
+SF = "/root/testdata/sf0.001"
+
+# name -> (allowed flags, why it is bounded)
+WHITELIST = {
+    # Scalar-aggregate results (one row by definition).
+    "q_dashboard_stats": ({"single-part"}, "global KPI scalar aggregate"),
+    "q_data_profile": ({"single-part"}, "one wide aggregate row, unpivoted"),
+    "q_feature_correlation": ({"single-part"}, "scalar moment sums"),
+    "q_feature_stats": ({"single-part"}, "scalar moment sums"),
+    # 1-row normalizer / recency scalar subqueries (broadcast a single row).
+    "q_data_mixture": ({"bnlj", "single-part"}, "per-source rollup x 1-row total"),
+    "q_stratified_sample": ({"bnlj", "single-part"}, "strata mins: 1-row side"),
+    "q_realtime_activity": ({"single-part"}, "MAX(ts) recency scalar"),
+    "q_recent_orders": ({"single-part"}, "MAX(ts) recency scalar"),
+    "q_route_features": ({"single-part"}, "MAX(l_shipdate) recency scalar"),
+    # Global ranking over already-aggregated (cardinality-bounded) tables.
+    "q_rank_report": ({"single-part"}, "global rank over per-customer aggregate"),
+    "q_user_deciles": ({"single-part"}, "global NTILE over per-user aggregate"),
+    # Dictionary-encoded oracle anchors: the vocabulary dense_rank is a
+    # global sort by design; the production path (xxhash64) has none.
+    "q_dedup_minhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
+    "q_dedup_simhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
+    # Generated forecast grid x small per-hour profile (both tiny).
+    "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
+    # Dim-sized quadratic ops (25-row nation table).
+    "q_fuzzy_entity": ({"bnlj"}, "25-row dim self-join on inequality"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_unbounded_plan_shapes(name, spark):
+    plan = SPECS[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    flags = set()
+    if "CartesianProduct" in plan:
+        flags.add("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.add("bnlj")
+    if "Exchange SinglePartition" in plan:
+        flags.add("single-part")
+    allowed = WHITELIST.get(name, (set(),))[0]
+    assert flags <= allowed, (
+        f"{name}: plan shapes {flags - allowed} not whitelisted — either fix "
+        f"the plan or add a bounded-why entry.\n{plan[:2000]}"
+    )
