@@ -527,3 +527,117 @@ def ann_ivf_topk(
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return ann_ivf_topk(t["embeddings"])
+
+
+_SEMDEDUP_KEEP_RANK = 4  # keep the 4 centroid-nearest vectors per cell
+
+
+def _semdedup_sql(d: Dialect) -> str:
+    """Assignment CTEs shared with _kmeans_step_sql, then rank-within-cell
+    by centroid cosine and keep the top vectors."""
+    comp = _components_sql(d, "true")
+    return f"""
+WITH comp AS ({comp}),
+cent_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}) s
+),
+ccomp AS (
+  SELECT ci.cell, c.i, c.q AS cv
+  FROM cent_ids ci JOIN comp c ON c.vec_id = ci.vec_id
+),
+cnorm AS (
+  SELECT cell, SQRT(CAST(SUM(cv * cv) AS DOUBLE)) AS cnorm
+  FROM ccomp GROUP BY cell
+),
+vnorm AS (
+  SELECT vec_id, SQRT(CAST(SUM(q * q) AS DOUBLE)) AS vnorm
+  FROM comp GROUP BY vec_id
+),
+scores AS (
+  SELECT c.vec_id, cc.cell,
+         CAST(SUM(c.q * cc.cv) AS DOUBLE) / (MAX(n.cnorm) * MAX(v.vnorm)) AS cos
+  FROM comp c
+  JOIN ccomp cc ON c.i = cc.i
+  JOIN cnorm n ON cc.cell = n.cell
+  JOIN vnorm v ON c.vec_id = v.vec_id
+  GROUP BY c.vec_id, cc.cell
+),
+assign AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT vec_id, cell, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
+    FROM scores
+  ) r WHERE rk = 1
+)
+SELECT vec_id, cell,
+       cos AS centroid_cosine,
+       CAST(cell_rank AS INT) AS cell_rank,
+       cell_rank <= {_SEMDEDUP_KEEP_RANK} AS keep
+FROM (
+  SELECT vec_id, cell, cos,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS cell_rank
+  FROM assign
+) ranked
+"""
+
+
+@df_query(
+    "q_semdedup",
+    duck_sql=_semdedup_sql(DUCK),
+    tables=["embeddings"],
+    doc="Semantic dedup / diversity pruning (the SemDeDup-style pipeline "
+    "stage): vectors cluster to deterministic coarse centroids, and each "
+    "cell KEEPS only its top-k centroid-nearest members — pruning "
+    "semantically redundant regions wholesale rather than pairwise. Fully "
+    "relational: broadcast centroid components, exact integer dot "
+    "products, true cosine (both norms), two keyed window ranks. Same "
+    "assignment algebra as q_kmeans_step (shared CTE text), so the two "
+    "stay verified in lockstep.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    comp = _quant_components(emb)
+    cent_ids = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .withColumn(
+            "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+        )
+    )
+    ccomp = cent_ids.join(comp, "vec_id").select("cell", "i", F.col("q").alias("cv"))
+    cnorm = ccomp.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv")).cast("double")).alias("cnorm")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("vnorm")
+    )
+    scores = (
+        comp.join(F.broadcast(ccomp.join(cnorm, "cell")), "i")
+        .join(vnorm, "vec_id")
+        .groupBy("vec_id", "cell")
+        .agg(
+            (
+                F.sum(F.col("q") * F.col("cv")).cast("double")
+                / (F.max("cnorm") * F.max("vnorm"))
+            ).alias("cos")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cell")
+    assign = (
+        scores.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    w_cell = Window.partitionBy("cell").orderBy(F.desc("cos"), "vec_id")
+    return assign.withColumn("cell_rank", F.row_number().over(w_cell)).select(
+        "vec_id",
+        "cell",
+        F.col("cos").alias("centroid_cosine"),
+        F.col("cell_rank").cast("int").alias("cell_rank"),
+        (F.col("cell_rank") <= _SEMDEDUP_KEEP_RANK).alias("keep"),
+    )
