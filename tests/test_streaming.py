@@ -317,3 +317,33 @@ def test_streaming_session_window(spark, tmp_path):
     # (00:00+00:02 merged within the 5-min gap; 00:20 alone); the 01:00
     # session is still open in state and must NOT emit.
     assert rows == [("2024-01-01 00:00:00", 2), ("2024-01-01 00:20:00", 1)]
+
+
+def test_progress_recorder_captures_batch_metrics(spark, cdc_dir, tmp_path):
+    """StreamingQueryListener observability: per-batch input rows and
+    trigger latency land in the recorder; lifecycle events fire."""
+    from nyc_taxi_lakehouse_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        run_cdc_pipeline(
+            spark, str(cdc_dir), str(tmp_path / "mon_sink"), str(tmp_path / "mon_ckpt")
+        )
+        # Listener delivery is async — wait for the data batch AND the
+        # termination event to land.
+        import time
+
+        for _ in range(60):
+            if any(m.num_input_rows == 8 for m in rec.metrics) and rec.terminated:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    data_batches = [m for m in rec.metrics if m.num_input_rows > 0]
+    assert any(m.num_input_rows == 8 for m in data_batches)  # batch1 envelope count
+    assert all(m.trigger_ms >= 0 for m in rec.metrics)
+    assert rec.started and rec.terminated
+    pdf = rec.to_df(spark).toPandas()
+    assert len(pdf) == len(rec.metrics)
+    assert set(pdf.columns) >= {"query_id", "batch_id", "num_input_rows", "trigger_ms"}
