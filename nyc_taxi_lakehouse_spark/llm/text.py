@@ -15,7 +15,7 @@ table — no shuffle at all except the final (tiny) aggregate where noted. At
 from __future__ import annotations
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..registry import sql_query
+from ..registry import df_query, sql_query
 
 # Stopword lists per language for the heuristic language scorer. The corpus
 # is synthetic word-salad, so the interesting part is the operator shape
@@ -312,3 +312,50 @@ sql_query(
     " alphanumerics) — the canonical-hash building block exact dedup keys "
     "on. regexp_replace + md5 agree across engines for this pattern class.",
 )
+
+
+def tfidf_top_terms(documents, top_k: int = 5):
+    """TF-IDF per (doc, term) with smooth IDF, top-k terms per doc.
+
+    tf and df are exact integer counts; the single ln() keeps this off the
+    hash-gate (ln differs from DuckDB's libm by 1 ulp on ~1% of inputs —
+    measured), so the query is rows-only with behavioral pinning instead.
+    One explode + two hash-aggs + a broadcast of the (small) df table.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " +")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = documents.count()
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "tfidf",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+@df_query(
+    "q_tfidf",
+    duck_sql=None,
+    tables=["documents"],
+    doc="TF-IDF top-5 terms per document (smooth IDF). Exact integer "
+    "tf/df; rows-only because ln() is not bit-identical across engines "
+    "(measured 1-ulp divergence on ~1% of inputs) — ranking behavior is "
+    "pinned by tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms. "
+    "Plan: one explode, two hash-aggs, df table broadcast, per-doc "
+    "window — no global sort.",
+)
+def q_tfidf(spark, sf_dir):
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tfidf_top_terms(t["documents"])

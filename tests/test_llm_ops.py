@@ -301,3 +301,24 @@ def test_connected_components_convergence_guard(spark):
 
     labels = connected_components(edges, verts, max_iter=n + 2)
     assert [r.cluster_id for r in labels.orderBy("doc_id").collect()] == [0] * n
+
+
+def test_tfidf_surfaces_rare_terms(spark):
+    """A token planted in exactly one document must outrank corpus-wide
+    stopwords in that document's top terms."""
+    from nyc_taxi_lakehouse_spark.llm.text import tfidf_top_terms
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id",
+        # Every doc: 10 shared stopwords; doc 7 additionally repeats a
+        # unique token 3 times.
+        "concat_ws(' ', "
+        " concat_ws(' ', transform(sequence(0, 9), j -> concat('the', j))),"
+        " CASE WHEN id = 7 THEN 'zyzzyva zyzzyva zyzzyva' ELSE '' END"
+        ") AS text",
+    )
+    top = tfidf_top_terms(docs).toPandas()
+    d7 = top[top.doc_id == 7].sort_values("term_rank")
+    assert d7.iloc[0].token == "zyzzyva" and d7.iloc[0].tf == 3 and d7.iloc[0].df == 1
+    # Stopwords appear in every doc → idf ~ 0 → tfidf below the planted term.
+    assert (d7[d7.token != "zyzzyva"].tfidf < d7.iloc[0].tfidf).all()
