@@ -53,3 +53,37 @@ def test_query_parity_smoke_sf(name, spark, duck_smoke):
     result = spec.fn(spark, SF_SMOKE)
     expected = duck_smoke.execute(spec.oracle).fetchdf()
     compare(result, expected, name)
+
+
+# Scale-dependent divergence has bitten before (dround: an sf0.001-only
+# cross-engine ROUND bug) — so a third scale factor spot-checks a
+# representative fast subset at sf0.1. Heavy queries (minhash, clusters,
+# similarity) are excluded to keep suite time bounded; they are covered at
+# sf0.01/sf0.001 and by bench.
+SF01_SPOT = [
+    "q_ingest_clean",
+    "q_sessionization",
+    "q_seq_packing",
+    "q_token_bpe",
+    "q_asof_join",
+    "q_rank_report",
+    "q_rollup_report",
+    "q_value_percentiles",
+    "q_winnow_fingerprint",
+    "q_data_mixture",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_sf01():
+    con = duck_connection("/root/testdata/sf0.1")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_SPOT)
+def test_query_parity_sf01_spot(name, spark, duck_sf01):
+    spec = SPECS[name]
+    result = spec.fn(spark, "/root/testdata/sf0.1")
+    expected = duck_sf01.execute(spec.oracle).fetchdf()
+    compare(result, expected, name)
