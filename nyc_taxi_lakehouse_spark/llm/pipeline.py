@@ -1,0 +1,88 @@
+"""End-to-end training-corpus curation pipeline — the LLM operators
+composed into one flow, the way the reference composes its ETL DAG stages
+(pipelines.py is the fact-table analog of this module).
+
+Stages (each individually oracle-checked as a registered query; this module
+is the composition):
+
+1. quality gate      — q_text_stats' CASE gate: drop too_short / low_quality
+2. exact dedup       — md5 canonical hash, keep MIN(doc_id) per hash
+3. near-dup dedup    — connected components over Jaccard >= 0.8 pairs,
+                       keep the cluster-canonical doc
+4. train/val/test    — multiplicative-hash split (stable under growth)
+5. write             — lake table partitioned by (split, lang): training
+                       jobs read ONE split via partition pruning, and
+                       per-language mixing reads prune further
+
+At 100 TB every stage is the same plan shape proven at test scale: map-only
+gates, one hash-shuffle dedups, the bounded CC loop, and a partitioned
+append that never rewrites other partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsql import SPARK
+from ..lake import LakeTable
+from ..sources.tables import load_tables
+from .curation import _SPLIT_A, _SPLIT_B
+from .dedup import _jaccard_sql, connected_components
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Keep docs passing the q_text_stats quality CASE (>= 20 tokens and
+    <= 50% function words)."""
+    toks = F.split("text", " +")
+    fw = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "value", "data", "table"))
+    )
+    return docs.where(
+        (F.size(toks) >= 20) & (fw.cast("double") / F.size(toks) <= 0.5)
+    )
+
+
+def dedup_exact_canonical(docs: DataFrame) -> DataFrame:
+    """Keep the MIN(doc_id) row per normalized-content hash."""
+    hashed = docs.withColumn(
+        "__h", F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+    )
+    canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(canon, ["__h", "doc_id"]).drop("__h")
+
+
+def dedup_neardup_canonical(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Keep the cluster-canonical doc per Jaccard>=0.8 connected component."""
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = connected_components(edges, docs.select("doc_id"))
+    return docs.join(
+        labels.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+
+
+def assign_split(docs: DataFrame) -> DataFrame:
+    bucket = (F.col("doc_id") * _SPLIT_A + _SPLIT_B) % 1000
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 960, "train").when(bucket < 980, "val").otherwise("test"),
+    )
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> LakeTable:
+    """Run the full curation flow and land the corpus partitioned by
+    (split, lang). Returns the LakeTable handle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    curated = assign_split(
+        dedup_neardup_canonical(
+            spark, dedup_exact_canonical(quality_gate(t["documents"]))
+        )
+    )
+    table = LakeTable(spark, out_path, ["split", "lang"])
+    table.append(curated)
+    return table
