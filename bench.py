@@ -39,6 +39,13 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_similarity_topk",
     "q_text_stats",
+    # Round-2 flagships (appended — the original 13 stay comparable across
+    # rounds): CC dedup clustering, native sessionization, eval-set
+    # decontamination, merge-as-of attribution.
+    "q_dedup_clusters",
+    "q_sessionization",
+    "q_contamination",
+    "q_asof_join",
 ]
 
 
