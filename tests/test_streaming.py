@@ -347,3 +347,51 @@ def test_progress_recorder_captures_batch_metrics(spark, cdc_dir, tmp_path):
     pdf = rec.to_df(spark).toPandas()
     assert len(pdf) == len(rec.metrics)
     assert set(pdf.columns) >= {"query_id", "batch_id", "num_input_rows", "trigger_ms"}
+
+
+def test_applyinpandaswithstate_running_profile(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile accumulates ACROSS micro-batch runs via checkpointed state."""
+    from nyc_taxi_lakehouse_spark.streaming.stateful import running_user_profile
+
+    d = tmp_path / "prof_src"
+    d.mkdir()
+
+    def run(sink, ckpt):
+        prof = running_user_profile(parse_cdc(file_replay_source(spark, str(d))))
+        q = (
+            prof.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    sink, ckpt = tmp_path / "prof_sink", tmp_path / "prof_ckpt"
+    (d / "b1.json").write_text(
+        "\n".join(
+            [
+                _envelope("c", 1, "2024-01-01T00:01:00", 1, "click", 10.0, 1),
+                _envelope("c", 2, "2024-01-01T00:02:00", 1, "click", 20.0, 2),
+                _envelope("c", 3, "2024-01-01T00:03:00", 2, "view", 5.0, 3),
+            ]
+        )
+    )
+    run(sink, ckpt)
+    (d / "b2.json").write_text(
+        "\n".join([_envelope("c", 4, "2024-01-01T00:10:00", 1, "click", 30.0, 4)])
+    )
+    run(sink, ckpt)
+
+    pdf = spark.read.parquet(str(sink)).toPandas()
+    # Batch 1 emits profiles (u1: n=2, u2: n=1); batch 2 re-emits only the
+    # active user u1 with state carried over: n=3, total=60.
+    u1 = pdf[pdf.user_id == 1].sort_values("n_events")
+    assert list(u1.n_events) == [2, 3]
+    assert float(u1.total_value.iloc[-1]) == 60.0
+    # EWMA replay-deterministic: 10 -> 0.2*20+0.8*10=12 -> 0.2*30+0.8*12=15.6
+    assert abs(float(u1.ewma_value.iloc[-1]) - 15.6) < 1e-9
+    u2 = pdf[pdf.user_id == 2]
+    assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 1
