@@ -359,3 +359,29 @@ def q_tfidf(spark, sf_dir):
 
     t = load_tables(spark, sf_dir, ["documents"])
     return tfidf_top_terms(t["documents"])
+
+
+def winnow_fingerprints(documents) -> "DataFrame":  # noqa: F821
+    """(doc_id, fp) fingerprint-set rows — the indexable form of
+    q_winnow_fingerprint (which summarises per doc). Same algebra: 3-token
+    shingle hashes mod P, min over each 4-shingle window, deduped."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " +")).alias("i", "token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    hashed = toks.select("doc_id", "i", h.alias("h"))
+    s = (
+        31 * F.col("h")
+        + 37 * F.lead("h", 1).over(w_doc)
+        + 41 * F.lead("h", 2).over(w_doc)
+    ) % _WIN_P
+    shingled = hashed.select("doc_id", "i", s.alias("s")).where(F.col("s").isNotNull())
+    w_frame = w_doc.rowsBetween(-(_WINNOW_W - 1), 0)
+    return (
+        shingled.select("doc_id", F.min("s").over(w_frame).alias("fp"))
+        .distinct()
+    )

@@ -322,3 +322,61 @@ def test_tfidf_surfaces_rare_terms(spark):
     assert d7.iloc[0].token == "zyzzyva" and d7.iloc[0].tf == 3 and d7.iloc[0].df == 1
     # Stopwords appear in every doc → idf ~ 0 → tfidf below the planted term.
     assert (d7[d7.token != "zyzzyva"].tfidf < d7.iloc[0].tfidf).all()
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing theorem: two documents sharing >= w+k-1 consecutive
+    tokens share at least one fingerprint — for ANY surrounding content.
+    (k=3 shingles, w=4 windows -> guarantee length 6.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_lakehouse_spark.llm.text import winnow_fingerprints
+
+    token_st = st.integers(0, 30).map(lambda i: f"w{i}")
+    doc_st = st.lists(token_st, min_size=0, max_size=25)
+    shared_st = st.lists(token_st, min_size=6, max_size=10)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(pre_a=doc_st, post_a=doc_st, pre_b=doc_st, post_b=doc_st, shared=shared_st)
+    def check(pre_a, post_a, pre_b, post_b, shared):
+        doc_a = " ".join(pre_a + shared + post_a)
+        doc_b = " ".join(pre_b + shared + post_b)
+        docs = spark.createDataFrame(
+            [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+        )
+        fps = winnow_fingerprints(docs).collect()
+        set_a = {r.fp for r in fps if r.doc_id == 0}
+        set_b = {r.fp for r in fps if r.doc_id == 1}
+        assert set_a & set_b, (doc_a, doc_b)
+
+    check()
+
+
+def test_winnow_helper_matches_sql_query(spark, sf_dir):
+    """winnow_fingerprints (the set form) must agree with the oracle-checked
+    q_winnow_fingerprint summary on count and checksum per doc."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.llm.text import winnow_fingerprints
+
+    specs = __import__(
+        "nyc_taxi_lakehouse_spark.registry", fromlist=["all_queries"]
+    ).all_queries()
+    summary = {
+        r.doc_id: (r.n_fingerprints, r.fp_checksum)
+        for r in specs["q_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    helper = {
+        r.doc_id: (r.n, r.chk)
+        for r in winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n"), F.sum("fp").alias("chk"))
+        .collect()
+    }
+    assert summary == helper
