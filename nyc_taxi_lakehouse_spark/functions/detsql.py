@@ -185,6 +185,13 @@ class Dialect:
         the ns-precision events timestamps)."""
         return f"unix_micros({ts})"
 
+    def xor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})"
+
+    def idiv(self, a: str, b: str) -> str:
+        """Integer (floor) division on integers."""
+        return f"({a} DIV {b})"
+
     def positional_token_rows(self, table: str) -> str:
         """SELECT fragment exploding tokens WITH their 1-based position."""
         return (
@@ -244,6 +251,12 @@ class DuckDialect(Dialect):
 
     def epoch_us(self, ts: str) -> str:
         return f"(epoch_ns({ts}) // 1000)"
+
+    def xor(self, a: str, b: str) -> str:
+        return f"xor({a}, {b})"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"({a} // {b})"
 
     def positional_token_rows(self, table: str) -> str:
         # Indexed list_transform lambda: i is 1-based in DuckDB.

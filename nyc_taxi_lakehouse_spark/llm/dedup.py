@@ -243,15 +243,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_minhash_pairs_sql("mh_sig"))
 
 
-def _simhash_sql(d: Dialect) -> str:
+def _simhash_ctes(d: Dialect) -> str:
+    """The shared simhash CTE chain ending in `sim(doc_id, simhash16)` —
+    composed by both the fingerprint query and the Hamming-pair query."""
     tok = d.distinct_token_rows("documents")
     bit_sums = ",\n  ".join(
         f"SUM(CASE WHEN (({a} * tid + {b}) % {_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
         for i, (a, b) in enumerate(_PERMS)
     )
     fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(len(_PERMS)))
-    return f"""
-WITH tok AS ({tok}),
+    return f"""tok AS ({tok}),
 vocab AS (
   SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
   FROM (SELECT DISTINCT token FROM tok) v
@@ -263,9 +264,16 @@ bits AS (
   SELECT doc_id,
   {bit_sums}
   FROM tt GROUP BY doc_id
-)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16
-FROM bits
+),
+sim AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16 FROM bits
+)"""
+
+
+def _simhash_sql(d: Dialect) -> str:
+    return f"""
+WITH {_simhash_ctes(d)}
+SELECT doc_id, simhash16 FROM sim
 """
 
 
@@ -278,6 +286,56 @@ sql_query(
     "an integer fingerprint — 16 conditional aggregates in ONE hash-agg pass "
     "over exploded tokens (no 64× row blowup). Near-dups = small Hamming "
     "distance; exact integer arithmetic end-to-end.",
+)
+
+
+_HAMMING_MAX = 3  # near-dup threshold over the 16-bit simhash
+
+
+def _simhash_pairs_sql(d: Dialect) -> str:
+    """Pigeonhole-banded Hamming join: the 16-bit fingerprint splits into 4
+    4-bit chunks; any pair within Hamming distance 3 differs in at most 3
+    chunks, so it MATCHES on at least one — candidate generation is exact
+    (no recall loss) and never enumerates the full pair space."""
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash16, {i} AS chunk_idx,"
+        f" {d.idiv('simhash16', 1 << (4 * i))} % 16 AS chunk_val FROM sim"
+        for i in range(4)
+    )
+    ham = f"bit_count({d.xor('fp_a', 'fp_b')})"
+    return f"""
+WITH {_simhash_ctes(d)},
+chunks AS (
+{chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash16 AS fp_a, b.simhash16 AS fp_b
+  FROM chunks a
+  JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, fp_a, fp_b,
+       CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= {_HAMMING_MAX}
+"""
+
+
+sql_query(
+    "q_dedup_simhash_pairs",
+    spark_sql=_simhash_pairs_sql(SPARK),
+    duck_sql=_simhash_pairs_sql(DUCK),
+    tables=["documents"],
+    doc="SimHash near-dup PAIRS (the dedup step q_dedup_simhash's "
+    "fingerprints feed): Hamming distance <= 3 via pigeonhole banding — 4 "
+    "exact-match 4-bit chunks generate candidates (distance <= 3 implies "
+    ">= 1 identical chunk, so candidate generation loses nothing), then "
+    "one bit_count(xor) verify per candidate. The pair space never "
+    "materializes; only same-chunk buckets join — the same "
+    "blocking-then-verify shape as MinHash banding, on bits instead of "
+    "hash rows.",
 )
 
 

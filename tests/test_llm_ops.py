@@ -380,3 +380,47 @@ def test_winnow_helper_matches_sql_query(spark, sf_dir):
         .collect()
     }
     assert summary == helper
+
+
+def test_connected_components_vs_union_find(spark):
+    """Hypothesis: CC labels on arbitrary random graphs match a union-find
+    reference model (min-id per component)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_lakehouse_spark.llm.dedup import connected_components
+
+    edge_st = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(edge_list=st.lists(edge_st, min_size=0, max_size=20))
+    def check(edge_list):
+        n = 15
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: min(u for u in range(n) if find(u) == find(v)) for v in range(n)}
+
+        verts = spark.range(n).selectExpr("id AS doc_id")
+        if edge_list:
+            fwd = spark.createDataFrame(edge_list, "src long, dst long")
+            edges = fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+        else:
+            edges = verts.selectExpr("doc_id AS src", "doc_id AS dst").limit(0)
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(edges, verts, max_iter=40).collect()
+        }
+        assert got == want, (edge_list, got, want)
+
+    check()

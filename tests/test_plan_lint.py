@@ -36,6 +36,7 @@ WHITELIST = {
     # global sort by design; the production path (xxhash64) has none.
     "q_dedup_minhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
     "q_dedup_simhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
+    "q_dedup_simhash_pairs": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
