@@ -86,3 +86,31 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> LakeTable:
     table = LakeTable(spark, out_path, ["split", "lang"])
     table.append(curated)
     return table
+
+
+def dedup_append(table: LakeTable, new_docs: DataFrame) -> int:
+    """Incremental exact-dedup ingest: append only new docs whose normalized
+    content hash is absent BOTH from the existing corpus and within the
+    batch (within-batch canonical = MIN(doc_id)).
+
+    This is the streaming/batch growth path a 100 TB corpus actually runs —
+    dedup of the DELTA against the corpus, not a full recompute: one
+    hash-aggregate over the (small) batch, one anti-join against the corpus
+    hash set projected from the table (a column-pruned scan of one column),
+    and a partitioned append that touches only the batch's partitions.
+    Returns the number of rows appended.
+    """
+    norm = F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+    batch = new_docs.withColumn("__h", norm)
+    batch_canon = batch.join(
+        batch.groupBy("__h").agg(F.min("doc_id").alias("doc_id")),
+        ["__h", "doc_id"],
+    )
+    if table.exists():
+        existing = table.read().select(norm.alias("__h")).distinct()
+        batch_canon = batch_canon.join(existing, "__h", "left_anti")
+    out = assign_split(batch_canon.drop("__h"))
+    n = out.count()
+    if n:
+        table.append(out)
+    return n

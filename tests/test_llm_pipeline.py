@@ -40,3 +40,34 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "split" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_dedup_append_incremental(spark, tmp_path):
+    """Growth path: a second batch containing (a) exact dups of corpus rows,
+    (b) within-batch dups, and (c) genuinely new docs appends ONLY (c) plus
+    one canonical copy per new content."""
+    from nyc_taxi_lakehouse_spark.lake import LakeTable
+    from nyc_taxi_lakehouse_spark.llm.pipeline import dedup_append
+
+    table = LakeTable(spark, str(tmp_path / "corpus"), ["split", "lang"])
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s0"), (2, "delta epsilon zeta", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert dedup_append(table, b1) == 2
+    b2 = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma", "en", "s0"),   # dup of corpus doc 1
+            (4, "eta theta iota", "en", "s0"),     # new
+            (5, "eta theta iota", "en", "s0"),     # within-batch dup of 4
+            (6, "kappa lambda mu", "es", "s1"),    # new
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert dedup_append(table, b2) == 2
+    out = table.read()
+    assert out.count() == 4
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [1, 2, 4, 6]
+    # Idempotent: replaying batch 2 appends nothing.
+    assert dedup_append(table, b2) == 0
+    assert out.count() == 4 or table.read().count() == 4
