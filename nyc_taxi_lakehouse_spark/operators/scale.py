@@ -107,3 +107,56 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
     """Join two identically-bucketed tables on the bucket key — Catalyst
     plans a sort-merge join with NO shuffle on either side."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def _register_salted_query() -> None:
+    from ..registry import df_query
+    from ..sources.tables import load_tables
+
+    @df_query(
+        "q_salted_rollup",
+        duck_sql="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+        tables=["lineitem"],
+        doc="Skew-safe two-phase aggregation as a VERIFIED query: "
+        "salted_aggregate spreads each (hot) group key over 16 salt "
+        "buckets, aggregates partials, then merges by key — and the "
+        "oracle proves the decomposition is exact (decimal partial sums "
+        "are associative, so phase order cannot change the result). The "
+        "3-key l_returnflag is precisely the pathological-skew shape: "
+        "one reducer per key without salting.",
+    )
+    def q_salted_rollup(spark, sf_dir):
+        t = load_tables(spark, sf_dir, ["lineitem"])
+        li = t["lineitem"].withColumn(
+            "__qty_dec", F.col("l_quantity").cast("decimal(28,2)")
+        )
+        out = salted_aggregate(
+            li,
+            keys=["l_returnflag"],
+            agg_exprs={
+                "n_items": ("count", "*"),
+                "total_qty_dec": ("sum", "__qty_dec"),
+                "min_qty": ("min", "l_quantity"),
+                "max_qty": ("max", "l_quantity"),
+            },
+            salt_col="l_orderkey",
+            buckets=16,
+        )
+        return out.select(
+            "l_returnflag",
+            "n_items",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+            "min_qty",
+            "max_qty",
+        )
+
+
+_register_salted_query()
