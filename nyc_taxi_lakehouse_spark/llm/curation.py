@@ -258,3 +258,84 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_doc"), "eval_doc")
         .agg(F.count("*").alias("shared_ngrams"))
     )
+
+
+def _augment_sql(d: Dialect) -> str:
+    """Deterministic token-dropout augmentation: drop every token whose
+    positional multiplicative hash lands in 1/10 of the space. No RNG —
+    the same doc always yields the same augmentation (replayable corpus
+    builds), and the oracle checks the reconstructed text via md5."""
+    pos = d.positional_token_rows("documents")
+    keep = f"(({_SPLIT_A} * i + {_SPLIT_B} * doc_id) % 10) != 0"
+    if d.name == "spark":
+        rebuild = (
+            "concat_ws(' ', transform(array_sort(collect_list(named_struct("
+            "'i', i, 'token', token))), x -> x.token))"
+        )
+    else:
+        rebuild = "string_agg(token, ' ' ORDER BY i)"
+    return f"""
+WITH pos_tok AS ({pos}),
+kept AS (
+  SELECT doc_id, i, token FROM pos_tok WHERE {keep}
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens FROM pos_tok GROUP BY doc_id
+)
+SELECT k.doc_id,
+       t.n_tokens,
+       CAST(COUNT(*) AS INT) AS kept_tokens,
+       t.n_tokens - CAST(COUNT(*) AS INT) AS dropped_tokens,
+       md5({rebuild}) AS augmented_md5
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id, t.n_tokens
+"""
+
+
+sql_query(
+    "q_augment_dropout",
+    spark_sql=_augment_sql(SPARK),
+    duck_sql=_augment_sql(DUCK),
+    tables=["documents"],
+    doc="Deterministic token-dropout augmentation (~10% of positions, "
+    "positional multiplicative hash — no RNG, replayable): emits per-doc "
+    "kept/dropped counts and the md5 of the reconstructed augmented text "
+    "(order restored by position before hashing, so the oracle pins the "
+    "exact output string, not just counts). One shuffle on doc_id.",
+)
+
+
+def _length_buckets_sql(d: Dialect) -> str:
+    """Power-of-two context-length histogram (inference/packing batch
+    planning). Integer CASE ladder — no log2 (not cross-engine
+    bit-stable)."""
+    n = d.token_count("text")
+    bucket = f"""CASE
+    WHEN {n} < 64 THEN '<64'
+    WHEN {n} < 128 THEN '64-127'
+    WHEN {n} < 256 THEN '128-255'
+    WHEN {n} < 512 THEN '256-511'
+    WHEN {n} < 1024 THEN '512-1023'
+    ELSE '>=1024' END"""
+    return f"""
+SELECT {bucket} AS length_bucket,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({n}) AS BIGINT) AS total_tokens,
+       MIN({n}) AS min_tokens,
+       MAX({n}) AS max_tokens
+FROM documents
+GROUP BY {bucket}, lang
+"""
+
+
+sql_query(
+    "q_length_buckets",
+    spark_sql=_length_buckets_sql(SPARK),
+    duck_sql=_length_buckets_sql(DUCK),
+    tables=["documents"],
+    doc="Context-length histogram by power-of-two bucket x language — the "
+    "report batch schedulers and packing planners read. Integer CASE "
+    "ladder instead of floor(log2(n)) (libm log is not bit-identical "
+    "across engines); one shuffle carrying tiny grouped partials.",
+)
