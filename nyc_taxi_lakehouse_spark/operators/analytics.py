@@ -295,21 +295,32 @@ sql_query(
 sql_query(
     "q_value_percentiles_approx",
     spark_sql="""
+WITH sketch AS (
+  SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    approx_percentile(value, array(0.5, 0.9, 0.99), 10000) AS p_approx
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+  GROUP BY event_type
+)
 SELECT
   event_type,
-  CAST(COUNT(*) AS BIGINT) AS n,
-  approx_percentile(value, array(0.5, 0.9, 0.99), 10000) AS p_approx
-FROM events
-WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
-GROUP BY event_type
+  n,
+  p_approx[0] AS p50_approx,
+  p_approx[1] AS p90_approx,
+  p_approx[2] AS p99_approx
+FROM sketch
 """,
     duck_sql=None,
     tables=["events"],
     doc="Scale variant of q_value_percentiles: approx_percentile (GK "
     "sketch, accuracy 1/10000) — single pass, mergeable partials, no "
-    "per-group sort. Rows-only (sketch estimates have no cross-engine "
-    "equivalent); accuracy vs the exact percentiles is asserted in "
-    "tests/test_llm_ops.py.",
+    "per-group sort. The array sketch is projected into three scalar "
+    "doubles so downstream consumers (and the driver's rows-only "
+    "canonicalizer) see flat columns. Rows-only (sketch estimates have "
+    "no cross-engine equivalent); accuracy vs the exact percentiles is "
+    "asserted in tests/test_llm_ops.py.",
 )
 
 
