@@ -29,6 +29,12 @@ def _ident(name: str) -> str:
     return ".".join(f"`{p}`" for p in name.split("."))
 
 
+def _str_lit(value: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes/backslashes
+    escaped — comment/location/property values are data, not SQL."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def schema_to_ddl(schema: T.StructType) -> str:
     """Column-list DDL from a StructType: `a BIGINT, b ARRAY<FLOAT>, ...`."""
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
@@ -38,7 +44,7 @@ def create_database(spark: SparkSession, name: str, comment: str | None = None) 
     """CREATE DATABASE IF NOT EXISTS (reference nyc_taxi_to_iceberg.py:37)."""
     ddl = f"CREATE DATABASE IF NOT EXISTS {_ident(name)}"
     if comment:
-        ddl += f" COMMENT '{comment}'"
+        ddl += f" COMMENT {_str_lit(comment)}"
     spark.sql(ddl)
 
 
@@ -117,13 +123,15 @@ def create_table(
     partition_by = list(partition_by or [])
     ddl = f"CREATE TABLE IF NOT EXISTS {_ident(name)} ({cols}) USING parquet"
     if comment:
-        ddl += f" COMMENT '{comment}'"
+        ddl += f" COMMENT {_str_lit(comment)}"
     if partition_by:
         ddl += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_by) + ")"
     if location:
-        ddl += f" LOCATION '{location}'"
+        ddl += f" LOCATION {_str_lit(location)}"
     if properties:
-        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(properties.items()))
+        kv = ", ".join(
+            f"{_str_lit(k)}={_str_lit(v)}" for k, v in sorted(properties.items())
+        )
         ddl += f" TBLPROPERTIES ({kv})"
     spark.sql(ddl)
     return CatalogTable(spark, name, partition_by)

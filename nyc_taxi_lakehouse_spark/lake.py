@@ -30,6 +30,54 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _nullability_normalized(dt: T.DataType) -> T.DataType:
+    """Return `dt` with every nullable / containsNull / valueContainsNull flag
+    forced True, recursively — so schema-compat checks compare VALUE types,
+    not nullability metadata (two frames built by different paths routinely
+    disagree on containsNull while being byte-compatible in parquet)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullability_normalized(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullability_normalized(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullability_normalized(dt.keyType),
+            _nullability_normalized(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def _partition_filter(pcols: list[str], parts: list[tuple]):
+    """OR-of-ANDs Column matching the given partition-value tuples.
+
+    Null-safe: a NULL partition value (written by Spark as
+    __HIVE_DEFAULT_PARTITION__ and read back as NULL) must still match its
+    partition — plain `==` is never TRUE for NULL and would silently exclude
+    those rows from a rewrite."""
+    cond = F.lit(False)
+    for p in parts:
+        c = F.lit(True)
+        for col, val in zip(pcols, p):
+            c = c & F.col(col).eqNullSafe(F.lit(val))
+        cond = cond | c
+    return cond
+
+
+def _partition_subdir(pcols: list[str], part: tuple) -> str:
+    """Relative directory for one partition-value tuple, using Spark's NULL
+    directory convention."""
+    return "/".join(
+        f"{col}={'__HIVE_DEFAULT_PARTITION__' if val is None else val}"
+        for col, val in zip(pcols, part)
+    )
+
+
 class LakeTable:
     """A partitioned parquet table with append / delete+append / merge."""
 
@@ -113,7 +161,9 @@ class LakeTable:
             cur_by_name = {f.name: f for f in current.fields}
             for f in df.schema.fields:
                 have = cur_by_name.get(f.name)
-                if have is not None and have.dataType != f.dataType:
+                if have is not None and _nullability_normalized(
+                    have.dataType
+                ) != _nullability_normalized(f.dataType):
                     raise ValidationError(
                         f"append(merge_schema=True): column {f.name!r} type "
                         f"conflict {have.dataType} vs {f.dataType}"
@@ -234,12 +284,7 @@ class LakeTable:
             ]
             if not parts:
                 return
-            cond = F.lit(False)
-            for p in parts:
-                c = F.lit(True)
-                for col, val in zip(self.partition_cols, p):
-                    c = c & (F.col(col) == F.lit(val))
-                cond = cond | c
+            cond = _partition_filter(self.partition_cols, parts)
             survivors, staging = self._stage(current.filter(cond).filter(keep_pred))
             import shutil
 
@@ -267,10 +312,7 @@ class LakeTable:
                 # would silently survive. Drop those directories explicitly.
                 for p in parts:
                     if p not in survived_parts:
-                        sub = "/".join(
-                            f"{col}={val}"
-                            for col, val in zip(self.partition_cols, p)
-                        )
+                        sub = _partition_subdir(self.partition_cols, p)
                         shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
                 self._invalidate()
             finally:
@@ -373,12 +415,7 @@ class LakeTable:
         parts = [tuple(r) for r in touched.collect()]
         if not parts:
             return  # nothing matched, nothing to insert
-        cond = F.lit(False)
-        for p in parts:
-            c = F.lit(True)
-            for col, val in zip(pcols, p):
-                c = c & (F.col(col) == F.lit(val))
-            cond = cond | c
+        cond = _partition_filter(pcols, parts)
         kept = current.filter(cond).join(all_keys, keys, "left_anti")
         merged, staging = self._stage(kept.unionByName(inserts))
         try:
@@ -397,7 +434,7 @@ class LakeTable:
             # dynamic overwrite and would silently survive — drop it.
             for p in parts:
                 if p not in survived_parts:
-                    sub = "/".join(f"{col}={val}" for col, val in zip(pcols, p))
+                    sub = _partition_subdir(pcols, p)
                     shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
             self._invalidate()
         finally:

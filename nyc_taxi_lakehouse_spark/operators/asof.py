@@ -74,6 +74,12 @@ def asof_join(
     one sort, no range join — linear in partition size, skew-bounded by the
     key's own cardinality. Right side must be unique per (on, right_ts);
     pre-aggregate to enforce (callers here dedup by MAX id).
+
+    The fill carries ONE struct holding the right timestamp plus all
+    right_cols, so every output row's right-side values come from the same
+    matched right row even when some right_cols are genuinely NULL
+    (per-column last(ignorenulls) would skip past a NULL payload column and
+    stitch together values from different right rows).
     """
     lcols = [c for c in left.columns if c != on]
     r = right.select(
@@ -81,27 +87,29 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__kind"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
     l = left.select(  # noqa: E741
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__kind"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
     w = (
         Window.partitionBy(on)
         .orderBy("__ts", "__kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = r.unionByName(l)
-    for c in right_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "__rts", F.last(F.when(F.col("__kind") == 0, F.col("__ts")), ignorenulls=True).over(w)
+    filled = r.unionByName(l).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__kind") == 1).drop("__kind")
+    out = filled.filter(F.col("__kind") == 1)
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__r")[c])
+    return out.withColumn("__rts", F.col("__r.__rts")).drop("__kind", "__r")
 
 
 @df_query(

@@ -38,6 +38,34 @@ from .cdc import file_replay_source, parse_cdc, windowed_aggregation
 _REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_cdc_replay")
 
 
+def _replay_key(sf_dir: str) -> str:
+    """Cache key for memoized replay artifacts.
+
+    Content-addressed: fingerprints the events table's file names, sizes and
+    mtimes, so regenerated test data under the same directory name gets a
+    fresh replay instead of stale cached results. The process id is included
+    so two concurrent sessions never race on rmtree-vs-read of a shared
+    directory — memoization is per-process (each driver/pytest session reuses
+    its own replay across repeated runs at the same sf)."""
+    import hashlib
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.sha256()
+    paths = [events_path]
+    if os.path.isdir(events_path):
+        paths = [
+            os.path.join(events_path, n) for n in sorted(os.listdir(events_path))
+        ]
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"{p}:absent".encode())
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"{base}-{h.hexdigest()[:12]}-pid{os.getpid()}"
+
+
 def write_envelopes(events: DataFrame, out_dir: str, mode: str = "overwrite") -> str:
     """Encode events as double-encoded Debezium 'c' envelopes (one JSONL
     file, deterministic order irrelevant — single-batch drain). mode="append"
@@ -96,7 +124,7 @@ WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
-    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    key = _replay_key(sf_dir)
     env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes_x2")
     marker = os.path.join(env_dir, "_X2_COMPLETE")
     if not os.path.exists(marker):
@@ -171,7 +199,7 @@ HAVING (window_start + 300) * 1000000 <= watermark_us
 )
 def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
-    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    key = _replay_key(sf_dir)
     env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
     if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
         write_envelopes(t["events"], env_dir)

@@ -74,3 +74,26 @@ def test_lake_interop_delete_then_repair(spark, trips_table):
     trips_table.repair()
     rows = spark.table("taxi_test.trips").orderBy("trip_id").collect()
     assert [r.trip_id for r in rows] == [1, 3]
+
+
+def test_ddl_string_values_escaped(spark, tmp_path):
+    """Comments / properties containing single quotes must not break (or
+    inject into) the generated DDL."""
+    from nyc_taxi_lakehouse_spark.catalog import create_database, create_table
+
+    create_database(spark, "esc_db", comment="driver's catalog; don't break")
+    tbl = create_table(
+        spark,
+        "esc_db.esc_t",
+        "id BIGINT, v DOUBLE",
+        location=str(tmp_path / "esc't"),
+        comment="it's quoted",
+        properties={"owner's note": "o'brien"},
+    )
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES esc_db.esc_t").collect()
+    }
+    assert props.get("owner's note") == "o'brien"
+    tbl.drop()
+    spark.sql("DROP DATABASE IF EXISTS esc_db CASCADE")

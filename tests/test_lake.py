@@ -244,3 +244,70 @@ def test_sorted_append_orders_within_files(spark, tmp_path):
         if f.endswith(".parquet"):
             ts = pq.read_table(os.path.join(t.path, f), columns=["ts"])["ts"].to_pylist()
             assert ts == sorted(ts), f"file {f} not sorted"
+
+
+def test_delete_where_null_partition_value(spark, tmp_path):
+    """Rows in a NULL-valued partition (__HIVE_DEFAULT_PARTITION__) must be
+    reachable by delete_where — plain == would silently skip them."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-01", 5.0), (2, None, 50.0), (3, None, 1.0)],
+            "id long, day string, amount double",
+        )
+    )
+    t.delete_where("amount > 20")
+    rows = {r.id for r in t.read().collect()}
+    assert rows == {1, 3}
+    # Deleting the whole NULL partition drops its directory too.
+    t.delete_where("day IS NULL")
+    assert {r.id for r in t.read().collect()} == {1}
+
+
+def test_merge_upsert_null_partition_value(spark, tmp_path):
+    """merge_upsert updates/deletes rows living in a NULL partition."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_cols=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-01", 5.0), (2, None, 50.0)],
+            "id long, day string, amount double",
+        )
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0, False)], "id long, day string, amount double, deleted boolean"
+    )
+    t.merge_upsert(updates, keys=["id"], delete_col="deleted")
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {1: 5.0, 2: 99.0}
+    # And a delete aimed at the NULL partition removes the row.
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(2, None, 0.0, True)],
+            "id long, day string, amount double, deleted boolean",
+        ),
+        keys=["id"],
+        delete_col="deleted",
+    )
+    assert {r.id for r in t.read().collect()} == {1}
+
+
+def test_append_merge_schema_ignores_nullability_flags(spark, tmp_path):
+    """containsNull / nested nullable differences are not type conflicts."""
+    from pyspark.sql import types as T
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    s1 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType(), containsNull=False)),
+        ]
+    )
+    s2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType(), containsNull=True)),
+        ]
+    )
+    t.append(spark.createDataFrame([(1, ["a"])], s1))
+    t.append(spark.createDataFrame([(2, ["b", None])], s2), merge_schema=True)
+    assert t.read().count() == 2

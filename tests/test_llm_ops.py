@@ -424,3 +424,23 @@ def test_connected_components_vs_union_find(spark):
         assert got == want, (edge_list, got, want)
 
     check()
+
+
+def test_asof_join_null_payload_column_fills_atomically(spark):
+    """A genuine NULL in one right-side payload column must not be skipped
+    over: all right columns on an output row come from the SAME matched
+    right row (struct-atomic forward fill)."""
+    from nyc_taxi_lakehouse_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, "x"), ("k", 2, None, "y")],
+        "k string, rt long, a double, b string",
+    )
+    left = spark.createDataFrame([("k", 3, "p1")], "k string, lt long, pid string")
+    out = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", right_cols=["a", "b"]
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # Matched right row is (rt=2, a=NULL, b='y') — a must be NULL, not 10.0.
+    assert row.b == "y" and row.a is None and row["__rts"] == 2
