@@ -611,6 +611,93 @@ def connected_components(
     )
 
 
+def _canon_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical unordered edge set: (l < h), self-loops dropped, deduped."""
+    return (
+        df.select(F.least(a, b).alias("l"), F.greatest(a, b).alias("h"))
+        .filter(F.col("l") != F.col("h"))
+        .distinct()
+    )
+
+
+def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star contraction to the star-forest
+    fixpoint. Returns (fixpoint edge set as (l=center, h=leaf), rounds)."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Symmetric view; for each u, m = min(Γ(u) ∪ {u}); connect every
+        # strictly-larger neighbor v > u to m.
+        sym = e.selectExpr("l AS u", "h AS v").unionByName(
+            e.selectExpr("h AS u", "l AS v")
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        out = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        return _canon_edges(out, "a", "b")
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Directed high→low: Γ(h) all smaller; m = min; link every smaller
+        # neighbor (and h itself) to m.
+        m = e.groupBy("h").agg(F.min("l").alias("m"))
+        leaves = (
+            e.join(m, "h")
+            .filter(F.col("l") != F.col("m"))
+            .select(F.col("l").alias("a"), F.col("m").alias("b"))
+        )
+        centers = m.select(F.col("h").alias("a"), F.col("m").alias("b"))
+        return _canon_edges(leaves.unionByName(centers), "a", "b")
+
+    e = edges.localCheckpoint(eager=True)
+    rounds = 0
+    if e.isEmpty():
+        return e, rounds
+    while rounds < max_iter:
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        # Fixpoint = edge set unchanged by a full round (set equality).
+        if new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
+            return new_e, rounds
+        e = new_e
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds — "
+        "raise max_iter (rounds are O(log diameter))."
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (the two-phase algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — same API and output contract as
+    connected_components().
+
+    Why it exists: min-label propagation runs O(component diameter) rounds.
+    Dup clusters are usually shallow, but chain-shaped near-dup graphs
+    (boilerplate-heavy web corpora: page A ~ B ~ C ... with no A ~ C edge)
+    have large diameter. Each large-star/small-star round roughly halves
+    every component's height, so the fixpoint arrives in O(log d) rounds —
+    tests/test_llm_ops.py pins a 64-node path converging in ≤ 8 rounds where
+    propagation needs 63. Per round: two groupBy-min shuffles + one join,
+    all keyed on vertex ids; the edge set only ever shrinks toward one edge
+    per non-root vertex, so round cost is bounded by the input edge count.
+    At the fixpoint the edge set IS the answer: a star forest whose centers
+    are the component minima.
+    """
+    e, _rounds = _star_contract(_canon_edges(edges, "src", "dst"), max_iter)
+    labels = e.select(F.col("h").alias("doc_id"), F.col("l").alias("label"))
+    return vertices.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 def _cluster_oracle_sql(d: Dialect) -> str:
     """DuckDB oracle: transitive closure by recursive CTE over the same
     Jaccard >= 0.8 edge set, component label = min reachable doc_id."""
@@ -683,6 +770,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = connected_components(edges, t["documents"].select("doc_id"))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@df_query(
+    "q_dedup_clusters_star",
+    duck_sql=_cluster_oracle_sql(DUCK),
+    tables=["documents"],
+    doc="Dedup clustering via large-star/small-star contraction (Kiveris et "
+    "al. SoCC'14) over the same Jaccard >= 0.8 edge set — the O(log "
+    "diameter) upgrade of q_dedup_clusters' O(diameter) label propagation, "
+    "verified against the identical recursive-CTE transitive-closure "
+    "oracle. Same whole-corpus output contract: cluster_id = component min "
+    "doc_id, singletons label themselves, is_canonical marks the kept row.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
+    labels = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        t["documents"].select("doc_id"),
+    )
     return labels.select(
         "doc_id",
         "cluster_id",

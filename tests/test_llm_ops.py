@@ -388,7 +388,10 @@ def test_connected_components_vs_union_find(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from nyc_taxi_lakehouse_spark.llm.dedup import connected_components
+    from nyc_taxi_lakehouse_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     edge_st = st.tuples(st.integers(0, 14), st.integers(0, 14))
 
@@ -422,8 +425,37 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(edges, verts, max_iter=40).collect()
         }
         assert got == want, (edge_list, got, want)
+        got_star = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(edges, verts).collect()
+        }
+        assert got_star == want, (edge_list, got_star, want)
 
     check()
+
+
+def test_star_contraction_logarithmic_rounds_on_chain(spark):
+    """A 64-node path (diameter 63) — adversarial for label propagation
+    (63 rounds) — must converge in O(log d) large-star/small-star rounds,
+    with every node labelled by the component minimum."""
+    from nyc_taxi_lakehouse_spark.llm.dedup import (
+        _canon_edges,
+        _star_contract,
+        connected_components_star,
+    )
+
+    n = 64
+    fwd = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    _, rounds = _star_contract(_canon_edges(fwd, "src", "dst"), max_iter=30)
+    assert rounds <= 8, rounds
+    verts = spark.range(n).selectExpr("id AS doc_id")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(fwd, verts).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
 
 
 def test_asof_join_null_payload_column_fills_atomically(spark):
