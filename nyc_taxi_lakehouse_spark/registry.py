@@ -118,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import ml_features  # noqa: F401
     from .operators import asof  # noqa: F401
     from .operators import scale  # noqa: F401
+    from .operators import evolution  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import dedup  # noqa: F401
     from .llm import similarity  # noqa: F401

@@ -166,6 +166,100 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 30 * 60 * 1000000  # matches q_sessionization's batch gap
+
+
+@df_query(
+    "q_session_stream",
+    duck_sql=f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+wm AS (SELECT MAX(ts_us) - 600000000 AS watermark_us FROM ev),
+marked AS (
+  SELECT user_id, ts_us, value,
+    CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+           OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              >= {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM sessions, wm
+GROUP BY user_id, session_id, watermark_us
+HAVING MAX(ts_us) + {_SESSION_GAP_US} <= watermark_us
+""",
+    tables=["events"],
+    doc="Streaming sessionization: the SAME 30-min-gap session_window "
+    "aggregate q_sessionization pins in batch, run under Structured "
+    "Streaming (watermark 10 min, append mode, availableNow drain) over "
+    "the CDC envelope replay — the reference's append-mode discipline "
+    "(SURVEY §5.3) applied to merging session state. Deterministic for a "
+    "single-batch drain: every event enters session state in batch 0, the "
+    "final no-data micro-batch advances the watermark to max(event_time) "
+    "- 10min and append mode emits exactly the CLOSED sessions (session "
+    "end + gap <= watermark). Oracle = the batch gaps-and-islands "
+    "fixpoint restricted to that closed subset. Session state is keyed on "
+    "user_id and bounded by the watermark horizon at any scale.",
+)
+def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "session_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        sessions = (
+            parsed.withWatermark("event_time", "10 minutes")
+            .groupBy("user_id", F.session_window("event_time", "30 minutes"))
+            .agg(
+                F.unix_micros(F.min("event_time")).alias("session_start_us"),
+                F.unix_micros(F.max("event_time")).alias("session_end_us"),
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .drop("session_window")
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("session-stream pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(sink).select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "total_value"
+    )
+
+
 @df_query(
     "q_cdc_windowed",
     duck_sql=f"""
