@@ -82,13 +82,19 @@ class LakeTable:
     """A partitioned parquet table with append / delete+append / merge."""
 
     def __init__(self, spark: SparkSession, path: str, partition_cols: list[str] | None = None):
+        from .fs import LakeFS
+
         self.spark = spark
         self.path = path
         self.partition_cols = list(partition_cols or [])
+        # All driver-side file maintenance goes through the Hadoop
+        # FileSystem resolved from the table path — file:// locally,
+        # s3a://&co on a cluster (see fs.py).
+        self.fs = LakeFS(spark, path)
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        return self.fs.is_dir(self.path) and any(
+            not name.startswith(("_", ".")) for name, _, _ in self.fs.list(self.path)
         )
 
     # -- schema evolution ---------------------------------------------------
@@ -105,19 +111,17 @@ class LakeTable:
         return os.path.join(self.path, "_merged_schema.json")
 
     def _saved_schema(self) -> T.StructType | None:
-        if not os.path.isfile(self._schema_path):
+        if not self.fs.exists(self._schema_path):
             return None
-        with open(self._schema_path) as f:
-            return T.StructType.fromJson(json.load(f))
+        return T.StructType.fromJson(json.loads(self.fs.read_text(self._schema_path)))
 
     def _save_schema(self, schema: T.StructType) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._schema_path, "w") as f:
-            json.dump(schema.jsonValue(), f)
+        self.fs.mkdirs(self.path)
+        self.fs.write_text(self._schema_path, json.dumps(schema.jsonValue()))
 
     def _drop_saved_schema(self) -> None:
-        if os.path.isfile(self._schema_path):
-            os.remove(self._schema_path)
+        if self.fs.exists(self._schema_path):
+            self.fs.delete(self._schema_path)
 
     def read(self) -> DataFrame:
         saved = self._saved_schema()
@@ -196,10 +200,12 @@ class LakeTable:
         128 MiB files keep scan task counts (and S3 request counts) sane.
 
         Returns the number of partitions rewritten. Only partitions with more
-        files than their data needs are touched.
+        files than their data needs are touched. All file ops go through the
+        Hadoop FileSystem (fs.py) — the identical routine maintains an
+        s3a:// table (where Delta OPTIMIZE would take over on a real
+        deployment).
         """
         import math
-        import shutil
 
         if not self.exists():
             return 0
@@ -208,33 +214,37 @@ class LakeTable:
             dirs = [root]
             for _ in range(depth):
                 dirs = [
-                    os.path.join(d, n)
+                    os.path.join(d, name)
                     for d in dirs
-                    for n in sorted(os.listdir(d))
-                    if os.path.isdir(os.path.join(d, n)) and "=" in n
+                    for name, is_dir, _ in sorted(self.fs.list(d))
+                    if is_dir and "=" in name
                 ]
             return dirs
 
         rewritten = 0
         for pdir in partition_dirs(self.path, len(self.partition_cols)):
             files = [
-                os.path.join(pdir, n)
-                for n in os.listdir(pdir)
-                if n.endswith(".parquet") and not n.startswith((".", "_"))
+                (os.path.join(pdir, name), size)
+                for name, is_dir, size in self.fs.list(pdir)
+                if not is_dir
+                and name.endswith(".parquet")
+                and not name.startswith((".", "_"))
             ]
-            total = sum(os.path.getsize(f) for f in files)
+            total = sum(size for _, size in files)
             want = max(1, math.ceil(total / target_file_bytes))
             if len(files) < max(min_files, want + 1):
                 continue
             df = self.spark.read.parquet(pdir).coalesce(want)
             staging = f"{pdir}.compact-tmp"
             df.write.mode("overwrite").parquet(staging)
-            for f in files:
-                os.remove(f)
-            for n in os.listdir(staging):
-                if not n.startswith((".", "_")):
-                    shutil.move(os.path.join(staging, n), os.path.join(pdir, n))
-            shutil.rmtree(staging, ignore_errors=True)
+            for f, _ in files:
+                self.fs.delete(f)
+            for name, _, _ in self.fs.list(staging):
+                if not name.startswith((".", "_")):
+                    self.fs.rename(
+                        os.path.join(staging, name), os.path.join(pdir, name)
+                    )
+            self.fs.delete(staging, recursive=True)
             rewritten += 1
         if rewritten:
             self._invalidate()
@@ -286,8 +296,6 @@ class LakeTable:
                 return
             cond = _partition_filter(self.partition_cols, parts)
             survivors, staging = self._stage(current.filter(cond).filter(keep_pred))
-            import shutil
-
             try:
                 survived_parts = {
                     tuple(r)
@@ -313,13 +321,11 @@ class LakeTable:
                 for p in parts:
                     if p not in survived_parts:
                         sub = _partition_subdir(self.partition_cols, p)
-                        shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+                        self.fs.delete(os.path.join(self.path, sub), recursive=True)
                 self._invalidate()
             finally:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.fs.delete(staging, recursive=True)
         else:
-            import shutil
-
             survivors, staging = self._stage(current.filter(keep_pred))
             try:
                 survivors.write.mode("overwrite").parquet(self.path)
@@ -328,7 +334,7 @@ class LakeTable:
                 self._drop_saved_schema()
                 self._invalidate()
             finally:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.fs.delete(staging, recursive=True)
 
     def refresh_where(self, df: DataFrame, predicate: str) -> None:
         """The reference's DELETE+append idempotent refresh in one call.
@@ -337,14 +343,12 @@ class LakeTable:
         very table (the common mart-refresh shape: recompute recent rows from
         current state, then replace them).
         """
-        import shutil
-
         staged, staging = self._stage(df)
         try:
             self.delete_where(predicate)
             self.append(staged)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self.fs.delete(staging, recursive=True)
 
     def merge_upsert(
         self,
@@ -386,8 +390,6 @@ class LakeTable:
         if not self.exists():
             self.append(inserts)
             return
-        import shutil
-
         current = self.read()
         if not self.partition_cols:
             kept = current.join(all_keys, keys, "left_anti")
@@ -397,7 +399,7 @@ class LakeTable:
                 self._drop_saved_schema()
                 self._invalidate()
             finally:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.fs.delete(staging, recursive=True)
             return
 
         # Partition-bounded rewrite. Affected partitions = those holding a
@@ -435,10 +437,10 @@ class LakeTable:
             for p in parts:
                 if p not in survived_parts:
                     sub = _partition_subdir(pcols, p)
-                    shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+                    self.fs.delete(os.path.join(self.path, sub), recursive=True)
             self._invalidate()
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self.fs.delete(staging, recursive=True)
 
 
 class ControlTable:

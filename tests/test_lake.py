@@ -311,3 +311,31 @@ def test_append_merge_schema_ignores_nullability_flags(spark, tmp_path):
     t.append(spark.createDataFrame([(1, ["a"])], s1))
     t.append(spark.createDataFrame([(2, ["b", None])], s2), merge_schema=True)
     assert t.read().count() == 2
+
+
+def test_lake_table_on_scheme_qualified_uri(spark, tmp_path):
+    """The maintenance layer must work on scheme-qualified URIs (file:// here,
+    s3a:// in production) — exercises LakeFS end-to-end: append, sidecar
+    schema evolution, delete with partition drop, compact."""
+    uri = f"file://{tmp_path}/t"
+    t = LakeTable(spark, uri, partition_cols=["day"])
+    df = spark.createDataFrame(
+        [(i, f"d{(i % 2) + 1}", float(i)) for i in range(1, 11)],
+        "id long, day string, amount double",
+    )
+    # Fragmented appends → compact has something to bin-pack.
+    for chunk in range(3):
+        t.append(df.filter(F.col("id") % 3 == chunk))
+    t.append(
+        spark.createDataFrame([(99, "d1", 1.0, "x")],
+                              "id long, day string, amount double, note string"),
+        merge_schema=True,
+    )
+    assert t.fs.exists(f"{uri}/_merged_schema.json")
+    got = t.read()
+    assert got.count() == 11 and "note" in got.columns
+    assert t.compact(min_files=2) >= 1
+    assert t.read().count() == 11
+    t.delete_where("day = 'd2'")
+    assert t.read().filter("day = 'd2'").count() == 0
+    assert not t.fs.exists(f"{uri}/day=d2")
