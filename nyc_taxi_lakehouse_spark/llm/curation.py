@@ -225,6 +225,57 @@ GROUP BY tr.doc_id, ev.doc_id
 """
 
 
+# Above this many eval documents the deduped eval gram table stops being
+# broadcast-sized (eval sets are typically a few thousand docs; 100k docs ×
+# ~hundreds of grams ≈ multi-GB serialized — past any sane
+# autoBroadcastJoinThreshold) and the join must shuffle on gram instead.
+_BROADCAST_EVAL_MAX_DOCS = 100_000
+
+
+def _grams_of(side: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """Per-document DISTINCT word n-grams — array_distinct inside the row
+    (map-side, no dedup shuffle), then explode."""
+    gram_list = F.expr(
+        f"array_distinct(transform(sequence(1, size(t) - {n - 1}),"
+        f" i -> array_join(slice(t, i, {n}), ' ')))"
+    )
+    toked = side.select("doc_id", F.split("text", " +").alias("t")).filter(
+        F.size("t") >= n
+    )
+    return toked.select("doc_id", F.explode(gram_list).alias("gram"))
+
+
+def contamination_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = _NGRAM,
+    max_broadcast_docs: int = _BROADCAST_EVAL_MAX_DOCS,
+) -> DataFrame:
+    """Per-(train_doc, eval_doc) shared-n-gram counts.
+
+    Join strategy is size-thresholded: a normal eval set (small) broadcasts
+    — scan → broadcast hash join → one count aggregation, no shuffle of the
+    train grams. A large eval side (decontaminating against another corpus)
+    would OOM the broadcast, so past the threshold both gram tables
+    hash-partition on gram (shuffle_hash hint — gram keys are
+    high-cardinality and near-uniform, so no skew pathology and no sort).
+    The eval-side doc count is one cheap column-pruned count; at 100 TB the
+    caller typically knows the size and can pass max_broadcast_docs=0 to
+    force the shuffle path outright. tests/test_curation.py pins both plan
+    shapes.
+    """
+    n_eval = eval_docs.count()
+    train_grams = _grams_of(train_docs, n)
+    ev_grams = _grams_of(eval_docs, n).withColumnRenamed("doc_id", "eval_doc")
+    if n_eval <= max_broadcast_docs:
+        joined = train_grams.join(F.broadcast(ev_grams), "gram")
+    else:
+        joined = train_grams.join(ev_grams.hint("shuffle_hash"), "gram")
+    return joined.groupBy(F.col("doc_id").alias("train_doc"), "eval_doc").agg(
+        F.count("*").alias("shared_ngrams")
+    )
+
+
 @df_query(
     "q_contamination",
     duck_sql=_contamination_sql(DUCK),
@@ -234,29 +285,17 @@ GROUP BY tr.doc_id, ev.doc_id
     "Per-doc n-grams are deduped with array_distinct BEFORE exploding (no "
     "dedup shuffle); the eval side is ~1% of the corpus and explicitly "
     "broadcast, so the plan is scan -> broadcast hash join -> one "
-    "count aggregation. A hit means the training doc shares >= 1 verbatim "
-    "n-gram with an eval doc — the standard leakage report.",
+    "count aggregation; contamination_report() switches to a gram-"
+    "partitioned shuffle hash join past a broadcast-size threshold. A hit "
+    "means the training doc shares >= 1 verbatim n-gram with an eval doc — "
+    "the standard leakage report.",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
-    gram_list = F.expr(
-        f"array_distinct(transform(sequence(1, size(t) - {_NGRAM - 1}),"
-        f" i -> array_join(slice(t, i, {_NGRAM}), ' ')))"
-    )
-
-    def grams_of(side: DataFrame) -> DataFrame:
-        toked = side.select("doc_id", F.split("text", " +").alias("t")).filter(
-            F.size("t") >= _NGRAM
-        )
-        return toked.select("doc_id", F.explode(gram_list).alias("gram"))
-
-    train = grams_of(docs.filter(F.col("doc_id") % _EVAL_MOD != 0))
-    ev = grams_of(docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
-    return (
-        train.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_doc")), "gram")
-        .groupBy(F.col("doc_id").alias("train_doc"), "eval_doc")
-        .agg(F.count("*").alias("shared_ngrams"))
+    return contamination_report(
+        docs.filter(F.col("doc_id") % _EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % _EVAL_MOD == 0),
     )
 
 

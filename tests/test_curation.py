@@ -75,3 +75,27 @@ def test_contamination_only_flags_eval_overlap(spark):
     assert (pdf.eval_doc % 97 == 0).all()
     assert (pdf.train_doc % 97 != 0).all()
     assert (pdf.shared_ngrams >= 1).all()
+
+
+def test_contamination_join_strategy_threshold(spark, sf_dir):
+    """Plan shape: eval side below the threshold broadcasts; above it the
+    join hash-partitions on gram (no broadcast of an over-sized side)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.llm.curation import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+
+    small = contamination_report(train, ev)  # default threshold: broadcast
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    big = contamination_report(train, ev, max_broadcast_docs=0)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big
+    assert "ShuffledHashJoin" in plan_big
+    # Same answer either way.
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(small) == key(big)
