@@ -44,6 +44,7 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for the (rare) pandas-UDF paths — the LLM-pipeline operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -66,4 +67,9 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # The events table is nanosecond-precision parquet, which Spark 4 rejects
     # by default; read as raw long and convert at the source layer.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Microsecond-precision generations of the testdata carry no timezone
+    # flag; read them as session-tz TIMESTAMP (UTC) rather than TIMESTAMP_NTZ
+    # so epoch extractions (unix_micros/unix_timestamp) resolve and agree
+    # with DuckDB's epoch()/epoch_ns() on the same files.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

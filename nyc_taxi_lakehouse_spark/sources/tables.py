@@ -45,13 +45,16 @@ def load_tables(
     for name in tables or TABLES:
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events":
-            # ts arrives as raw nanosecond longs (see session.configure_runtime);
-            # truncate to microseconds — DuckDB keeps TIMESTAMP_NS, so queries
-            # must never emit raw ts values (engine convention: epoch bigints
-            # at second-or-coarser granularity).
             from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                # Nanosecond-precision parquet read as raw longs (see
+                # session.configure_runtime nanosAsLong); truncate to
+                # microseconds. Microsecond-precision generations arrive as
+                # TIMESTAMP_NTZ already and need no conversion.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

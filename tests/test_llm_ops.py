@@ -220,7 +220,8 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     }
     assert set(exact) == set(approx)
     for et, ex in exact.items():
-        p50, p90, p99 = approx[et].p_approx
+        ap = approx[et]
+        p50, p90, p99 = ap.p50_approx, ap.p90_approx, ap.p99_approx
         for got, want in [(p50, ex.p50_disc), (p99, ex.p99_disc)]:
             assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (et, got, want)
 
