@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
 from ..registry import df_query, sql_query
+from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.tables import load_tables
 
 # Fixed hash-permutation parameters (a, b) for h(t) = (a*t + b) mod P.
@@ -825,3 +826,118 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return embedding_pairs_blocked(t["embeddings"])
+
+
+# --- Character-shingle (n-gram) Jaccard near-dup -------------------------
+
+_SHINGLE_N = 5  # character shingle width (Broder syntactic clustering)
+_SHINGLE_MOD = 8  # modhash sketch: keep shingles with h(g) % 8 == 0
+_STOP_SHINGLE_DOC_FRAC = 0.10  # drop shingles present in >10% of docs
+
+
+def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
+    """The `keep(doc_id, lang, gram)` shingle table with the three standard
+    scale guards applied:
+
+    1. modhash sampling (Broder '97): keep the deterministic 1/8 of shingles
+       whose integer hash ≡ 0 (mod 8) — an unbiased sketch of the shingle
+       set that cuts join input 8× with no per-doc state;
+    2. stop-shingle removal: shingles present in >10% of documents are
+       uninformative AND are exactly the hot join keys that explode the
+       candidate space / skew the shuffle — dropped before the self-join
+       (the df-cap from syntactic-clustering practice);
+    3. lang blocking (applied in the pair join).
+
+    ``table`` lets the Spark caller substitute a re-partitioned view of
+    documents (the shingle explode + per-shingle md5 is the compute-dense
+    stage; it parallelizes with input splits at cluster scale, but the
+    local single-row-group file would otherwise run it on one task).
+    """
+    if d.name == "spark":
+        gram_rows = (
+            f"SELECT doc_id, lang, explode(array_distinct(transform("
+            f"sequence(1, length(text) - {_SHINGLE_N - 1}),"
+            f" i -> substring(text, i, {_SHINGLE_N})))) AS gram"
+            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
+        )
+    else:
+        gram_rows = (
+            f"SELECT doc_id, lang, unnest(list_distinct(list_transform("
+            f"range(1, length(text) - {_SHINGLE_N - 2}),"
+            f" i -> substr(text, i, {_SHINGLE_N})))) AS gram"
+            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
+        )
+    return f"""
+WITH grams AS ({gram_rows}),
+sel AS (
+  SELECT doc_id, lang, gram FROM grams
+  WHERE ({d.md5_int32('gram')} % {_SHINGLE_MOD}) = 0
+),
+informative AS (
+  SELECT gram FROM sel GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id)
+         <= {_STOP_SHINGLE_DOC_FRAC} * (SELECT COUNT(*) FROM documents)
+)
+SELECT s.doc_id, s.lang, s.gram FROM sel s JOIN informative i ON s.gram = i.gram
+"""
+
+
+def _chargram_pairs_sql(keep: str, ctes: str = "") -> str:
+    """Jaccard pairs over a `keep` relation — exact integer |∩|/|∪|."""
+    return f"""
+WITH {ctes}doc_size AS (SELECT doc_id, COUNT(*) AS n_grams FROM {keep} GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM {keep} a
+  JOIN {keep} b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+  p.doc_a,
+  p.doc_b,
+  p.inter,
+  sa.n_grams AS size_a,
+  sb.n_grams AS size_b,
+  CAST(p.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter) AS jaccard
+FROM pair_inter p
+JOIN doc_size sa ON p.doc_a = sa.doc_id
+JOIN doc_size sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter) >= 0.3
+"""
+
+
+@df_query(
+    "q_dedup_chargram",
+    duck_sql=_chargram_pairs_sql(
+        "keep", ctes=f"keep AS ({_chargram_keep_sql(DUCK)}),\n"
+    ),
+    tables=["documents"],
+    doc="Character-5-gram (shingle) Jaccard near-dup — the n-gram-Jaccard "
+    "family member operating below the token level (robust to tokenization "
+    "and whitespace edits, the classic syntactic-clustering signal). Three "
+    "scale guards before the self-join: deterministic 1/8 modhash shingle "
+    "sampling, stop-shingle removal (doc-frequency cap — also removes the "
+    "hot keys that would skew the gram join), and lang blocking. "
+    "Exact integer intersection/union over surviving shingles; threshold "
+    "0.3 on the sampled-shingle Jaccard estimator. The Spark side "
+    "materializes the shingle table ONCE (persist + temp view — Catalyst "
+    "CTE inlining would otherwise re-run the explode + md5 pipeline for "
+    "each of its 4 references, the q_dedup_minhash lesson).",
+)
+def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    # The shingle explode + per-shingle md5 is the compute-dense stage. At
+    # cluster scale input splits parallelize it for free; the local corpus
+    # is one parquet row-group, so fan it out explicitly (tiny shuffle of
+    # the raw docs) before exploding.
+    docs = t["documents"]
+    if docs.rdd.getNumPartitions() < DEFAULT_SHUFFLE_PARTITIONS:
+        docs = docs.repartition(DEFAULT_SHUFFLE_PARTITIONS)
+    docs.createOrReplaceTempView("documents_sharded")
+    # Materialize the shingle table once — the pair query references it four
+    # times and a scalar-subquery-bearing plan defeats cache matching, so
+    # localCheckpoint (truncated lineage) rather than persist.
+    keep = spark.sql(_chargram_keep_sql(SPARK, table="documents_sharded"))
+    keep = keep.localCheckpoint()
+    keep.createOrReplaceTempView("chargram_keep")
+    return spark.sql(_chargram_pairs_sql("chargram_keep"))

@@ -1,0 +1,109 @@
+"""Document quality gating for training-data curation.
+
+Composes the per-document heuristics the text layer computes individually
+(token counts, stopword ratios — llm/text.py) into a single Gopher-style
+rule cascade: every rule is a boolean column, `keep` is their conjunction,
+and `drop_reason` names the FIRST failing rule (deterministic cascade order)
+so corpus builders get an auditable drop ledger, not just a filtered table.
+
+All rules are built-in string/array expressions (length / regexp_replace /
+split / filter) — pure map over the documents table, whole-stage codegen,
+no UDF, no shuffle. At 100 TB this scales with input splits and the rule
+thresholds are broadcast literals.
+
+Reference scope note: the reference has no text-quality layer (its
+validation gates are row-count/null checks, nyc_taxi_iceberg_etl.py:177-189);
+this is a beyond-reference LLM-pipeline operator mandated by the brief.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import sql_query
+
+# Rule thresholds (Gopher-rules-shaped, tuned to the synthetic corpus's
+# 48-553-char word-salad documents so both keep and drop branches are
+# exercised at every scale factor).
+_MIN_TOKENS = 10
+_MAX_TOKENS = 100_000
+_MIN_MEAN_TOKEN_LEN = 2.0
+_MAX_MEAN_TOKEN_LEN = 12.0
+_MAX_FUNCTION_WORD_RATIO = 0.45
+_MAX_DIGIT_CHAR_RATIO = 0.20
+_MIN_ALPHA_CHAR_RATIO = 0.55
+
+_FUNCTION_WORDS = "'the', 'a', 'value', 'data', 'table'"
+
+
+def _quality_gate_sql(d: Dialect) -> str:
+    n_tokens = d.token_count("text")
+    fn_hits = d.token_filter_count("text", _FUNCTION_WORDS)
+    # Character-class tallies: length(text) minus length(text with the class
+    # removed). regex_strip removes ALL matches in both dialects.
+    nonspace = f"length({d.regex_strip('text', ' ')})"
+    digits = f"(length(text) - length({d.regex_strip('text', '[0-9]')}))"
+    alphas = f"(length(text) - length({d.regex_strip('text', '[a-zA-Z]')}))"
+    return f"""
+WITH m AS (
+  SELECT
+    doc_id,
+    lang,
+    source,
+    {n_tokens} AS n_tokens,
+    CAST({nonspace} AS DOUBLE) / {n_tokens} AS mean_token_len,
+    CAST({fn_hits} AS DOUBLE) / {n_tokens} AS function_word_ratio,
+    CAST({digits} AS DOUBLE) / NULLIF(length(text), 0) AS digit_char_ratio,
+    CAST({alphas} AS DOUBLE) / NULLIF(length(text), 0) AS alpha_char_ratio
+  FROM documents
+),
+rules AS (
+  SELECT *,
+    (n_tokens >= {_MIN_TOKENS} AND n_tokens <= {_MAX_TOKENS}) AS r_token_count,
+    (mean_token_len >= {_MIN_MEAN_TOKEN_LEN}
+     AND mean_token_len <= {_MAX_MEAN_TOKEN_LEN}) AS r_mean_token_len,
+    (function_word_ratio <= {_MAX_FUNCTION_WORD_RATIO}) AS r_function_words,
+    (digit_char_ratio <= {_MAX_DIGIT_CHAR_RATIO}) AS r_digit_ratio,
+    (alpha_char_ratio >= {_MIN_ALPHA_CHAR_RATIO}) AS r_alpha_ratio
+  FROM m
+)
+SELECT
+  doc_id,
+  lang,
+  source,
+  n_tokens,
+  mean_token_len,
+  function_word_ratio,
+  digit_char_ratio,
+  alpha_char_ratio,
+  r_token_count,
+  r_mean_token_len,
+  r_function_words,
+  r_digit_ratio,
+  r_alpha_ratio,
+  (r_token_count AND r_mean_token_len AND r_function_words
+   AND r_digit_ratio AND r_alpha_ratio) AS keep,
+  CASE
+    WHEN NOT r_token_count THEN 'token_count'
+    WHEN NOT r_mean_token_len THEN 'mean_token_len'
+    WHEN NOT r_function_words THEN 'function_words'
+    WHEN NOT r_digit_ratio THEN 'digit_ratio'
+    WHEN NOT r_alpha_ratio THEN 'alpha_ratio'
+    ELSE 'kept'
+  END AS drop_reason
+FROM rules
+"""
+
+
+sql_query(
+    "q_quality_gate",
+    spark_sql=_quality_gate_sql(SPARK),
+    duck_sql=_quality_gate_sql(DUCK),
+    tables=["documents"],
+    doc="Gopher-style document quality gate: five heuristic rules (token "
+    "count bounds, mean token length, function-word ratio, digit-char "
+    "ratio, alpha-char ratio) as boolean columns, keep = conjunction, "
+    "drop_reason = first failing rule in a fixed cascade. Pure map — "
+    "length/regexp_replace/split/filter all stay in whole-stage codegen; "
+    "ratio divisions are double/int with identical IEEE evaluation in "
+    "both engines.",
+)

@@ -357,6 +357,36 @@ sql_query(
 )
 
 
+def _cube_sql(d: Dialect) -> str:
+    return f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+  CAST(grouping(l_linestatus) AS INT) AS g_status,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {dsum('l_quantity')} AS sum_qty,
+  {dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+sql_query(
+    "q_cube_metrics",
+    spark_sql=_cube_sql(SPARK),
+    duck_sql=_cube_sql(DUCK),
+    tables=["lineitem"],
+    doc="Full-lattice CUBE aggregation (every subset of {returnflag, "
+    "linestatus} including the grand total) in ONE pass — the complement "
+    "of q_rollup_report's hierarchical ROLLUP. Spark plans the cube as a "
+    "single Expand (4 grouping sets) + hash-agg: one scan and one shuffle "
+    "for all four aggregation levels; grouping() flags disambiguate "
+    "subtotal rows from genuine NULL keys. Exact-decimal money sums per "
+    "the determinism conventions.",
+)
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

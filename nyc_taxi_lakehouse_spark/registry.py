@@ -80,6 +80,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_schema_evolution",
     "q_session_stream",
     "q_dedup_clusters_star",
+    "q_quality_gate",
+    "q_dedup_chargram",
+    "q_embedding_quantize",
+    "q_cube_metrics",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",
@@ -120,6 +124,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import scale  # noqa: F401
     from .operators import evolution  # noqa: F401
     from .llm import text  # noqa: F401
+    from .llm import quality  # noqa: F401
+    from .llm import quantize  # noqa: F401
     from .llm import dedup  # noqa: F401
     from .llm import similarity  # noqa: F401
     from .llm import multimodal  # noqa: F401

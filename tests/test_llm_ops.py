@@ -477,3 +477,25 @@ def test_asof_join_null_payload_column_fills_atomically(spark):
     row = out[0]
     # Matched right row is (rt=2, a=NULL, b='y') — a must be NULL, not 10.0.
     assert row.b == "y" and row.a is None and row["__rts"] == 2
+
+
+def test_int8_quantization_reconstruction_error(spark, sf_dir):
+    """Dequantized vectors land within scale/2 of the original per component,
+    and the emitted integer checksums match an independent numpy requant."""
+    import numpy as np
+
+    out = SPECS["q_embedding_quantize"].fn(spark, sf_dir).toPandas()
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    src = t["embeddings"].toPandas().set_index("vec_id")
+    assert len(out) == len(src)  # no zero vectors in the corpus
+    merged = out.set_index("vec_id").join(src)
+    for vec_id, row in merged.head(200).iterrows():
+        x = np.asarray(row.embedding, dtype=np.float64)
+        scale = row.scale
+        q = np.floor(x / scale + 0.5)
+        assert np.abs(q).max() <= 127
+        assert int(q.sum()) == row.code_sum
+        assert int((q * q).sum()) == row.code_sq_sum
+        # Reconstruction bound: |x - q*scale| <= scale/2 (+ float32 slack).
+        err = np.abs(x - q * scale)
+        assert err.max() <= scale / 2 + 1e-6, (vec_id, err.max(), scale)
