@@ -46,6 +46,13 @@ HEADLINE = [
     "q_sessionization",
     "q_contamination",
     "q_asof_join",
+    # Round-3 flagships: O(log d) star-contraction CC, streaming session
+    # windows, char-shingle Jaccard, int8 quantization, quality gate.
+    "q_dedup_clusters_star",
+    "q_session_stream",
+    "q_dedup_chargram",
+    "q_embedding_quantize",
+    "q_quality_gate",
 ]
 
 
