@@ -331,3 +331,113 @@ def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "avg_value",
     )
+
+
+@df_query(
+    "q_stream_join",
+    duck_sql="""
+WITH ev AS (
+  SELECT event_id, (epoch_ns(ts) // 1000) AS ts_us, user_id, event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT
+  p.user_id,
+  p.event_id AS purchase_id,
+  c.event_id AS click_id,
+  p.ts_us AS purchase_ts_us,
+  c.ts_us AS click_ts_us,
+  (p.ts_us - c.ts_us) // 1000000 AS gap_s,
+  p.value AS purchase_value,
+  c.value AS click_value
+FROM ev p
+JOIN ev c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts_us >= p.ts_us - 1800000000
+ AND c.ts_us < p.ts_us
+""",
+    tables=["events"],
+    doc="Stream-stream event-time interval join (click->purchase attribution: "
+    "every click by the same user in the 30 min before a purchase), run as a "
+    "REAL Structured Streaming join — two independent watermarked streams "
+    "over the CDC envelope replay, inner join with a time-range condition, "
+    "append sink. The time bound plus both 10-min watermarks let Spark "
+    "expire join state (state size ~ arrival rate x (range + watermark), "
+    "corpus-size-independent — the mandatory ingredient for an unbounded "
+    "stream-stream join at scale). Deterministic for a single-batch drain: "
+    "an INNER join emits exactly the matched pairs regardless of watermark "
+    "timing, so the oracle is the equivalent batch interval self-join.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "join_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        # Two independent source reads: each side of a stream-stream join
+        # tracks its own watermark/state (a self-joined single scan works
+        # too, but separate reads mirror the production two-topic shape).
+        purchases = (
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("event_time", "10 minutes")
+            .alias("p")
+        )
+        clicks = (
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+            .filter(F.col("event_type") == "click")
+            .withWatermark("event_time", "10 minutes")
+            .alias("c")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p.user_id = c.user_id"
+                " AND c.event_time >= p.event_time - interval 30 minutes"
+                " AND c.event_time < p.event_time"
+            ),
+            "inner",
+        ).select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.unix_micros("p.event_time").alias("purchase_ts_us"),
+            F.unix_micros("c.event_time").alias("click_ts_us"),
+            F.expr(
+                "(unix_micros(p.event_time) - unix_micros(c.event_time))"
+                " DIV 1000000"
+            ).alias("gap_s"),
+            F.col("p.value").alias("purchase_value"),
+            F.col("c.value").alias("click_value"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream-join pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts_us",
+        "click_ts_us",
+        "gap_s",
+        "purchase_value",
+        "click_value",
+    )
