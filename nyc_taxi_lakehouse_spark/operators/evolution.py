@@ -98,3 +98,60 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "o_orderkey", "o_custkey", "o_totalprice", "priority_class", "o_orderstatus"
     )
+
+
+_TT_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_time_travel")
+
+
+def _tt_dir(sf_dir: str) -> str:
+    """Content-keyed per-process table dir (same discipline as _evo_dir)."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"tt:{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = f"tt:{src}:absent"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:12]
+    return os.path.join(_TT_ROOT, f"{key}-pid{os.getpid()}")
+
+
+@df_query(
+    "q_time_travel",
+    duck_sql="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+""",
+    tables=["orders"],
+    doc="Time travel (Delta VERSION AS OF / Iceberg snapshot read — the "
+    "reference's tables are Iceberg snapshot trees, SURVEY §1.1): a "
+    "versioned lake table is built in three commits (append even keys, "
+    "append odd keys, DELETE WHERE o_orderstatus='F'), then VERSION 2 — "
+    "the pre-delete snapshot — is read back. Oracle = the FULL orders "
+    "table: a green row proves the delete commit left version 2's file "
+    "set intact and readable (manifest-pinned scan, no directory "
+    "listing), i.e. real snapshot semantics over plain parquet "
+    "(nyc_taxi_lakehouse_spark/versioned.py). The latest version would "
+    "instead exclude every 'F' row.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..versioned import VersionedLakeTable
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _tt_dir(sf_dir)
+    table = VersionedLakeTable(spark, path, partition_cols=["o_orderstatus"])
+    marker = os.path.join(path, "_TT_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        table.append(orders.filter("o_orderkey % 2 = 0"))
+        table.append(orders.filter("o_orderkey % 2 = 1"))
+        table.delete_where("o_orderstatus = 'F'")
+        with open(marker, "w"):
+            pass
+    return table.read(version=2).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )

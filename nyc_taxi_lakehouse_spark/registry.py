@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_embedding_quantize",
     "q_cube_metrics",
     "q_stream_join",
+    "q_time_travel",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",

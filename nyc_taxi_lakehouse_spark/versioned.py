@@ -1,0 +1,265 @@
+"""Versioned lake tables: snapshot isolation, time travel, VACUUM.
+
+The reference gets these semantics from Iceberg (its tables are snapshot
+trees on MinIO; SURVEY §1.1/§1.4); ``lake.py``'s LakeTable deliberately
+covers only the *current-state* contract (append / delete / merge) over
+plain parquet. This module adds the log-structured half — the Delta/Iceberg
+commit model — natively:
+
+- every mutation is a **commit**: data files are only ever ADDED (appends
+  write fresh uniquely-named part files; deletes rewrite survivors as new
+  files), and a JSON manifest ``_log/v{N}.json`` records the live file set,
+  schema, and operation of each version;
+- ``read(version=...)`` pins any historical snapshot (time travel — Delta's
+  ``VERSION AS OF``): the scan lists nothing, it reads exactly the
+  manifest's files with partition values parsed via basePath;
+- readers are **snapshot-isolated** for free: a lazy plan over version N
+  keeps working while later commits run, because no commit removes files;
+- ``vacuum(retain_last=...)`` is the physical-deletion boundary (Delta
+  VACUUM): drops files unreferenced by the retained manifests, then the
+  expired manifests.
+
+Scale posture: manifests are metadata-sized (one relative path per live
+file — the thing Delta stores as add-actions); commits append one small
+JSON object per mutation; no driver-side row data ever. The added-files
+probe is one recursive listing of the table root per commit — on an object
+store Delta replaces that with transaction-log bookkeeping, the documented
+1:1 mapping. Single-writer, like every driver-side maintenance path here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .fs import LakeFS
+from .lake import ValidationError, _nullability_normalized
+
+
+class VersionedLakeTable:
+    """A partitioned parquet table with Delta-style versioned commits."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_cols = list(partition_cols or [])
+        self.fs = LakeFS(spark, path)
+
+    # -- commit log ---------------------------------------------------------
+
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, "_log")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"v{version:09d}.json")
+
+    def versions(self) -> list[int]:
+        if not self.fs.is_dir(self._log_dir):
+            return []
+        out = []
+        for name, is_dir, _ in self.fs.list(self._log_dir):
+            if not is_dir and name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        p = self._manifest_path(version)
+        if not self.fs.exists(p):
+            have = self.versions()
+            raise ValidationError(
+                f"version {version} not available (log has {have}; "
+                "older versions may have been vacuumed)"
+            )
+        return json.loads(self.fs.read_text(p))
+
+    def history(self) -> list[dict]:
+        """Operation ledger, oldest first (Delta DESCRIBE HISTORY)."""
+        return [
+            {k: m[k] for k in ("version", "op", "n_files")}
+            for m in (self._manifest(v) for v in self.versions())
+        ]
+
+    # -- file probes --------------------------------------------------------
+
+    def _data_files(self) -> set[str]:
+        """All part files under the table root, as table-relative paths.
+        One recursive walk; partition depth is the directory depth."""
+        found: set[str] = set()
+
+        def walk(rel: str) -> None:
+            absdir = os.path.join(self.path, rel) if rel else self.path
+            for name, is_dir, _ in self.fs.list(absdir):
+                if name.startswith((".", "_")):
+                    continue
+                child = os.path.join(rel, name) if rel else name
+                if is_dir:
+                    walk(child)
+                elif name.endswith(".parquet"):
+                    found.add(child)
+
+        if self.fs.is_dir(self.path):
+            walk("")
+        return found
+
+    def _commit(self, op: str, live: set[str], schema: T.StructType) -> int:
+        version = (self.latest_version() or 0) + 1 if self.versions() else 1
+        self.fs.mkdirs(self._log_dir)
+        self.fs.write_text(
+            self._manifest_path(version),
+            json.dumps(
+                {
+                    "version": version,
+                    "op": op,
+                    "n_files": len(live),
+                    "files": sorted(live),
+                    "schema": schema.jsonValue(),
+                    "partition_cols": self.partition_cols,
+                }
+            ),
+        )
+        return version
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). Reads exactly the
+        manifest's files — dead files from later deletes are invisible, and
+        pre-evolution files yield NULL for later-added columns."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValidationError(f"empty versioned table at {self.path}")
+        m = self._manifest(v)
+        schema = T.StructType.fromJson(m["schema"])
+        files = [os.path.join(self.path, f) for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.path)
+            .parquet(*files)
+        )
+
+    # -- commits ------------------------------------------------------------
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Commit an append. Data lands as fresh uniquely-named part files in
+        the normal partition layout; the new manifest = previous live set +
+        added files. Returns the new version."""
+        latest = self.latest_version()
+        if latest is not None:
+            current_schema = T.StructType.fromJson(self._manifest(latest)["schema"])
+            cur_by_name = {f.name: f for f in current_schema.fields}
+            for f in df.schema.fields:
+                have = cur_by_name.get(f.name)
+                if have is not None and _nullability_normalized(
+                    have.dataType
+                ) != _nullability_normalized(f.dataType):
+                    raise ValidationError(
+                        f"append(merge_schema={merge_schema}): column {f.name!r} "
+                        f"type conflict {have.dataType} vs {f.dataType}"
+                    )
+            new_fields = [f for f in df.schema.fields if f.name not in cur_by_name]
+            if new_fields and not merge_schema:
+                raise ValidationError(
+                    f"append: new columns {[f.name for f in new_fields]} — pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            schema = T.StructType(list(current_schema.fields) + new_fields)
+            prev_live = set(self._manifest(latest)["files"])
+        else:
+            schema = df.schema
+            prev_live = set()
+        before = self._data_files()
+        writer = df.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+        added = self._data_files() - before
+        self.spark.catalog.refreshByPath(self.path)
+        return self._commit("append", prev_live | added, schema)
+
+    def delete_where(self, predicate: str) -> int:
+        """Commit a DELETE. Survivors of affected partitions are rewritten as
+        NEW files (append-mode write — nothing is physically removed, so
+        every earlier snapshot and any in-flight reader keeps working); the
+        manifest drops the affected partitions' old files. Partition-bounded
+        exactly like LakeTable.delete_where. Returns the new version."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError(f"empty versioned table at {self.path}")
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        live = set(m["files"])
+        current = self.read(latest)
+        keep_pred = ~F.coalesce(F.expr(predicate), F.lit(False))
+        if self.partition_cols:
+            affected = current.filter(predicate)
+            parts = [
+                tuple(r)
+                for r in affected.select(*self.partition_cols).distinct().collect()
+            ]
+            if not parts:
+                return self._commit("delete_where(noop)", live, schema)
+            prefixes = tuple(
+                _partition_prefix(self.partition_cols, p) for p in parts
+            )
+            dead = {f for f in live if f.startswith(prefixes)}
+            from .lake import _partition_filter
+
+            cond = _partition_filter(self.partition_cols, parts)
+            survivors = current.filter(cond).filter(keep_pred)
+        else:
+            dead = set(live)
+            survivors = current.filter(keep_pred)
+        before = self._data_files()
+        writer = survivors.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+        added = self._data_files() - before
+        self.spark.catalog.refreshByPath(self.path)
+        return self._commit("delete_where", (live - dead) | added, schema)
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Physically delete files unreferenced by the newest ``retain_last``
+        manifests, then drop the expired manifests (Delta VACUUM + log
+        retention in one). Returns the number of data files removed."""
+        vs = self.versions()
+        if not vs:
+            return 0
+        retained = vs[-max(1, retain_last):]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced |= set(self._manifest(v)["files"])
+        removed = 0
+        for f in self._data_files() - referenced:
+            if self.fs.delete(os.path.join(self.path, f)):
+                removed += 1
+        for v in vs[: -max(1, retain_last)]:
+            self.fs.delete(self._manifest_path(v))
+        self.spark.catalog.refreshByPath(self.path)
+        return removed
+
+
+def _partition_prefix(pcols: list[str], part: tuple) -> str:
+    """Relative path prefix of one partition's directory (hive layout).
+    Mirrors lake._partition_subdir's encoding, including the NULL dir."""
+    from .lake import _partition_subdir
+
+    return _partition_subdir(pcols, part) + "/"

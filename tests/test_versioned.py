@@ -1,0 +1,83 @@
+"""VersionedLakeTable: time travel, snapshot isolation, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_lakehouse_spark.lake import ValidationError
+from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+
+def _mk(spark, rows, with_extra=False):
+    cols = "id bigint, status string, amount double" + (
+        ", extra string" if with_extra else ""
+    )
+    return spark.createDataFrame(rows, cols)
+
+
+def test_time_travel_across_append_evolve_delete(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    v1 = t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    v2 = t.append(
+        _mk(spark, [(3, "O", 30.0, "x"), (4, "P", 40.0, "y")], with_extra=True),
+        merge_schema=True,
+    )
+    v3 = t.delete_where("status = 'F'")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert sorted(r.id for r in t.read(1).collect()) == [1, 2]
+    assert t.read(1).columns == ["id", "amount", "status"]  # pre-evolution
+
+    snap2 = {r.id: r for r in t.read(2).collect()}
+    assert sorted(snap2) == [1, 2, 3, 4]
+    assert snap2[1].extra is None and snap2[3].extra == "x"  # NULL fill
+
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 4]  # F deleted
+    assert [h["op"] for h in t.history()] == ["append", "append", "delete_where"]
+
+
+def test_snapshot_isolation_reader_survives_delete(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0), (3, "F", 21.0)]))
+    pinned = t.read(1)  # lazy plan over version-1 files
+    t.delete_where("status = 'F'")
+    # The delete rewrote partition F's survivors (none) as a new commit but
+    # removed no files — the pinned plan still collects all three rows.
+    assert sorted(r.id for r in pinned.collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+def test_delete_only_touches_affected_partitions(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    m1 = set(t._manifest(1)["files"])
+    t.delete_where("status = 'F' AND amount > 15")
+    m2 = set(t._manifest(2)["files"])
+    o_files = {f for f in m1 if f.startswith("status=O/")}
+    assert o_files and o_files <= m2  # untouched partition carried over
+
+
+def test_vacuum_drops_history_but_not_latest(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    t.delete_where("status = 'F'")
+    pre = t._data_files()
+    removed = t.vacuum(retain_last=1)
+    assert removed >= 1  # version-1's F files are unreferenced now
+    assert t._data_files() < pre
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    with pytest.raises(ValidationError, match="vacuumed|not available"):
+        t.read(1)
+    assert t.versions() == [2]
+
+
+def test_append_schema_conflict_rejected(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"))
+    t.append(_mk(spark, [(1, "O", 10.0)]))
+    bad = spark.createDataFrame([(2, "F", "oops")], "id bigint, status string, amount string")
+    with pytest.raises(ValidationError, match="type conflict"):
+        t.append(bad, merge_schema=True)
+    with pytest.raises(ValidationError, match="new columns"):
+        t.append(
+            _mk(spark, [(5, "O", 1.0, "z")], with_extra=True), merge_schema=False
+        )
