@@ -500,3 +500,67 @@ sql_query(
     "common leaderboard shape). Ordering key is the (value, user_id) "
     "struct so equal values break ties identically in both engines.",
 )
+
+
+_UNPIVOT_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+hours AS (SELECT DISTINCT hour_of_day FROM ev),
+types AS (
+  SELECT unnest([{', '.join(repr(t) for t in _PIVOT_TYPES)}]) AS event_type
+),
+counts AS (
+  SELECT hour_of_day, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2
+)
+SELECT h.hour_of_day,
+       t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.hour_of_day = h.hour_of_day AND c.event_type = t.event_type
+"""
+
+
+@df_query(
+    "q_event_unpivot",
+    duck_sql=_UNPIVOT_ORACLE,
+    tables=["events"],
+    doc="Unpivot (wide→long, the inverse of q_event_pivot): the per-hour "
+    "per-type count matrix melted back to (hour, type, n) rows via Spark's "
+    "native DataFrame.unpivot — planned as a single Expand (each input row "
+    "fans to |types| rows), no join and no extra shuffle beyond the "
+    "pivot's own aggregation. Zero-filled combinations survive the round "
+    "trip, so the oracle is the hour×type grid left-joined to the counts. "
+    "The wide→long melt is the standard normalization step in front of "
+    "long-format feature stores and plotting pipelines.",
+)
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter("event_id IS NOT NULL AND ts IS NOT NULL AND value > 0")
+    wide = (
+        ev.withColumn("hour_of_day", F.hour("ts").cast("int"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    wide = wide.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in _PIVOT_TYPES],
+    )
+    long = wide.unpivot(
+        ids=["hour_of_day"],
+        values=[f"n_{c}" for c in _PIVOT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    # Variable column carries the source column names (n_click, ...) —
+    # strip the prefix back to the original type labels.
+    return long.select(
+        "hour_of_day",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+    )

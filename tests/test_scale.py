@@ -156,3 +156,24 @@ def test_filter_pushdown_to_parquet(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThan(l_quantity,10" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter joined on the fact's PARTITION column must
+    inject a DynamicPruning subquery into the fact scan — at 100 TB this is
+    the difference between scanning 2 partitions and scanning 100 (the
+    star-join pattern of q_zone_performance's marts on a real cluster)."""
+    fact = spark.range(0, 20000).selectExpr(
+        "id", "id % 20 AS zone_id", "id * 1.0 AS v"
+    )
+    fact.write.partitionBy("zone_id").parquet(str(tmp_path / "fact_dpp"))
+    dim = spark.createDataFrame(
+        [(i, f"z{i}", "hot" if i < 2 else "cold") for i in range(20)],
+        "zone_id long, name string, tier string",
+    )
+    f = spark.read.parquet(str(tmp_path / "fact_dpp"))
+    j = f.join(dim.filter("tier = 'hot'"), "zone_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # And the join result is correct: only the two hot partitions' rows.
+    assert j.count() == 2000
