@@ -941,3 +941,80 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = keep.localCheckpoint()
     keep.createOrReplaceTempView("chargram_keep")
     return spark.sql(_chargram_pairs_sql("chargram_keep"))
+
+
+# --- Cross-document segment (paragraph-level) dedup ----------------------
+
+_SEG_TOKENS = 8  # tokens per segment ("paragraph" proxy for the corpus)
+
+
+def _segment_dedup_sql(d: Dialect) -> str:
+    """CCNet-style paragraph dedup adapted to the single-line corpus:
+    documents split into consecutive 8-token segments; a segment appearing
+    in more than one document is boilerplate and is removed; per doc we
+    report the duplication profile and the md5 of the cleansed text.
+
+    Scale shape: segment identity travels as an md5 hash (fixed 32 bytes —
+    the shuffle key and join payload stay tiny no matter how long segments
+    are); one shuffle to assemble segments, one hash-keyed aggregation for
+    document frequency, one join back, one per-doc rollup.
+    """
+    pos = d.positional_token_rows("documents")
+    seg_no = d.idiv("(i - 1)", str(_SEG_TOKENS))
+    if d.name == "spark":
+        seg_text = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('i', i, 't', token))), x -> x.t))"
+        )
+        kept = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "CASE WHEN NOT is_dup THEN named_struct('s', seg_no, 't', seg_text)"
+            " END)), x -> x.t))"
+        )
+    else:
+        seg_text = "string_agg(token, ' ' ORDER BY i)"
+        kept = (
+            "COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg_text END,"
+            " ' ' ORDER BY seg_no), '')"
+        )
+    return f"""
+WITH pos AS ({pos}),
+segs AS (
+  SELECT doc_id, {seg_no} AS seg_no, md5({seg_text}) AS seg_hash,
+         {seg_text} AS seg_text
+  FROM pos GROUP BY doc_id, {seg_no}
+),
+freq AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM segs GROUP BY seg_hash
+),
+marked AS (
+  SELECT s.doc_id, s.seg_no, s.seg_text, f.n_docs > 1 AS is_dup
+  FROM segs s JOIN freq f ON s.seg_hash = f.seg_hash
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS INT) AS n_segments,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INT) AS dup_segments,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_fraction,
+  md5({kept}) AS kept_md5
+FROM marked
+GROUP BY doc_id
+"""
+
+
+sql_query(
+    "q_dedup_segments",
+    spark_sql=_segment_dedup_sql(SPARK),
+    duck_sql=_segment_dedup_sql(DUCK),
+    tables=["documents"],
+    doc="Cross-document segment dedup (the CCNet paragraph-dedup shape, "
+    "segment = 8 consecutive tokens on this single-line corpus): segments "
+    "whose exact content appears in >1 document are boilerplate and are "
+    "struck; per-doc output = segment count, duplicated-segment count/"
+    "fraction, and the md5 of the text rebuilt from surviving segments in "
+    "order (the oracle pins the actual cleansed content, not just counts). "
+    "Segment identity travels as md5 — constant-size shuffle keys "
+    "regardless of segment length.",
+)

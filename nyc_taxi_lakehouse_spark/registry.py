@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stream_join",
     "q_time_travel",
     "q_event_unpivot",
+    "q_dedup_segments",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",

@@ -236,6 +236,59 @@ class VersionedLakeTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """Commit an OPTIMIZE: rewrite the current live set as bin-packed
+        files (coalesced toward the target size) and commit the new layout.
+        Unlike LakeTable.compact this is non-destructive — the fragmented
+        files stay on disk serving older snapshots until vacuum(); readers
+        of any version are never disturbed (Delta OPTIMIZE semantics: a
+        data-identical commit). Returns the new version, or -1 if the table
+        is already compact (no commit written)."""
+        import math
+
+        latest = self.latest_version()
+        if latest is None:
+            return -1
+        m = self._manifest(latest)
+        live = set(m["files"])
+        # Group live files by partition directory; a partition is worth
+        # rewriting only if it has more files than its data needs.
+        by_dir: dict[str, list[str]] = {}
+        for f in live:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        sizes = {}
+        for d, files in by_dir.items():
+            absdir = os.path.join(self.path, d) if d else self.path
+            listing = {name: size for name, is_dir, size in self.fs.list(absdir) if not is_dir}
+            sizes[d] = {f: listing.get(os.path.basename(f), 0) for f in files}
+        schema = T.StructType.fromJson(m["schema"])
+        new_live = set(live)
+        rewrote = False
+        for d, files in by_dir.items():
+            total = sum(sizes[d].values())
+            want = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= want:
+                continue
+            rewrote = True
+            abs_files = [os.path.join(self.path, f) for f in files]
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
+                .parquet(*abs_files)
+            )
+            before = self._data_files()
+            writer = df.coalesce(want).drop(*self.partition_cols).write.mode("append")
+            # Write directly into the partition directory (values are fixed
+            # within it), keeping the hive layout without re-shuffling.
+            target = os.path.join(self.path, d) if d else self.path
+            writer.parquet(target)
+            added = self._data_files() - before
+            new_live = (new_live - set(files)) | added
+        if not rewrote:
+            return -1
+        self.spark.catalog.refreshByPath(self.path)
+        return self._commit("compact", new_live, schema)
+
     def vacuum(self, retain_last: int = 1) -> int:
         """Physically delete files unreferenced by the newest ``retain_last``
         manifests, then drop the expired manifests (Delta VACUUM + log

@@ -81,3 +81,31 @@ def test_append_schema_conflict_rejected(spark, tmp_path):
         t.append(
             _mk(spark, [(5, "O", 1.0, "z")], with_extra=True), merge_schema=False
         )
+
+
+def test_compact_commit_preserves_snapshots(spark, tmp_path):
+    """OPTIMIZE as a non-destructive commit: many small appends -> compact
+    bin-packs each partition into one file in a NEW version; the fragmented
+    snapshot remains readable until vacuum."""
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    for i in range(4):
+        t.append(_mk(spark, [(i, "O", float(i)), (100 + i, "F", float(i))]))
+    frag_version = t.latest_version()
+    frag_files = set(t._manifest(frag_version)["files"])
+    v = t.compact()
+    assert v == frag_version + 1
+    compacted = set(t._manifest(v)["files"])
+    # One file per partition after compaction, data identical.
+    assert len(compacted) < len(frag_files)
+    per_dir = {}
+    for f in compacted:
+        per_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    assert all(len(fs) == 1 for fs in per_dir.values())
+    assert sorted(r.id for r in t.read().collect()) == sorted(
+        r.id for r in t.read(frag_version).collect()
+    )
+    # History intact; vacuum then drops the fragmented files.
+    assert t.history()[-1]["op"] == "compact"
+    removed = t.vacuum(retain_last=1)
+    assert removed == len(frag_files)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 100, 101, 102, 103]
