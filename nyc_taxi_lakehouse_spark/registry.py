@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_time_travel",
     "q_event_unpivot",
     "q_dedup_segments",
+    "q_incremental_rollup",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",
@@ -127,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import asof  # noqa: F401
     from .operators import scale  # noqa: F401
     from .operators import evolution  # noqa: F401
+    from . import pipelines  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401
     from .llm import quantize  # noqa: F401
