@@ -977,6 +977,11 @@ def _segment_dedup_sql(d: Dialect) -> str:
             "COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg_text END,"
             " ' ' ORDER BY seg_no), '')"
         )
+    if d.name == "spark":
+        # Rendered in two pieces by q_dedup_segments so the segment table
+        # materializes once (Catalyst CTE inlining would re-run the
+        # posexplode + md5 assembly for both of its references).
+        return _segments_sql(d), _segment_report_sql("segs_view", kept)
     return f"""
 WITH pos AS ({pos}),
 segs AS (
@@ -1004,9 +1009,47 @@ GROUP BY doc_id
 """
 
 
-sql_query(
+def _segments_sql(d: Dialect) -> str:
+    """The segs(doc_id, seg_no, seg_hash, seg_text) assembly alone."""
+    pos = d.positional_token_rows("documents")
+    seg_no = d.idiv("(i - 1)", str(_SEG_TOKENS))
+    seg_text = (
+        "concat_ws(' ', transform(array_sort(collect_list("
+        "named_struct('i', i, 't', token))), x -> x.t))"
+    )
+    return f"""
+WITH pos AS ({pos})
+SELECT doc_id, {seg_no} AS seg_no, md5({seg_text}) AS seg_hash,
+       {seg_text} AS seg_text
+FROM pos GROUP BY doc_id, {seg_no}
+"""
+
+
+def _segment_report_sql(segs_view: str, kept: str) -> str:
+    """Frequency mark + per-doc rollup over a materialized segment view."""
+    return f"""
+WITH freq AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM {segs_view} GROUP BY seg_hash
+),
+marked AS (
+  SELECT s.doc_id, s.seg_no, s.seg_text, f.n_docs > 1 AS is_dup
+  FROM {segs_view} s JOIN freq f ON s.seg_hash = f.seg_hash
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS INT) AS n_segments,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INT) AS dup_segments,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_fraction,
+  md5({kept}) AS kept_md5
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@df_query(
     "q_dedup_segments",
-    spark_sql=_segment_dedup_sql(SPARK),
     duck_sql=_segment_dedup_sql(DUCK),
     tables=["documents"],
     doc="Cross-document segment dedup (the CCNet paragraph-dedup shape, "
@@ -1016,5 +1059,14 @@ sql_query(
     "fraction, and the md5 of the text rebuilt from surviving segments in "
     "order (the oracle pins the actual cleansed content, not just counts). "
     "Segment identity travels as md5 — constant-size shuffle keys "
-    "regardless of segment length.",
+    "regardless of segment length. The Spark side materializes the segment "
+    "table ONCE (localCheckpoint — CTE inlining would re-run the "
+    "posexplode + md5 assembly for both the frequency and the report "
+    "reference, doubling the heaviest map stage).",
 )
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    segs_sql, report_sql = _segment_dedup_sql(SPARK)
+    segs = spark.sql(segs_sql).localCheckpoint()
+    segs.createOrReplaceTempView("dedup_segs")
+    return spark.sql(report_sql.replace("segs_view", "dedup_segs"))
