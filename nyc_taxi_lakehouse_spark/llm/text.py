@@ -385,3 +385,64 @@ def winnow_fingerprints(documents) -> "DataFrame":  # noqa: F821
         shingled.select("doc_id", F.min("s").over(w_frame).alias("fp"))
         .distinct()
     )
+
+
+_COLLOC_MIN_SUPPORT = 5
+_COLLOC_SCALE = 1_000_000  # fixed-point scale for the integer lift score
+
+
+def _collocations_sql(d: Dialect) -> str:
+    """Collocation mining: adjacent-bigram lift, the PMI workhorse behind
+    tokenizer-merge candidates and phrase detection. PMI itself is
+    ln(p_xy/(p_x·p_y)) — and ln() is not bit-stable across libm
+    implementations (the q_tfidf lesson) — so the score is emitted as the
+    exact fixed-point LIFT instead: (n_xy · N · 1e6) DIV (n_x · n_y),
+    pure BIGINT arithmetic, identical in any engine, and rank-equivalent
+    to PMI (ln is monotone). Products stay < 2^63 up to ~10^8 corpus
+    tokens per shard; beyond that, compute lift per (lang) shard or drop
+    the 1e6 scale.
+    """
+    pos = d.positional_token_rows("documents")
+    return f"""
+WITH pos AS ({pos}),
+big AS (
+  SELECT doc_id, i, token AS w1,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM pos
+),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS n_xy
+  FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+),
+uc AS (SELECT token, COUNT(*) AS n FROM pos GROUP BY token),
+tot AS (SELECT COUNT(*) AS n_tokens FROM pos)
+SELECT
+  bc.w1,
+  bc.w2,
+  bc.n_xy,
+  a.n AS n_x,
+  b.n AS n_y,
+  {d.idiv(f'(bc.n_xy * t.n_tokens * {_COLLOC_SCALE})', '(a.n * b.n)')}
+    AS lift_ppm
+FROM bc
+JOIN uc a ON bc.w1 = a.token
+JOIN uc b ON bc.w2 = b.token
+CROSS JOIN tot t
+WHERE bc.n_xy >= {_COLLOC_MIN_SUPPORT}
+"""
+
+
+sql_query(
+    "q_collocations",
+    spark_sql=_collocations_sql(SPARK),
+    duck_sql=_collocations_sql(DUCK),
+    tables=["documents"],
+    doc="Collocation mining (adjacent-bigram lift with min support 5): "
+    "positional explode → LEAD bigrams → bigram/unigram count aggs → "
+    "exact fixed-point lift (n_xy·N·1e6 DIV n_x·n_y) — rank-equivalent to "
+    "PMI without ln()'s cross-libm instability. The bigram LEAD reuses "
+    "the doc_id exchange; unigram side joins are hash joins on token; the "
+    "corpus-total is a 1-row broadcast. Min-support prunes the long tail "
+    "before the joins.",
+)

@@ -39,6 +39,8 @@ WHITELIST = {
     "q_dedup_simhash_pairs": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
     # 1-row corpus-size scalar feeding the stop-shingle df-cap threshold.
     "q_dedup_chargram": ({"single-part"}, "COUNT(*) scalar for df-cap"),
+    # 1-row corpus-token-total broadcast into the lift denominator.
+    "q_collocations": ({"single-part", "bnlj"}, "N-tokens scalar x bigram table"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
