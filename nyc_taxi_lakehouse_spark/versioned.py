@@ -234,6 +234,78 @@ class VersionedLakeTable:
         self.spark.catalog.refreshByPath(self.path)
         return self._commit("delete_where", (live - dead) | added, schema)
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+        delete_col: str | None = None,
+    ) -> int:
+        """Commit a keyed MERGE (Delta MERGE WHEN MATCHED UPDATE/DELETE,
+        NOT MATCHED INSERT) with last-write-wins by ``order_col`` within the
+        batch. Affected partitions' surviving rows + inserts are written as
+        NEW files; the manifest swaps those partitions' file sets. Earlier
+        snapshots stay readable — each CDC batch becomes one time-travelable
+        version. Returns the new version."""
+        from pyspark.sql import Window
+
+        if order_col:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            updates = (
+                updates.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        if delete_col:
+            inserts = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            inserts = updates
+        all_keys = updates.select(*keys)
+        latest = self.latest_version()
+        if latest is None:
+            return self.append(inserts)
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        live = set(m["files"])
+        current = self.read(latest)
+        # Align the insert side to the table schema (drops batch-only
+        # bookkeeping columns like the order_col).
+        inserts = inserts.select(*[f.name for f in schema.fields])
+        if self.partition_cols:
+            pcols = self.partition_cols
+            touched = (
+                current.join(all_keys, keys, "left_semi")
+                .select(*pcols)
+                .unionByName(inserts.select(*pcols))
+                .distinct()
+            )
+            parts = [tuple(r) for r in touched.collect()]
+            if not parts:
+                return self._commit("merge_upsert(noop)", live, schema)
+            from .lake import _partition_filter
+
+            prefixes = tuple(_partition_prefix(pcols, p) for p in parts)
+            dead = {f for f in live if f.startswith(prefixes)}
+            cond = _partition_filter(pcols, parts)
+            merged = (
+                current.filter(cond)
+                .join(all_keys, keys, "left_anti")
+                .unionByName(inserts)
+            )
+        else:
+            dead = set(live)
+            merged = current.join(all_keys, keys, "left_anti").unionByName(inserts)
+        before = self._data_files()
+        writer = merged.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+        added = self._data_files() - before
+        self.spark.catalog.refreshByPath(self.path)
+        return self._commit("merge_upsert", (live - dead) | added, schema)
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, target_file_bytes: int = 128 << 20) -> int:

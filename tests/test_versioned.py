@@ -109,3 +109,35 @@ def test_compact_commit_preserves_snapshots(spark, tmp_path):
     removed = t.vacuum(retain_last=1)
     assert removed == len(frag_files)
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 100, 101, 102, 103]
+
+
+def test_merge_upsert_commits_are_time_travelable(spark, tmp_path):
+    """Each CDC batch = one version: update, delete and insert land in a new
+    commit; the pre-merge snapshot remains intact; untouched partitions'
+    files carry over unchanged."""
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), ["status"])
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0), (3, "P", 30.0)]))
+    m1_p_files = {
+        f for f in t._manifest(1)["files"] if f.startswith("status=P/")
+    }
+    batch = spark.createDataFrame(
+        [
+            (1, "O", 11.0, 2, False),   # update row 1 (last-write-wins check below)
+            (1, "O", 10.5, 1, False),   # older duplicate — must lose
+            (2, "F", 0.0, 1, True),     # delete row 2
+            (9, "O", 90.0, 1, False),   # insert
+        ],
+        "id bigint, status string, amount double, ts bigint, is_delete boolean",
+    )
+    v = t.merge_upsert(batch, keys=["id"], order_col="ts", delete_col="is_delete")
+    assert v == 2
+    now = {r.id: r.amount for r in t.read().collect()}
+    assert now == {1: 11.0, 3: 30.0, 9: 90.0}
+    # Pre-merge snapshot intact.
+    assert {r.id: r.amount for r in t.read(1).collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+    # Partition P had no matched key and no insert — files carried over.
+    m2_p_files = {
+        f for f in t._manifest(2)["files"] if f.startswith("status=P/")
+    }
+    assert m2_p_files == m1_p_files
+    assert t.history()[-1]["op"] == "merge_upsert"
