@@ -141,3 +141,47 @@ def test_merge_upsert_commits_are_time_travelable(spark, tmp_path):
     }
     assert m2_p_files == m1_p_files
     assert t.history()[-1]["op"] == "merge_upsert"
+
+
+def test_cdc_stream_merges_into_versioned_table(spark, tmp_path):
+    """The streaming CDC MERGE pipeline (foreachBatch, S12/ST8) lands in a
+    VersionedLakeTable unchanged — each drained delivery becomes one
+    time-travelable commit: the pre-update snapshot keeps the old value and
+    lacks the late insert."""
+    from nyc_taxi_lakehouse_spark.streaming.cdc import run_cdc_merge
+    from nyc_taxi_lakehouse_spark.streaming.replay import write_envelopes
+
+    ev_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t0, 10, "click", 5.0), (2, t0, 11, "view", 7.0)], ev_schema
+    )
+    env_dir, ckpt = str(tmp_path / "env"), str(tmp_path / "ckpt")
+    write_envelopes(batch1, env_dir)
+    table = VersionedLakeTable(spark, str(tmp_path / "vt"))
+    run_cdc_merge(spark, env_dir, table, ckpt)
+    v1 = table.latest_version()
+    assert {r.event_id: r.value for r in table.read().collect()} == {1: 5.0, 2: 7.0}
+
+    # Second delivery: update event 1, insert event 3. availableNow + the
+    # same checkpoint drains ONLY the appended file.
+    batch2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=1), 10, "click", 9.0),
+         (3, t0 + dt.timedelta(hours=1), 12, "purchase", 1.0)],
+        ev_schema,
+    )
+    write_envelopes(batch2, env_dir, mode="append")
+    run_cdc_merge(spark, env_dir, table, ckpt)
+    assert table.latest_version() > v1
+    assert {r.event_id: r.value for r in table.read().collect()} == {
+        1: 9.0, 2: 7.0, 3: 1.0,
+    }
+    # Time travel to the pre-update commit: old value, no event 3.
+    assert {r.event_id: r.value for r in table.read(v1).collect()} == {
+        1: 5.0, 2: 7.0,
+    }
