@@ -1070,3 +1070,55 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = spark.sql(segs_sql).localCheckpoint()
     segs.createOrReplaceTempView("dedup_segs")
     return spark.sql(report_sql.replace("segs_view", "dedup_segs"))
+
+
+# --- Estimator-quality analysis: minhash vs exact Jaccard ----------------
+
+
+def _agreement_select_sql(exact: str, sig: str) -> str:
+    """Per-pair comparison of the K=16 minhash estimate against the exact
+    token Jaccard, on the exact-pair set (no banding needed — the pair list
+    is already known, so the signatures join straight to it)."""
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_PERMS))
+    )
+    k = len(_PERMS)
+    return f"""
+SELECT
+  e.doc_a,
+  e.doc_b,
+  e.jaccard,
+  CAST({matches} AS INT) AS matching_hashes,
+  CAST({matches} AS DOUBLE) / {k} AS est_jaccard,
+  CAST(floor(abs(e.jaccard - CAST({matches} AS DOUBLE) / {k}) * {k}) AS INT)
+    AS err_sixteenths
+FROM {exact} e
+JOIN {sig} sa ON e.doc_a = sa.doc_id
+JOIN {sig} sb ON e.doc_b = sb.doc_id
+"""
+
+
+@df_query(
+    "q_dedup_agreement",
+    duck_sql=_agreement_select_sql(
+        f"(SELECT * FROM ({_jaccard_sql(DUCK)}))",
+        f"(SELECT * FROM ({_minhash_sig_sql(DUCK)}))",
+    ),
+    tables=["documents"],
+    doc="Estimator-quality analysis as a first-class query: for every "
+    "exact-Jaccard >= 0.8 near-dup pair, the K=16 minhash estimate and its "
+    "absolute error (bucketed in sixteenths — the estimator's own "
+    "resolution, keeping the output exact-integer + identical-IEEE "
+    "cross-engine). This is the 'measure, don't guess' loop for sketch "
+    "parameters: the error distribution tells you whether K=16 suffices "
+    "before you spend a 100 TB pass on banding. Signatures join straight "
+    "to the known pair list — no banding stage, signature table "
+    "materialized once.",
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    sig = spark.sql(_minhash_sig_sql(SPARK)).localCheckpoint()
+    sig.createOrReplaceTempView("agree_sig")
+    exact = spark.sql(_jaccard_sql(SPARK)).localCheckpoint()
+    exact.createOrReplaceTempView("agree_exact")
+    return spark.sql(_agreement_select_sql("agree_exact", "agree_sig"))

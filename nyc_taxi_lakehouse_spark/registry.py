@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dedup_segments",
     "q_incremental_rollup",
     "q_collocations",
+    "q_dedup_agreement",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",
