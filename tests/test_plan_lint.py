@@ -63,3 +63,20 @@ def test_no_unbounded_plan_shapes(name, spark):
         f"{name}: plan shapes {flags - allowed} not whitelisted — either fix "
         f"the plan or add a bounded-why entry.\n{plan[:2000]}"
     )
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_driver_safe_output_schema(name, spark):
+    """The driver's rows-only canonicalizer pandas-sorts every column and
+    crashes on unhashable cells (round-2's q_value_percentiles_approx
+    TypeError) — so every registered query must emit FLAT scalar columns:
+    no arrays, maps, or structs. Project sketches into scalars instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = SPECS[name].fn(spark, SF)
+    nested = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, f"{name} emits nested columns {nested}"
