@@ -395,3 +395,44 @@ def test_applyinpandaswithstate_running_profile(spark, tmp_path):
     assert abs(float(u1.ewma_value.iloc[-1]) - 15.6) < 1e-9
     u2 = pdf[pdf.user_id == 2]
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 1
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static join: each micro-batch of the parsed CDC stream joins
+    the (re-evaluated per batch) static dimension via broadcast — the
+    streaming counterpart of J3's dim enrichment. The static side never
+    enters streaming state: at 100 TB of stream the dim join cost is
+    per-batch broadcast, not per-state-row."""
+    from nyc_taxi_lakehouse_spark.streaming.cdc import file_replay_source, parse_cdc
+
+    d = tmp_path / "env"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            [
+                _envelope("c", 1, "2024-01-01T00:01:00", 1, "click", 10.0, 1),
+                _envelope("c", 2, "2024-01-01T00:02:00", 2, "purchase", 99.0, 2),
+                _envelope("c", 3, "2024-01-01T00:03:00", 3, "signup", 1.0, 3),
+            ]
+        )
+    )
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    parsed = parse_cdc(file_replay_source(spark, str(d)))
+    enriched = parsed.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "event_type", F.coalesce("category", F.lit("other")).alias("category")
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.event_id: r.category for r in spark.read.parquet(sink).collect()}
+    assert got == {1: "engagement", 2: "revenue", 3: "other"}
