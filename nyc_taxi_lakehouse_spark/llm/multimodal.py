@@ -109,13 +109,36 @@ sql_query(
 )
 
 
+_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_bytes,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> ord(substr(text, i, 1)))) AS INT) AS h16,
+         CAST(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CAST(64 + h16 % 64 AS INT) AS width,
+       CAST(64 + (h16 * 7) % 64 AS INT) AS height,
+       3 AS channels,
+       CAST(byte_sum AS DOUBLE) / n_bytes AS mean_byte
+FROM b
+"""
+
+
 @df_query(
     "q_multimodal_features",
-    duck_sql=None,
+    duck_sql=_FEATURES_ORACLE,
     tables=["documents"],
     doc="Multimodal decode + feature extraction via Arrow-batched mapInPandas"
     " over binary payloads (stubbed decoder — no codecs in container; "
-    "plumbing is real: schema, batching, struct metadata). Rows-only.",
+    "plumbing is real: schema, batching, struct metadata). The stub is "
+    "deterministic byte arithmetic, so the oracle recomputes it in SQL "
+    "(payloads are ASCII → byte == codepoint) — the Arrow round trip "
+    "itself is hash-verified, not just row-counted.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
