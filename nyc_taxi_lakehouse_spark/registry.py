@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_incremental_rollup",
     "q_collocations",
     "q_dedup_agreement",
+    "q_dedup_prod_pipeline",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",

@@ -499,3 +499,27 @@ def test_int8_quantization_reconstruction_error(spark, sf_dir):
         # Reconstruction bound: |x - q*scale| <= scale/2 (+ float32 slack).
         err = np.abs(x - q * scale)
         assert err.max() <= scale / 2 + 1e-6, (vec_id, err.max(), scale)
+
+
+def test_prod_pipeline_clusters_planted_duplicates(spark, sf_dir):
+    """The end-to-end production dedup chain must co-cluster verbatim
+    duplicates (identical signatures → same bands → 16/16 matches), keep
+    exactly one doc per cluster, and leave distinct docs unclustered."""
+    from nyc_taxi_lakehouse_spark.llm.dedup import prod_dedup_chain
+
+    base = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    # Plant verbatim duplicates of 15 docs under doc_id + 100000.
+    dups = base.limit(15).selectExpr("doc_id + 100000 AS doc_id", "text")
+    planted = [r.doc_id for r in dups.collect()]
+    out = prod_dedup_chain(base.unionByName(dups)).toPandas()
+    cluster_of = dict(zip(out.doc_id, out.cluster_id))
+    for dup_id in planted:
+        assert cluster_of[dup_id] == cluster_of[dup_id - 100000]
+    assert out.keep.sum() == out.cluster_id.nunique()
+    # Verbatim pairs cluster size >= 2; the corpus has no other near-dups
+    # guaranteed, so at least the 15 planted clusters have size >= 2.
+    assert (out.cluster_size >= 2).sum() >= 30
