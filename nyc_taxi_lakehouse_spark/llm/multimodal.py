@@ -213,30 +213,70 @@ def sample_frames(mm: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) 
     )
 
 
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       lower(hex(encode(substr(text, 1, 16)))) AS payload_hex,
+       32 AS width,
+       32 AS height,
+       CAST(16 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 @df_query(
     "q_multimodal_resize",
-    duck_sql=None,
+    duck_sql=_RESIZE_ORACLE,
     tables=["documents"],
     doc="Batch image-resize plumbing (mapInPandas, binary in/out, metadata "
-    "rebuilt) — stub resampler, real Spark contract. Rows-only; byte-length "
-    "invariants asserted in tests/test_multimodal_json.py.",
+    "rebuilt) — stub resampler, real Spark contract. The stub truncates to "
+    "the area-proportional length (32x32 -> 16 bytes; every corpus doc is "
+    ">= 48 chars so the zero-pad branch never fires here — pinned "
+    "separately in tests/test_multimodal_json.py), so the resized bytes "
+    "are oracle-checkable once canonicalized through lower(hex(payload)) "
+    "— raw binary columns compare differently across engines, hex is "
+    "byte-identical.",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    return resize_images(to_multimodal(t["documents"]), target_w=32, target_h=32)
+    resized = resize_images(to_multimodal(t["documents"]), target_w=32, target_h=32)
+    return resized.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "width",
+        "height",
+        "n_bytes",
+    )
+
+
+_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(8, greatest(1, length(text) // 256)))) AS frame_no
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       lower(hex(encode(substr(text, frame_no * 256 + 1, 256)))) AS frame_hex
+FROM f
+"""
 
 
 @df_query(
     "q_multimodal_frames",
-    duck_sql=None,
+    duck_sql=_FRAMES_ORACLE,
     tables=["documents"],
     doc="Frame-sampling plumbing: one payload -> up to 8 frame rows "
     "(exploded shape downstream per-frame embedding jobs expect). Stub "
-    "keyframe slicer, real mapInPandas contract. Rows-only.",
+    "keyframe slicer at fixed 256-byte strides, real mapInPandas "
+    "contract; the frame bytes are oracle-checked via the hex "
+    "canonicalization (each frame = one substring slice in SQL).",
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    return sample_frames(to_multimodal(t["documents"]))
+    frames = sample_frames(to_multimodal(t["documents"]))
+    return frames.select(
+        "doc_id", "frame_no", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 @df_query(
