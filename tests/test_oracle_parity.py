@@ -71,6 +71,14 @@ SF01_SPOT = [
     "q_value_percentiles",
     "q_winnow_fingerprint",
     "q_data_mixture",
+    # round-3 representatives (fast at sf0.1)
+    "q_quality_gate",
+    "q_cube_metrics",
+    "q_embedding_quantize",
+    "q_event_unpivot",
+    "q_collocations",
+    "q_incremental_rollup",
+    "q_multimodal_features",
 ]
 
 
