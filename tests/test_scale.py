@@ -177,3 +177,47 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # And the join result is correct: only the two hot partitions' rows.
     assert j.count() == 2000
+
+
+def test_zorder_clustering_tightens_file_stats(spark, tmp_path):
+    """Z-ordered files must have tighter per-file min/max ranges on BOTH
+    dimensions than a layout sorted on one column alone — the property that
+    makes min/max file skipping work for 2-D range predicates. Verified
+    directly from the written parquet footers."""
+    import pyarrow.parquet as pq
+    from nyc_taxi_lakehouse_spark.operators.scale import write_zordered
+
+    n, files = 1 << 14, 8
+    df = spark.range(n).selectExpr(
+        "CAST(id % 256 AS BIGINT) AS x",
+        "CAST(pmod(hash(id), 256) AS BIGINT) AS y",
+    )
+    write_zordered(df, str(tmp_path / "zorder"), "x", "y", n_files=files)
+    (
+        df.repartitionByRange(files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "xsort"))
+    )
+
+    def avg_range(path, col):
+        import glob
+
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().names.index(col)
+            stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            spans.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return sum(spans) / len(spans)
+
+    z_x, z_y = avg_range(str(tmp_path / "zorder"), "x"), avg_range(str(tmp_path / "zorder"), "y")
+    s_x, s_y = avg_range(str(tmp_path / "xsort"), "x"), avg_range(str(tmp_path / "xsort"), "y")
+    # The x-sorted layout is near-perfect on x but useless on y (full 0-255
+    # span per file). Z-order must be selective on BOTH: each of the 8 files
+    # covers ~a quadrant-tree cell, so both spans should be well under the
+    # full domain, and y must improve dramatically over the x-sort.
+    full = 255
+    assert s_y > 0.9 * full  # sanity: single-col sort leaves y unclustered
+    assert z_y < 0.6 * full, f"zorder y span {z_y}"
+    assert z_x < 0.6 * full, f"zorder x span {z_x}"
