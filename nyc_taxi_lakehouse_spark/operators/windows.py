@@ -320,3 +320,48 @@ sql_query(
     "exact-decimal sums; RANGE-peer semantics verified identical across "
     "engines.",
 )
+
+
+def _window_navigation_sql(d: Dialect) -> str:
+    """Frame-navigation family (FIRST_VALUE / LAST_VALUE / NTH_VALUE + LEAD
+    with default): the session-bookend features (entry event, latest event,
+    second touch) a per-user feature store derives. Ordering is made total
+    with the event_id tiebreak so every engine picks identical rows;
+    LAST_VALUE uses the full-partition frame (the default frame stops at
+    CURRENT ROW, a classic silent-wrong-answer trap — pinned here)."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {d.epoch_us('ts')} AS ts_us, event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT
+  user_id,
+  event_id,
+  ts_us,
+  FIRST_VALUE(event_type) OVER w AS first_type,
+  LAST_VALUE(event_type) OVER w AS last_type,
+  NTH_VALUE(event_type, 2) OVER w AS second_type,
+  LEAD(ts_us, 1, 0) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+    AS next_ts_us
+FROM ev
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+sql_query(
+    "q_window_navigation",
+    spark_sql=_window_navigation_sql(SPARK),
+    duck_sql=_window_navigation_sql(DUCK),
+    tables=["events"],
+    doc="Window frame-navigation family: FIRST_VALUE / LAST_VALUE / "
+    "NTH_VALUE over the explicit full-partition frame (the default frame "
+    "ends at CURRENT ROW — LAST_VALUE under it degenerates to the current "
+    "row, the classic trap) plus LEAD with a default. Total ordering via "
+    "the event_id tiebreak makes every navigated row identical across "
+    "engines. One shuffle on user_id; all four functions evaluate in a "
+    "single Window exec pass.",
+)

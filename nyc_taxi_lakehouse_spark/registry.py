@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_dedup_agreement",
     "q_dedup_prod_pipeline",
+    "q_window_navigation",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_minhash_prod",
     "q_dedup_clusters",
