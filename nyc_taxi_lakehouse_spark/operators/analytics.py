@@ -564,3 +564,149 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(event_type, 3)").alias("event_type"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general multi-grain lattice (ROLLUP and CUBE are the
+# special cases q_rollup_report / q_cube_metrics already pin).
+# ---------------------------------------------------------------------------
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  {dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus),
+  (o_orderpriority),
+  ()
+)
+"""
+
+
+sql_query(
+    "q_grouping_sets",
+    spark_sql=_GROUPING_SETS_SQL,
+    duck_sql=_GROUPING_SETS_SQL,
+    tables=["orders"],
+    doc="Explicit GROUPING SETS lattice — the hand-picked-grain superset of "
+    "ROLLUP/CUBE (§2.4 A12 family): detail, two one-dimensional marginals, "
+    "and the grand total in ONE pass. Spark plans this as a single Expand "
+    "(each row fans out to the 4 grouping sets, tagged with spark_grouping_id)"
+    " feeding one hash aggregate — one scan + one shuffle instead of the "
+    "4-scan UNION ALL a naive mart builder would write. grouping() flags "
+    "disambiguate real NULL keys from subtotal rows, exactly as in the "
+    "ROLLUP/CUBE twins. At 100 TB the Expand multiplies shuffle volume by "
+    "|sets|, so grains are hand-picked here rather than CUBE's full 2^n.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — distribution profiling without a per-group sort.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25.0
+_HIST_NBUCKETS = 24  # covers [0, 600); overflow clamps into the last bucket
+
+
+_HISTOGRAM_SQL = f"""
+SELECT
+  event_type,
+  LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS INT), {_HIST_NBUCKETS - 1}) AS bucket,
+  CAST(LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS INT), {_HIST_NBUCKETS - 1})
+       * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+  CAST((LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS INT), {_HIST_NBUCKETS - 1}) + 1)
+       * {_HIST_WIDTH} AS DOUBLE) AS bucket_hi,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {dsum('value')} AS bucket_value_sum
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY event_type, LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS INT), {_HIST_NBUCKETS - 1})
+"""
+
+
+sql_query(
+    "q_histogram",
+    spark_sql=_HISTOGRAM_SQL,
+    duck_sql=_HISTOGRAM_SQL,
+    tables=["events"],
+    doc="Equi-width histogram per event type (distribution profiling, the "
+    "fixed-grid sibling of q_value_percentiles): bucket = clamped "
+    "floor(value/width), counted in ONE hash aggregate — no per-group sort, "
+    "no sketch, mergeable partials, so it scales exactly like any other "
+    "grouped count at 100 TB. The bucket arithmetic (one IEEE division + "
+    "floor) is bit-deterministic cross-engine, unlike width_bucket which "
+    "DuckDB lacks. Non-empty buckets only; consumers left-join a grid if "
+    "they need zero-filled bars (same pattern as q_event_unpivot's oracle).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection — median / MAD (the monitoring-grade anomaly
+# screen; z-scores on heavy-tailed telemetry flag everything).
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_mad_sql(d: Dialect) -> str:
+    if d.name == "spark":
+        def cont(col: str) -> str:
+            return f"percentile_cont(0.5) WITHIN GROUP (ORDER BY {col})"
+    else:
+        def cont(col: str) -> str:
+            return f"quantile_cont({col}, 0.5)"
+
+    return f"""
+WITH base AS (
+  SELECT event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+med AS (
+  SELECT event_type, {cont('value')} AS med
+  FROM base GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, b.value, m.med, abs(b.value - m.med) AS adev
+  FROM base b JOIN med m ON b.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, {cont('adev')} AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT
+  d.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(d.med) AS median_value,
+  MAX(x.mad) AS mad_value,
+  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  MAX(CASE WHEN d.adev > 3.0 * 1.4826 * x.mad THEN d.value END) AS worst_value
+FROM dev d
+JOIN mad x ON d.event_type = x.event_type
+GROUP BY d.event_type
+"""
+
+
+sql_query(
+    "q_anomaly_mad",
+    spark_sql=_anomaly_mad_sql(SPARK),
+    duck_sql=_anomaly_mad_sql(DUCK),
+    tables=["events"],
+    doc="Robust outlier screen per event type: median + MAD (median absolute "
+    "deviation), flagging values beyond the 3-sigma-equivalent band "
+    "3*1.4826*MAD — the estimator of choice for heavy-tailed telemetry where "
+    "mean/stddev z-scores are dragged by the outliers they should flag. Two "
+    "exact-median passes (grouped sort each) + broadcast joins of the tiny "
+    "per-type stats back to the fact; every float op past the sort is a "
+    "single IEEE operation, so results hash-match DuckDB exactly. The "
+    "documented 100 TB substitution is approx_percentile for both medians "
+    "(mergeable sketches, no sort), same degradation path as "
+    "q_value_percentiles → q_value_percentiles_approx.",
+)

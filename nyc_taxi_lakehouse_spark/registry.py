@@ -76,6 +76,9 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-3 additions (new this round — need their first driver row)
+    "q_grouping_sets",
+    "q_histogram",
+    "q_anomaly_mad",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
