@@ -378,3 +378,98 @@ sql_query(
     "ladder instead of floor(log2(n)) (libm log is not bit-identical "
     "across engines); one shuffle carrying tiny grouped partials.",
 )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment + per-fold balance audit.
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def _kfold_sql(d: Dialect) -> str:
+    """Fold = multiplicative-hash bucket mod k — the same no-RNG determinism
+    contract as q_train_split, so fold membership is stable under corpus
+    growth and cluster size. The query returns the per-(fold, lang) balance
+    audit a training pipeline actually consumes (is any fold skewed?)."""
+    bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, lang, CAST({bucket} % {_KFOLD_K} AS INT) AS fold,
+         {d.token_count('text')} AS tc
+  FROM documents
+),
+per_fold AS (
+  SELECT fold, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY fold, lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per_fold)
+SELECT
+  p.fold,
+  p.lang,
+  p.n_docs,
+  p.n_tokens,
+  CAST(p.n_docs AS DOUBLE) / t.total_docs AS doc_share
+FROM per_fold p CROSS JOIN tot t
+"""
+
+
+sql_query(
+    "q_kfold_split",
+    spark_sql=_kfold_sql(SPARK),
+    duck_sql=_kfold_sql(DUCK),
+    tables=["documents"],
+    doc="k-fold cross-validation assignment (k=5) by multiplicative hashing "
+    "— fold membership is a pure map over doc_id (no RNG, no shuffle), and "
+    "the output is the per-(fold, lang) balance audit with each cell's doc "
+    "share against the corpus total (1-row broadcast). Train/eval for fold "
+    "i is then two partition-pruned filters (fold != i / fold = i) over the "
+    "same scan — no data movement to materialize any fold.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum reservoir sample — k exemplars per language.
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 5
+_RESERVOIR_M = 1_000_003  # prime modulus: pseudo-uniform order, no ties by construction
+
+
+def _reservoir_sql(d: Dialect) -> str:
+    """Per-language k-sample: rank docs by a multiplicative hash over a prime
+    modulus (collision-free total order for doc_id < M) and keep the first k
+    — the distributed, deterministic equivalent of per-key reservoir
+    sampling. Every executor computes the same order, so the sample is
+    reproducible run-to-run and stable under repartitioning."""
+    hkey = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % {_RESERVOIR_M})"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY {hkey}, doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars, sample_rank
+FROM ranked
+WHERE sample_rank <= {_RESERVOIR_K}
+"""
+
+
+sql_query(
+    "q_reservoir_sample",
+    spark_sql=_reservoir_sql(SPARK),
+    duck_sql=_reservoir_sql(DUCK),
+    tables=["documents"],
+    doc="Deterministic per-stratum reservoir sample: k=5 exemplar docs per "
+    "language, chosen by hash-rank over a prime modulus (uniform-ish, "
+    "RNG-free, tie-free). One window sort per stratum; at 100 TB this is "
+    "rank-k per key, which Spark executes as a partial top-k per partition "
+    "(WindowGroupLimit pushes rank<=k below the shuffle since 3.5) — each "
+    "executor forwards at most k rows per stratum, so the exchange carries "
+    "k*|strata| rows, not the corpus. The standard 'pull eval exemplars / "
+    "human-review samples per language' step in a curation pipeline.",
+)

@@ -446,3 +446,66 @@ sql_query(
     "corpus-total is a 1-row broadcast. Min-support prunes the long tail "
     "before the joins.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — perplexity-style predictability filter.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_lm_sql(d: Dialect) -> str:
+    """Score each document by the average MLE bigram probability of its own
+    corpus: p(w2|w1) = c(w1,w2)/c(w1 ·). Scoring the training corpus itself
+    means every bigram has support ≥ 1, so no smoothing term is needed and
+    every probability is one exact IEEE division. Each probability is then
+    snapped to DECIMAL(28,12) (grid far coarser than the double's ulp, so
+    both engines land on the same decimal) and summed exactly — the
+    cross-engine-deterministic stand-in for the ln-based log-likelihood,
+    rank-equivalent for filtering."""
+    return f"""
+WITH toks AS ({d.positional_token_rows('documents')}),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, token AS w1,
+           LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+    FROM toks
+  ) b WHERE w2 IS NOT NULL
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+un AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(CAST(g.c12 AS DOUBLE) / u.c1 AS DECIMAL(28,12)) AS p
+  FROM big b
+  JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+  JOIN un u ON b.w1 = u.w1
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_bigram_prob,
+  CAST(MIN(p) AS DOUBLE) AS min_bigram_prob,
+  CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_predictable
+FROM scored
+GROUP BY doc_id
+"""
+
+
+sql_query(
+    "q_bigram_lm",
+    spark_sql=_bigram_lm_sql(SPARK),
+    duck_sql=_bigram_lm_sql(DUCK),
+    tables=["documents"],
+    doc="Bigram LM predictability scoring (the perplexity-filter shape used "
+    "for pretraining-data quality, cf. CCNet/KenLM pipelines): train bigram "
+    "MLE counts on the corpus, score each doc's mean p(w2|w1). Boilerplate "
+    "and template text scores near 1 (every transition memorized), diverse "
+    "prose scores low — threshold on avg_bigram_prob to drop machine-"
+    "generated repetition. Plan: one positional explode, one LEAD window on "
+    "the existing doc_id exchange, two count aggs, two hash joins back on "
+    "token keys — the model IS the aggregate, no driver state. At 100 TB "
+    "the bigram table is the big side; it hash-partitions on w1 and the "
+    "min-support prune from q_collocations applies unchanged if the tail "
+    "must shrink. Probabilities quantized to DECIMAL(28,12) before the sum "
+    "for order-independent exactness (same convention as detsql.dsum).",
+)

@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_grouping_sets",
     "q_histogram",
     "q_anomaly_mad",
+    "q_bigram_lm",
+    "q_kfold_split",
+    "q_reservoir_sample",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
