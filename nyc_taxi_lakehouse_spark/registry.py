@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_bigram_lm",
     "q_kfold_split",
     "q_reservoir_sample",
+    "q_user_profile_state",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",

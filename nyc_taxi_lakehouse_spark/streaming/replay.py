@@ -441,3 +441,66 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         "click_value",
     )
+
+
+@df_query(
+    "q_user_profile_state",
+    duck_sql="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+GROUP BY user_id
+""",
+    tables=["events"],
+    doc="CUSTOM stateful streaming operator, oracle-checked end-to-end: the "
+    "per-user running profile (applyInPandasWithState, streaming/stateful.py)"
+    " drained over the CDC envelope replay. State is a 3-field tuple per "
+    "user; each micro-batch emits one refreshed profile row per ACTIVE user,"
+    " so the final profile is the per-user row with the highest n_events "
+    "(monotone). The running total accumulates integer cents — associative, "
+    "exact — so total_value hash-matches the oracle's exact-decimal SUM; the"
+    " order-dependent EWMA stays in the pipeline but is excluded from the "
+    "oracle projection (pinned instead by tests/test_streaming.py, same "
+    "split as q_cdc_windowed's HLL column). State size ~ active users, "
+    "checkpoint-resumable, Arrow-batched — the escape hatch for semantics "
+    "no built-in stateful operator expresses (SURVEY §2.9/§2.10).",
+)
+def q_user_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stateful import running_user_profile
+
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "profile_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        prof = running_user_profile(parsed)
+        q = (
+            prof.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("profile pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    emitted = spark.read.parquet(sink)
+    # Final profile per user = the emission with the highest n_events
+    # (n is monotone across micro-batches; a single-batch drain emits one
+    # row per user and this reduces to identity).
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )

@@ -29,10 +29,15 @@ from pyspark.sql.types import (
 
 _EWMA_ALPHA = 0.2
 
+# total is tracked as integer CENTS (values are exact 2-decimal doubles):
+# integer accumulation is associative and exact, so the emitted total_value
+# (cents / 100.0, one correctly-rounded division) is bit-identical to an
+# exact-decimal SQL SUM over the same rows — the same determinism convention
+# as functions/detsql.dsum, which makes the operator oracle-checkable.
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("total_cents", LongType()),
         StructField("ewma", DoubleType()),
     ]
 )
@@ -51,20 +56,20 @@ def _update_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, ewma = state.get if state.exists else (0, 0.0, None)
+    n, cents, ewma = state.get if state.exists else (0, 0, None)
     for pdf in batches:
         # Deterministic within-batch order: event values applied in event_time
         # order so the EWMA is replay-stable.
         for v in pdf.sort_values("event_time")["value"]:
             n += 1
-            total += float(v)
+            cents += int(round(float(v) * 100))
             ewma = float(v) if ewma is None else _EWMA_ALPHA * float(v) + (1 - _EWMA_ALPHA) * ewma
-    state.update((n, total, ewma))
+    state.update((n, cents, ewma))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [cents / 100.0],
             "ewma_value": [ewma],
         }
     )
