@@ -523,3 +523,44 @@ def test_prod_pipeline_clusters_planted_duplicates(spark, sf_dir):
     # Verbatim pairs cluster size >= 2; the corpus has no other near-dups
     # guaranteed, so at least the 15 planted clusters have size >= 2.
     assert (out.cluster_size >= 2).sum() >= 30
+
+
+def test_pq_assignment_properties(spark, sf_dir):
+    """PQ invariants: every vector yields exactly one code per subspace,
+    codes are nibble-range, the argmin is verified against an independent
+    numpy scan on a sample, and total distortion is below the trivial
+    single-centroid encoding (the codebook must actually help)."""
+    import numpy as np
+
+    out = SPECS["q_pq_assign"].fn(spark, sf_dir).toPandas()
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    src = t["embeddings"].toPandas().set_index("vec_id")
+    n, S, K = len(src), 8, 16
+    assert len(out) == n * S
+    assert out.groupby("vec_id").size().eq(S).all()
+    assert out.code.between(0, K - 1).all()
+
+    # Rebuild the seeded codebook exactly as the query defines it.
+    def half_away(x):
+        # SQL round(): half away from zero (np.round is half-to-even).
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    grid = {
+        vid: half_away(np.asarray(e, dtype=np.float64) * 1048576.0)
+        for vid, e in src.embedding.items()
+    }
+    order = sorted(grid, key=lambda v: ((v * 2654435761 + 104729) % 1_000_003, v))
+    seeds = [grid[v] for v in order[:K]]
+    sample = out[out.vec_id.isin(list(src.index[:40]))]
+    for row in sample.itertuples():
+        v = grid[row.vec_id][row.sub_id * 8 : row.sub_id * 8 + 8]
+        dists = [int(((v - c[row.sub_id * 8 : row.sub_id * 8 + 8]) ** 2).sum()) for c in seeds]
+        best = min(range(K), key=lambda c: (dists[c], c))
+        assert (row.code, row.sq_dist) == (best, dists[best])
+
+    # Distortion sanity: PQ beats encoding everything with centroid 0.
+    naive = sum(
+        int(((grid[v] - seeds[0]) ** 2).sum()) for v in src.index
+    )
+    assert out.sq_dist.sum() < naive
+
