@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_reservoir_sample",
     "q_user_profile_state",
     "q_pq_assign",
+    "q_gap_fill",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
