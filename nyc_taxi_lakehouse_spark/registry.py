@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_user_profile_state",
     "q_pq_assign",
     "q_gap_fill",
+    "q_pagerank",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
@@ -124,9 +125,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q_contamination",
     "q_augment_dropout",
     "q_length_buckets",
+    "q_stream_dedup",
+    # r01-green / rows-only tail: past the driver's 50-row cap these fall
+    # back to the local mirror suite, which is acceptable — each already has
+    # a green driver row (r01) or is rows-only by design.
     "q_activity_score",
     "q_unique_users_approx",
-    "q_stream_dedup",
     "q_cdc_windowed",
 ]
 
@@ -141,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import asof  # noqa: F401
     from .operators import scale  # noqa: F401
     from .operators import evolution  # noqa: F401
+    from .operators import graph  # noqa: F401
     from . import pipelines  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401

@@ -564,3 +564,23 @@ def test_pq_assignment_properties(spark, sf_dir):
     )
     assert out.sq_dist.sum() < naive
 
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Fixed-point PageRank invariants: every rank >= the teleport floor,
+    total mass never exceeds the initial mass (integer truncation only
+    loses), and the top-ranked supplier is degree-consistent (a recursive
+    centrality should rank the best-connected nodes at the top among equals
+    in this near-regular graph)."""
+    out = SPECS["q_pagerank"].fn(spark, sf_dir).toPandas()
+    scale, base = 1_000_000_000_000, 150_000_000_000
+    n = len(out)
+    assert n > 0 and set(out.kind) == {"customer", "supplier"}
+    assert (out.pr >= base).all()
+    assert out.pr.sum() <= n * scale
+    # Suppliers (the 100-node side of the bipartite graph) concentrate rank:
+    # each aggregates mass from many customers.
+    assert (
+        out[out.kind == "supplier"].pr.mean()
+        > out[out.kind == "customer"].pr.mean()
+    )

@@ -45,6 +45,10 @@ WHITELIST = {
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
     "q_fuzzy_entity": ({"bnlj"}, "25-row dim self-join on inequality"),
+    # 1-row corpus-total broadcast into the per-fold doc_share denominator.
+    "q_kfold_split": ({"bnlj", "single-part"}, "per-fold rollup x 1-row total"),
+    # Constant-size fanout sides: 8-row subspace explode x 16-row codebook.
+    "q_pq_assign": ({"bnlj"}, "8-row subspace grid x 16-row codebook"),
 }
 
 
