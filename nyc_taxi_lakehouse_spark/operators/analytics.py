@@ -710,3 +710,80 @@ sql_query(
     "(mergeable sketches, no sort), same degradation path as "
     "q_value_percentiles → q_value_percentiles_approx.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between time windows — the data-quality monitor.
+# ---------------------------------------------------------------------------
+
+
+def _drift_sql(d: Dialect) -> str:
+    """Per-type value-distribution drift between the first and second half
+    of the time range, over the same fixed bucket grid as q_histogram.
+    Divergence = Σ_b (pA_b − pB_b)² / (pA_b + pB_b) — the χ²-style symmetric
+    statistic, chosen over PSI/KL because it needs no ln() (cross-libm
+    unstable). Each bucket's term is one chain of IEEE ops snapped to
+    DECIMAL(28,12) before the order-independent sum."""
+    bucket = f"LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS INT), {_HIST_NBUCKETS - 1})"
+    term = (
+        "CAST((pa - pb) * (pa - pb) / (pa + pb) AS DECIMAL(28,12))"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, value, {d.epoch('ts')} AS ts_s
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+bounds AS (
+  SELECT MIN(ts_s) AS lo, MAX(ts_s) AS hi FROM base
+),
+tagged AS (
+  SELECT event_type, {bucket} AS bucket,
+         CASE WHEN ts_s * 2 < lo + hi THEN 0 ELSE 1 END AS half
+  FROM base CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM tagged GROUP BY event_type, bucket
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(n_a) AS BIGINT) AS tot_a,
+         CAST(SUM(n_b) AS BIGINT) AS tot_b
+  FROM counts GROUP BY event_type
+),
+shares AS (
+  SELECT c.event_type,
+         CAST(c.n_a AS DOUBLE) / t.tot_a AS pa,
+         CAST(c.n_b AS DOUBLE) / t.tot_b AS pb
+  FROM counts c JOIN totals t ON c.event_type = t.event_type
+)
+SELECT
+  s.event_type,
+  t.tot_a AS n_first_half,
+  t.tot_b AS n_second_half,
+  CAST(COUNT(*) AS INT) AS n_buckets,
+  CAST(SUM({term}) AS DOUBLE) AS drift_chisq
+FROM shares s JOIN totals t ON s.event_type = t.event_type
+GROUP BY s.event_type, t.tot_a, t.tot_b
+"""
+
+
+sql_query(
+    "q_drift_chisq",
+    spark_sql=_drift_sql(SPARK),
+    duck_sql=_drift_sql(DUCK),
+    tables=["events"],
+    doc="Distribution-drift monitor: per event type, the χ²-style symmetric "
+    "divergence between the value distribution of the first and second half "
+    "of the observed time range, over q_histogram's fixed bucket grid — the "
+    "continuous-monitoring gate that catches upstream schema/behavior "
+    "changes before they poison training data (the PSI report of feature "
+    "stores, minus PSI's ln() which is not bit-stable cross-libm). Plan: "
+    "one scan, a 1-row bounds broadcast, one (type, bucket) count agg "
+    "carrying both halves as conditional sums (no second scan), then "
+    "arithmetic on the tiny bucket table. Mergeable counts make this "
+    "incremental at 100 TB: yesterday's bucket counts are reusable partials.",
+)

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_pq_assign",
     "q_gap_fill",
     "q_pagerank",
+    "q_drift_chisq",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",

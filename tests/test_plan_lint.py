@@ -49,6 +49,8 @@ WHITELIST = {
     "q_kfold_split": ({"bnlj", "single-part"}, "per-fold rollup x 1-row total"),
     # Constant-size fanout sides: 8-row subspace explode x 16-row codebook.
     "q_pq_assign": ({"bnlj"}, "8-row subspace grid x 16-row codebook"),
+    # 1-row time-range bounds broadcast onto the scan.
+    "q_drift_chisq": ({"bnlj", "single-part"}, "MIN/MAX ts 1-row bounds"),
 }
 
 
