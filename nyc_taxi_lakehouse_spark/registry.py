@@ -87,6 +87,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_gap_fill",
     "q_pagerank",
     "q_drift_chisq",
+    "q_funnel",
+    "q_retention",
+    "q_markov_transitions",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
@@ -110,9 +113,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dedup_embedding",
     "q_similarity_topk",
     "q_kmeans_step",
-    "q_similarity_lsh",
-    "q_similarity_bruteforce_pandas",
-    "q_similarity_ivf",
     "q_semdedup",
     "q_multimodal_meta",
     "q_multimodal_features",
@@ -129,8 +129,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stream_dedup",
     # r01-green / rows-only tail: past the driver's 50-row cap these fall
     # back to the local mirror suite, which is acceptable — each already has
-    # a green driver row (r01) or is rows-only by design.
+    # a green driver row (r01), or is rows-only by design (the three ANN
+    # variants' driver rows are row-count-only; their semantics are pinned
+    # by recall tests in tests/test_llm_ops.py).
     "q_activity_score",
+    "q_similarity_lsh",
+    "q_similarity_bruteforce_pandas",
+    "q_similarity_ivf",
     "q_unique_users_approx",
     "q_cdc_windowed",
 ]
@@ -147,6 +152,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import scale  # noqa: F401
     from .operators import evolution  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .operators import behavior  # noqa: F401
     from . import pipelines  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401

@@ -51,6 +51,8 @@ WHITELIST = {
     "q_pq_assign": ({"bnlj"}, "8-row subspace grid x 16-row codebook"),
     # 1-row time-range bounds broadcast onto the scan.
     "q_drift_chisq": ({"bnlj", "single-part"}, "MIN/MAX ts 1-row bounds"),
+    # 4-step union off the 1-row global funnel aggregate.
+    "q_funnel": ({"single-part"}, "steps union off a scalar funnel agg"),
 }
 
 
