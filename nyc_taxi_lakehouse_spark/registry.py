@@ -76,6 +76,8 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-3 additions (new this round — need their first driver row)
+    "q_synth_source",
+    "q_udtf_shingles",
     "q_grouping_sets",
     "q_histogram",
     "q_anomaly_mad",
@@ -105,10 +107,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_incremental_rollup",
     "q_collocations",
     "q_dedup_agreement",
-    "q_dedup_prod_pipeline",
     "q_window_navigation",
     # round-2 queries that never received a driver row (r02 file capped at 50)
-    "q_dedup_minhash_prod",
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_similarity_topk",
@@ -133,6 +133,8 @@ _DRIVER_PRIORITY: list[str] = [
     # variants' driver rows are row-count-only; their semantics are pinned
     # by recall tests in tests/test_llm_ops.py).
     "q_activity_score",
+    "q_dedup_prod_pipeline",
+    "q_dedup_minhash_prod",
     "q_similarity_lsh",
     "q_similarity_bruteforce_pandas",
     "q_similarity_ivf",
@@ -161,6 +163,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import similarity  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .llm import curation  # noqa: F401
+    from .functions import udtfs  # noqa: F401
+    from .sources import pysource  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
     from .streaming import replay  # noqa: F401
 
