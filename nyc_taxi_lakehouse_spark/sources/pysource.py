@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _A_USER = 2654435761  # Knuth multiplicative constants, as in llm/curation.py
 _A_TYPE = 40503
@@ -82,6 +87,36 @@ class SynthEventsDataSource(DataSource):
 
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the same deterministic relation
+    delivered as micro-batches of `rowsPerBatch`, with the row index as the
+    stream offset. Offsets are plain dicts checkpointed by the engine, so a
+    restarted query resumes exactly where it left off — replayability comes
+    from the generator being a pure function of the index range, the same
+    property a Kafka offset range or a file listing gives real sources
+    (SURVEY §2.9 ST6 startingOffsets semantics, re-expressed for a custom
+    source)."""
+
+    def __init__(self, options: dict):
+        self.n_total = int(options.get("rows", 10_000))
+        self.per_batch = int(options.get("rowsPerBatch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.per_batch, self.n_total)
+        return iter([row_at(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Deterministic replay for recovery: regenerate the exact slice.
+        return iter([row_at(i) for i in range(int(start["i"]), int(end["i"]))])
 
 
 def register(spark) -> None:
