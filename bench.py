@@ -53,6 +53,12 @@ HEADLINE = [
     "q_dedup_chargram",
     "q_embedding_quantize",
     "q_quality_gate",
+    # Round-3 continuation flagships: fixed-point PageRank, PQ codebook
+    # assignment, interval-style gap fill, single-pass funnel.
+    "q_pagerank",
+    "q_pq_assign",
+    "q_gap_fill",
+    "q_funnel",
 ]
 
 
