@@ -292,3 +292,118 @@ sql_query(
     "(prefix/soundex/LSH band) before paying the quadratic distance, the "
     "same blocking pattern as llm/dedup.py.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-family completion: semi/anti (EXISTS), full-outer reconciliation,
+# correlated scalar subquery (Catalyst decorrelation).
+# ---------------------------------------------------------------------------
+
+_HIGH_VALUE = 200_000  # o_totalprice threshold making the subset selective
+
+
+_SEMI_ANTI_SQL = f"""
+SELECT
+  n.n_name AS nation,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_HIGH_VALUE}
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_high_value,
+  CAST(SUM(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_HIGH_VALUE}
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_high_value
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+sql_query(
+    "q_semi_anti",
+    spark_sql=_SEMI_ANTI_SQL,
+    duck_sql=_SEMI_ANTI_SQL,
+    tables=["customer", "orders", "nation"],
+    doc="Semi/anti join pair via EXISTS / NOT EXISTS: per nation, customers "
+    "WITH and WITHOUT a high-value order. Catalyst rewrites the EXISTS "
+    "predicates into LeftSemi/LeftAnti hash joins on c_custkey — no "
+    "row multiplication (a plain inner join + distinct would shuffle every "
+    "matching order; the semi join short-circuits at first match and "
+    "carries only the probe side). The nation dim broadcasts. The "
+    "fill-or-kill membership shapes (allowlist filtering, tombstone "
+    "exclusion) all compile to exactly these two operators at 100 TB.",
+)
+
+
+_FULL_OUTER_SQL = f"""
+WITH buyers AS (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > {_HIGH_VALUE}
+),
+actives AS (
+  SELECT DISTINCT user_id AS key FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT
+  CASE WHEN b.key IS NULL THEN 'events_only'
+       WHEN a.key IS NULL THEN 'orders_only'
+       ELSE 'both' END AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(MIN(COALESCE(b.key, a.key)) AS BIGINT) AS min_key,
+  CAST(MAX(COALESCE(b.key, a.key)) AS BIGINT) AS max_key
+FROM buyers b
+FULL OUTER JOIN actives a ON b.key = a.key
+GROUP BY CASE WHEN b.key IS NULL THEN 'events_only'
+              WHEN a.key IS NULL THEN 'orders_only'
+              ELSE 'both' END
+"""
+
+
+sql_query(
+    "q_full_outer_audit",
+    spark_sql=_FULL_OUTER_SQL,
+    duck_sql=_FULL_OUTER_SQL,
+    tables=["orders", "events"],
+    doc="Full-outer reconciliation audit: the key sets of two independent "
+    "systems (high-value buyers vs active event users) bucketed into "
+    "both / left-only / right-only with COALESCE'd key bounds — the "
+    "cross-system consistency check every migration and CDC validation "
+    "runs. FULL OUTER is the one join type no rewrite avoids; it shuffles "
+    "both deduplicated key sets once and streams the merge. Distinct-"
+    "before-join keeps the shuffle minimal (keys, not rows) — at 100 TB "
+    "the pre-aggregation is the difference between shuffling 1e12 rows "
+    "and 1e8 keys.",
+)
+
+
+_CORRELATED_SQL = """
+SELECT
+  o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+  CAST(MIN(o.o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.5 * AVG(o2.o_totalprice)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+sql_query(
+    "q_correlated_subquery",
+    spark_sql=_CORRELATED_SQL,
+    duck_sql=_CORRELATED_SQL,
+    tables=["orders"],
+    doc="Correlated scalar subquery: orders whose total exceeds 1.5x their "
+    "OWN customer's average — the per-entity-baseline filter users write "
+    "naturally and engines must decorrelate. Catalyst rewrites the "
+    "correlated aggregate into a grouped subplan joined back on o_custkey "
+    "(one scan + one agg + one join instead of a per-row subquery "
+    "execution — the O(n^2)-to-O(n) rewrite). AVG of doubles is safe here "
+    "because both engines decorrelate to the same per-customer "
+    "aggregation: each group's mean is computed over the same small "
+    "ordered-by-nothing set; the comparison 1.5*avg is one IEEE multiply. "
+    "Counts are integers, so the output is hash-exact.",
+)

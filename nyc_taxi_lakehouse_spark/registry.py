@@ -78,6 +78,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round-3 additions (new this round — need their first driver row)
     "q_synth_source",
     "q_udtf_shingles",
+    "q_semi_anti",
+    "q_full_outer_audit",
+    "q_correlated_subquery",
     "q_grouping_sets",
     "q_histogram",
     "q_anomaly_mad",
@@ -110,11 +113,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_window_navigation",
     # round-2 queries that never received a driver row (r02 file capped at 50)
     "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_similarity_topk",
     "q_kmeans_step",
     "q_semdedup",
-    "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_multimodal_frames",
@@ -133,6 +133,9 @@ _DRIVER_PRIORITY: list[str] = [
     # variants' driver rows are row-count-only; their semantics are pinned
     # by recall tests in tests/test_llm_ops.py).
     "q_activity_score",
+    "q_dedup_embedding",
+    "q_similarity_topk",
+    "q_multimodal_meta",
     "q_dedup_prod_pipeline",
     "q_dedup_minhash_prod",
     "q_similarity_lsh",
