@@ -509,3 +509,56 @@ sql_query(
     "must shrink. Probabilities quantized to DECIMAL(28,12) before the sum "
     "for order-independent exactness (same convention as detsql.dsum).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build — the search/retrieval primitive.
+# ---------------------------------------------------------------------------
+
+
+def _inverted_index_sql(d: Dialect) -> str:
+    """token → posting-list statistics. Postings themselves are capped to
+    the 5 lowest doc_ids per token (deterministic, bounded output) and
+    emitted as a CSV string; the full list at scale stays relational
+    (token-partitioned), exactly how a distributed index shard is laid
+    out. df/cf/span stats are exact integers."""
+    if d.name == "spark":
+        postings = (
+            "concat_ws(',', slice(array_sort(collect_set(doc_id)), 1, 5))"
+        )
+    else:
+        postings = (
+            "array_to_string(list_sort(list_distinct(list(doc_id)))[1:5], ',')"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token
+  FROM ({d.positional_token_rows('documents')}) t
+  WHERE token <> ''
+)
+SELECT
+  token,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+  CAST(COUNT(*) AS BIGINT) AS cf,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+  {postings} AS sample_postings
+FROM tok
+GROUP BY token
+"""
+
+
+sql_query(
+    "q_inverted_index",
+    spark_sql=_inverted_index_sql(SPARK),
+    duck_sql=_inverted_index_sql(DUCK),
+    tables=["documents"],
+    doc="Inverted-index build (token → posting-list stats + capped sorted "
+    "posting sample): document frequency, collection frequency, doc-id "
+    "span, and the 5 lowest postings per token as a deterministic CSV — "
+    "the retrieval primitive behind BM25 serving and the df-side of "
+    "q_tfidf. One explode + one (token)-keyed aggregate; posting lists "
+    "shard naturally by token hash at 100 TB (each shard is one group), "
+    "with collect_set bounded here via the explicit cap — unbounded "
+    "per-group collection is the one thing this repo's plan rules ban.",
+)

@@ -787,3 +787,67 @@ sql_query(
     "arithmetic on the tiny bucket table. Mergeable counts make this "
     "incremental at 100 TB: yesterday's bucket counts are reusable partials.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust statistics — the q_anomaly_mad companion.
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_sql(d: Dialect) -> str:
+    """Per-type mean/total recomputed after clamping values into the exact
+    [p05, p95] band (winsorizing) and after dropping the tails entirely
+    (trimming). Band edges are percentile_disc — ACTUAL data values, no
+    interpolation — so membership tests are exact double comparisons and
+    the aggregates run through the standard decimal-exact path."""
+    if d.name == "spark":
+        def disc(p: str, col: str = "value") -> str:
+            return f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})"
+    else:
+        def disc(p: str, col: str = "value") -> str:
+            return f"quantile_disc({col}, {p})"
+
+    wins = "CASE WHEN value < p05 THEN p05 WHEN value > p95 THEN p95 ELSE value END"
+    return f"""
+WITH base AS (
+  SELECT event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+bands AS (
+  SELECT event_type, {disc('0.05')} AS p05, {disc('0.95')} AS p95
+  FROM base GROUP BY event_type
+)
+SELECT
+  b.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(d.p05) AS p05,
+  MAX(d.p95) AS p95,
+  {davg('value')} AS raw_mean,
+  CAST(SUM(CAST(({wins}) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS winsorized_mean,
+  CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+                THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+    / SUM(CASE WHEN value >= p05 AND value <= p95 THEN 1 ELSE 0 END)
+    AS trimmed_mean,
+  CAST(SUM(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped
+FROM base b JOIN bands d ON b.event_type = d.event_type
+GROUP BY b.event_type
+"""
+
+
+sql_query(
+    "q_trimmed_stats",
+    spark_sql=_trimmed_sql(SPARK),
+    duck_sql=_trimmed_sql(DUCK),
+    tables=["events"],
+    doc="Winsorized + trimmed means per event type (robust-stats family, "
+    "completing q_anomaly_mad): the 5%/95% percentile_disc band edges — "
+    "actual data values, no interpolation — broadcast back onto the fact, "
+    "values clamped (winsorize) or excluded (trim), then the standard "
+    "exact-decimal aggregate. The pre-model feature-normalization step "
+    "that stops a fat-finger 1e9 fare from dragging a fleet-wide mean. "
+    "One grouped percentile pass + one broadcast join + one agg; the "
+    "100 TB substitution for the exact band is approx_percentile, same "
+    "path as every percentile query here.",
+)

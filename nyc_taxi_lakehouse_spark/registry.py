@@ -127,6 +127,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_augment_dropout",
     "q_length_buckets",
     "q_stream_dedup",
+    # Round-3 additions past the 50-row cap (first in line if the driver
+    # checks more; locally mirror-verified at two SFs either way).
+    "q_trimmed_stats",
+    "q_inverted_index",
     # r01-green / rows-only tail: past the driver's 50-row cap these fall
     # back to the local mirror suite, which is acceptable — each already has
     # a green driver row (r01), or is rows-only by design (the three ANN
