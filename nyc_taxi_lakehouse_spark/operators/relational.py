@@ -326,13 +326,14 @@ sql_query(
     duck_sql=_SEMI_ANTI_SQL,
     tables=["customer", "orders", "nation"],
     doc="Semi/anti join pair via EXISTS / NOT EXISTS: per nation, customers "
-    "WITH and WITHOUT a high-value order. Catalyst rewrites the EXISTS "
-    "predicates into LeftSemi/LeftAnti hash joins on c_custkey — no "
-    "row multiplication (a plain inner join + distinct would shuffle every "
-    "matching order; the semi join short-circuits at first match and "
-    "carries only the probe side). The nation dim broadcasts. The "
-    "fill-or-kill membership shapes (allowlist filtering, tombstone "
-    "exclusion) all compile to exactly these two operators at 100 TB.",
+    "WITH and WITHOUT a high-value order. Catalyst compiles both "
+    "predicates to ExistenceJoin — the semi-join variant that emits a "
+    "boolean flag instead of filtering, so BOTH membership tests ride one "
+    "BroadcastHashJoin pass each with no row multiplication (audited: one "
+    "exchange total; a plain join+distinct would shuffle every matching "
+    "order). Filter-position EXISTS compiles to LeftSemi/LeftAnti, the "
+    "same family. Allowlist filtering and tombstone exclusion all compile "
+    "to exactly these operators at 100 TB.",
 )
 
 
