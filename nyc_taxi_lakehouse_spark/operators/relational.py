@@ -408,3 +408,71 @@ sql_query(
     "ordered-by-nothing set; the comparison 1.5*avg is one IEEE multiply. "
     "Counts are integers, so the output is hash-exact.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations audit.
+# ---------------------------------------------------------------------------
+
+
+_EXPECTATIONS_SQL = """
+WITH checks AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_key_null,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_price_range,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_status_domain,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_date_null
+  FROM orders
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS v_key_dup
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey) g
+  WHERE n > 1
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_fk_orphan
+  FROM orders o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+  )
+)
+SELECT rule, n_violations, n_rows,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS rule, v_key_null AS n_violations, n_rows FROM checks
+  UNION ALL
+  SELECT 'totalprice_positive', v_price_range, n_rows FROM checks
+  UNION ALL
+  SELECT 'status_in_domain', v_status_domain, n_rows FROM checks
+  UNION ALL
+  SELECT 'orderdate_not_null', v_date_null, n_rows FROM checks
+  UNION ALL
+  SELECT 'orderkey_unique', d.v_key_dup, c.n_rows FROM dup d CROSS JOIN checks c
+  UNION ALL
+  SELECT 'custkey_references_customer', o.v_fk_orphan, c.n_rows
+  FROM orphans o CROSS JOIN checks c
+) r
+"""
+
+
+sql_query(
+    "q_expectations",
+    spark_sql=_EXPECTATIONS_SQL,
+    duck_sql=_EXPECTATIONS_SQL,
+    tables=["orders", "customer"],
+    doc="Declarative expectations audit (the Great-Expectations/dbt-test "
+    "shape, complementing lake.py's ingest gates): six rules — not-null "
+    "×2, range, categorical domain, key uniqueness, referential "
+    "integrity — evaluated as ONE conditional-sum scan plus a grouped "
+    "duplicate count and an anti-join orphan count (NOT EXISTS → "
+    "LeftAnti/ExistenceJoin with the customer keys broadcast). Emits the "
+    "per-rule violation ledger a data contract gates on. At 100 TB the "
+    "row checks stay one pass; uniqueness and FK checks shuffle keys "
+    "only — and the FK side is the broadcast dim, so the fact never "
+    "moves.",
+)
