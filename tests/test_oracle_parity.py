@@ -79,6 +79,14 @@ SF01_SPOT = [
     "q_collocations",
     "q_incremental_rollup",
     "q_multimodal_features",
+    # round-3 continuation representatives (fast at sf0.1): the iterative
+    # graph fixpoint, the single-pass funnel, PQ assignment, the interval
+    # gap-fill rewrite, and the SCD2 containment join.
+    "q_pagerank",
+    "q_funnel",
+    "q_pq_assign",
+    "q_gap_fill",
+    "q_scd2_point_in_time",
 ]
 
 
