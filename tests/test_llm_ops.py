@@ -584,3 +584,21 @@ def test_pagerank_invariants(spark, sf_dir):
         out[out.kind == "supplier"].pr.mean()
         > out[out.kind == "customer"].pr.mean()
     )
+
+
+def test_funnel_and_retention_invariants(spark, sf_dir):
+    """Structural invariants the oracle can't express as hash equality:
+    funnel counts are monotone non-increasing down the steps, and every
+    cohort's week-0 retention cell equals its cohort size (everyone is
+    active the week they first appear)."""
+    funnel = SPECS["q_funnel"].fn(spark, sf_dir).toPandas().sort_values("step")
+    counts = funnel.n_users.tolist()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert (funnel.conv_from_first <= 1.0).all()
+    assert funnel.iloc[0].conv_from_first == 1.0
+
+    ret = SPECS["q_retention"].fn(spark, sf_dir).toPandas()
+    week0 = ret[ret.week_offset == 0]
+    assert (week0.n_active == week0.cohort_size).all()
+    assert (week0.retention == 1.0).all()
+    assert (ret.week_offset >= 0).all()
