@@ -851,3 +851,98 @@ sql_query(
     "100 TB substitution for the exact band is approx_percentile, same "
     "path as every percentile query here.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics + equi-depth histogram.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) to 5 places — public constants, identical literals in both
+# engines so the divergence arithmetic starts from the same doubles.
+_BENFORD = {
+    1: 0.30103, 2: 0.17609, 3: 0.12494, 4: 0.09691, 5: 0.07918,
+    6: 0.06695, 7: 0.05799, 8: 0.05115, 9: 0.04576,
+}
+
+
+def _benford_sql(d: Dialect) -> str:
+    digit = "CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    expected = "CASE first_digit " + " ".join(
+        f"WHEN {k} THEN {v}" for k, v in _BENFORD.items()
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT {digit} AS first_digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY first_digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT
+  c.first_digit,
+  c.n,
+  CAST(c.n AS DOUBLE) / t.total AS observed_share,
+  CAST({expected} AS DOUBLE) AS benford_share,
+  CAST(CAST((CAST(c.n AS DOUBLE) / t.total - {expected})
+            * (CAST(c.n AS DOUBLE) / t.total - {expected})
+            / {expected} AS DECIMAL(28,12)) AS DOUBLE) AS chisq_term
+FROM counts c CROSS JOIN tot t
+"""
+
+
+sql_query(
+    "q_benford",
+    spark_sql=_benford_sql(SPARK),
+    duck_sql=_benford_sql(DUCK),
+    tables=["orders"],
+    doc="Benford first-digit audit over order totals: observed leading-"
+    "digit shares vs the log10(1+1/d) law with per-digit χ² terms — the "
+    "classic fabricated-data / upstream-bug forensic (a synthetic or "
+    "truncated feed shows up as a flat digit histogram long before any "
+    "schema check fires). One scan + a 9-row count table + a 1-row total "
+    "broadcast; the FLOOR-before-cast keeps the digit extraction "
+    "identical cross-engine (DuckDB CAST rounds, Spark truncates). "
+    "Trivially incremental at 100 TB: digit counts are mergeable "
+    "partials.",
+)
+
+
+def _equidepth_sql(d: Dialect) -> str:
+    return """
+WITH ranked AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS decile
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT event_type,
+       CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
+sql_query(
+    "q_equidepth_histogram",
+    spark_sql=_equidepth_sql(SPARK),
+    duck_sql=_equidepth_sql(DUCK),
+    tables=["events"],
+    doc="Equi-depth (quantile-bucket) histogram: NTILE(10) per event type "
+    "with an event_id tiebreak (a total order, so bucket membership is "
+    "deterministic cross-engine), reduced to per-decile count + value "
+    "bounds — the boundary table feeding range-partitioners, optimizer "
+    "statistics, and monotone feature binning, complementing "
+    "q_histogram's fixed grid (equi-width tells you WHERE mass sits; "
+    "equi-depth guarantees balanced buckets regardless of skew). One "
+    "sort per type partition; the 100 TB substitution is "
+    "approx_percentile boundaries, same degradation path as every "
+    "percentile query here.",
+)

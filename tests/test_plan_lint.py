@@ -55,6 +55,8 @@ WHITELIST = {
     "q_funnel": ({"single-part"}, "steps union off a scalar funnel agg"),
     # Rule ledger: 1-row check/dup/orphan scalars cross-joined into 6 rows.
     "q_expectations": ({"bnlj", "single-part"}, "1-row audit scalars x rules"),
+    # 9-row digit counts x 1-row total broadcast.
+    "q_benford": ({"bnlj", "single-part"}, "digit counts x 1-row total"),
 }
 
 
