@@ -476,3 +476,63 @@ sql_query(
     "only — and the FK side is the broadcast dim, so the fact never "
     "moves.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Table-diff checksum — replica / migration reconciliation.
+# ---------------------------------------------------------------------------
+
+
+def _table_checksum_sql(d: Dialect) -> str:
+    """Per-group row counts + order-independent content digests for a table
+    and a (simulated lossy) replica. Digest = SUM of per-row md5-derived
+    32-bit integers — associative, so any partitioning/order yields the
+    same BIGINT (n·2^32 < 2^63 up to ~2e9 rows per group; widen to
+    DECIMAL(38,0) beyond). The replica drops every 97th order, modeling a
+    partial copy; the digest catches CONTENT drift that row counts alone
+    miss (an update-in-place leaves counts equal)."""
+    rowhash = d.md5_int32(
+        "CAST(o_orderkey AS STRING) || ':' || "
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"
+    )
+    return f"""
+WITH a AS (
+  SELECT o_orderstatus AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({rowhash}) AS BIGINT) AS digest
+  FROM orders GROUP BY o_orderstatus
+),
+b AS (
+  SELECT o_orderstatus AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({rowhash}) AS BIGINT) AS digest
+  FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY o_orderstatus
+)
+SELECT
+  a.grp,
+  a.n AS n_source,
+  b.n AS n_replica,
+  a.digest AS digest_source,
+  b.digest AS digest_replica,
+  CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS INT) AS counts_match,
+  CAST(CASE WHEN a.digest = b.digest THEN 1 ELSE 0 END AS INT) AS digests_match
+FROM a JOIN b ON a.grp = b.grp
+"""
+
+
+sql_query(
+    "q_table_checksum",
+    spark_sql=_table_checksum_sql(SPARK),
+    duck_sql=_table_checksum_sql(DUCK),
+    tables=["orders"],
+    doc="Table-diff reconciliation: per-group row counts AND order-"
+    "independent content digests (sum of per-row md5-int32s) for a source "
+    "table vs a lossy replica — the checksum handshake run after every "
+    "migration, backfill, or CDC cutover. Counts catch missing rows; "
+    "digests catch silent content drift at equal counts. The digest "
+    "aggregates map-side (associative integer sum), so comparing two "
+    "100 TB tables costs two scans + two tiny group aggregates and "
+    "exchanges only |groups| rows — no row-level join anywhere. Groups "
+    "localize a mismatch to a partition for surgical re-sync (the same "
+    "reasoning as lake.py's partition-bounded merge).",
+)

@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_expectations",
     "q_benford",
     "q_equidepth_histogram",
+    "q_table_checksum",
     # r01-green / rows-only tail: past the driver's 50-row cap these fall
     # back to the local mirror suite, which is acceptable — each already has
     # a green driver row (r01), or is rows-only by design (the three ANN
