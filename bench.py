@@ -59,6 +59,11 @@ HEADLINE = [
     "q_pq_assign",
     "q_gap_fill",
     "q_funnel",
+    # Round-3 continuation, part 2: change data feed, sliding-window
+    # chunking, sketch-exact heavy hitters.
+    "q_snapshot_diff",
+    "q_chunk_overlap",
+    "q_heavy_hitters",
 ]
 
 

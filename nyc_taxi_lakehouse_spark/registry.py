@@ -75,6 +75,10 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-3 continuation additions (newest — need their first driver row)
+    "q_snapshot_diff",
+    "q_chunk_overlap",
+    "q_heavy_hitters",
     # round-3 additions (new this round — need their first driver row)
     "q_synth_source",
     "q_udtf_shingles",
@@ -124,9 +128,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q_train_split",
     "q_seq_packing",
     "q_contamination",
+    "q_stream_dedup",
+    # These three slip past the 50-row driver cap to make room for the
+    # newest flagships above; their families keep in-cap representatives
+    # (mixture/stratified/train/packing for curation, meta/features/resize
+    # for multimodal) and all three stay mirror-verified at two SFs.
     "q_augment_dropout",
     "q_length_buckets",
-    "q_stream_dedup",
     # Round-3 additions past the 50-row cap (first in line if the driver
     # checks more; locally mirror-verified at two SFs either way).
     "q_trimmed_stats",
@@ -167,6 +175,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import evolution  # noqa: F401
     from .operators import graph  # noqa: F401
     from .operators import behavior  # noqa: F401
+    from .operators import cdf  # noqa: F401
+    from .operators import frequency  # noqa: F401
     from . import pipelines  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401
@@ -175,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import similarity  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .llm import curation  # noqa: F401
+    from .llm import chunking  # noqa: F401
     from .functions import udtfs  # noqa: F401
     from .sources import pysource  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401

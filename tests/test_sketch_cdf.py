@@ -1,0 +1,193 @@
+"""Tests for the Misra-Gries heavy-hitter sketch, sliding-window chunking,
+and the versioned-table change data feed (operators/frequency.py,
+llm/chunking.py, operators/cdf.py). The oracle-parity suite covers the
+registered queries; these pin the operator guarantees directly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nyc_taxi_lakehouse_spark.llm.chunking import _STRIDE, _WINDOW, chunk_documents
+from nyc_taxi_lakehouse_spark.operators.cdf import snapshot_diff
+from nyc_taxi_lakehouse_spark.operators.frequency import (
+    heavy_hitters_exact,
+    mg_fold,
+    misra_gries_candidates,
+)
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: the no-false-negative guarantee, adversarially.
+# ---------------------------------------------------------------------------
+
+# Streams drawn from a small alphabet with wildly uneven run lengths — the
+# regime where naive top-k-per-batch (which MG is NOT) silently drops keys
+# that are heavy overall but never heavy within one batch.
+_stream = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(1, 50)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(stream=_stream, k=st.integers(2, 12), nbatches=st.integers(1, 5))
+@settings(max_examples=200, deadline=None)
+def test_mg_fold_superset_guarantee(stream, k, nbatches):
+    """Any key with total frequency > n/k must survive the folded summary,
+    regardless of how the stream is split into batches."""
+    keys = [f"k{key}" for key, run in stream for _ in range(run)]
+    n = len(keys)
+    # Split into contiguous batches (mapInPandas sees Arrow-sized slices).
+    size = max(1, n // nbatches)
+    counters = pd.Series(dtype="int64")
+    for i in range(0, n, size):
+        batch = pd.Series(keys[i : i + size], dtype=object)
+        counters = mg_fold(counters, batch.value_counts(), k)
+    assert len(counters) <= k
+    exact = pd.Series(keys, dtype=object).value_counts()
+    heavy = set(exact[exact > n / k].index)
+    assert heavy <= set(counters.index), (
+        f"lost heavy keys {heavy - set(counters.index)} (n={n}, k={k})"
+    )
+    # Counters are lower bounds on true frequency.
+    for key, lb in counters.items():
+        assert lb <= exact[key]
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    """End-to-end on a skewed Spark frame: the sketch-accelerated exact
+    protocol must equal a plain groupBy-count-filter."""
+    rows = (
+        [("hot1",)] * 400
+        + [("hot2",)] * 250
+        + [(f"cold{i}",) for i in range(300)]
+        + [("warm",)] * 60
+    )
+    df = spark.createDataFrame(rows, ["key"]).repartition(7)
+    got = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters_exact(df, "key", support=0.05, k=32).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .filter(f"cnt > {n} * 0.05")
+        .collect()
+    }
+    assert got == exact and {k for k, _ in got} == {"hot1", "hot2", "warm"}
+
+
+def test_mg_candidate_count_bounded(spark):
+    """Candidate set stays O(k × partitions) even with many distinct keys."""
+    df = spark.range(0, 20000).selectExpr("CAST(id % 5000 AS STRING) AS key")
+    df = df.repartition(4)
+    cands = misra_gries_candidates(df, "key", k=16)
+    assert cands.count() <= 16 * 4
+
+
+def test_heavy_hitters_rejects_bad_k(spark):
+    df = spark.range(1).selectExpr("CAST(id AS STRING) AS key")
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "key", support=0.01, k=50)
+
+
+# ---------------------------------------------------------------------------
+# Chunking: coverage / overlap / reconstruction invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_invariants(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    chunks = chunk_documents(docs).toPandas()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_idx").reset_index(drop=True)
+        toks = texts[doc_id].split(" ")
+        n = len(toks)
+        # Chunk starts form the stride grid and cover every token.
+        assert list(g["start_token"]) == list(range(0, max(n - 1, 0) + 1, _STRIDE))
+        covered = set()
+        for _, row in g.iterrows():
+            s = int(row["start_token"])
+            expect = toks[s : s + _WINDOW]
+            assert row["chunk_text"] == " ".join(expect)
+            assert int(row["n_chunk_tokens"]) == len(expect)
+            covered.update(range(s, min(s + _WINDOW, n)))
+        assert covered == set(range(n))
+        # Consecutive chunks overlap by window - stride tokens (except a
+        # clamped final chunk, which may be shorter).
+        for i in range(len(g) - 1):
+            a_end = int(g.loc[i, "start_token"]) + int(g.loc[i, "n_chunk_tokens"])
+            assert a_end - int(g.loc[i + 1, "start_token"]) >= 0
+
+
+# ---------------------------------------------------------------------------
+# Change data feed: applying the diff to the old snapshot yields the new one.
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(500)
+        .cache()
+    )
+    table = VersionedLakeTable(spark, str(tmp_path / "t"))
+    table.append(orders.filter("o_orderkey % 2 = 0"))
+    batch = (
+        orders.filter("o_orderkey % 2 = 1")
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            orders.filter("o_orderkey % 10 = 0").withColumn("__del", F.lit(True))
+        )
+    )
+    table.merge_upsert(batch, keys=["o_orderkey"], delete_col="__del")
+
+    feed = snapshot_diff(table, ["o_orderkey"], 1, 2).cache()
+    kinds = {r["change_type"] for r in feed.select("change_type").distinct().collect()}
+    assert kinds == {"insert", "delete"}
+
+    # Replay: (old minus deleted/updated keys) union post-images == new.
+    old = table.read(1)
+    new = table.read(2)
+    touched = feed.select("o_orderkey")
+    replayed = old.join(touched, "o_orderkey", "left_anti").unionByName(
+        feed.filter("change_type <> 'delete'").drop("change_type")
+    )
+    assert replayed.exceptAll(new).count() == 0
+    assert new.exceptAll(replayed).count() == 0
+
+
+def test_snapshot_diff_update_post_image(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    table = VersionedLakeTable(spark, str(tmp_path / "t"))
+    table.append(df)
+    table.merge_upsert(
+        df.filter("k = 2").withColumn("v", F.lit(99.0)), keys=["k"]
+    )
+    rows = snapshot_diff(table, ["k"], 1, 2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["change_type"], r["v"]) == (2, "update", 99.0)
+    # Identical re-merge of an unchanged row must NOT appear as a change.
+    table.merge_upsert(df.filter("k = 1"), keys=["k"])
+    assert snapshot_diff(table, ["k"], 2, 3).count() == 0
