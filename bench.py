@@ -64,6 +64,8 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_chunk_overlap",
     "q_heavy_hitters",
+    "q_regression",
+    "q_pareto_frontier",
 ]
 
 

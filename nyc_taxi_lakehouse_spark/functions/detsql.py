@@ -95,6 +95,26 @@ def dxsum(x: str, y: str, p1: int = 12, s1: int = 2, p2: int = 12, s2: int = 2) 
     )
 
 
+def dxsum2(x: str, y: str, p1: int = 12, s1: int = 2, p2: int = 12, s2: int = 2) -> str:
+    """dxsum for LARGE product sums: round the exact decimal sum to scale 2
+    before the double cast.
+
+    The final decimal→double cast is only engine-identical while the
+    decimal's UNSCALED value stays below 2^53 (both engines then compute
+    exact-int → ÷10^scale, a single correctly-rounded step; verified by a
+    300-case probe on both). A scale-4 product sum crosses 2^53 around
+    9×10^11 in value units, where Java BigDecimal.doubleValue() and DuckDB's
+    int128 path double-round DIFFERENTLY (observed 1-ulp divergence on
+    Σprice²). Rounding to scale 2 first keeps the cast exact up to ~9×10^13
+    in value units — the ±0.005 absolute perturbation on a ≥1e9 moment is
+    orders of magnitude below the final statistic's own ulp. For sums beyond
+    that, round coarser (scale 0 buys two more decades)."""
+    return (
+        f"CAST(ROUND(SUM(CAST({x} AS DECIMAL({p1},{s1}))"
+        f" * CAST({y} AS DECIMAL({p2},{s2}))), 2) AS DOUBLE)"
+    )
+
+
 def dstddev(n: str, sx: str, sxx: str) -> str:
     """Sample standard deviation from exact moment sums (already DOUBLE).
 
@@ -116,6 +136,26 @@ def dcorr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
         f"(({nd} * {sxy} - {sx} * {sy})"
         f" / (SQRT({nd} * {sxx} - {sx} * {sx})"
         f" * SQRT({nd} * {syy} - {sy} * {sy})))"
+    )
+
+
+def dregr_slope(n: str, sx: str, sy: str, sxy: str, sxx: str) -> str:
+    """OLS slope of y on x from exact moment sums (already DOUBLE):
+    (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²) — REGR_SLOPE semantics, but
+    deterministic: both engines evaluate this identical IEEE-754 expression
+    tree over identically-rounded decimal-sum inputs."""
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({nd} * {sxy} - {sx} * {sy}) / ({nd} * {sxx} - {sx} * {sx}))"
+    )
+
+
+def dregr_intercept(n: str, sx: str, sy: str, sxy: str, sxx: str) -> str:
+    """OLS intercept from exact moment sums: (Σy − slope·Σx) / n, with the
+    slope inlined so the whole tree is shared verbatim across engines."""
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({sy} - {dregr_slope(n, sx, sy, sxy, sxx)} * {sx}) / {nd})"
     )
 
 

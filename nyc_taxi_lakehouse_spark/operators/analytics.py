@@ -946,3 +946,62 @@ sql_query(
     "approx_percentile boundaries, same degradation path as every "
     "percentile query here.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): customers not dominated on (spend, order count).
+# The oracle keeps the textbook quadratic NOT-EXISTS dominance test; the
+# Spark implementation is the O(n log n) sweep — group to distinct x, take
+# the per-x maximum y, prefix-max over x descending, then a point survives
+# iff it attains its x's max y and beats every higher-x max. Ties on both
+# axes survive on both sides (neither point strictly dominates).
+# ---------------------------------------------------------------------------
+
+_PARETO_SPARK_SQL = f"""
+WITH s AS (
+  SELECT o_custkey, {dsum('o_totalprice')} AS spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+x AS (SELECT spend, MAX(n_orders) AS ymax FROM s GROUP BY spend),
+x2 AS (
+  SELECT spend, ymax,
+         MAX(ymax) OVER (ORDER BY spend DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM x
+)
+SELECT s.o_custkey, s.spend, s.n_orders
+FROM s JOIN x2 ON s.spend = x2.spend
+WHERE s.n_orders = x2.ymax
+  AND (x2.prev_max IS NULL OR x2.prev_max < s.n_orders)
+"""
+
+_PARETO_DUCK_SQL = f"""
+WITH s AS (
+  SELECT o_custkey, {dsum('o_totalprice')} AS spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT p.o_custkey, p.spend, p.n_orders
+FROM s p
+WHERE NOT EXISTS (
+  SELECT 1 FROM s q
+  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+    AND (q.spend > p.spend OR q.n_orders > p.n_orders)
+)
+"""
+
+sql_query(
+    "q_pareto_frontier",
+    spark_sql=_PARETO_SPARK_SQL,
+    duck_sql=_PARETO_DUCK_SQL,
+    tables=["orders"],
+    doc="Skyline / Pareto-maxima query: customers where no other customer "
+    "has both >= total spend and >= order count (with one strict). The "
+    "oracle runs the O(n^2) NOT-EXISTS dominance scan; the Spark plan is "
+    "the O(n log n) prefix-max sweep over the per-spend aggregate — the "
+    "100 TB shape, since the quadratic form is a full self-join on "
+    "inequalities. The sweep's window runs over DISTINCT spend values of "
+    "an already per-customer-aggregated table (cardinality = #customers, "
+    "not #orders); for billions of entities the same sweep range-"
+    "partitions by x with a two-pass boundary prefix-max.",
+)

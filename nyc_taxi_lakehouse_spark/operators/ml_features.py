@@ -18,10 +18,13 @@ from ..functions.detsql import (
     davg,
     dcorr,
     disc_price,
+    dregr_intercept,
+    dregr_slope,
     dstddev,
     dsum,
     dsum_dec,
     dxsum,
+    dxsum2,
 )
 from ..registry import sql_query
 
@@ -197,4 +200,49 @@ sql_query(
     "SQRT distance written as x*x (POW is not cross-libm-deterministic), "
     "weekend/cross-zone flags, 30-day recency predicate (P8) that Catalyst "
     "pushes into every branch of the 4-way join.",
+)
+
+
+_REGRESSION_SQL = f"""
+WITH sums AS (
+  SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(month(l_shipdate) AS INT) AS ship_month,
+    COUNT(*) AS n,
+    {dsum('l_quantity')} AS sx,
+    {dsum('l_extendedprice')} AS sy,
+    {dxsum2('l_quantity', 'l_extendedprice')} AS sxy,
+    {dxsum2('l_quantity', 'l_quantity')} AS sxx,
+    {dxsum2('l_extendedprice', 'l_extendedprice')} AS syy
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus, CAST(month(l_shipdate) AS INT)
+)
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ship_month,
+  n AS n_rows,
+  {dregr_slope('n', 'sx', 'sy', 'sxy', 'sxx')} AS price_per_unit_slope,
+  {dregr_intercept('n', 'sx', 'sy', 'sxy', 'sxx')} AS price_intercept,
+  {dcorr('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS price_quantity_corr
+FROM sums
+WHERE n >= 2
+"""
+
+sql_query(
+    "q_regression",
+    spark_sql=_REGRESSION_SQL,
+    duck_sql=_REGRESSION_SQL,
+    tables=["lineitem"],
+    doc="Per-group OLS regression (REGR_SLOPE/REGR_INTERCEPT/CORR "
+    "semantics; extends the reference's correlation analysis, "
+    "ml_feature_engineering.py:529-538, to the fitted model): price-vs-"
+    "quantity slope, intercept and r per (returnflag, linestatus, "
+    "ship-month) group. All five moment sums come from ONE partial-agg "
+    "pass (map-side combine, one shuffle on the group key); slope/"
+    "intercept/corr are identical IEEE expression trees over exact "
+    "decimal sums, so the result is deterministic under any shuffle "
+    "order — native REGR_* aggregates on raw doubles would flake the "
+    "cross-engine hash gate.",
 )

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_snapshot_diff",
     "q_chunk_overlap",
     "q_heavy_hitters",
+    "q_regression",
+    "q_pareto_frontier",
     # round-3 additions (new this round — need their first driver row)
     "q_synth_source",
     "q_udtf_shingles",

@@ -57,6 +57,10 @@ WHITELIST = {
     "q_expectations": ({"bnlj", "single-part"}, "1-row audit scalars x rules"),
     # 9-row digit counts x 1-row total broadcast.
     "q_benford": ({"bnlj", "single-part"}, "digit counts x 1-row total"),
+    # Prefix-max sweep over DISTINCT spend values of the per-customer
+    # aggregate (cardinality = #customers; range-partitioned two-pass
+    # prefix-max is the documented larger-scale form).
+    "q_pareto_frontier": ({"single-part"}, "global sweep over per-customer aggregate"),
 }
 
 

@@ -191,3 +191,43 @@ def test_snapshot_diff_update_post_image(spark, tmp_path):
     # Identical re-merge of an unchanged row must NOT appear as a change.
     table.merge_upsert(df.filter("k = 1"), keys=["k"])
     assert snapshot_diff(table, ["k"], 2, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier: the O(n log n) sweep must equal the quadratic dominance
+# scan on adversarial point sets (ties on x, ties on y, duplicate points).
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_sweep_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randrange(0, 12)), rng.randrange(0, 12)) for i in range(120)]
+    # Exact duplicate pair at an undominated location: both must survive
+    # (neither strictly dominates the other).
+    pts += [(200, 100.0, 12), (201, 100.0, 12)]
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    df.createOrReplaceTempView("pts")
+    sweep = spark.sql("""
+        WITH x AS (SELECT x AS xv, MAX(y) AS ymax FROM pts GROUP BY x),
+        x2 AS (
+          SELECT xv, ymax,
+                 MAX(ymax) OVER (ORDER BY xv DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM x
+        )
+        SELECT p.pid FROM pts p JOIN x2 ON p.x = x2.xv
+        WHERE p.y = x2.ymax AND (x2.prev_max IS NULL OR x2.prev_max < p.y)
+    """)
+    got = {r["pid"] for r in sweep.collect()}
+    brute = {
+        pid
+        for pid, x, y in pts
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for _, qx, qy in pts
+        )
+    }
+    assert got == brute
+    assert {200, 201} <= got
