@@ -221,3 +221,52 @@ def test_zorder_clustering_tightens_file_stats(spark, tmp_path):
     assert s_y > 0.9 * full  # sanity: single-col sort leaves y unclustered
     assert z_y < 0.6 * full, f"zorder y span {z_y}"
     assert z_x < 0.6 * full, f"zorder x span {z_x}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst's runtime bloom-filter injection (SPARK-32268) is the 100 TB
+    shuffle-join pruning path this engine relies on when the build side is
+    too big to broadcast but still selective: the filtered dim side's join
+    keys are folded into a bloom_filter_agg, and the fact scan gains a
+    might_contain() filter that prunes non-joining rows BEFORE the shuffle.
+    Local test data sits under the default 10 GB application-side threshold,
+    so the thresholds are lowered here purely to exercise the rewrite; on a
+    real cluster the defaults fire on any 100 TB fact scan."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # Disable broadcast so the join shuffles — the regime the bloom
+        # filter exists for (a broadcast join needs no runtime filter).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+        pruned = {tuple(r) for r in joined.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    # Same join without the runtime filter: identical result (the bloom
+    # filter only prunes rows the join would drop anyway).
+    plain = {
+        tuple(r)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert pruned == plain and len(plain) == 1
