@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_heavy_hitters",
     "q_regression",
     "q_pareto_frontier",
+    "q_dedup_ppjoin",
     # round-3 additions (new this round — need their first driver row)
     "q_synth_source",
     "q_udtf_shingles",
@@ -188,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import multimodal  # noqa: F401
     from .llm import curation  # noqa: F401
     from .llm import chunking  # noqa: F401
+    from .llm import ppjoin  # noqa: F401
     from .functions import udtfs  # noqa: F401
     from .sources import pysource  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401

@@ -231,3 +231,42 @@ def test_pareto_sweep_matches_bruteforce(spark):
     }
     assert got == brute
     assert {200, 201} <= got
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter lemma (llm/ppjoin.py): candidates from rarity-ordered
+# (s - ceil(t*s) + 1)-prefixes are a SUPERSET of all pairs with Jaccard >= t.
+# Pure-Python mirror of the SQL's formula on adversarial random sets.
+# ---------------------------------------------------------------------------
+
+_sets = st.lists(
+    st.sets(st.integers(0, 25), min_size=1, max_size=14), min_size=2, max_size=12
+)
+
+
+@given(sets=_sets)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_prefix_filter_complete(sets):
+    from nyc_taxi_lakehouse_spark.llm.ppjoin import _T_DEN, _T_NUM
+
+    t_num, t_den = _T_NUM, _T_DEN  # matching q_dedup_ppjoin
+    # Global rarity order: (document frequency, token) — same as the SQL.
+    dfreq = {}
+    for s in sets:
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    order = lambda tok: (dfreq[tok], tok)
+    prefixes = []
+    for s in sets:
+        n = len(s)
+        plen = n - ((t_num * n + t_den - 1) // t_den) + 1  # n - ceil(t*n) + 1
+        prefixes.append(set(sorted(s, key=order)[:plen]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if t_den * inter >= t_num * union:  # J >= t, exact arithmetic
+                assert prefixes[i] & prefixes[j], (
+                    f"prefix filter missed pair with J={inter}/{union}: {a} {b}"
+                )
