@@ -1005,3 +1005,38 @@ sql_query(
     "not #orders); for billions of entities the same sweep range-"
     "partitions by x with a two-pass boundary prefix-max.",
 )
+
+
+sql_query(
+    "q_hll_rollup",
+    spark_sql="""
+WITH daily AS (
+  SELECT
+    CAST(CAST(ts AS DATE) AS STRING) AS day,
+    hll_sketch_agg(user_id, 12) AS sk,
+    COUNT(DISTINCT user_id) AS exact_users
+  FROM events
+  GROUP BY CAST(CAST(ts AS DATE) AS STRING)
+)
+SELECT
+  day,
+  exact_users,
+  CAST(hll_sketch_estimate(sk) AS BIGINT) AS approx_users,
+  CAST(abs(hll_sketch_estimate(sk) - exact_users) AS BIGINT) AS abs_err
+FROM daily
+""",
+    duck_sql=None,  # DataSketches HLL binary sketches have no DuckDB-
+    # reproducible estimate; rows-only here, semantics pinned by
+    # tests/test_sketch_cdf.py (mergeability + error bound vs exact).
+    tables=["events"],
+    doc="Mergeable-sketch pre-aggregation (the lakehouse cube pattern for "
+    "COUNT DISTINCT): per-day DataSketches HLL sketches of user_id "
+    "(lgK=12) materialized next to the exact count. The point of sketches "
+    "over approx_count_distinct is REUSE: hll_union_agg collapses daily "
+    "sketches to any coarser grain without rescanning the fact table — "
+    "at 100 TB the daily sketch table is KB-sized and answers "
+    "month/quarter/arbitrary-range distinct-count questions in "
+    "milliseconds. Mergeability (union-of-daily == direct-over-period, "
+    "exactly, and both within the published HLL error of exact) is pinned "
+    "in tests/test_sketch_cdf.py.",
+)

@@ -162,6 +162,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_similarity_bruteforce_pandas",
     "q_similarity_ivf",
     "q_unique_users_approx",
+    "q_hll_rollup",
     "q_cdc_windowed",
 ]
 

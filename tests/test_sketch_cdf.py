@@ -270,3 +270,41 @@ def test_ppjoin_prefix_filter_complete(sets):
                 assert prefixes[i] & prefixes[j], (
                     f"prefix filter missed pair with J={inter}/{union}: {a} {b}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup (q_hll_rollup): mergeability + error bound.
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_merge_and_error(spark):
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    row = spark.sql("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 hll_sketch_agg(user_id, 12) AS sk
+          FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT
+          (SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM daily) AS merged,
+          (SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 12))
+             FROM events) AS direct,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS exact
+    """).collect()[0]
+    # Mergeability: union of daily sketches must equal the sketch built in
+    # one pass over the same rows — same DataSketches state, exactly.
+    assert row["merged"] == row["direct"]
+    # lgK=12 HLL relative standard error ~1.04/sqrt(2^12) = 1.6%; allow 5%.
+    assert abs(row["merged"] - row["exact"]) <= max(0.05 * row["exact"], 2)
+
+
+def test_hll_rollup_rows(spark, sf_dir):
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    df = all_queries()["q_hll_rollup"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    assert len(pdf) >= 1
+    # Per-day estimates stay within 5% of the exact per-day distincts.
+    assert (pdf["abs_err"] <= (pdf["exact_users"] * 0.05).clip(lower=2)).all()
