@@ -1,0 +1,130 @@
+"""Spark 4 SQL-surface features: VARIANT semi-structured type, SQL UDFs.
+
+The reference parses JSON payloads with get_json_object-style extraction
+(covered by q_json_props). Spark 4 adds two first-class surfaces a user
+migrating to this engine would reach for, both exercised here end-to-end
+through the oracle gate:
+
+- VARIANT (`parse_json` → `variant_get`): an open-schema binary-encoded
+  semi-structured column. Unlike string JSON, the parsed form is stored
+  once and every extraction is a typed O(1) path lookup instead of a
+  re-parse — the right shape for 100 TB event payloads read by many
+  queries. `variant_get` with an explicit type yields NULL (not an error)
+  on path/type misses, which the query pins alongside `is_variant_null`.
+
+- SQL UDFs (`CREATE FUNCTION ... RETURNS ... RETURN expr`): named scalar
+  abstractions that Catalyst INLINES into the plan — zero serialization
+  boundary, full predicate pushdown/codegen through the call, unlike
+  Python UDFs. The query proves inlining semantics by matching a DuckDB
+  oracle that writes the expression out longhand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import df_query
+from ..sources.tables import load_tables
+
+_VARIANT_SPARK_SQL = """
+WITH v AS (
+  SELECT event_type, parse_json(props) AS pv, value FROM events
+)
+SELECT
+  event_type,
+  variant_get(pv, '$.k', 'bigint') AS k,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN variant_get(pv, '$.missing', 'bigint') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS miss_nulls
+FROM v
+WHERE variant_get(pv, '$.k', 'bigint') IS NOT NULL
+GROUP BY event_type, variant_get(pv, '$.k', 'bigint')
+"""
+
+_VARIANT_DUCK_SQL = """
+SELECT
+  event_type,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS miss_nulls
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT)
+"""
+
+
+@df_query(
+    "q_variant_extract",
+    duck_sql=_VARIANT_DUCK_SQL,
+    tables=["events"],
+    doc="Spark 4 VARIANT type: props parsed once with parse_json, typed "
+    "path extraction via variant_get (NULL, not error, on a missing "
+    "path — pinned by the miss_nulls column), grouped rollup on the "
+    "extracted value. Oracle = DuckDB json_extract over the same "
+    "payloads. At scale VARIANT beats string-JSON because the binary "
+    "encoding is parsed once and shredded columnar, not re-parsed per "
+    "extraction.",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(_VARIANT_SPARK_SQL)
+
+
+_SQL_UDF_DDL = [
+    """
+CREATE OR REPLACE TEMPORARY FUNCTION value_class(v DOUBLE)
+RETURNS STRING
+RETURN CASE WHEN v > 100 THEN 'high' WHEN v > 10 THEN 'mid' ELSE 'low' END
+""",
+    # Composition: a SQL UDF calling another SQL UDF still inlines fully.
+    """
+CREATE OR REPLACE TEMPORARY FUNCTION value_priority(v DOUBLE, t STRING)
+RETURNS STRING
+RETURN CASE WHEN value_class(v) = 'high' AND t = 'purchase'
+            THEN 'vip' ELSE value_class(v) END
+""",
+]
+
+_SQL_UDF_SPARK_SQL = """
+SELECT
+  value_priority(value, event_type) AS priority,
+  event_type,
+  COUNT(*) AS n
+FROM events
+GROUP BY value_priority(value, event_type), event_type
+"""
+
+_SQL_UDF_DUCK_SQL = """
+WITH classed AS (
+  SELECT event_type,
+         CASE WHEN value > 100 THEN 'high'
+              WHEN value > 10 THEN 'mid' ELSE 'low' END AS vc
+  FROM events
+)
+SELECT
+  CASE WHEN vc = 'high' AND event_type = 'purchase' THEN 'vip' ELSE vc END
+    AS priority,
+  event_type,
+  COUNT(*) AS n
+FROM classed
+GROUP BY 1, 2
+"""
+
+
+@df_query(
+    "q_sql_udf",
+    duck_sql=_SQL_UDF_DUCK_SQL,
+    tables=["events"],
+    doc="Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): a scalar "
+    "classifier plus a second UDF composing it, used in both the "
+    "projection and the GROUP BY. Catalyst inlines the calls — no "
+    "serialization boundary, codegen intact (unlike Python UDFs). "
+    "Oracle writes the same logic longhand, so hash equality proves "
+    "the inlined semantics.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    for ddl in _SQL_UDF_DDL:
+        spark.sql(ddl)
+    return spark.sql(_SQL_UDF_SPARK_SQL)
