@@ -1,0 +1,173 @@
+"""Merge-on-read row-level deletes via deletion vectors.
+
+lake.py and versioned.py implement copy-on-write deletes (touched files are
+rewritten). Modern table formats add the merge-on-read alternative — Delta
+deletion vectors / Iceberg v2 positional delete files: a DELETE writes only a
+tiny sidecar of (data_file, row_position) tombstones and readers subtract
+them on the fly; no data file is rewritten until a later purge/compaction.
+The trade: O(deleted rows) write cost instead of O(touched files), at the
+price of an anti-join per read — exactly right for frequent small deletes
+(GDPR erasure, late-arriving retractions) over 100 TB of immutable files.
+
+This module implements positional deletes over plain parquet using Spark's
+`_metadata.file_path` / `_metadata.row_index` scan columns (stable per
+parquet file):
+
+- ``delete_where`` scans ONLY the predicate's columns plus the two metadata
+  columns and appends tombstones to ``<path>/_deletes/`` — data files are
+  verifiably untouched (pinned byte-for-byte in tests/test_mor.py).
+- ``read`` subtracts tombstones with a left-anti join on
+  (file_path, row_index). Tombstone sidecars are tiny relative to data, so
+  the join broadcasts; at cluster scale Delta encodes them as per-file
+  roaring bitmaps — the join-based form here has the same semantics with
+  the anti-join keyed by file, which co-partitions with the scan.
+- ``purge`` applies all tombstones and rewrites the data files
+  (copy-on-write compaction), emptying the sidecar directory — the point
+  where merge-on-read debt is repaid.
+
+Registered query q_deletion_vectors runs the full cycle against an orders
+mirror and must read back exactly the oracle's filtered table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fs import LakeFS
+from .registry import df_query
+from .sources.tables import load_tables
+
+_DELETES_DIR = "_deletes"
+
+
+class MergeOnReadTable:
+    """Parquet table with positional-delete sidecars (merge-on-read)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.deletes_path = os.path.join(path, _DELETES_DIR)
+
+    # -- write side ---------------------------------------------------------
+
+    def write_base(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path)
+
+    def delete_where(self, predicate: str) -> int:
+        """Append (file_path, row_index) tombstones for matching rows.
+        Reads only the predicate columns + metadata; writes only the
+        sidecar. Returns the number of tombstones written."""
+        matches = (
+            self._raw()
+            .filter(predicate)
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        matches.write.mode("append").parquet(self.deletes_path)
+        self.spark.catalog.refreshByPath(self.deletes_path)
+        return self.spark.read.parquet(self.deletes_path).count()
+
+    # -- read side ----------------------------------------------------------
+
+    def _raw(self) -> DataFrame:
+        # The sidecar lives under the table path; exclude it from the scan.
+        df = self.spark.read.option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(self.path)
+        return df
+
+    def _tombstones(self) -> DataFrame | None:
+        if not LakeFS(self.spark, self.path).exists(self.deletes_path):
+            return None
+        return self.spark.read.parquet(self.deletes_path)
+
+    def read(self) -> DataFrame:
+        """Merge-on-read scan: base rows minus tombstoned positions."""
+        base = self._raw().withColumns(
+            {
+                "__fp": F.col("_metadata.file_path"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+        tomb = self._tombstones()
+        if tomb is None:
+            return base.drop("__fp", "__ri")
+        cond = (base["__fp"] == tomb["file_path"]) & (
+            base["__ri"] == tomb["row_index"]
+        )
+        return (
+            base.join(F.broadcast(tomb), cond, "left_anti").drop("__fp", "__ri")
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def purge(self) -> None:
+        """Apply tombstones (copy-on-write rewrite) and clear the sidecar."""
+        kept = self.read()
+        tmp = self.path.rstrip("/") + "__purge_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        fs = LakeFS(self.spark, self.path)
+        fs.delete(self.path, recursive=True)
+        fs.rename(tmp, self.path)
+        self.spark.catalog.refreshByPath(self.path)
+
+
+_MOR_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_mor")
+
+
+def _mor_dir(sf_dir: str) -> str:
+    """Content-keyed per-process table dir (operators/evolution.py
+    discipline)."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"mor:{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = f"mor:{src}:absent"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:12]
+    return os.path.join(_MOR_ROOT, f"{key}-pid{os.getpid()}")
+
+
+@df_query(
+    "q_deletion_vectors",
+    duck_sql="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND NOT (o_orderstatus = 'F' AND o_custkey % 3 = 0)
+""",
+    tables=["orders"],
+    doc="Merge-on-read deletion vectors (Delta DV / Iceberg v2 positional "
+    "deletes): two row-level DELETEs write only (file_path, row_index) "
+    "tombstone sidecars — the data files are byte-identical afterwards "
+    "(pinned in tests/test_mor.py) — and the scan subtracts them with a "
+    "broadcast anti-join on the position key. Oracle = orders minus both "
+    "predicates; a green row proves tombstones compose across commits "
+    "and the read sees exactly the surviving rows.",
+)
+def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _mor_dir(sf_dir)
+    table = MergeOnReadTable(spark, path)
+    marker = os.path.join(path, "_MOR_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        table.write_base(orders)
+        table.delete_where("o_orderkey % 7 = 0")
+        table.delete_where("o_orderstatus = 'F' AND o_custkey % 3 = 0")
+        with open(marker, "w"):
+            pass
+    return table.read().select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dedup_ppjoin",
     "q_variant_extract",
     "q_sql_udf",
+    "q_deletion_vectors",
     # round-3 additions (new this round — need their first driver row)
     "q_synth_source",
     "q_udtf_shingles",
@@ -184,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import cdf  # noqa: F401
     from .operators import frequency  # noqa: F401
     from .operators import modern_sql  # noqa: F401
+    from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401
