@@ -75,6 +75,16 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # VERDICT r02 "do this" #1 names these seven as the minimum set that
+    # must appear green in CORRECTNESS_r03.json (never driver-checked:
+    # the r02 file capped at 50 rows). They outrank everything else.
+    "q_contamination",
+    "q_dedup_clusters",
+    "q_semdedup",
+    "q_kmeans_step",
+    "q_train_split",
+    "q_seq_packing",
+    "q_stream_dedup",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -85,7 +95,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_variant_extract",
     "q_sql_udf",
     "q_deletion_vectors",
-    # round-3 additions (new this round — need their first driver row)
+    # round-3 additions (new this round — need their first driver row).
+    # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
+    # (its r02 row was the canonicalizer crash; the flattened form needs
+    # a clean driver row).
     "q_synth_source",
     "q_udtf_shingles",
     "q_semi_anti",
@@ -119,30 +132,19 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dedup_segments",
     "q_incremental_rollup",
     "q_collocations",
-    "q_dedup_agreement",
     "q_window_navigation",
-    # round-2 queries that never received a driver row (r02 file capped at 50)
-    "q_dedup_clusters",
-    "q_kmeans_step",
-    "q_semdedup",
+    # --- 50-row driver cap lands here under the r02 cap behavior ---
+    # Everything below is mirror-verified at two SFs locally either way;
+    # first in line if the driver checks more than 50.
+    "q_dedup_agreement",
+    "q_data_mixture",
+    "q_stratified_sample",
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_multimodal_frames",
     "q_multimodal_bytes",
-    "q_data_mixture",
-    "q_stratified_sample",
-    "q_train_split",
-    "q_seq_packing",
-    "q_contamination",
-    "q_stream_dedup",
-    # These three slip past the 50-row driver cap to make room for the
-    # newest flagships above; their families keep in-cap representatives
-    # (mixture/stratified/train/packing for curation, meta/features/resize
-    # for multimodal) and all three stay mirror-verified at two SFs.
     "q_augment_dropout",
     "q_length_buckets",
-    # Round-3 additions past the 50-row cap (first in line if the driver
-    # checks more; locally mirror-verified at two SFs either way).
     "q_trimmed_stats",
     "q_inverted_index",
     "q_scd2_point_in_time",
@@ -150,11 +152,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_benford",
     "q_equidepth_histogram",
     "q_table_checksum",
-    # r01-green / rows-only tail: past the driver's 50-row cap these fall
-    # back to the local mirror suite, which is acceptable — each already has
-    # a green driver row (r01), or is rows-only by design (the three ANN
-    # variants' driver rows are row-count-only; their semantics are pinned
-    # by recall tests in tests/test_llm_ops.py).
+    # r01-green / rows-only tail: each already has a green driver row
+    # (r01), or is rows-only by design (the three ANN variants' driver
+    # rows are row-count-only; semantics pinned by recall tests in
+    # tests/test_llm_ops.py).
     "q_activity_score",
     "q_dedup_embedding",
     "q_similarity_topk",
