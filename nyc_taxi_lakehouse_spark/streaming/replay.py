@@ -504,3 +504,135 @@ def q_user_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+@df_query(
+    "q_stream_join_outer",
+    duck_sql="""
+WITH ev AS (
+  SELECT event_id, (epoch_ns(ts) // 1000) AS ts_us, user_id, event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+)
+SELECT
+  p.user_id,
+  p.event_id AS purchase_id,
+  c.event_id AS click_id,
+  p.ts_us AS purchase_ts_us,
+  c.ts_us AS click_ts_us,
+  (p.ts_us - c.ts_us) // 1000000 AS gap_s,
+  p.value AS purchase_value,
+  c.value AS click_value
+FROM ev p
+LEFT JOIN ev c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts_us >= p.ts_us - 1800000000
+ AND c.ts_us < p.ts_us
+WHERE p.event_type = 'purchase'
+""",
+    tables=["events"],
+    doc="Stream-stream LEFT OUTER event-time interval join — the hard half "
+    "of streaming join semantics: matched pairs emit like the inner join "
+    "(q_stream_join), but an unattributed purchase emits a NULL-click row "
+    "ONLY when the watermark proves no matching click can still arrive. "
+    "Subtlety this query pins: outer rows emit on state EXPIRY, so a "
+    "drain whose watermark never passes the last purchase would silently "
+    "hold them back forever — the replay appends two far-future flush "
+    "clicks (right side only, so they can never emit themselves) and runs "
+    "file-per-micro-batch so the watermark advances past every real "
+    "event and releases ALL outer rows. Oracle = the batch LEFT JOIN: a "
+    "green row proves exactly-one emission per purchase, matched or not.",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    run_dir = os.path.join(_REPLAY_ROOT, key, "outer_join_pipeline")
+    env_dir = os.path.join(run_dir, "envelopes")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        events = t["events"]
+        write_envelopes(events, env_dir)
+        # Watermark-flush discipline: two trailing flush batches with event
+        # times far past the real data. Batch N's files raise the watermark
+        # only for batch N+1, so TWO flushes are needed — the first lifts
+        # the watermark past every real purchase, the second triggers the
+        # expiry scan that emits their outer rows. Each flush batch carries
+        # BOTH a click and a purchase sentinel (user_id -1): the global
+        # watermark is min() across both sides' watermark operators, and
+        # each side filters to its own event type BEFORE the watermark, so
+        # a click-only flush would leave the purchase side's watermark — and
+        # hence the global one — stuck below the last real purchase (this
+        # exact off-by-one was observed: the final purchase never expired).
+        # The first flush's sentinel purchase expires unmatched and emits
+        # its own NULL row, removed by the user_id >= 0 filter below; the
+        # second flush's sentinel stays in state when the drain ends.
+        max_ts = events.agg(F.max("ts")).collect()[0][0]  # bounded scalar
+        for i, hours in enumerate((1, 3)):
+            flush = spark.createDataFrame(
+                [
+                    (-(2 * i + 1), max_ts, -1, "click", 1.0),
+                    (-(2 * i + 2), max_ts, -1, "purchase", 1.0),
+                ],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+            write_envelopes(flush, env_dir, mode="append")
+        purchases = (
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=1))
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("event_time", "10 minutes")
+            .alias("p")
+        )
+        clicks = (
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=1))
+            .filter(F.col("event_type") == "click")
+            .withWatermark("event_time", "10 minutes")
+            .alias("c")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p.user_id = c.user_id"
+                " AND c.event_time >= p.event_time - interval 30 minutes"
+                " AND c.event_time < p.event_time"
+            ),
+            "left_outer",
+        ).select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.unix_micros("p.event_time").alias("purchase_ts_us"),
+            F.unix_micros("c.event_time").alias("click_ts_us"),
+            F.expr(
+                "(unix_micros(p.event_time) - unix_micros(c.event_time))"
+                " DIV 1000000"
+            ).alias("gap_s"),
+            F.col("p.value").alias("purchase_value"),
+            F.col("c.value").alias("click_value"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("outer stream-join pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(sink).filter("user_id >= 0").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts_us",
+        "click_ts_us",
+        "gap_s",
+        "purchase_value",
+        "click_value",
+    )
