@@ -72,7 +72,12 @@ class MergeOnReadTable:
         )
         matches.write.mode("append").parquet(self.deletes_path)
         self.spark.catalog.refreshByPath(self.deletes_path)
-        return self.spark.read.parquet(self.deletes_path).count()
+        # Distinct: overlapping predicates across DELETE calls legally
+        # re-tombstone the same position; the count reported is live
+        # distinct tombstones, matching what read() subtracts.
+        return (
+            self.spark.read.parquet(self.deletes_path).distinct().count()
+        )
 
     # -- read side ----------------------------------------------------------
 

@@ -47,10 +47,16 @@ def snapshot_diff(
     each snapshot (the same contract merge_upsert enforces)."""
     old = table.read(from_version)
     new = table.read(to_version)
-    # Columns added by schema evolution exist only in `new`; read() already
-    # serves the union schema for both snapshots, so new.columns is the
-    # authoritative value-column list.
+    # A column added by schema evolution between the two versions exists
+    # only in `new` (each snapshot is served with ITS OWN manifest schema):
+    # align the old side with explicit NULLs so the struct comparison sees
+    # "value appeared" as an update, not an analysis error.
     value_cols = [c for c in new.columns if c not in keys]
+    for c in value_cols:
+        if c not in old.columns:
+            old = old.withColumn(
+                c, F.lit(None).cast(new.schema[c].dataType)
+            )
     o = old.select(*keys, F.struct(*value_cols).alias("__old"))
     n = new.select(*keys, F.struct(*value_cols).alias("__new"))
     j = o.join(n, on=keys, how="full_outer")

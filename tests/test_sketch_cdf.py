@@ -308,3 +308,24 @@ def test_hll_rollup_rows(spark, sf_dir):
     assert len(pdf) >= 1
     # Per-day estimates stay within 5% of the exact per-day distincts.
     assert (pdf["abs_err"] <= (pdf["exact_users"] * 0.05).clip(lower=2)).all()
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """A column added between the two snapshots must neither crash the diff
+    (old side lacks the column) nor produce spurious updates for untouched
+    rows (old rows align to NULL on both sides)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.operators.cdf import snapshot_diff
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    table = VersionedLakeTable(spark, str(tmp_path / "t"))
+    table.append(base)
+    evolved = spark.createDataFrame([(3, 30.0, "a")], ["k", "v", "tag"])
+    table.append(evolved, merge_schema=True)
+
+    feed = snapshot_diff(table, ["k"], 1, 2).collect()
+    assert {(r["k"], r["change_type"], r["tag"]) for r in feed} == {
+        (3, "insert", "a")
+    }
