@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_sql_udf",
     "q_deletion_vectors",
     "q_stream_join_outer",
+    "q_triangle_count",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs

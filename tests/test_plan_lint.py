@@ -61,6 +61,9 @@ WHITELIST = {
     # aggregate (cardinality = #customers; range-partitioned two-pass
     # prefix-max is the documented larger-scale form).
     "q_pareto_frontier": ({"single-part"}, "global sweep over per-customer aggregate"),
+    # 1-row stats scalar x 1-row triangle scalar; edge/wedge joins are all
+    # keyed equality joins.
+    "q_triangle_count": ({"bnlj", "single-part"}, "1-row stats x 1-row count"),
 }
 
 
