@@ -1,0 +1,69 @@
+"""Partition-invariance meta-test: the determinism engineering's contract.
+
+The oracle gate proves Spark == DuckDB for ONE physical configuration. The
+stronger claim detsql.py makes — exact decimal sums, integer grids, unique
+ORDER BY tiebreakers — is that results are invariant to HOW the data is
+partitioned and shuffled. This suite re-runs representative hash-sensitive
+queries under deliberately hostile physical layouts (1 vs 7 vs 64 shuffle
+partitions; input pre-scattered by an unrelated key) and asserts the
+canonical value-hash is bit-identical. A raw double SUM/AVG, a tie-unstable
+window, or an accumulation-order-dependent aggregate would fail here even
+while passing a single-layout oracle run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from nyc_taxi_lakehouse_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+# One representative per determinism mechanism:
+#   decimal money sums / conditional aggs -> q_pricing_rollup
+#   moment-sum STDDEV/CORR + OLS          -> q_regression
+#   global NTILE with tiebreakers          -> q_user_deciles
+#   integer fixed-point iteration          -> q_pagerank
+#   two-pass sketch + exact recount        -> q_heavy_hitters
+#   window prefix-max sweep               -> q_pareto_frontier
+CASES = [
+    "q_pricing_rollup",
+    "q_regression",
+    "q_user_deciles",
+    "q_pagerank",
+    "q_heavy_hitters",
+    "q_pareto_frontier",
+]
+
+
+def _canonical_hash(df) -> str:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False)
+    )
+    return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_invariance(name, spark):
+    spec = SPECS[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for nparts in (1, 7, 64):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            # Drop cached temp views so load_tables re-registers under the
+            # new setting; the queries read via temp views, so the config
+            # applies to every exchange in the plan.
+            hashes[nparts] = _canonical_hash(spec.fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(set(hashes.values())) == 1, (
+        f"{name}: result depends on shuffle partitioning: { {k: v[:12] for k, v in hashes.items()} }"
+    )
