@@ -115,22 +115,26 @@ class VersionedLakeTable:
             walk("")
         return found
 
-    def _commit(self, op: str, live: set[str], schema: T.StructType) -> int:
+    def _commit(
+        self,
+        op: str,
+        live: set[str],
+        schema: T.StructType,
+        base: str | None = None,
+    ) -> int:
         version = (self.latest_version() or 0) + 1 if self.versions() else 1
         self.fs.mkdirs(self._log_dir)
-        self.fs.write_text(
-            self._manifest_path(version),
-            json.dumps(
-                {
-                    "version": version,
-                    "op": op,
-                    "n_files": len(live),
-                    "files": sorted(live),
-                    "schema": schema.jsonValue(),
-                    "partition_cols": self.partition_cols,
-                }
-            ),
-        )
+        manifest = {
+            "version": version,
+            "op": op,
+            "n_files": len(live),
+            "files": sorted(live),
+            "schema": schema.jsonValue(),
+            "partition_cols": self.partition_cols,
+        }
+        if base is not None:
+            manifest["base"] = base
+        self.fs.write_text(self._manifest_path(version), json.dumps(manifest))
         return version
 
     # -- reads --------------------------------------------------------------
@@ -144,14 +148,26 @@ class VersionedLakeTable:
             raise ValidationError(f"empty versioned table at {self.path}")
         m = self._manifest(v)
         schema = T.StructType.fromJson(m["schema"])
-        files = [os.path.join(self.path, f) for f in m["files"]]
+        # Shallow-clone manifests (clone_to) list ABSOLUTE paths into the
+        # source table; ordinary manifests list paths relative to this
+        # table's root. A post-clone append may mix both.
+        files = [
+            f if os.path.isabs(f) else os.path.join(self.path, f)
+            for f in m["files"]
+        ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .option("basePath", self.path)
-            .parquet(*files)
-        )
+        reader = self.spark.read.schema(schema)
+        if self.partition_cols:
+            bases = {self.path if not os.path.isabs(f) else m.get("base", "")
+                     for f in m["files"]}
+            if len(bases) > 1 or "" in bases:
+                raise ValidationError(
+                    "partitioned shallow clone with mixed file roots — "
+                    "compact() the clone to re-home its files first"
+                )
+            reader = reader.option("basePath", bases.pop())
+        return reader.parquet(*files)
 
     # -- commits ------------------------------------------------------------
 
@@ -361,6 +377,50 @@ class VersionedLakeTable:
         self.spark.catalog.refreshByPath(self.path)
         return self._commit("compact", new_live, schema)
 
+    def clone_to(self, dest_path: str) -> "VersionedLakeTable":
+        """Zero-copy SHALLOW CLONE of the latest snapshot (Delta CLONE):
+        the clone gets its own commit log whose first manifest references
+        the source's live data files by absolute path — no data moves.
+        Writes to the clone land under the clone's root and never touch the
+        source; the source evolving (appends/deletes) never changes the
+        clone (its manifest pins the file set). The one shared-fate hazard
+        is the same as Delta's: VACUUMing the SOURCE can physically remove
+        files a shallow clone still references — deep-copy (compact) the
+        clone before vacuuming a cloned source."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError(f"cannot clone empty table at {self.path}")
+        m = self._manifest(latest)
+        src_base = m.get("base", self.path)
+        files_abs = {
+            f if os.path.isabs(f) else os.path.join(self.path, f)
+            for f in m["files"]
+        }
+        clone = VersionedLakeTable(
+            self.spark, dest_path, list(m.get("partition_cols") or [])
+        )
+        if clone.versions():
+            raise ValidationError(f"clone destination {dest_path} not empty")
+        clone._commit(
+            f"clone(shallow from {self.path}@v{latest})",
+            files_abs,
+            T.StructType.fromJson(m["schema"]),
+            base=src_base,
+        )
+        return clone
+
+    def orphans(self, retain_last: int = 1) -> set[str]:
+        """Table-relative data files on disk that no retained manifest
+        references (failed writes, vacuum candidates). Pure report — the
+        audit half of vacuum()."""
+        vs = self.versions()
+        if not vs:
+            return set()
+        referenced: set[str] = set()
+        for v in vs[-max(1, retain_last):]:
+            referenced |= set(self._manifest(v)["files"])
+        return self._data_files() - referenced
+
     def vacuum(self, retain_last: int = 1) -> int:
         """Physically delete files unreferenced by the newest ``retain_last``
         manifests, then drop the expired manifests (Delta VACUUM + log
@@ -368,12 +428,8 @@ class VersionedLakeTable:
         vs = self.versions()
         if not vs:
             return 0
-        retained = vs[-max(1, retain_last):]
-        referenced: set[str] = set()
-        for v in retained:
-            referenced |= set(self._manifest(v)["files"])
         removed = 0
-        for f in self._data_files() - referenced:
+        for f in self.orphans(retain_last):
             if self.fs.delete(os.path.join(self.path, f)):
                 removed += 1
         for v in vs[: -max(1, retain_last)]:

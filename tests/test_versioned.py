@@ -185,3 +185,49 @@ def test_cdc_stream_merges_into_versioned_table(spark, tmp_path):
     assert {r.event_id: r.value for r in table.read(v1).collect()} == {
         1: 5.0, 2: 7.0,
     }
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
+    import glob
+    import os
+
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    src = VersionedLakeTable(spark, str(tmp_path / "src"))
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+    src.append(df)
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # Zero-copy: the clone directory holds a commit log but NO data files.
+    assert glob.glob(os.path.join(str(tmp_path / "clone"), "*.parquet")) == []
+    assert {r["k"] for r in clone.read().collect()} == set(range(100))
+
+    # Source evolution is invisible to the clone (manifest pins the files).
+    src.delete_where("k % 2 = 0")
+    assert clone.read().count() == 100
+    # Clone writes land under the clone root and are invisible to source.
+    clone.append(spark.range(100, 110).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v"))
+    assert clone.read().count() == 110
+    assert src.read().count() == 50
+    assert glob.glob(os.path.join(str(tmp_path / "clone"), "*.parquet")) != []
+    # Clone history starts with the clone commit.
+    assert clone.history()[0]["op"].startswith("clone(shallow")
+
+
+def test_orphans_report_matches_vacuum(spark, tmp_path):
+    import os
+
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    t = VersionedLakeTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 50).selectExpr("id AS k")
+    t.append(df)
+    t.delete_where("k < 25")  # old files become unreferenced by latest
+    orphaned = t.orphans(retain_last=1)
+    assert orphaned  # the pre-delete files
+    # Every orphan exists on disk now; vacuum removes exactly that many.
+    for f in orphaned:
+        assert os.path.exists(os.path.join(t.path, f))
+    assert t.vacuum(retain_last=1) == len(orphaned)
+    assert t.orphans(retain_last=1) == set()
+    assert t.read().count() == 25
