@@ -562,3 +562,50 @@ sql_query(
     "with collect_set bounded here via the explicit cap — unbounded "
     "per-group collection is the one thing this repo's plan rules ban.",
 )
+
+
+def _oov_sql(d: Dialect) -> str:
+    """Out-of-vocabulary rate per document against the corpus head
+    vocabulary (tokens covering > 2% of the token stream — the same
+    support threshold q_heavy_hitters recovers with Misra-Gries; here the
+    plain aggregate serves as the vocab builder since the vocabulary is a
+    reused artifact, not a one-shot stream answer)."""
+    if d.name == "spark":
+        tok_rows = "SELECT doc_id, explode(split(text, ' ')) AS token FROM documents"
+    else:
+        tok_rows = (
+            "SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents"
+        )
+    return f"""
+WITH tokens AS ({tok_rows}),
+tot AS (SELECT COUNT(*) AS n FROM tokens),
+vocab AS (
+  SELECT token FROM tokens GROUP BY token
+  HAVING COUNT(*) > (SELECT n FROM tot) * 0.02
+)
+SELECT
+  t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS oov_tokens,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS oov_rate
+FROM tokens t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+sql_query(
+    "q_oov_rate",
+    spark_sql=_oov_sql(SPARK),
+    duck_sql=_oov_sql(DUCK),
+    tables=["documents"],
+    doc="Tokenizer-coverage audit: per-document out-of-vocabulary rate "
+    "against the corpus head vocabulary (tokens above 2% stream share — "
+    "the q_heavy_hitters support threshold). One token explode, one "
+    "vocab aggregate, a broadcast-sized LEFT JOIN for membership, one "
+    "exact int/int division per doc. The operational companion to "
+    "heavy-hitter vocab discovery: docs with high OOV against the head "
+    "vocabulary are exactly the ones a byte-fallback tokenizer will "
+    "fragment.",
+)

@@ -1040,3 +1040,46 @@ FROM daily
     "exactly, and both within the published HLL error of exact) is pinned "
     "in tests/test_sketch_cdf.py.",
 )
+
+
+_BASKET_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS cnt
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT
+  p.part_a,
+  p.part_b,
+  p.cnt AS pair_orders,
+  ia.cnt AS orders_a,
+  ib.cnt AS orders_b,
+  CAST(p.cnt AS DOUBLE) / t.n AS support,
+  CAST(p.cnt AS DOUBLE) / ia.cnt AS confidence_a_to_b,
+  CAST(p.cnt AS DOUBLE) / ib.cnt AS confidence_b_to_a,
+  CAST(p.cnt * t.n AS DOUBLE) / (ia.cnt * ib.cnt) AS lift
+FROM pair p
+JOIN item ia ON p.part_a = ia.l_partkey
+JOIN item ib ON p.part_b = ib.l_partkey
+CROSS JOIN tot t
+"""
+
+sql_query(
+    "q_market_basket",
+    spark_sql=_BASKET_SQL,
+    duck_sql=_BASKET_SQL,
+    tables=["lineitem"],
+    doc="Market-basket association rules over co-purchased parts: "
+    "support / confidence (both directions) / lift for every part pair "
+    "appearing together in >= 2 orders. All counts exact integers; each "
+    "metric is ONE int/int IEEE division (lift's numerator and "
+    "denominator multiplied in exact int64 first), so the result hash-"
+    "matches without decimal machinery. The pair join is the same "
+    "per-order self-join shape as q_triangle_count's edge builder — "
+    "bounded by Σ basket_size² per order, never by catalog size.",
+)

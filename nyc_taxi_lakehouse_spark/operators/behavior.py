@@ -179,3 +179,123 @@ sql_query(
     "the normalizer. The |types|²-bounded output makes every downstream "
     "op trivially cheap at any corpus size.",
 )
+
+
+# ---------------------------------------------------------------------------
+# A/B experimentation: Welch's two-sample statistic from exact moment sums.
+# ---------------------------------------------------------------------------
+
+from ..functions.detsql import dsum, dxsum2  # noqa: E402
+
+
+def _welch_sql() -> str:
+    """Welch z statistic per event_type between a deterministic 50/50
+    assignment (user_id parity — the hash-bucket assignment an experiment
+    platform would persist). The normal-CDF p-value needs erf(), which is
+    not bit-stable across libm builds — the statistic itself is the
+    deterministic part, computed as one shared IEEE tree over exact
+    decimal moment sums (the dcorr discipline). Emitted alongside the
+    per-arm means so an analyst can read direction and magnitude."""
+    var = (
+        "((CAST({n} AS DOUBLE) * {sxx} - {sx} * {sx})"
+        " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1)))"
+    )
+    va = var.format(n="n_a", sx="sx_a", sxx="sxx_a")
+    vb = var.format(n="n_b", sx="sx_b", sxx="sxx_b")
+    return f"""
+WITH sums AS (
+  SELECT
+    event_type,
+    CAST(user_id % 2 AS INT) AS variant,
+    COUNT(*) AS n,
+    {dsum('value', scale=6)} AS sx,
+    {dxsum2('value', 'value', s1=6, s2=6)} AS sxx
+  FROM events
+  GROUP BY event_type, CAST(user_id % 2 AS INT)
+),
+ab AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM sums a JOIN sums b
+    ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+  WHERE a.n >= 2 AND b.n >= 2
+)
+SELECT
+  event_type,
+  n_a,
+  n_b,
+  sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+  sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+  (sx_a / CAST(n_a AS DOUBLE) - sx_b / CAST(n_b AS DOUBLE))
+    / SQRT({va} / CAST(n_a AS DOUBLE) + {vb} / CAST(n_b AS DOUBLE))
+    AS welch_z
+FROM ab
+"""
+
+
+sql_query(
+    "q_ab_welch",
+    spark_sql=_welch_sql(),
+    duck_sql=_welch_sql(),
+    tables=["events"],
+    doc="A/B experimentation readout: Welch's unequal-variance z statistic "
+    "per event_type between the user-parity arms, from ONE partial-agg "
+    "pass (five moment sums per arm). Statistic only, no p-value — erf() "
+    "is not cross-libm bit-stable; the z itself is an identical IEEE "
+    "tree over exact decimal sums and hash-matches the oracle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic CRM mart (recency / frequency / monetary).
+# ---------------------------------------------------------------------------
+
+
+def _rfm_sql(d: Dialect) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT
+    o_custkey,
+    CAST({d.idiv(f"({d.epoch('(SELECT MAX(o_orderdate) FROM orders)')} "
+                 f"- {d.epoch('MAX(o_orderdate)')})", '86400')}
+         AS BIGINT) AS recency_days,
+    COUNT(*) AS frequency,
+    {dsum('o_totalprice')} AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT
+    o_custkey, recency_days, frequency, monetary,
+    NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT
+  o_custkey, recency_days, frequency, monetary,
+  r_score, f_score, m_score,
+  CASE
+    WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+    WHEN r_score <= 2 AND f_score <= 3 THEN 'loyal'
+    WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk_big_spender'
+    WHEN r_score >= 4 THEN 'hibernating'
+    ELSE 'regular'
+  END AS segment
+FROM scored
+"""
+
+
+sql_query(
+    "q_rfm_segments",
+    spark_sql=_rfm_sql(SPARK),
+    duck_sql=_rfm_sql(DUCK),
+    tables=["orders"],
+    doc="RFM segmentation (the canonical CRM mart): per-customer recency "
+    "(epoch-day integer vs the table's max date), frequency, exact-"
+    "decimal monetary; NTILE(5) scores with unique customer-key "
+    "tiebreakers (deterministic quintiles), CASE segment labels. The "
+    "NTILE windows run over the per-customer aggregate (cardinality = "
+    "#customers), same bounded shape as q_user_deciles.",
+)

@@ -97,6 +97,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_deletion_vectors",
     "q_stream_join_outer",
     "q_triangle_count",
+    "q_ab_welch",
+    "q_rfm_segments",
+    "q_market_basket",
+    "q_oov_rate",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs

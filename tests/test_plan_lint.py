@@ -64,6 +64,12 @@ WHITELIST = {
     # 1-row stats scalar x 1-row triangle scalar; edge/wedge joins are all
     # keyed equality joins.
     "q_triangle_count": ({"bnlj", "single-part"}, "1-row stats x 1-row count"),
+    # 1-row order-total scalar broadcast into support/lift denominators.
+    "q_market_basket": ({"bnlj", "single-part"}, "pair table x 1-row total"),
+    # 1-row token-total scalar feeding the vocab HAVING threshold.
+    "q_oov_rate": ({"bnlj", "single-part"}, "1-row token total for vocab cut"),
+    # NTILE quintiles over the per-customer aggregate (q_user_deciles shape).
+    "q_rfm_segments": ({"single-part"}, "global NTILE over per-customer aggregate"),
 }
 
 
