@@ -440,3 +440,99 @@ sql_query(
     "At 100 TB: one grouped agg + one tiny window + gap explode, all "
     "embarrassingly parallel after the (type, bucket) shuffle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-N (the deduplicating rank-filter staple) and hopping
+# (sliding) event-time windows.
+# ---------------------------------------------------------------------------
+
+_TOPN_SQL = """
+WITH part_rev AS (
+  SELECT
+    n.n_name AS nation,
+    l.l_partkey,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_lines
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_partkey
+),
+ranked AS (
+  SELECT nation, l_partkey, revenue, n_lines,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY revenue DESC, l_partkey) AS rnk
+  FROM part_rev
+)
+SELECT nation, CAST(rnk AS INT) AS rnk, l_partkey, revenue, n_lines
+FROM ranked WHERE rnk <= 3
+"""
+
+sql_query(
+    "q_top_parts_per_nation",
+    spark_sql=_TOPN_SQL,
+    duck_sql=_TOPN_SQL,
+    tables=["lineitem", "supplier", "nation"],
+    doc="Per-group top-N: top-3 parts by exact-decimal revenue within each "
+    "supplier nation — ROW_NUMBER over the (nation, part) aggregate with "
+    "a unique part-key tiebreaker, filtered to rank <= 3. The window "
+    "partitions by nation (parallel across groups, no global sort), and "
+    "Spark pushes the rank<=3 filter into the sort as a per-partition "
+    "top-k (WindowGroupLimit) — the shape that holds at any group count.",
+)
+
+
+_HOP_WIDTH_S = 600
+_HOP_S = 300
+
+
+@df_query(
+    "q_hopping_window",
+    duck_sql=f"""
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000000000) AS ts_s, value, event_id FROM events
+  WHERE ts IS NOT NULL
+),
+hopped AS (
+  SELECT
+    (ts_s - (ts_s % {_HOP_S})) - i * {_HOP_S} AS window_start_s,
+    value
+  FROM ev, unnest([0, 1]) AS t(i)
+)
+SELECT
+  CAST(window_start_s AS BIGINT) AS window_start_s,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM hopped
+GROUP BY window_start_s
+""",
+    tables=["events"],
+    doc=f"Hopping (sliding) event-time windows: {_HOP_WIDTH_S}-second "
+    f"windows advancing every {_HOP_S} seconds, so each event lands in "
+    "exactly width/hop = 2 overlapping windows — Spark's native "
+    "window(ts, '10 minutes', '5 minutes'), the same operator the "
+    "streaming form uses (ST-family completion next to the tumbling "
+    "q_tumbling_window_5m). Oracle reproduces the window assignment "
+    "arithmetic: starts = hop-bucket(ts) - i*hop for i in 0..1. Window "
+    "starts emitted as epoch seconds (ns-parquet timestamp discipline).",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter("ts IS NOT NULL")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{_HOP_WIDTH_S} seconds", f"{_HOP_S} seconds").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )

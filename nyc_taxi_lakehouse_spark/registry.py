@@ -101,6 +101,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_rfm_segments",
     "q_market_basket",
     "q_oov_rate",
+    "q_top_parts_per_nation",
+    "q_hopping_window",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs
