@@ -98,11 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stream_join_outer",
     "q_triangle_count",
     "q_ab_welch",
-    "q_rfm_segments",
     "q_market_basket",
-    "q_oov_rate",
-    "q_top_parts_per_nation",
-    "q_hopping_window",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs
@@ -136,12 +132,16 @@ _DRIVER_PRIORITY: list[str] = [
     "q_cube_metrics",
     "q_stream_join",
     "q_time_travel",
-    "q_event_unpivot",
-    "q_dedup_segments",
     "q_incremental_rollup",
+    "q_dedup_segments",
+    "q_event_unpivot",
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_rfm_segments",
+    "q_oov_rate",
+    "q_top_parts_per_nation",
+    "q_hopping_window",
     # Everything below is mirror-verified at two SFs locally either way;
     # first in line if the driver checks more than 50.
     "q_dedup_agreement",
