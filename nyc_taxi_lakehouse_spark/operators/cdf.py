@@ -122,6 +122,64 @@ FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
     "table. One full-outer join on the key — no driver materialization.",
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_cdf_table(spark, sf_dir)
+    return snapshot_diff(table, keys=["o_orderkey"], from_version=1, to_version=2)
+
+
+def snapshot_changes(
+    table: VersionedLakeTable,
+    keys: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Delta ``table_changes``-format feed: like :func:`snapshot_diff` but
+    updates emit BOTH images (``update_preimage`` carrying the old row and
+    ``update_postimage`` the new), and deletes carry their pre-image instead
+    of NULLs. This is the form downstream incremental maintenance needs —
+    an aggregate can be adjusted by +post −pre without consulting the base
+    table. Same single full-outer join; the image fan-out is a map-side
+    explode (≤2 rows per changed key, no extra shuffle)."""
+    old = table.read(from_version)
+    new = table.read(to_version)
+    value_cols = [c for c in new.columns if c not in keys]
+    for c in value_cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    o = old.select(*keys, F.struct(*value_cols).alias("__old"))
+    n = new.select(*keys, F.struct(*value_cols).alias("__new"))
+    j = o.join(n, on=keys, how="full_outer")
+
+    def tagged(tag: str, img: str):
+        return F.struct(
+            F.lit(tag).alias("change_type"), F.col(img).alias("img")
+        )
+
+    images = (
+        F.when(F.col("__old").isNull(), F.array(tagged("insert", "__new")))
+        .when(F.col("__new").isNull(), F.array(tagged("delete", "__old")))
+        .when(
+            ~F.col("__old").eqNullSafe(F.col("__new")),
+            F.array(
+                tagged("update_preimage", "__old"),
+                tagged("update_postimage", "__new"),
+            ),
+        )
+    )
+    ex = (
+        j.withColumn("__imgs", images)
+        .filter(F.col("__imgs").isNotNull())
+        .select(*keys, F.explode("__imgs").alias("__e"))
+    )
+    return ex.select(
+        *keys,
+        F.col("__e.change_type").alias("change_type"),
+        *[F.col("__e.img")[c].alias(c) for c in value_cols],
+    )
+
+
+def _build_cdf_table(spark: SparkSession, sf_dir: str) -> VersionedLakeTable:
+    """The two-version fixture q_snapshot_diff builds (seed + mixed MERGE);
+    shared by the change-feed and incremental-maintenance queries."""
     t = load_tables(spark, sf_dir, ["orders"])
     orders = t["orders"].select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
@@ -147,4 +205,74 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.merge_upsert(batch, keys=["o_orderkey"], delete_col="__del")
         with open(marker, "w"):
             pass
-    return snapshot_diff(table, keys=["o_orderkey"], from_version=1, to_version=2)
+    return table
+
+
+@df_query(
+    "q_cdf_incremental_rollup",
+    duck_sql="""
+WITH v2 AS (
+  SELECT o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 1
+  FROM orders
+  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM v2
+GROUP BY o_orderstatus
+""",
+    tables=["orders"],
+    doc="CDF-driven incremental view maintenance — the capability high-"
+    "watermark IVM (q_incremental_rollup) cannot give: a per-status "
+    "rollup maintained through a MERGE containing UPDATES and DELETES by "
+    "applying the change feed's signed deltas (+postimage, -preimage) to "
+    "the version-1 rollup, never rescanning version 2. Exact decimal "
+    "delta arithmetic, so incremental == direct recompute bit-for-bit; "
+    "the oracle IS the direct recompute of the v2 state. At 100 TB the "
+    "maintenance cost is O(|changes|), not O(|table|).",
+)
+def q_cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_cdf_table(spark, sf_dir)
+    base = (
+        table.read(1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s0"),
+        )
+    )
+    feed = snapshot_changes(table, ["o_orderkey"], 1, 2)
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.withColumn("__sign", sign)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("__sign").alias("nd"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(28,2)") * F.col("__sign")
+            ).alias("sd"),
+        )
+    )
+    merged = base.join(delta, "o_orderstatus", "full_outer")
+    return merged.select(
+        "o_orderstatus",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("nd", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(28,2)"))
+            + F.coalesce(F.col("sd"), F.lit(0).cast("decimal(28,2)"))
+        )
+        .cast("double")
+        .alias("total_price"),
+    ).filter(F.col("n_orders") > 0)

@@ -329,3 +329,37 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     assert {(r["k"], r["change_type"], r["tag"]) for r in feed} == {
         (3, "insert", "a")
     }
+
+
+def test_snapshot_changes_images(spark, tmp_path):
+    """table_changes format: updates emit pre+post images, deletes carry
+    their pre-image; applying signed deltas reproduces the new aggregate."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.operators.cdf import snapshot_changes
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    table = VersionedLakeTable(spark, str(tmp_path / "t"))
+    table.append(df)
+    batch = (
+        spark.createDataFrame([(2, 99.0, False), (3, 0.0, True), (4, 5.0, False)],
+                              ["k", "v", "__del"])
+    )
+    table.merge_upsert(batch, keys=["k"], delete_col="__del")
+    feed = snapshot_changes(table, ["k"], 1, 2)
+    rows = {(r["k"], r["change_type"], r["v"]) for r in feed.collect()}
+    assert rows == {
+        (2, "update_preimage", 20.0),
+        (2, "update_postimage", 99.0),
+        (3, "delete", 30.0),
+        (4, "insert", 5.0),
+    }
+    # Signed-delta replay: sum(v1) + post - pre == sum(v2).
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    delta = feed.select((F.col("v") * sign).alias("d")).agg(F.sum("d")).collect()[0][0]
+    s1 = table.read(1).agg(F.sum("v")).collect()[0][0]
+    s2 = table.read(2).agg(F.sum("v")).collect()[0][0]
+    assert s1 + delta == s2
