@@ -270,3 +270,13 @@ def test_runtime_bloom_filter_join_pruning(spark):
         .collect()
     }
     assert pruned == plain and len(plain) == 1
+
+
+def test_window_group_limit_pushdown(spark):
+    """q_top_parts_per_nation's rank<=3 must compile to a per-partition
+    WindowGroupLimit top-k (no group fully sorted/materialized)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    df = all_queries()["q_top_parts_per_nation"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]
