@@ -1083,3 +1083,39 @@ sql_query(
     "per-order self-join shape as q_triangle_count's edge builder — "
     "bounded by Σ basket_size² per order, never by catalog size.",
 )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT
+    l_returnflag,
+    l_extendedprice,
+    SUM(CAST(l_quantity AS BIGINT))
+      OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum_wt,
+    SUM(CAST(l_quantity AS BIGINT))
+      OVER (PARTITION BY l_returnflag) AS total_wt
+  FROM lineitem
+)
+SELECT
+  l_returnflag,
+  MIN(l_extendedprice) AS weighted_median_price,
+  CAST(MAX(total_wt) AS BIGINT) AS total_weight
+FROM w
+WHERE 2 * cum_wt >= total_wt
+GROUP BY l_returnflag
+"""
+
+sql_query(
+    "q_weighted_median",
+    spark_sql=_WEIGHTED_MEDIAN_SQL,
+    duck_sql=_WEIGHTED_MEDIAN_SQL,
+    tables=["lineitem"],
+    doc="Quantity-weighted median price per return flag (the inventory-"
+    "weighted center the plain median misses): integer cumulative-weight "
+    "window with a unique (price, orderkey, linenumber) tiebreaker, "
+    "median = MIN price where 2*cum >= total — all-integer comparisons, "
+    "no interpolation, deterministic under any tie order. One window "
+    "pass per group partition; complements q_value_percentiles (exact "
+    "unweighted) and the equi-depth histogram.",
+)

@@ -100,6 +100,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_ab_welch",
     "q_market_basket",
     "q_cdf_incremental_rollup",
+    "q_weighted_median",
+    "q_session_dynamic",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs

@@ -15,7 +15,7 @@ window arithmetic, aggregates, and the score ladder are shared semantics.
 from __future__ import annotations
 
 from ..functions.detsql import DUCK, SPARK, Dialect, dsum
-from ..registry import sql_query
+from ..registry import df_query, sql_query
 
 
 def _activity_score_sql(d: Dialect) -> str:
@@ -89,3 +89,86 @@ sql_query(
     "(HLL estimates have no cross-engine equivalent). Accuracy vs the "
     "exact count is asserted in tests/test_llm_ops.py (within 5%).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap sessionization: per-event gap expression (purchases hold the
+# session open longer), native session_window(ts, <CASE expr>).
+# ---------------------------------------------------------------------------
+
+_GAP_PURCHASE_S = 1800
+_GAP_OTHER_S = 600
+
+
+@df_query(
+    "q_session_dynamic",
+    duck_sql=f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         (epoch_ns(ts) // 1000) AS ts_us,
+         CASE WHEN event_type = 'purchase'
+              THEN {_GAP_PURCHASE_S}000000 ELSE {_GAP_OTHER_S}000000
+         END AS gap_us
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+o AS (
+  SELECT *,
+         MAX(ts_us + gap_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM ev
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+sessions AS (
+  SELECT *,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us + gap_us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    tables=["events"],
+    doc="Dynamic-gap sessionization — session_window(ts, CASE ...): each "
+    "event extends its session by a PER-EVENT gap (purchases "
+    f"{_GAP_PURCHASE_S}s, everything else {_GAP_OTHER_S}s — the 'big "
+    "actions keep carts alive' semantics static gaps cannot express). "
+    "Oracle = interval-union merge: running MAX(ts+gap) per user, a new "
+    "session exactly when an event starts at/after every prior event's "
+    "reach. A green row pins Spark's dynamic-gap window-merging algebra "
+    "against first-principles interval arithmetic. Same single user_id "
+    "exchange as static sessionization; streaming-capable unchanged.",
+)
+def q_session_dynamic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(
+        "event_id IS NOT NULL AND ts IS NOT NULL AND value > 0"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(f"{_GAP_PURCHASE_S} seconds")
+    ).otherwise(F.lit(f"{_GAP_OTHER_S} seconds"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
