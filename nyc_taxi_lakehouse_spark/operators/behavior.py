@@ -299,3 +299,101 @@ sql_query(
     "NTILE windows run over the per-customer aggregate (cardinality = "
     "#customers), same bounded shape as q_user_deciles.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed funnel: each step must land within a bounded window AFTER
+# the previous step's qualifying event.
+# ---------------------------------------------------------------------------
+
+_FWIN_US = 72 * 3600 * 1000000  # 72-hour per-step conversion window
+
+
+def _funnel_windowed_sql(d: Dialect) -> str:
+    """Windowed funnel semantics differ structurally from q_funnel: the
+    qualifying time of step k is the FIRST step-k event after step k-1's
+    qualifying time (and within the window) — NOT the user's global first.
+    That chain is an iterative dependency; expressed here without self-
+    joins or re-scans by collecting each user's per-step timestamp arrays
+    once, then resolving t1..t4 with chained higher-order
+    min-of-filtered-array projections (pure map over the per-user row)."""
+    if d.name == "spark":
+        def arr(step: str) -> str:
+            return (
+                f"sort_array(collect_list(CASE WHEN event_type = '{step}' "
+                f"THEN ts_us END)) AS a_{step}"
+            )
+
+        def nxt(t_prev: str, step: str) -> str:
+            return (
+                f"array_min(filter(a_{step}, "
+                f"v -> v > {t_prev} AND v <= {t_prev} + {_FWIN_US}))"
+            )
+    else:
+        def arr(step: str) -> str:
+            return (
+                f"list_sort(list(ts_us) FILTER (WHERE event_type = '{step}')) "
+                f"AS a_{step}"
+            )
+
+        def nxt(t_prev: str, step: str) -> str:
+            return (
+                f"list_min(list_filter(a_{step}, "
+                f"v -> v > {t_prev} AND v <= {t_prev} + {_FWIN_US}))"
+            )
+
+    arrays = ",\n         ".join(arr(s) for s in _FUNNEL_STEPS)
+    s2, s3, s4 = (nxt(f"t{i}", _FUNNEL_STEPS[i]) for i in (1, 2, 3))
+    steps_union = "\nUNION ALL\n".join(
+        f"""SELECT {i + 1} AS step, '{s}' AS step_name, n{i + 1} AS n_users,
+       CAST(n{i + 1} AS DOUBLE) / NULLIF(n1, 0) AS conv_from_first,
+       CAST(n{i + 1} AS DOUBLE) / NULLIF({f"n{i}" if i else "n1"}, 0)
+         AS conv_from_prev
+FROM agg"""
+        for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    min_first = (
+        f"array_min(a_{_FUNNEL_STEPS[0]})"
+        if d.name == "spark"
+        else f"list_min(a_{_FUNNEL_STEPS[0]})"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {d.epoch_us('ts')} AS ts_us
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+arrays AS (
+  SELECT user_id,
+         {arrays}
+  FROM ev GROUP BY user_id
+),
+s1 AS (SELECT *, {min_first} AS t1 FROM arrays),
+s2 AS (SELECT *, {s2} AS t2 FROM s1),
+s3 AS (SELECT *, {s3} AS t3 FROM s2),
+s4 AS (SELECT *, {s4} AS t4 FROM s3),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(SUM(CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM s4
+)
+{steps_union}
+"""
+
+
+sql_query(
+    "q_funnel_windowed",
+    spark_sql=_funnel_windowed_sql(SPARK),
+    duck_sql=_funnel_windowed_sql(DUCK),
+    tables=["events"],
+    doc="Time-windowed ordered funnel: step k counts only if its first "
+    "qualifying event lands within 72 h AFTER step k-1's qualifying time "
+    "(first-after-prev chain — stricter and structurally different from "
+    "q_funnel's global-firsts). One aggregation collects per-user per-"
+    "step timestamp arrays; the t1->t4 chain resolves via higher-order "
+    "min-of-filtered-array projections — no self-joins, no re-scans, one "
+    "shuffle total. Conversion rates are single IEEE divisions.",
+)

@@ -53,6 +53,7 @@ WHITELIST = {
     "q_drift_chisq": ({"bnlj", "single-part"}, "MIN/MAX ts 1-row bounds"),
     # 4-step union off the 1-row global funnel aggregate.
     "q_funnel": ({"single-part"}, "steps union off a scalar funnel agg"),
+    "q_funnel_windowed": ({"single-part"}, "steps union off a scalar funnel agg"),
     # Rule ledger: 1-row check/dup/orphan scalars cross-joined into 6 rows.
     "q_expectations": ({"bnlj", "single-part"}, "1-row audit scalars x rules"),
     # 9-row digit counts x 1-row total broadcast.
