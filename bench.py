@@ -66,6 +66,15 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_regression",
     "q_pareto_frontier",
+    # Round-3 continuation flagships, part 3: exact prefix-filter
+    # similarity join, oriented triangle counting, CDF-driven incremental
+    # maintenance, windowed funnel, basket rules, dynamic sessions.
+    "q_dedup_ppjoin",
+    "q_triangle_count",
+    "q_cdf_incremental_rollup",
+    "q_funnel_windowed",
+    "q_market_basket",
+    "q_session_dynamic",
 ]
 
 
