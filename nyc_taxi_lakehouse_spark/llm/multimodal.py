@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.detsql import DUCK, SPARK, Dialect
 from ..registry import df_query, sql_query
@@ -310,3 +311,138 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(hexp).alias("payload_md5"),
         F.substring(hexp, 1, 16).alias("head_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection over the multimodal payload (image
+# dedup shape: decode -> 64-pixel average-hash -> banded Hamming pairs).
+# ---------------------------------------------------------------------------
+
+_AHASH_PIXELS = 64
+_AHASH_CHUNKS = 4  # 4 x 16-bit chunks; Hamming <= 3 => >= 1 identical chunk
+_AHASH_MAX_D = 3
+
+
+def ahash_chunks(payload: bytes) -> list[int]:
+    """Average-hash of a decoded 64-pixel strip, packed as four 16-bit
+    chunks. The 'decode' is the stub convention (payload bytes ARE the
+    pixel source — swap for a real thumbnail decode on a codec-equipped
+    cluster); the hash algebra (strided sample, mean threshold, bit pack)
+    is the real aHash. All-integer, so the SQL oracle can recompute it
+    exactly from the text the payload was built from."""
+    n = len(payload)
+    stride = max(1, n // _AHASH_PIXELS)
+    px = [payload[i * stride] for i in range(_AHASH_PIXELS)]
+    total = sum(px)
+    bits = [1 if _AHASH_PIXELS * p > total else 0 for p in px]
+    return [
+        sum(bits[c * 16 + j] << j for j in range(16))
+        for c in range(_AHASH_CHUNKS)
+    ]
+
+
+def _phash_table(mm: DataFrame) -> DataFrame:
+    """mapInPandas decode+hash over the multimodal table (the Arrow-batched
+    path a real image pipeline uses); one row per payload with the four
+    chunk columns."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"c{c}", T.IntegerType()) for c in range(_AHASH_CHUNKS)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) < _AHASH_PIXELS:
+                    continue
+                rows.append([doc_id, *ahash_chunks(bytes(payload))])
+            yield pd.DataFrame(rows, columns=["doc_id"] + [f"c{c}" for c in range(_AHASH_CHUNKS)])
+
+    return mm.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+
+def _phash_oracle_sql() -> str:
+    """Exact SQL recomputation of the aHash chunks from the text (the
+    payload is the utf8 bytes of text), then the banded pair join."""
+    px = [
+        f"ascii(substr(text, 1 + {i} * greatest(length(text) // {_AHASH_PIXELS}, 1), 1))"
+        for i in range(_AHASH_PIXELS)
+    ]
+    tot = " + ".join(f"p{i}" for i in range(_AHASH_PIXELS))
+    pix_cols = ",\n    ".join(f"{e} AS p{i}" for i, e in enumerate(px))
+    chunk_exprs = ",\n    ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {_AHASH_PIXELS} * p{c * 16 + j} > tot THEN 1 ELSE 0 END) * {1 << j}"
+            for j in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(_AHASH_CHUNKS)
+    )
+    bands = " OR ".join(f"a.c{c} = b.c{c}" for c in range(_AHASH_CHUNKS))
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(_AHASH_CHUNKS))
+    return f"""
+WITH pix AS (
+  SELECT doc_id,
+    {pix_cols}
+  FROM documents WHERE length(text) >= {_AHASH_PIXELS}
+),
+tot AS (SELECT *, {tot} AS tot FROM pix),
+h AS (
+  SELECT doc_id,
+    {chunk_exprs}
+  FROM tot
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id AND ({bands})
+WHERE {ham} <= {_AHASH_MAX_D}
+"""
+
+
+@df_query(
+    "q_multimodal_phash_dedup",
+    duck_sql=_phash_oracle_sql(),
+    tables=["documents"],
+    doc="Perceptual-hash near-dup detection over the multimodal payload — "
+    "the image-dedup pipeline shape: Arrow-batched decode+aHash "
+    "(mapInPandas; stub decode per module convention, real hash "
+    "algebra), then EXACT pigeonhole banding on the four 16-bit chunks "
+    "(Hamming <= 3 over 64 bits guarantees an identical chunk) and a "
+    "bit_count(xor) verify — never the all-pairs space, the same "
+    "candidate discipline as q_dedup_simhash_pairs but over binary "
+    "payloads. All-integer, so the oracle recomputes the hash from the "
+    "payload's source text and the gate is hash-exact.",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    mm = to_multimodal(t["documents"])
+    h = _phash_table(mm).localCheckpoint()  # 3 plan references below
+    h.createOrReplaceTempView("phash_h")
+    # The oracle writes the OR-of-bands join (fine for a reference
+    # engine); here each band becomes an EQUI-join key via a 4-row
+    # explode, so candidates come from hash joins on (band, value) — the
+    # same pigeonhole discipline as q_dedup_simhash_pairs. An OR join
+    # condition would compile to a nested-loop over all pairs (the plan
+    # linter rejects exactly that).
+    stack = ", ".join(f"{c}, c{c}" for c in range(_AHASH_CHUNKS))
+    ham = " + ".join(
+        f"bit_count(ha.c{c} ^ hb.c{c})" for c in range(_AHASH_CHUNKS)
+    )
+    return spark.sql(f"""
+        WITH bands AS (
+          SELECT doc_id, stack({_AHASH_CHUNKS}, {stack}) AS (band, val)
+          FROM phash_h
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+        FROM cand c
+        JOIN phash_h ha ON c.doc_a = ha.doc_id
+        JOIN phash_h hb ON c.doc_b = hb.doc_id
+        WHERE {ham} <= {_AHASH_MAX_D}
+    """)

@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_weighted_median",
     "q_session_dynamic",
     "q_funnel_windowed",
+    "q_multimodal_phash_dedup",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs
