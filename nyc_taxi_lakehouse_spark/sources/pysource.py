@@ -189,3 +189,75 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the Python DataSource API: a partition-parallel JSONL sink
+# with task-level commit messages (the two-phase commit contract).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Each task writes its partition to a uniquely-named staging file and
+    returns a commit message; commit() atomically publishes the manifest
+    (the same two-phase task-commit/job-commit contract FileFormatWriter
+    implements for parquet — uncommitted task files are simply never
+    referenced). abort() removes staged files."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, rows) -> _JsonlCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = _os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonl_sink").option("path", ...).save()` — the
+    writer counterpart of SynthEventsDataSource's reader/stream halves,
+    completing the Python DataSource surface (reader, simple stream
+    reader, writer)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
