@@ -536,3 +536,105 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def _seasonal_anomaly_sql(d: Dialect) -> str:
+    """Per-(dow, hour) seasonal baseline from exact decimal moments; events
+    whose value sits more than 3 sample-stddevs from their slot's mean are
+    flagged. The baseline join is an aggregate-to-fact equi-join on the
+    slot key (broadcastable: <= 168 slots)."""
+    dow = d.dow('ts')
+    epoch_ts = d.epoch("ts")
+    hour = f"CAST({d.idiv(f'({epoch_ts} % 86400)', '3600')} AS INT)"
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         {dow} AS dow, {hour} AS hod
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+baseline AS (
+  SELECT dow, hod, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))
+                        * CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sxx
+  FROM ev GROUP BY dow, hod
+  HAVING COUNT(*) >= 3
+)
+SELECT e.event_id, e.user_id, e.value,
+       e.dow, e.hod,
+       b.sx / CAST(b.n AS DOUBLE) AS slot_mean,
+       SQRT((CAST(b.n AS DOUBLE) * b.sxx - b.sx * b.sx)
+            / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)))
+         AS slot_stddev,
+       (e.value - b.sx / CAST(b.n AS DOUBLE))
+         / SQRT((CAST(b.n AS DOUBLE) * b.sxx - b.sx * b.sx)
+                / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)))
+         AS z_score
+FROM ev e JOIN baseline b ON e.dow = b.dow AND e.hod = b.hod
+WHERE ABS((e.value - b.sx / CAST(b.n AS DOUBLE))
+      / SQRT((CAST(b.n AS DOUBLE) * b.sxx - b.sx * b.sx)
+             / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)))) > 3
+"""
+
+
+sql_query(
+    "q_seasonal_anomaly",
+    spark_sql=_seasonal_anomaly_sql(SPARK),
+    duck_sql=_seasonal_anomaly_sql(DUCK),
+    tables=["events"],
+    doc="Seasonality-aware anomaly detection: per-(day-of-week, hour) "
+    "baseline mean/stddev from ONE decimal moment-sum pass (<=168 slots, "
+    "broadcast back onto the fact), events beyond 3 sample-sigmas of "
+    "their slot flagged with their z-score. Identical IEEE z expression "
+    "in both engines; complements q_anomaly_mad (global robust outliers) "
+    "and q_drift_chisq (distributional drift) with the seasonal-residual "
+    "family.",
+)
+
+
+def _cusum_sql(d: Dialect) -> str:
+    """CUSUM changepoint scan over the daily totals: S_k = Σ_{i<=k}(x_i - μ),
+    the maximum |S_k| marks the most likely level-shift location. All
+    inputs are exact decimal day totals; μ enters each term once, so the
+    running sum is the identical IEEE tree under the ordered window."""
+    day = d.idiv(d.epoch('ts'), '86400')
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day_n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY {day}
+),
+mu AS (
+  SELECT CAST(SUM(CAST(total AS DECIMAL(28,6))) AS DOUBLE)
+         / COUNT(*) AS mean_total
+  FROM daily
+),
+cusum AS (
+  SELECT d.day_n, d.total,
+         SUM(d.total - m.mean_total) OVER (
+           ORDER BY d.day_n
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k
+  FROM daily d CROSS JOIN mu m
+)
+SELECT CAST(day_n AS BIGINT) AS day_n, total, s_k,
+       ABS(s_k) AS abs_s_k
+FROM cusum
+ORDER BY abs_s_k DESC, day_n
+LIMIT 5
+"""
+
+
+sql_query(
+    "q_cusum_changepoint",
+    spark_sql=_cusum_sql(SPARK),
+    duck_sql=_cusum_sql(DUCK),
+    tables=["events"],
+    doc="CUSUM changepoint scan: cumulative deviation of exact-decimal "
+    "daily totals from the overall mean; the top-|S_k| days (unique "
+    "day tiebreaker) locate the most likely level shift. The window "
+    "runs over the DAILY aggregate (cardinality = #days — bounded), "
+    "and the mean is a 1-row broadcast. The monitoring companion to "
+    "q_drift_chisq: drift says the halves differ, CUSUM says WHERE the "
+    "shift happened.",
+)

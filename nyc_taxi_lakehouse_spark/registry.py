@@ -104,6 +104,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_session_dynamic",
     "q_funnel_windowed",
     "q_multimodal_phash_dedup",
+    "q_seasonal_anomaly",
+    "q_cusum_changepoint",
     # round-3 additions (new this round — need their first driver row).
     # q_value_percentiles_approx stays in-cap per VERDICT "do this" #2
     # (its r02 row was the canonicalizer crash; the flattened form needs

@@ -71,6 +71,9 @@ WHITELIST = {
     "q_oov_rate": ({"bnlj", "single-part"}, "1-row token total for vocab cut"),
     # NTILE quintiles over the per-customer aggregate (q_user_deciles shape).
     "q_rfm_segments": ({"single-part"}, "global NTILE over per-customer aggregate"),
+    # CUSUM running sum over the DAILY aggregate (cardinality = #days);
+    # 1-row mean broadcast.
+    "q_cusum_changepoint": ({"bnlj", "single-part"}, "window over per-day aggregate x 1-row mean"),
 }
 
 
