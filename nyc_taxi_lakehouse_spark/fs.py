@@ -64,3 +64,19 @@ class LakeFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        """Create a small text file, FAILING if it already exists (Hadoop
+        create(overwrite=false)) — the put-if-absent primitive optimistic
+        concurrency control needs for commit-log manifests. Raises
+        FileExistsError on collision."""
+        try:
+            out = self._fs.create(self._path(path), False)
+        except Exception as e:  # py4j-wrapped FileAlreadyExistsException
+            if "exist" in str(e).lower():
+                raise FileExistsError(path) from None
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()

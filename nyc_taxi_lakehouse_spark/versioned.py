@@ -40,6 +40,11 @@ from .fs import LakeFS
 from .lake import ValidationError, _nullability_normalized
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency, Delta-protocol style): re-read the table and retry."""
+
+
 class VersionedLakeTable:
     """A partitioned parquet table with Delta-style versioned commits."""
 
@@ -134,7 +139,20 @@ class VersionedLakeTable:
         }
         if base is not None:
             manifest["base"] = base
-        self.fs.write_text(self._manifest_path(version), json.dumps(manifest))
+        # Optimistic concurrency control (Delta protocol): the manifest for
+        # version N is created put-if-absent. A concurrent writer that
+        # committed N first wins; this writer gets ConcurrentCommitError
+        # instead of silently overwriting the log — callers re-read the
+        # table and retry their transaction against the new snapshot.
+        try:
+            self.fs.write_text_exclusive(
+                self._manifest_path(version), json.dumps(manifest)
+            )
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} at {self.path} was committed by a "
+                "concurrent writer; re-read and retry"
+            ) from None
         return version
 
     # -- reads --------------------------------------------------------------

@@ -231,3 +231,34 @@ def test_orphans_report_matches_vacuum(spark, tmp_path):
     assert t.vacuum(retain_last=1) == len(orphaned)
     assert t.orphans(retain_last=1) == set()
     assert t.read().count() == 25
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """Two writers racing to commit the same version: the loser must get
+    ConcurrentCommitError, never silently overwrite the winner's manifest."""
+    import pytest
+
+    from nyc_taxi_lakehouse_spark.versioned import (
+        ConcurrentCommitError,
+        VersionedLakeTable,
+    )
+
+    path = str(tmp_path / "t")
+    w1 = VersionedLakeTable(spark, path)
+    w2 = VersionedLakeTable(spark, path)
+    df = spark.range(0, 10).selectExpr("id AS k")
+    w1.append(df)
+    schema = w1.read().schema
+    live = set(w1._manifest(1)["files"])
+    # w2 wins the race for version 2.
+    assert w2._commit("append", live, schema) == 2
+    # Pin w1 to its STALE view (it read latest=1 before w2 committed) so
+    # its _commit targets version 2 — the put-if-absent must refuse.
+    w1.versions = lambda: [1]
+    w1.latest_version = lambda: 1
+    with pytest.raises(ConcurrentCommitError):
+        w1._commit("append", live, schema)
+    # The winner's manifest is intact; a fresh writer proceeds normally.
+    fresh = VersionedLakeTable(spark, path)
+    assert fresh._manifest(2)["op"] == "append"
+    assert fresh.append(df) == 3
