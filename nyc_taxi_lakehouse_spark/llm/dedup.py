@@ -108,6 +108,80 @@ sql_query(
 )
 
 
+def _containment_sql(d: Dialect) -> str:
+    """Asymmetric containment near-dup: C(A→B) = |A∩B| / |A|.
+
+    Symmetric Jaccard misses the subsumption regime — doc A fully embedded
+    in a much larger doc B (quoted replies, boilerplate-wrapped pages,
+    article + comments) has J = |A|/|B| ≈ 0 but C(A→B) = 1. Web-scale
+    corpus curation needs both signals; this is the containment half.
+
+    Orientation is deterministic: the *contained* doc is the smaller token
+    set (tie → lower doc_id). Threshold inter/|contained| ≥ 0.9 is compared
+    in INTEGER form (inter·10 ≥ 9·min_size) — no float boundary in the
+    filter. Pairs are classed 'mutual' (J ≥ 0.8 — both directions near-dup)
+    vs 'subsumed' (high containment, low Jaccard — exactly what
+    q_dedup_jaccard cannot see).
+
+    Scale shape: identical to the Jaccard join — (lang, source) blocking on
+    the token self-join, one grouped intersection count, two broadcast-able
+    size joins. At 100 TB the blocking key becomes a MinHash band; the
+    containment arithmetic is unchanged (|A| rides with the signature).
+    """
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    return f"""
+WITH tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+oriented AS (
+  SELECT
+    CASE WHEN sa.n_tokens < sb.n_tokens
+           OR (sa.n_tokens = sb.n_tokens AND p.doc_a < p.doc_b)
+         THEN p.doc_a ELSE p.doc_b END AS doc_contained,
+    CASE WHEN sa.n_tokens < sb.n_tokens
+           OR (sa.n_tokens = sb.n_tokens AND p.doc_a < p.doc_b)
+         THEN p.doc_b ELSE p.doc_a END AS doc_container,
+    p.inter,
+    LEAST(sa.n_tokens, sb.n_tokens) AS size_contained,
+    GREATEST(sa.n_tokens, sb.n_tokens) AS size_container,
+    sa.n_tokens + sb.n_tokens - p.inter AS union_size
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE p.inter * 10 >= 9 * LEAST(sa.n_tokens, sb.n_tokens)
+)
+SELECT
+  doc_contained,
+  doc_container,
+  inter,
+  size_contained,
+  size_container,
+  CAST(inter AS DOUBLE) / size_contained AS containment,
+  CAST(inter AS DOUBLE) / union_size AS jaccard,
+  CASE WHEN inter * 10 >= 8 * union_size THEN 'mutual' ELSE 'subsumed' END
+    AS relation
+FROM oriented
+"""
+
+
+sql_query(
+    "q_dedup_containment",
+    spark_sql=_containment_sql(SPARK),
+    duck_sql=_containment_sql(DUCK),
+    tables=["documents"],
+    doc=_containment_sql.__doc__,
+)
+
+
 def _minhash_sql(d: Dialect) -> str:
     tok = d.distinct_token_rows("documents")
     sig_cols = ",\n  ".join(

@@ -144,11 +144,13 @@ _SHINGLE_K = 3
 _WINNOW_W = 4
 
 
-def _winnow_sql(d: Dialect) -> str:
+def _winnow_ctes(d: Dialect) -> str:
+    """The shared winnowing CTE chain ending in fps(doc_id, fp) — the
+    per-document fingerprint set. Used by q_winnow_fingerprint (per-doc
+    summary) and q_dup_spans (corpus-level shared-span analysis)."""
     pos = d.positional_token_rows("documents")
     h = d.md5_int32("token")
-    return f"""
-WITH pos_tok AS ({pos}),
+    return f"""pos_tok AS ({pos}),
 hashed AS (
   SELECT doc_id, i, {h} AS h FROM pos_tok
 ),
@@ -169,7 +171,12 @@ winnowed AS (
   FROM shingles
   WHERE s IS NOT NULL
 ),
-fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)"""
+
+
+def _winnow_sql(d: Dialect) -> str:
+    return f"""
+WITH {_winnow_ctes(d)}
 SELECT doc_id,
   CAST(COUNT(*) AS INT) AS n_fingerprints,
   CAST(SUM(fp) AS BIGINT) AS fp_checksum,
@@ -193,6 +200,53 @@ sql_query(
     "windows PARTITION BY doc_id, so fingerprinting distributes per-doc "
     "with no global sort; summarised here per doc (count / checksum / "
     "extrema) to keep the verified surface compact.",
+)
+
+
+def _dup_spans_sql(d: Dialect) -> str:
+    """Cross-document duplicated-SPAN coverage from the shared winnowing
+    fingerprints — span-level dedup signal WITHOUT any pairwise join.
+
+    A fingerprint (winnowed 3-token rolling hash) names a local span of
+    text; a fingerprint appearing in ≥2 documents marks a span duplicated
+    across the corpus (boilerplate, quoted text, templated pages). Per doc:
+    what fraction of its fingerprinted spans are corpus-duplicated, and how
+    widely shared its worst span is. This is the signal used to strip
+    boilerplate spans / rank docs for span-level dedup (the step after
+    whole-doc dedup in a training-data pipeline).
+
+    Scale shape: the fingerprint table shuffles ONCE on fp for the
+    document-frequency aggregate, joins back on fp, then rolls up per doc —
+    three keyed exchanges total, NO pair explosion (the whole point: at
+    100 TB pairwise span comparison is impossible, fp-keyed aggregation is
+    one shuffle of a table ~ the corpus token count / w).
+    """
+    return f"""
+WITH {_winnow_ctes(d)},
+fp_df AS (
+  SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp
+)
+SELECT
+  f.doc_id,
+  CAST(COUNT(*) AS INT) AS n_fps,
+  CAST(SUM(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared,
+  CAST(SUM(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_frac,
+  CAST(MAX(g.df) AS INT) AS max_fp_df,
+  CASE WHEN 2 * SUM(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) >= COUNT(*)
+       THEN 'dup_heavy' ELSE 'clean' END AS span_class
+FROM fps f
+JOIN fp_df g ON f.fp = g.fp
+GROUP BY f.doc_id
+"""
+
+
+sql_query(
+    "q_dup_spans",
+    spark_sql=_dup_spans_sql(SPARK),
+    duck_sql=_dup_spans_sql(DUCK),
+    tables=["documents"],
+    doc=_dup_spans_sql.__doc__,
 )
 
 

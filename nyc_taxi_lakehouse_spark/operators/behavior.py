@@ -397,3 +397,77 @@ sql_query(
     "min-of-filtered-array projections — no self-joins, no re-scans, one "
     "shuffle total. Conversion rates are single IEEE divisions.",
 )
+
+
+# --- Event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP) -----------
+
+# One symbol per event type; the per-user journey becomes a string and
+# sequence patterns become regexes over it.
+_SYMBOLS = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+_PATTERN = "vc*p"  # a view, any clicks, then a purchase — contiguous
+
+
+def _event_pattern_sql(d: Dialect) -> str:
+    """SQL:2016 MATCH_RECOGNIZE-lite: per-user event sequences encoded as
+    symbol strings (one char per event type, ordered by ts with event_id as
+    the deterministic tiebreaker), sequence patterns evaluated as regexes.
+
+    Pattern `vc*p` = a view, any number of clicks, then a purchase, with
+    NOTHING else in between — contiguity is what funnels can't express
+    (q_funnel's MIN-of-step chain allows arbitrary interleaving). Both
+    engines count non-overlapping leftmost matches; `vc*p` is unambiguous
+    under leftmost-first and leftmost-longest alike, so backtracking (Java)
+    vs automaton (RE2) semantics agree.
+
+    Scale shape: one shuffle on user_id into a sort-aggregate; per-user
+    state is the journey string, bounded by per-user activity. At 100 TB
+    the partition key becomes (user_id, session) — sessionize first
+    (q_sessionization), then pattern-match within sessions: state bounded
+    by session length, and the regex pass distributes with the sessions.
+    """
+    sym = (
+        "CASE event_type "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _SYMBOLS.items())
+        + " END"
+    )
+    if d.name == "spark":
+        seq = (
+            "concat_ws('', transform(array_sort(collect_list("
+            "named_struct('t', ts, 'id', event_id, 's', sym))), x -> x.s))"
+        )
+    else:
+        seq = "string_agg(sym, '' ORDER BY ts, event_id)"
+    matches = d.arr_len(d.regex_tokens("seq", _PATTERN))
+    strict = d.arr_len(d.regex_tokens("seq", "vcp"))
+    runs = d.regex_tokens("seq", "c+")
+    if d.name == "spark":
+        max_run = f"array_max(transform({runs}, x -> length(x)))"
+    else:
+        max_run = f"list_max(list_transform({runs}, x -> length(x)))"
+    return f"""
+WITH sym_events AS (
+  SELECT user_id, ts, event_id, {sym} AS sym FROM events
+),
+journeys AS (
+  SELECT user_id, {seq} AS seq, COUNT(*) AS n_events
+  FROM sym_events GROUP BY user_id
+)
+SELECT
+  user_id,
+  CAST(n_events AS BIGINT) AS n_events,
+  {matches} AS n_patterns,
+  {strict} AS n_strict_patterns,
+  COALESCE({max_run}, 0) AS max_click_run,
+  CASE WHEN {matches} > 0 THEN 'converter' ELSE 'non_converter' END
+    AS pattern_class
+FROM journeys
+"""
+
+
+sql_query(
+    "q_event_pattern",
+    spark_sql=_event_pattern_sql(SPARK),
+    duck_sql=_event_pattern_sql(DUCK),
+    tables=["events"],
+    doc=_event_pattern_sql.__doc__,
+)

@@ -202,3 +202,93 @@ def write_zordered(df, path: str, col_a: str, col_b: str, n_files: int = 8) -> N
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- Key-skew diagnostics ------------------------------------------------
+
+def _skew_report_sql(partitions: int = 32, top_n: int = 10) -> str:
+    """Join/agg-key skew report — the diagnostic you run BEFORE deciding to
+    salt. Per candidate shuffle key (here l_partkey): the key-frequency
+    distribution's shape, and a concrete salt-bucket recommendation.
+
+    All arithmetic is integer or single IEEE divisions of integers —
+    hash-exact cross-engine, no percentile interpolation (p50/p99 are
+    "smallest count covering ≥q of keys" — integer selection, the
+    q_weighted_median trick):
+
+    - max_share: the heaviest key's fraction of all rows. If one reducer
+      partition receives max_share but the ideal is 1/P, the hot key alone
+      stalls the stage.
+    - rec_salt_buckets = ceil(max_cnt · P / total) in integer form — how
+      many ways the hottest key must split so its largest shard is back at
+      the ideal partition size. 1 = no salting needed.
+    - top keys listed with shares (deterministic tiebreak on key).
+
+    Scale shape: one key-count aggregation (map-side partials — the count
+    table is |keys| rows, not |rows|), one window pass over |keys|, 1-row
+    global stats broadcast. Runs on a sample at 100 TB if |rows| per key
+    is all that's needed — shares are scale-free.
+    """
+    return f"""
+WITH key_counts AS (
+  SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys,
+         MAX(cnt) AS max_cnt
+  FROM key_counts
+),
+ordered AS (
+  SELECT key, cnt,
+         SUM(1) OVER (ORDER BY cnt, key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_keys
+  FROM key_counts
+),
+pct AS (
+  SELECT
+    MIN(CASE WHEN 2 * o.run_keys >= t.n_keys THEN o.cnt END) AS cnt_p50,
+    MIN(CASE WHEN 100 * o.run_keys >= 99 * t.n_keys THEN o.cnt END) AS cnt_p99
+  FROM ordered o CROSS JOIN tot t
+),
+top_keys AS (
+  SELECT key, cnt FROM key_counts ORDER BY cnt DESC, key LIMIT {top_n}
+)
+SELECT
+  k.key,
+  k.cnt,
+  CAST(k.cnt AS DOUBLE) / t.total_rows AS key_share,
+  t.total_rows,
+  t.n_keys,
+  t.max_cnt,
+  CAST(t.max_cnt AS DOUBLE) / t.total_rows AS max_share,
+  p.cnt_p50,
+  p.cnt_p99,
+  CAST(t.max_cnt AS DOUBLE) / p.cnt_p50 AS max_over_median,
+  CAST((t.max_cnt * {partitions} + t.total_rows - 1) / t.total_rows AS BIGINT)
+    AS rec_salt_buckets
+FROM top_keys k CROSS JOIN tot t CROSS JOIN pct p
+"""
+
+
+def _register_skew_report():
+    from ..registry import sql_query
+
+    spark_sql = _skew_report_sql().replace(
+        "CAST((t.max_cnt * 32 + t.total_rows - 1) / t.total_rows AS BIGINT)",
+        "CAST((t.max_cnt * 32 + t.total_rows - 1) DIV t.total_rows AS BIGINT)",
+    )
+    duck_sql = _skew_report_sql().replace(
+        "CAST((t.max_cnt * 32 + t.total_rows - 1) / t.total_rows AS BIGINT)",
+        "CAST((t.max_cnt * 32 + t.total_rows - 1) // t.total_rows AS BIGINT)",
+    )
+    sql_query(
+        "q_skew_report",
+        spark_sql=spark_sql,
+        duck_sql=duck_sql,
+        tables=["lineitem"],
+        doc=_skew_report_sql.__doc__,
+    )
+
+
+_register_skew_report()

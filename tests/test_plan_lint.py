@@ -74,6 +74,9 @@ WHITELIST = {
     # CUSUM running sum over the DAILY aggregate (cardinality = #days);
     # 1-row mean broadcast.
     "q_cusum_changepoint": ({"bnlj", "single-part"}, "window over per-day aggregate x 1-row mean"),
+    # Global run_keys window over the per-key COUNT table (cardinality =
+    # #keys, not #rows) + 1-row tot/pct scalars broadcast onto top-10.
+    "q_skew_report": ({"bnlj", "single-part"}, "window over per-key aggregate x 1-row stats"),
 }
 
 
