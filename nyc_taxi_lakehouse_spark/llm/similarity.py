@@ -529,6 +529,137 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(t["embeddings"])
 
 
+def ann_pq_rerank(
+    embeddings: DataFrame,
+    n_probes: int = _N_PROBES,
+    top_k: int = _TOP_K,
+    refine_c: int = 32,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """PQ-compressed candidate scan + exact re-rank — the FAISS IVFPQ+refine
+    pipeline shape (Jégou et al., TPAMI 2011), relationally.
+
+    Stage 1 (ADC scan, compressed domain): each corpus vector is encoded as
+    8 nibble codes (the q_pq_assign layout — 64 bytes → 4). A probe builds a
+    128-row lookup table (subspace × code → exact integer L2 to that
+    centroid subvector); approximate distance = SUM of 8 LUT hits per
+    candidate. The scan touches ONLY the code table — at 100 TB the raw
+    vectors (25 TB at 64×f32) never shuffle; the code table is ~0.4% their
+    size and the LUT broadcasts at KBs per probe batch.
+
+    Stage 2 (refine): the top refine_c candidates per probe (window over the
+    ADC scores) join back to their full vectors for EXACT quantized cosine;
+    top_k of that is the answer. Accuracy is bounded by stage-1 recall only
+    — every surviving candidate is scored exactly.
+
+    Deterministic throughout: hash-ranked codebook seeds, integer L2,
+    (distance, id) tiebreaks on every window.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    subdim = _DIM // n_sub
+    quant = embeddings.selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
+    )
+
+    # Codebook: per subspace, the subvectors of 16 hash-ranked corpus seeds
+    # (deterministic k-means init; Lloyd refinement = q_kmeans_step algebra).
+    seeds = (
+        quant.filter(F.col("vec_id") >= n_probes)
+        .withColumn("hrank", (F.lit(2654435761) * F.col("vec_id") + F.lit(104729)) % F.lit(1_000_003))
+        .orderBy("hrank", "vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    cb = spark.createDataFrame(
+        [
+            (sub, code, j, int(row.q[sub * subdim + j]))
+            for code, row in enumerate(seeds)
+            for sub in range(n_sub)
+            for j in range(subdim)
+        ],
+        "sub int, code int, j int, cv long",
+    )
+
+    comp = (
+        quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
+        .withColumn("sub", (F.col("i") / subdim).cast("int"))
+        .withColumn("j", (F.col("i") % subdim).cast("int"))
+    )
+    # Exact integer L2 per (vector, subspace, code) — one broadcast join +
+    # one hash-agg; products stay < 2^63 (|q| ≤ 4·10^6 ⇒ Σ8 diffs² < 10^15).
+    d2 = (
+        comp.join(F.broadcast(cb), ["sub", "j"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("d2"))
+    )
+
+    w_enc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        d2.filter(F.col("vec_id") >= n_probes)
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("candidate_id"), "sub", "code")
+    )
+    lut = d2.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", "d2"
+    )
+
+    # ADC scan: code table ⋈ broadcast LUT, summed per (query, candidate).
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy("approx_d2", "candidate_id")
+    cands = adc.withColumn("crk", F.row_number().over(w_c)).filter(
+        F.col("crk") <= refine_c
+    )
+
+    # Refine: exact quantized cosine on the surviving pairs only.
+    pq = quant.select(F.col("vec_id").alias("query_id"), F.col("q").alias("pq"))
+    cq = quant.select(F.col("vec_id").alias("candidate_id"), F.col("q").alias("cq"))
+    dot = F.aggregate(
+        F.zip_with("pq", "cq", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(pq), "query_id")
+        .join(cq, "candidate_id")
+        .withColumn("cosine", dot / (nrm(F.col("pq")) * nrm(F.col("cq"))))
+        .select("query_id", "candidate_id", "approx_d2", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+@df_query(
+    "q_similarity_pq_rerank",
+    duck_sql=None,
+    tables=["embeddings"],
+    doc="Two-stage ANN: product-quantized ADC candidate scan (compressed "
+    "codes + broadcast per-probe LUT — raw vectors never shuffle) followed "
+    "by exact cosine re-rank of the top-32 survivors. Rows-only; recall vs "
+    "the brute-force oracle asserted in tests/test_llm_ops.py.",
+)
+def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return ann_pq_rerank(t["embeddings"])
+
+
 _SEMDEDUP_KEEP_RANK = 4  # keep the 4 centroid-nearest vectors per cell
 
 

@@ -602,3 +602,27 @@ def test_funnel_and_retention_invariants(spark, sf_dir):
     assert (week0.n_active == week0.cohort_size).all()
     assert (week0.retention == 1.0).all()
     assert (ret.week_offset >= 0).all()
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """PQ ADC keeps 32 candidates per probe, then exact re-rank: recall@10
+    must beat random by a wide margin, AND every returned pair's cosine must
+    be the exact value (stage 2 is exact — only which candidates survive is
+    approximate)."""
+    from nyc_taxi_lakehouse_spark.llm.similarity import ann_pq_rerank
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    truth_df = SPECS["q_similarity_topk"].fn(spark, sf_dir).toPandas()
+    pq = ann_pq_rerank(t["embeddings"]).toPandas()
+    truth_set = set(map(tuple, truth_df[["query_id", "candidate_id"]].values))
+    pq_set = set(map(tuple, pq[["query_id", "candidate_id"]].values))
+    n_corpus = t["embeddings"].count() - 10
+    recall = len(truth_set & pq_set) / len(truth_set)
+    random_expect = 10 / n_corpus
+    assert recall > 5 * random_expect, f"recall {recall:.3f} ~ random {random_expect:.3f}"
+    assert pq.groupby("query_id").size().min() == 10
+    # Exactness of the refine stage: cosines of overlapping pairs match the
+    # brute-force values bit-for-bit.
+    merged = pq.merge(truth_df, on=["query_id", "candidate_id"], suffixes=("_pq", "_bf"))
+    assert len(merged) > 0
+    assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
