@@ -137,3 +137,98 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("token")
     )
     return heavy_hitters_exact(tokens, "token")
+
+
+# --- Count-Min sketch ----------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+_CMS_TOP = 10
+
+
+def cms_seeds_sql(d) -> str:
+    if d.name == "spark":
+        return f"SELECT explode(sequence(0, {_CMS_D - 1})) AS seed"
+    return f"SELECT unnest(range({_CMS_D})) AS seed"
+
+
+def cms_grid_sql(d, src: str, key_expr: str) -> str:
+    """The d×w counter grid over ``src``'s ``key_expr`` — expects a `seeds`
+    CTE in scope (cms_seeds_sql). Counters are plain SUMs, so grids built
+    over disjoint slices MERGE by cell-wise addition into exactly the
+    global grid (pinned in tests/test_sketch_cdf.py)."""
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    key_seed = f"concat(CAST(kc.key AS {s}), ':', CAST(r.seed AS {s}))"
+    cell = f"({d.md5_int32(key_seed)} % {_CMS_W})"
+    # Two-phase: exact per-key counts first (map-side partials, one keyed
+    # shuffle), then hash only |keys|×d strings into cells — same grid,
+    # ~|rows|/|keys| fewer md5 evaluations. The streaming/per-batch form
+    # hashes raw rows instead (no key table needed); cell sums are
+    # identical either way.
+    return f"""
+  SELECT r.seed, {cell} AS cell, CAST(SUM(kc.cnt) AS BIGINT) AS cnt
+  FROM (SELECT {key_expr} AS key, COUNT(*) AS cnt FROM {src} GROUP BY {key_expr}) kc
+  CROSS JOIN seeds r
+  GROUP BY r.seed, {cell}
+"""
+
+
+def _cms_sql(d) -> str:
+    """Count-Min sketch, relationally — the mergeable frequency sketch.
+
+    The sketch is a d×w counter grid: counter[r][h_r(key) mod w] += 1 per
+    occurrence; the estimate for a key is MIN over rows r of its counter.
+    Estimates NEVER undercount (collisions only add), and overshoot is
+    bounded by 2N/w with probability ≥ 1 - 2^-d (Cormode & Muthukrishnan,
+    J.Alg 2005). Everything is integer — the query emits, for the top-10
+    exact keys, the exact count next to the sketch estimate, so the oracle
+    pins the whole construction bit-for-bit.
+
+    Why it matters at 100 TB: the grid is d·w counters (KBs) built by ONE
+    grouped SUM — and counters are sums, so per-day / per-partition
+    sketches MERGE by cell-wise addition into exactly the global sketch
+    (pinned in pytest, the q_hll_rollup discipline). Arbitrary-range
+    frequency questions then cost a KB-sized re-sum, not a rescan. The
+    d×key fanout shuffles d rows per input row into a bounded d·w-cell
+    aggregate — map-side partials absorb almost all of it.
+    """
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    probe_seed = f"concat(CAST(k.key AS {s}), ':', CAST(r.seed AS {s}))"
+    return f"""
+WITH seeds AS ({cms_seeds_sql(d)}),
+cms AS ({cms_grid_sql(d, "lineitem", "l_partkey")}),
+exact_top AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY COUNT(*) DESC, l_partkey LIMIT {_CMS_TOP}
+),
+probes AS (
+  SELECT k.key, k.exact_cnt, r.seed,
+         ({d.md5_int32(probe_seed)} % {_CMS_W}) AS cell
+  FROM exact_top k CROSS JOIN seeds r
+)
+SELECT
+  p.key,
+  p.exact_cnt,
+  MIN(c.cnt) AS cms_estimate,
+  MIN(c.cnt) - p.exact_cnt AS overcount
+FROM probes p
+JOIN cms c ON p.seed = c.seed AND p.cell = c.cell
+GROUP BY p.key, p.exact_cnt
+"""
+
+
+def _register_cms():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_countmin_freq",
+        spark_sql=_cms_sql(SPARK),
+        duck_sql=_cms_sql(DUCK),
+        tables=["lineitem"],
+        doc=_cms_sql.__doc__,
+    )
+
+
+_register_cms()

@@ -638,3 +638,76 @@ sql_query(
     "q_drift_chisq: drift says the halves differ, CUSUM says WHERE the "
     "shift happened.",
 )
+
+
+# --- Sweep-line interval concurrency -------------------------------------
+
+
+def _concurrency_sql(d: Dialect) -> str:
+    """Maximum concurrent open intervals per event type — the sweep-line
+    answer to "how many sessions/calls/jobs were in flight at peak".
+
+    Each event opens an interval [ts, ts + value seconds). The classic
+    O(N·log N) sweep replaces the quadratic overlap self-join: every
+    interval becomes a +1 point at open and a −1 at close, a running sum
+    ordered by time IS the live concurrency, and its max is the peak.
+    Half-open semantics via the tiebreak (t, delta, event_id): a close
+    sorts before an open at the same instant. All integer arithmetic on
+    epoch-microseconds.
+
+    Scale shape: the running sum partitions by event_type — each type's
+    sweep is an ordered scan of its own points, never a pair join. For a
+    single giant type, the standard two-pass split applies (per-range
+    partial sums + broadcast prefix offsets — the q_seq_packing
+    discipline); the algebra here is unchanged.
+    """
+    t0 = d.epoch_us("ts")
+    dur = "CAST(round(value * 1000000) AS BIGINT)"
+    return f"""
+WITH iv AS (
+  SELECT event_type, event_id, {t0} AS t0, {t0} + {dur} AS t1
+  FROM events
+  WHERE ts IS NOT NULL AND value > 0
+),
+pts AS (
+  SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, t1 AS t, -1 AS delta, event_id FROM iv
+),
+run AS (
+  SELECT event_type, t,
+    SUM(delta) OVER (
+      PARTITION BY event_type ORDER BY t, delta, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS conc
+  FROM pts
+),
+peak AS (
+  SELECT event_type, CAST(MAX(conc) AS INT) AS max_concurrent FROM run
+  GROUP BY event_type
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(t1 - t0) AS BIGINT) AS total_busy_us
+  FROM iv GROUP BY event_type
+)
+SELECT
+  p.event_type,
+  s.n_intervals,
+  s.total_busy_us,
+  p.max_concurrent,
+  MIN(r.t) AS peak_start_us
+FROM peak p
+JOIN run r ON r.event_type = p.event_type AND r.conc = p.max_concurrent
+JOIN sizes s ON s.event_type = p.event_type
+GROUP BY p.event_type, s.n_intervals, s.total_busy_us, p.max_concurrent
+"""
+
+
+sql_query(
+    "q_max_concurrency",
+    spark_sql=_concurrency_sql(SPARK),
+    duck_sql=_concurrency_sql(DUCK),
+    tables=["events"],
+    doc=_concurrency_sql.__doc__,
+)

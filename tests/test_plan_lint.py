@@ -77,6 +77,8 @@ WHITELIST = {
     # Global run_keys window over the per-key COUNT table (cardinality =
     # #keys, not #rows) + 1-row tot/pct scalars broadcast onto top-10.
     "q_skew_report": ({"bnlj", "single-part"}, "window over per-key aggregate x 1-row stats"),
+    # Constant 4-row seed fanout (the d hash rows of the sketch grid).
+    "q_countmin_freq": ({"bnlj"}, "4-row CMS seed grid cross join"),
 }
 
 

@@ -363,3 +363,58 @@ def test_snapshot_changes_images(spark, tmp_path):
     s1 = table.read(1).agg(F.sum("v")).collect()[0][0]
     s2 = table.read(2).agg(F.sum("v")).collect()[0][0]
     assert s1 + delta == s2
+
+
+def test_cms_merge_and_never_undercounts(spark, sf_dir):
+    """Count-Min invariants: (1) sketches over disjoint halves merge by
+    cell-wise addition into EXACTLY the global sketch; (2) estimates never
+    undercount any key; (3) overshoot respects the 2N/w bound for most keys."""
+    from nyc_taxi_lakehouse_spark.operators.frequency import (
+        _CMS_W,
+        cms_grid_sql,
+        cms_seeds_sql,
+    )
+    from nyc_taxi_lakehouse_spark.functions.detsql import SPARK
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem"])
+    spark.sql("SELECT * FROM lineitem WHERE l_orderkey % 2 = 0").createOrReplaceTempView("li_even")
+    spark.sql("SELECT * FROM lineitem WHERE l_orderkey % 2 = 1").createOrReplaceTempView("li_odd")
+
+    def grid(src):
+        q = f"WITH seeds AS ({cms_seeds_sql(SPARK)}), g AS ({cms_grid_sql(SPARK, src, 'l_partkey')}) SELECT * FROM g"
+        return {(r.seed, r.cell): r.cnt for r in spark.sql(q).collect()}
+
+    full, even, odd = grid("lineitem"), grid("li_even"), grid("li_odd")
+    merged = {}
+    for g in (even, odd):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+    # Never-undercount + error bound over ALL keys (not just the top-10).
+    exact = {
+        r.key: r.cnt
+        for r in spark.sql(
+            "SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1"
+        ).collect()
+    }
+    n_total = sum(exact.values())
+    bound = 2 * n_total / _CMS_W
+    import hashlib
+
+    def est(key):
+        vals = []
+        for seed in range(4):
+            h = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:8], 16)
+            vals.append(full.get((seed, h % _CMS_W), 0))
+        return min(vals)
+
+    over_bound = 0
+    for key, cnt in exact.items():
+        e = est(key)
+        assert e >= cnt, (key, e, cnt)
+        if e - cnt > bound:
+            over_bound += 1
+    # P(over bound) <= 2^-d = 1/16 per key; allow 2x slack.
+    assert over_bound <= len(exact) / 8, over_bound
