@@ -280,3 +280,46 @@ def test_window_group_limit_pushdown(spark):
     df = all_queries()["q_top_parts_per_nation"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's skew-join handling (the runtime defense the session config
+    enables) actually SPLITS a planted skewed partition: one hot key holds
+    ~90% of the fact side; with thresholds lowered to test scale, the final
+    adaptive SortMergeJoin must carry the skew=true marker, and results
+    must equal the non-adaptive join exactly."""
+    import pandas as pd
+
+    ks = [7] * 90_000 + list(range(1000))
+    # incompressible payload — shuffle blocks are compressed, and a
+    # constant column would deflate the hot partition below any threshold
+    hot = pd.DataFrame(
+        {"k": ks, "v": [((i * 2654435761) % 1000003) / 1000003 for i in range(len(ks))]}
+    )
+    dim = pd.DataFrame({"k": list(range(1000)), "name": "d"})
+    fact_df = spark.createDataFrame(hot)
+    dim_df = spark.createDataFrame(dim)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = fact_df.join(dim_df, "k")
+        n = len(joined.collect())  # materialize THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert n == 90_001 + 999  # 90_001 hot-key rows + 999 other singles
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
