@@ -636,3 +636,90 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         "click_value",
     )
+
+
+_HH_SUPPORT = 0.007  # heavy hitter = user with > 0.7% of the event stream
+
+
+@df_query(
+    "q_stream_heavy_hitters",
+    duck_sql=f"""
+WITH ev AS (
+  SELECT user_id FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+), tot AS (SELECT COUNT(*) AS n FROM ev)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+FROM ev
+GROUP BY user_id
+HAVING COUNT(*) > (SELECT n FROM tot) * {_HH_SUPPORT}
+""",
+    tables=["events"],
+    doc="STREAMING heavy hitters, oracle-checked end-to-end: sharded "
+    "Misra-Gries summaries maintained in stream state "
+    "(applyInPandasWithState over 8 hash shards, k=64 counters each — "
+    "streaming/stateful.py) drained over the CDC envelope replay, then an "
+    "exact batch recount of the candidate superset. The shard split "
+    "divides the per-summary k a support level needs (k ≥ 1/(shards·s)), "
+    "and the MG no-false-negative guarantee makes the recount EXACT — so "
+    "the lambda pipeline (stream sketch + batch verify) hash-matches a "
+    "plain GROUP BY/HAVING oracle. State O(k) per shard forever; "
+    "emissions ≤ k rows per shard per micro-batch.",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stateful import streaming_heavy_hitter_candidates
+
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "hh_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        summaries = streaming_heavy_hitter_candidates(parsed, "user_id")
+        q = (
+            summaries.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("heavy-hitter pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+
+    emitted = spark.read.parquet(sink)
+    # Final summary per shard = the emission at that shard's highest n
+    # (n is monotone across micro-batches).
+    last_n = emitted.groupBy("shard").agg(F.max("shard_n").alias("shard_n"))
+    cands = (
+        emitted.join(last_n, ["shard", "shard_n"])
+        .select(F.col("key").cast("bigint").alias("user_id"))
+        .distinct()
+    )
+    # Exact recount of the candidate superset against the batch table —
+    # the MG guarantee makes this the exact heavy-hitter answer.
+    ev = t["events"].filter(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull() & (F.col("value") > 0)
+    )
+    total = ev.count()  # bounded driver scalar (count-only scan)
+    return (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(total) * F.lit(_HH_SUPPORT))
+        .select(
+            "user_id",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt") / F.lit(float(total))).alias("share"),
+        )
+    )

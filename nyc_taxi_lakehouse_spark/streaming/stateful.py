@@ -19,10 +19,14 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -82,6 +86,84 @@ def running_user_profile(parsed: DataFrame) -> DataFrame:
         _update_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- Streaming Misra-Gries heavy hitters ---------------------------------
+
+_MG_STREAM_K = 64  # counters per shard
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("key", StringType()),
+        StructField("lower_bound", LongType()),
+        StructField("shard_n", LongType()),
+    ]
+)
+
+
+def _update_mg(key, batches, state):
+    """Per-shard streaming Misra-Gries: state is ≤ k (key, count) counters
+    plus the shard's stream length; each micro-batch folds its exact
+    value_counts in (the same mg_fold as the batch operator — one algorithm,
+    two execution modes) and emits the refreshed summary."""
+    from ..operators.frequency import mg_fold
+
+    (shard,) = key
+    if state.exists:
+        keys, counts, n = state.get
+        counters = pd.Series(list(counts), index=list(keys), dtype="int64")
+    else:
+        counters, n = pd.Series(dtype="int64"), 0
+    for pdf in batches:
+        vc = pdf["key"].value_counts()
+        n += int(vc.sum())
+        counters = mg_fold(counters, vc, _MG_STREAM_K)
+    state.update(
+        (
+            [str(x) for x in counters.index],
+            [int(x) for x in counters.to_numpy()],
+            n,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "shard": shard,
+            "key": counters.index.astype(str),
+            "lower_bound": counters.to_numpy(dtype="int64"),
+            "shard_n": n,
+        }
+    )
+
+
+def streaming_heavy_hitter_candidates(
+    keyed: DataFrame, key_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Sharded streaming MG: keys hash-partition across n_shards state
+    groups, each maintaining a k-counter summary. A key lives wholly in one
+    shard, so a key with global frequency > n·s is guaranteed in its
+    shard's summary whenever k ≥ n_shard/(n·s) ≈ 1/(n_shards·s) — the
+    shard fan-out DIVIDES the k each summary needs (k=64 × 8 shards covers
+    support ~0.2%). State is O(k) per shard forever; emissions per batch
+    are ≤ k rows per ACTIVE shard."""
+    sharded = keyed.select(F.col(key_col).cast("string").alias("key")).withColumn(
+        "shard", F.pmod(F.xxhash64("key"), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update_mg,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
