@@ -85,6 +85,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q_train_split",
     "q_seq_packing",
     "q_stream_dedup",
+    # this session's additions (newest — first driver row needed)
+    "q_dedup_containment",
+    "q_dup_spans",
+    "q_event_pattern",
+    "q_skew_report",
+    "q_countmin_freq",
+    "q_max_concurrency",
+    "q_stream_heavy_hitters",
+    "q_similarity_pq_rerank",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -116,19 +125,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q_full_outer_audit",
     "q_correlated_subquery",
     "q_grouping_sets",
-    "q_histogram",
-    "q_anomaly_mad",
     "q_bigram_lm",
-    "q_kfold_split",
-    "q_reservoir_sample",
     "q_user_profile_state",
     "q_pq_assign",
     "q_gap_fill",
     "q_pagerank",
-    "q_drift_chisq",
-    "q_funnel",
-    "q_retention",
-    "q_markov_transitions",
     "q_value_percentiles_approx",
     "q_schema_evolution",
     "q_session_stream",
@@ -145,6 +146,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_drift_chisq",
+    "q_funnel",
+    "q_retention",
+    "q_markov_transitions",
+    "q_kfold_split",
+    "q_reservoir_sample",
+    "q_histogram",
+    "q_anomaly_mad",
     "q_rfm_segments",
     "q_oov_rate",
     "q_top_parts_per_nation",
