@@ -446,3 +446,86 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN phash_h hb ON c.doc_b = hb.doc_id
         WHERE {ham} <= {_AHASH_MAX_D}
     """)
+
+
+# --- Video scene-change detection over frame signatures ------------------
+
+_SCENE_JUMP_T = 300
+
+
+def frame_signatures(frames: DataFrame) -> DataFrame:
+    """Per-frame content signature (byte sum — the stub stand-in for a real
+    frame histogram/phash; same Arrow-batched codec seam as ahash_chunks)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "sig": [int(sum(f)) for f in pdf["frame"]],
+                }
+            )
+
+    return frames.mapInPandas(run, "doc_id long, frame_no int, sig long")
+
+
+_SCENES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(8, greatest(1, length(text) // 256)))) AS frame_no
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, frame_no,
+         CAST(list_sum(list_transform(
+           range(frame_no * 256 + 1, least(frame_no * 256 + 256, length(text)) + 1),
+           i -> ord(substr(text, i, 1)))) AS BIGINT) AS sig
+  FROM f
+),
+j AS (
+  SELECT doc_id, frame_no, sig,
+         abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS jump
+  FROM sig
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS INT) AS n_frames,
+  CAST(SUM(CASE WHEN jump > {_SCENE_JUMP_T} THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+  CAST(MIN(CASE WHEN jump > {_SCENE_JUMP_T} THEN frame_no END) AS INT) AS first_cut_frame,
+  CAST(MAX(jump) AS BIGINT) AS max_jump
+FROM j
+GROUP BY doc_id
+"""
+
+
+@df_query(
+    "q_scene_changes",
+    duck_sql=_SCENES_ORACLE,
+    tables=["documents"],
+    doc="Video scene-change detection over sampled frames: per-frame "
+    "content signatures (stub byte-sum standing in for a frame histogram "
+    "— the codec seam is the same mapInPandas contract as every decode "
+    "step here), LAG distance between consecutive frames, a cut wherever "
+    "the jump exceeds the threshold; per-video cut count / first cut / "
+    "max jump. The signature pass is the only Python; the temporal logic "
+    "(LAG + rollup) shares one doc_id exchange. At scale frames arrive "
+    "already exploded from the decoder, partition by (video, shard) and "
+    "the window never crosses videos. Exact integer arithmetic end-to-end "
+    "— oracle recomputes signatures from the payload's source bytes "
+    "(same convention as q_multimodal_phash_dedup).",
+)
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = frame_signatures(sample_frames(to_multimodal(t["documents"])))
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    j = sigs.withColumn("jump", F.abs(F.col("sig") - F.lag("sig").over(w)))
+    cut = F.when(F.col("jump") > _SCENE_JUMP_T, 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.sum(cut).cast("int").alias("n_cuts"),
+        F.min(F.when(F.col("jump") > _SCENE_JUMP_T, F.col("frame_no"))).cast("int").alias("first_cut_frame"),
+        F.max("jump").cast("bigint").alias("max_jump"),
+    )
