@@ -240,11 +240,20 @@ def run_cdc_merge(
         F.col("env.ts_ms").alias("cdc_ts_ms"),
     ).select("rec.*", "op", "cdc_ts_ms")
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        # Exactly-once discipline (Delta txn appId/version pattern): the
+        # checkpoint delivers each micro-batch at-least-once across
+        # restarts; skip any batch id the table's txn ledger already
+        # recorded. (The keyed MERGE is idempotent anyway — the ledger
+        # makes the guarantee hold for non-idempotent sinks too, and is
+        # pinned by tests/test_streaming.py.)
+        if batch_id <= table.txn_version("cdc_merge"):
+            return
         updates = batch.withColumn("__delete", F.col("op") == "d").drop("op")
         table.merge_upsert(
             updates, keys=["event_id"], order_col="cdc_ts_ms", delete_col="__delete"
         )
+        table.txn_commit("cdc_merge", batch_id)
 
     q = (
         ops.writeStream.foreachBatch(upsert)

@@ -436,3 +436,40 @@ def test_stream_static_broadcast_join(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r.event_id: r.category for r in spark.read.parquet(sink).collect()}
     assert got == {1: "engagement", 2: "revenue", 3: "other"}
+
+
+def test_txn_ledger_skips_replayed_batches(spark, tmp_path):
+    """The Delta txn (appId, version) pattern on LakeTable: a foreachBatch
+    sink that checks/commits the ledger skips an already-committed batch id
+    on restart replay — even if the replayed content differs (simulating a
+    non-idempotent sink drifting), table state is unchanged."""
+    from nyc_taxi_lakehouse_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "txn_table"))
+    schema = "event_id long, v double, cdc_ts_ms long, __delete boolean"
+    t.append(spark.createDataFrame([(1, 10.0, 1, False)], schema).drop("__delete"))
+
+    def upsert(batch, batch_id):
+        if batch_id <= t.txn_version("app"):
+            return False
+        t.merge_upsert(batch, keys=["event_id"], order_col="cdc_ts_ms",
+                       delete_col="__delete")
+        t.txn_commit("app", batch_id)
+        return True
+
+    assert t.txn_version("app") == -1
+    b0 = spark.createDataFrame([(1, 20.0, 2, False)], schema)
+    assert upsert(b0, 0) is True
+    assert t.read().collect()[0].v == 20.0
+
+    # restart replay of batch 0 with DIFFERENT content: must be skipped
+    b0_drift = spark.createDataFrame([(1, 999.0, 3, False)], schema)
+    assert upsert(b0_drift, 0) is False
+    assert t.read().collect()[0].v == 20.0
+    assert t.txn_version("app") == 0
+
+    # the next batch id applies normally
+    b1 = spark.createDataFrame([(1, 30.0, 4, False)], schema)
+    assert upsert(b1, 1) is True
+    assert t.read().collect()[0].v == 30.0
+    assert t.txn_version("app") == 1
