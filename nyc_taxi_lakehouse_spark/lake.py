@@ -78,7 +78,35 @@ def _partition_subdir(pcols: list[str], part: tuple) -> str:
     )
 
 
-class LakeTable:
+class TxnLedger:
+    """The Delta `txn` (appId, version) pattern as a mixin: a foreachBatch
+    sink records the highest micro-batch id it has committed per writer app;
+    a restart that replays an already-committed batch SKIPS it instead of
+    re-merging. Structured Streaming's checkpoint guarantees at-least-once
+    delivery to foreachBatch — this ledger upgrades any sink (even a
+    non-idempotent one) to effectively-once. Ledger writes are single
+    small-file PUTs (atomic on object stores; the merge itself commits
+    first, so a crash between merge and ledger write degrades to
+    at-least-once into an idempotent keyed MERGE — still exactly-once
+    observable state). Mixed into both LakeTable and VersionedLakeTable
+    (requires `self.path` + `self.fs`)."""
+
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed micro-batch id for app_id, or -1."""
+        p = os.path.join(self.path, "_txn", f"{app_id}.json")
+        if not self.fs.exists(p):
+            return -1
+        return int(json.loads(self.fs.read_text(p))["version"])
+
+    def txn_commit(self, app_id: str, version: int) -> None:
+        self.fs.mkdirs(os.path.join(self.path, "_txn"))
+        self.fs.write_text(
+            os.path.join(self.path, "_txn", f"{app_id}.json"),
+            json.dumps({"version": int(version)}),
+        )
+
+
+class LakeTable(TxnLedger):
     """A partitioned parquet table with append / delete+append / merge."""
 
     def __init__(self, spark: SparkSession, path: str, partition_cols: list[str] | None = None):
@@ -441,32 +469,6 @@ class LakeTable:
             self._invalidate()
         finally:
             self.fs.delete(staging, recursive=True)
-
-
-    # -- streaming transaction ledger --------------------------------------
-    # The Delta `txn` (appId, version) pattern: a foreachBatch sink records
-    # the highest micro-batch id it has committed per writer app; a restart
-    # that replays an already-committed batch SKIPS it instead of re-merging.
-    # Structured Streaming's checkpoint guarantees at-least-once delivery to
-    # foreachBatch — this ledger upgrades any sink (even a non-idempotent
-    # one) to effectively-once. Ledger writes are single small-file PUTs
-    # (atomic on object stores; the merge itself still commits first, so a
-    # crash between merge and ledger write degrades to at-least-once into an
-    # idempotent keyed MERGE — still exactly-once observable state).
-
-    def txn_version(self, app_id: str) -> int:
-        """Highest committed micro-batch id for app_id, or -1."""
-        p = os.path.join(self.path, "_txn", f"{app_id}.json")
-        if not self.fs.exists(p):
-            return -1
-        return int(json.loads(self.fs.read_text(p))["version"])
-
-    def txn_commit(self, app_id: str, version: int) -> None:
-        self.fs.mkdirs(os.path.join(self.path, "_txn"))
-        self.fs.write_text(
-            os.path.join(self.path, "_txn", f"{app_id}.json"),
-            json.dumps({"version": int(version)}),
-        )
 
 
 class ControlTable:

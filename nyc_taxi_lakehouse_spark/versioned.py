@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .fs import LakeFS
+from .lake import TxnLedger
 from .lake import ValidationError, _nullability_normalized
 
 
@@ -45,7 +46,7 @@ class ConcurrentCommitError(RuntimeError):
     concurrency, Delta-protocol style): re-read the table and retry."""
 
 
-class VersionedLakeTable:
+class VersionedLakeTable(TxnLedger):
     """A partitioned parquet table with Delta-style versioned commits."""
 
     def __init__(
