@@ -473,3 +473,88 @@ sql_query(
     "k*|strata| rows, not the corpus. The standard 'pull eval exemplars / "
     "human-review samples per language' step in a curation pipeline.",
 )
+
+
+# --- Training-shard export (deterministic global shuffle → N shard files) --
+
+_N_SHARDS = 16
+_SHUF_A = 2654435761
+_SHUF_B = 40503
+_SHUF_M = 1_000_003
+
+
+def _shard_manifest_sql(d: Dialect) -> str:
+    """The last step of a curation pipeline: export the corpus as N shard
+    files in a DETERMINISTIC pseudorandom order, plus the manifest a
+    training job consumes (per-shard doc/token counts and an
+    order-independent content checksum to verify delivery).
+
+    Shuffle discipline (the "global shuffle" training wants, without an
+    actual global sort): shard = multiplicative-hash(doc_id) mod N spreads
+    documents pseudorandomly AND deterministically across shards; the
+    within-shard read order is the hash order. No RNG state, stable across
+    cluster sizes, and re-runs place every doc identically — the property
+    that makes resumable/verifiable exports possible.
+
+    Scale shape: manifest = ONE grouped aggregation (map-side partials over
+    16 groups); the file write is repartition-by-shard + within-partition
+    sort — one exchange carrying each row once. Token counts ride the
+    whitespace tokenizer (q_token_bpe's convention).
+    """
+    h = f"((doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_M})"
+    ntok = d.token_count("text")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, {h} % {_N_SHARDS} AS shard, {h} AS sort_key, {ntok} AS n_tokens
+  FROM documents
+)
+SELECT
+  CAST(shard AS INT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum,
+  CAST(MIN(sort_key) AS BIGINT) AS min_sort_key,
+  CAST(MAX(sort_key) AS BIGINT) AS max_sort_key
+FROM assigned
+GROUP BY shard
+"""
+
+
+sql_query(
+    "q_shard_manifest",
+    spark_sql=_shard_manifest_sql(SPARK),
+    duck_sql=_shard_manifest_sql(DUCK),
+    tables=["documents"],
+    doc=_shard_manifest_sql.__doc__,
+)
+
+
+def write_shards(documents: DataFrame, out_dir: str, n_shards: int = _N_SHARDS):
+    """Materialize the shard export: one directory per shard, rows in
+    deterministic hash order. Returns the manifest DataFrame (same algebra
+    as q_shard_manifest). Byte-level determinism is pinned in
+    tests/test_curation.py: two exports of the same corpus produce
+    identical per-shard row sequences."""
+    h = (F.col("doc_id") * _SHUF_A + _SHUF_B) % _SHUF_M
+    assigned = documents.withColumn("shard", (h % n_shards).cast("int")).withColumn(
+        "sort_key", h
+    )
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = documents.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+            F.min("sort_key").cast("bigint").alias("min_sort_key"),
+            F.max("sort_key").cast("bigint").alias("max_sort_key"),
+        )
+    )

@@ -99,3 +99,32 @@ def test_contamination_join_strategy_threshold(spark, sf_dir):
     # Same answer either way.
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(small) == key(big)
+
+
+def test_write_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard export invariants: (1) every doc lands in exactly one shard;
+    (2) two exports produce IDENTICAL per-shard row sequences (the
+    deterministic-global-shuffle contract); (3) the written manifest equals
+    q_shard_manifest's aggregate over the source."""
+    from nyc_taxi_lakehouse_spark.llm.curation import write_shards
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    m1 = write_shards(docs, str(tmp_path / "e1")).collect()
+    m2 = write_shards(docs, str(tmp_path / "e2")).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+    assert sum(r.n_docs for r in m1) == docs.count()
+
+    # per-shard row SEQUENCES identical across exports (order included)
+    for shard in (0, 7, 15):
+        a = [r.doc_id for r in spark.read.parquet(str(tmp_path / "e1"))
+             .filter(f"shard = {shard}").orderBy("sort_key", "doc_id").collect()]
+        b = [r.doc_id for r in spark.read.parquet(str(tmp_path / "e2"))
+             .filter(f"shard = {shard}").orderBy("sort_key", "doc_id").collect()]
+        assert a == b and len(a) > 0
+
+    # manifest matches the registry query run on the same corpus
+    spec = SPECS["q_shard_manifest"]
+    reg = {r.shard: (r.n_docs, r.n_tokens, r.doc_id_checksum)
+           for r in spec.fn(spark, SF_MED).collect()}
+    got = {r.shard: (r.n_docs, r.n_tokens, r.doc_id_checksum) for r in m1}
+    assert got == reg
