@@ -1,0 +1,102 @@
+"""Physical-plan audit toolkit — the programmatic form of the PLANS.md
+discipline ("explain every operator, iterate until it's the plan you want").
+
+Three levels:
+
+- plan_flags(df): the scale-killer screen (cartesian product, broadcast
+  nested-loop join, single-partition exchange) — the same predicate
+  tests/test_plan_lint.py applies to every registered query.
+- executed_metrics(df): AFTER an action, walk the executed plan tree and
+  return each node's SQL metrics (rows produced, shuffle bytes/records,
+  spill sizes...) — measured facts, not estimates. This is how the bench
+  numbers in BASELINE.md were attributed to operators.
+- audit(df): one dict combining both, ready to log or assert on.
+
+Everything reads Spark's own QueryExecution via py4j — no parsing of
+explain strings beyond the three flag substrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+FLAG_SUBSTRINGS = {
+    "cartesian": "CartesianProduct",
+    "bnlj": "BroadcastNestedLoopJoin",
+    "single-part": "Exchange SinglePartition",
+}
+
+
+def plan_flags(df: DataFrame) -> set[str]:
+    """Scale-killer flags present in df's executed plan (pre-action: the
+    initial AQE plan; post-action: the final adaptive plan)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {flag for flag, needle in FLAG_SUBSTRINGS.items() if needle in plan}
+
+
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _node_metrics(node) -> dict[str, int]:
+    out: dict[str, int] = {}
+    entries = node.metrics().toList()
+    for i in range(entries.size()):
+        kv = entries.apply(i)
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def executed_metrics(df: DataFrame) -> list[dict]:
+    """Per-node measured SQL metrics of df's (executed) plan. Call AFTER an
+    action on df so the metrics are populated and AQE is final. Adaptive
+    wrapper nodes are descended into via their current physical plan."""
+    root = df._jdf.queryExecution().executedPlan()
+    rows = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+            continue
+        rows.append({"node": name, "metrics": _node_metrics(node)})
+        if "QueryStage" in name:
+            # AQE stage wrappers (ShuffleQueryStage / ResultQueryStage /
+            # BroadcastQueryStage) hold their subtree behind .plan(), not
+            # .children().
+            stack.append(node.plan())
+            continue
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return rows
+
+
+def shuffle_bytes_written(df: DataFrame) -> int:
+    """Total shuffle bytes written across the plan (post-action). The single
+    number to watch when iterating on a join/agg strategy."""
+    total = 0
+    for row in executed_metrics(df):
+        for key, value in row["metrics"].items():
+            if key == "shuffleBytesWritten":
+                total += value
+    return total
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call report: flags + per-node metrics + shuffle total."""
+    nodes = executed_metrics(df)
+    return {
+        "flags": sorted(plan_flags(df)),
+        "shuffle_bytes_written": sum(
+            v
+            for row in nodes
+            for k, v in row["metrics"].items()
+            if k == "shuffleBytesWritten"
+        ),
+        "nodes": nodes,
+    }

@@ -84,18 +84,15 @@ WHITELIST = {
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_no_unbounded_plan_shapes(name, spark):
-    plan = SPECS[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    flags = set()
-    if "CartesianProduct" in plan:
-        flags.add("cartesian")
-    if "BroadcastNestedLoopJoin" in plan:
-        flags.add("bnlj")
-    if "Exchange SinglePartition" in plan:
-        flags.add("single-part")
+    from nyc_taxi_lakehouse_spark.plans import plan_flags
+
+    df = SPECS[name].fn(spark, SF)
+    flags = plan_flags(df)
     allowed = WHITELIST.get(name, (set(),))[0]
     assert flags <= allowed, (
         f"{name}: plan shapes {flags - allowed} not whitelisted — either fix "
-        f"the plan or add a bounded-why entry.\n{plan[:2000]}"
+        f"the plan or add a bounded-why entry.\n"
+        f"{df._jdf.queryExecution().executedPlan().toString()[:2000]}"
     )
 
 

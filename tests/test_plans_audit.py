@@ -1,0 +1,55 @@
+"""The plans.audit toolkit: measured metrics, shuffle attribution, flags."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_lakehouse_spark.plans import (
+    audit,
+    executed_metrics,
+    plan_flags,
+    shuffle_bytes_written,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_metrics_measure_actual_rows(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rows = df.collect()
+    nodes = executed_metrics(df)
+    aggs = [n for n in nodes if n["node"] == "HashAggregate"]
+    assert aggs, [n["node"] for n in nodes]
+    # The final aggregate's measured output equals the result cardinality.
+    assert any(n["metrics"].get("numOutputRows") == len(rows) for n in aggs)
+
+
+def test_shuffle_attribution(spark):
+    line = spark.read.parquet(f"{SF}/lineitem.parquet")
+    grouped = line.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    grouped.collect()
+    assert shuffle_bytes_written(grouped) > 0
+
+    mapped = line.select((F.col("l_quantity") * 2).alias("q2"))
+    mapped.collect()
+    assert shuffle_bytes_written(mapped) == 0
+
+
+def test_flags_detect_scale_killers(spark):
+    ok = spark.read.parquet(f"{SF}/lineitem.parquet").groupBy("l_returnflag").count()
+    assert plan_flags(ok) == set()
+    bad = spark.range(3).crossJoin(spark.range(3))
+    assert plan_flags(bad) & {"bnlj", "cartesian"}
+
+
+def test_audit_report_shape(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").groupBy("o_orderstatus").count()
+    df.collect()
+    rep = audit(df)
+    assert set(rep) == {"flags", "shuffle_bytes_written", "nodes"}
+    assert rep["shuffle_bytes_written"] > 0
+    assert any(n["node"] == "Exchange" for n in rep["nodes"])
