@@ -75,6 +75,15 @@ HEADLINE = [
     "q_funnel_windowed",
     "q_market_basket",
     "q_session_dynamic",
+    # Round-3 continuation flagships, part 4: asymmetric containment dedup,
+    # mergeable Count-Min sketch, streaming MG heavy hitters, frame-
+    # signature scene cuts, PQ ADC + exact re-rank, shard-export manifest.
+    "q_dedup_containment",
+    "q_countmin_freq",
+    "q_stream_heavy_hitters",
+    "q_scene_changes",
+    "q_similarity_pq_rerank",
+    "q_shard_manifest",
 ]
 
 
