@@ -1,0 +1,99 @@
+"""Independent (non-SQL-shape-sharing) property checks for the sweep-line,
+CEP, and containment operators — a pure-Python reimplementation or a planted
+construction, so a bug shared by the Spark SQL and its DuckDB oracle (same
+algebra both sides) cannot hide."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from nyc_taxi_lakehouse_spark.registry import all_queries
+
+SPECS = all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_max_concurrency_matches_bruteforce(spark):
+    """Sweep-line max == brute-force 'count open intervals at each start
+    point' (the O(N²) definition, computed in plain Python)."""
+    import duckdb
+
+    iv = duckdb.sql(
+        f"""SELECT event_type, epoch_ns(ts) // 1000 AS t0,
+                   epoch_ns(ts) // 1000 + CAST(round(value * 1000000) AS BIGINT) AS t1
+            FROM '{SF}/events.parquet'
+            WHERE ts IS NOT NULL AND value > 0"""
+    ).fetchall()
+    brute: dict[str, int] = {}
+    by_type: dict[str, list] = {}
+    for et, t0, t1 in iv:
+        by_type.setdefault(et, []).append((t0, t1))
+    for et, ivs in by_type.items():
+        best = 0
+        for t0, _ in ivs:
+            best = max(best, sum(1 for a, b in ivs if a <= t0 < b))
+        brute[et] = best
+
+    got = {
+        r.event_type: r.max_concurrent
+        for r in SPECS["q_max_concurrency"].fn(spark, SF).collect()
+    }
+    assert got == brute
+
+
+def test_event_pattern_matches_re_module(spark):
+    """n_patterns per user == Python re.findall over an independently built
+    journey string."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, ts, event_id, event_type
+            FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    sym = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+    seqs: dict[int, str] = {}
+    for uid, _, _, et in rows:
+        seqs[uid] = seqs.get(uid, "") + sym[et]
+    want = {u: len(re.findall("vc*p", s)) for u, s in seqs.items()}
+
+    got = {
+        r.user_id: r.n_patterns
+        for r in SPECS["q_event_pattern"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(want.values()) > 0  # non-degenerate corpus
+
+
+def test_containment_detects_planted_superset(spark):
+    """A planted doc whose tokens are a strict subset of a larger doc must
+    surface as a 'subsumed' pair with containment exactly 1.0 — the case
+    symmetric Jaccard (at 0.8) would miss entirely."""
+    from nyc_taxi_lakehouse_spark.llm.dedup import _containment_sql
+    from nyc_taxi_lakehouse_spark.functions.detsql import SPARK
+
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, small, "en", "srcX", len(small)),
+            (2, big, "en", "srcX", len(big)),
+            (3, "unrelated words entirely different", "en", "srcX", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {
+            (r.doc_contained, r.doc_container): r
+            for r in spark.sql(_containment_sql(SPARK)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.containment == 1.0
+    assert r.relation == "subsumed"
+    assert r.jaccard < 0.8  # Jaccard-threshold dedup would have missed it
+    assert (1, 3) not in out and (3, 1) not in out

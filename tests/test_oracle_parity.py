@@ -87,6 +87,15 @@ SF01_SPOT = [
     "q_pq_assign",
     "q_gap_fill",
     "q_scd2_point_in_time",
+    # this session's additions (all sub-second at sf0.1)
+    "q_dedup_containment",
+    "q_dup_spans",
+    "q_event_pattern",
+    "q_skew_report",
+    "q_countmin_freq",
+    "q_max_concurrency",
+    "q_scene_changes",
+    "q_shard_manifest",
 ]
 
 
