@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Scaling report: wall-clock at sf0.01 vs sf0.1 (10x data) for the
+compute-heavy queries. Ratio ~10 = linear; >>10 = output-bound or
+superlinear (each case must be documented in PLANS.md/BASELINE.md)."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nyc_taxi_lakehouse_spark.registry import all_queries
+from nyc_taxi_lakehouse_spark.session import get_spark
+
+HEAVY = [
+    "q_dedup_ppjoin", "q_dedup_minhash", "q_dedup_simhash_pairs",
+    "q_triangle_count", "q_dedup_prod_pipeline", "q_dedup_clusters_star",
+    "q_dedup_chargram", "q_dedup_containment", "q_market_basket",
+    "q_pagerank", "q_ingest_clean", "q_zone_performance",
+]
+
+def t(spark, spec, sf_dir):
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time(); n = spec.fn(spark, sf_dir).count(); best = min(best, time.time() - t0)
+    return best, n
+
+def main():
+    spark = get_spark()
+    specs = all_queries()
+    # warm the session
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
+    print(f"{'query':28s} {'t(0.01)':>8s} {'t(0.1)':>8s} {'ratio':>6s} {'rows01':>9s} {'rows1':>9s}")
+    for name in HEAVY:
+        s1, n1 = t(spark, specs[name], "/root/testdata/sf0.01")
+        s2, n2 = t(spark, specs[name], "/root/testdata/sf0.1")
+        print(f"{name:28s} {s1:8.2f} {s2:8.2f} {s2/s1:6.1f} {n1:9d} {n2:9d}")
+
+if __name__ == "__main__":
+    main()
