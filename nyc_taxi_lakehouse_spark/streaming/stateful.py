@@ -167,3 +167,80 @@ def streaming_heavy_hitter_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) --------------------
+
+
+def _twsp_available() -> bool:
+    """transformWithStateInPandas needs BOTH the Spark 4 API and protobuf
+    (its state-server wire format). protobuf is not in this container, so
+    the TWS twin is import-gated; the applyInPandasWithState form above is
+    the exercised path and the API-parity test skips when gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_profile_processor():
+    """The per-user profile operator re-expressed on Spark 4's
+    transformWithStateInPandas — the arbitrary-state API that succeeds
+    applyInPandasWithState (SPARK-49564): named state variables on a
+    handle (ValueState here; ListState/MapState/timers/TTL available on
+    the same handle), explicit init/close lifecycle. Semantics identical
+    to _update_profile, pinned by the API-parity test in
+    tests/test_streaming.py."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n BIGINT, cents BIGINT, ewma DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, ewma = (
+                self._state.get() if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                for v in pdf.sort_values("event_time")["value"]:
+                    n += 1
+                    cents += int(round(float(v) * 100))
+                    ewma = (
+                        float(v)
+                        if ewma is None
+                        else _EWMA_ALPHA * float(v) + (1 - _EWMA_ALPHA) * ewma
+                    )
+            self._state.update((n, cents, ewma))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "ewma_value": [ewma],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileProcessor()
+
+
+def running_user_profile_tws(parsed: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of running_user_profile."""
+    return parsed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_profile_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -473,3 +473,53 @@ def test_txn_ledger_skips_replayed_batches(spark, tmp_path):
     assert upsert(b1, 1) is True
     assert t.read().collect()[0].v == 30.0
     assert t.txn_version("app") == 1
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.streaming.stateful import _twsp_available
+
+    if not _twsp_available():
+        import pytest
+
+        pytest.skip("transformWithStateInPandas needs protobuf (absent here)")
+    """API parity: the Spark 4 transformWithStateInPandas profile operator
+    drains to the SAME final per-user profiles as the applyInPandasWithState
+    form over the same envelope replay (state algebra identical; only the
+    state API differs)."""
+    import pyspark.sql.functions as F
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+    from nyc_taxi_lakehouse_spark.streaming.cdc import parse_cdc
+    from nyc_taxi_lakehouse_spark.streaming.replay import (
+        file_replay_source,
+        write_envelopes,
+    )
+    from nyc_taxi_lakehouse_spark.streaming.stateful import (
+        running_user_profile,
+        running_user_profile_tws,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ["events"])
+    env_dir = str(tmp_path / "env")
+    write_envelopes(t["events"], env_dir)
+
+    outs = {}
+    for tag, op in (("aip", running_user_profile), ("tws", running_user_profile_tws)):
+        sink, ckpt = str(tmp_path / f"{tag}_sink"), str(tmp_path / f"{tag}_ckpt")
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        q = (
+            op(parsed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        final = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("total_value").alias("tv"))
+        )
+        outs[tag] = sorted(map(tuple, final.collect()))
+    assert outs["aip"] == outs["tws"] and len(outs["tws"]) > 0
