@@ -663,3 +663,73 @@ sql_query(
     "vocabulary are exactly the ones a byte-fallback tokenizer will "
     "fragment.",
 )
+
+
+# --- BPE merge-step (tokenizer training kernel) ---------------------------
+
+_BPE_TOP_PAIRS = 20
+
+
+def _bpe_merge_sql(d: Dialect) -> str:
+    """One BPE training iteration at corpus scale: the symbol-pair counting
+    that picks the next merge (Sennrich et al., ACL 2016). Words are
+    whitespace tokens aggregated WITH frequencies first (the classic BPE
+    trick — pair counts then weight by word frequency, so the expensive
+    character explode runs once per DISTINCT word, not once per token
+    occurrence); symbols start as characters; every adjacent symbol pair's
+    corpus count = Σ over distinct words of (occurrences-in-word × word
+    frequency). Emits the top-20 merge candidates (count, pair) with full
+    deterministic tiebreak — rank 1 IS the next merge rule.
+
+    Scale shape: one token-count aggregation (map-side partials), one
+    character posexplode over the DISTINCT-word table (vocabulary-sized,
+    not corpus-sized), one pair aggregation. At 100 TB the vocabulary
+    table is millions of rows where the corpus is trillions of tokens —
+    this factorization is what makes distributed BPE training tractable;
+    subsequent iterations re-segment the vocabulary table only.
+    """
+    tok = d.split_tokens("text")
+    if d.name == "spark":
+        word_rows = f"SELECT explode({tok}) AS word FROM documents"
+        chars = (
+            "SELECT word, freq, p.i, p.c FROM vocab "
+            "LATERAL VIEW posexplode(split(word, '')) p AS i, c"
+        )
+    else:
+        word_rows = f"SELECT unnest({tok}) AS word FROM documents"
+        chars = (
+            "SELECT word, freq, u.i, u.c FROM ("
+            "SELECT word, freq, unnest(list_transform(split(word, ''),"
+            " (x, i) -> {'c': x, 'i': i})) AS u FROM vocab) s"
+        )
+    return f"""
+WITH words AS ({word_rows}),
+vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+  WHERE length(word) >= 2 GROUP BY word
+),
+chars AS ({chars}),
+pairs AS (
+  SELECT a.word, a.freq, a.c AS left_sym, b.c AS right_sym
+  FROM chars a JOIN chars b
+    ON a.word = b.word AND b.i = a.i + 1
+)
+SELECT
+  left_sym,
+  right_sym,
+  CAST(SUM(freq) AS BIGINT) AS pair_count,
+  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {_BPE_TOP_PAIRS}
+"""
+
+
+sql_query(
+    "q_bpe_merge_step",
+    spark_sql=_bpe_merge_sql(SPARK),
+    duck_sql=_bpe_merge_sql(DUCK),
+    tables=["documents"],
+    doc=_bpe_merge_sql.__doc__,
+)
