@@ -626,3 +626,51 @@ def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     merged = pq.merge(truth_df, on=["query_id", "candidate_id"], suffixes=("_pq", "_bf"))
     assert len(merged) > 0
     assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """8 rounds of distributed BPE training learn EXACTLY the merge table a
+    pure-Python reference trainer learns on the same corpus (same greedy
+    left-to-right merge, same count-desc/lexicographic tiebreak)."""
+    from collections import Counter
+
+    from nyc_taxi_lakehouse_spark.llm.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # pure-Python reference
+    vocab = Counter()
+    for (text,) in docs.select("text").collect():
+        for w in text.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+
+    def ref_step():
+        counts = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            return None
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in segs.items():
+            out, skip = [], False
+            for i, s in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                if i < len(syms) - 1 and s == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    skip = True
+                else:
+                    out.append(s)
+            segs[w] = out
+        return (l, r, cnt)
+
+    want = [ref_step() for _ in range(8)]
+    got = bpe_train(docs, n_merges=8)
+    assert got == want
+    # sanity: later merges include at least one multi-char symbol (i.e. the
+    # training genuinely builds on earlier merges, not just char bigrams)
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in got)
