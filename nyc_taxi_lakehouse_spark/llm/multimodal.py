@@ -529,3 +529,132 @@ def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("jump") > _SCENE_JUMP_T, F.col("frame_no"))).cast("int").alias("first_cut_frame"),
         F.max("jump").cast("bigint").alias("max_jump"),
     )
+
+
+# --- Audio VAD-style energy segmentation ----------------------------------
+
+_VAD_FRAME = 160       # samples per frame (10 ms at 16 kHz)
+_VAD_MAX_FRAMES = 16
+_VAD_THRESHOLD = 325000  # voiced if frame energy exceeds this
+
+
+def frame_energies(mm: DataFrame) -> DataFrame:
+    """Per-frame signal energy over an audio payload: bytes as centered
+    8-bit samples, energy = Σ(b−128)² per 160-sample frame. The DSP stub
+    behind the same Arrow-batched codec seam as every decode step here (a
+    real pipeline drops in soxr/librosa at exactly this function)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "energy": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not isinstance(payload, (bytes, bytearray)):
+                    raise NotImplementedError("energy requires raw bytes")
+                for k in range(min(_VAD_MAX_FRAMES, len(payload) // _VAD_FRAME)):
+                    frame = payload[k * _VAD_FRAME:(k + 1) * _VAD_FRAME]
+                    rows["doc_id"].append(did)
+                    rows["frame_no"].append(k)
+                    rows["energy"].append(sum((b - 128) * (b - 128) for b in frame))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, frame_no int, energy long"
+    )
+
+
+_VAD_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least({_VAD_MAX_FRAMES}, length(text) // {_VAD_FRAME})))
+           AS frame_no
+  FROM documents WHERE length(text) >= {_VAD_FRAME}
+),
+e AS (
+  SELECT doc_id, frame_no,
+         CAST(list_sum(list_transform(
+           range(frame_no * {_VAD_FRAME} + 1, frame_no * {_VAD_FRAME} + {_VAD_FRAME} + 1),
+           i -> (ord(substr(text, i, 1)) - 128) * (ord(substr(text, i, 1)) - 128)))
+           AS BIGINT) AS energy
+  FROM f
+),
+v AS (
+  SELECT doc_id, frame_no, energy,
+         CASE WHEN energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END AS voiced,
+         frame_no - CAST(SUM(CASE WHEN energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY frame_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS island
+  FROM e
+),
+seg AS (
+  SELECT doc_id, island, CAST(COUNT(*) AS INT) AS seg_len
+  FROM v WHERE voiced = 1 GROUP BY doc_id, island
+)
+SELECT
+  e.doc_id,
+  CAST(COUNT(*) AS INT) AS n_frames,
+  CAST(SUM(CASE WHEN e.energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END) AS INT)
+    AS n_voiced,
+  CAST(MAX(e.energy) AS BIGINT) AS max_energy,
+  COALESCE(s.n_segments, 0) AS n_segments,
+  COALESCE(s.longest_segment, 0) AS longest_segment
+FROM e
+LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segments,
+         CAST(MAX(seg_len) AS INT) AS longest_segment
+  FROM seg GROUP BY doc_id
+) s ON e.doc_id = s.doc_id
+GROUP BY e.doc_id, s.n_segments, s.longest_segment
+"""
+
+
+@df_query(
+    "q_audio_vad",
+    duck_sql=_VAD_ORACLE,
+    tables=["documents"],
+    doc="Audio VAD-style energy segmentation — the third modality's "
+    "pipeline shape (image: phash dedup; video: scene cuts; audio: THIS): "
+    "per-frame energies from the Arrow-batched DSP seam, a voiced/unvoiced "
+    "threshold, then gaps-and-islands run grouping (frame_no − running "
+    "voiced count) for speech-segment count and longest run per clip. "
+    "Energy extraction is the only Python; thresholding, islands, and "
+    "rollups are window/agg SQL sharing one doc_id exchange. Integer "
+    "arithmetic end-to-end; oracle recomputes energies from the payload's "
+    "source bytes (q_scene_changes convention).",
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    e = frame_energies(to_multimodal(t["documents"]))
+    voiced = F.when(F.col("energy") > _VAD_THRESHOLD, 1).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("frame_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = e.withColumn("voiced", voiced).withColumn(
+        "island", F.col("frame_no") - F.sum("voiced").over(w).cast("int")
+    )
+    seg = (
+        v.where("voiced = 1")
+        .groupBy("doc_id", "island")
+        .agg(F.count("*").cast("int").alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segments"),
+            F.max("seg_len").cast("int").alias("longest_segment"),
+        )
+    )
+    base = v.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.sum("voiced").cast("int").alias("n_voiced"),
+        F.max("energy").cast("bigint").alias("max_energy"),
+    )
+    return base.join(seg, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_voiced",
+        "max_energy",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
+    )
