@@ -711,3 +711,79 @@ sql_query(
     tables=["events"],
     doc=_concurrency_sql.__doc__,
 )
+
+
+# --- Seasonal-trend decomposition (STL-lite) ------------------------------
+
+
+def _stl_sql(d: Dialect) -> str:
+    """Classical seasonal-trend decomposition of the daily series (the
+    moving-average STL ancestor): trend = 7-day centered moving average,
+    seasonal_j = mean detrended value of weekday j, remainder = y − trend −
+    seasonal. The monitoring triptych completes: q_drift_chisq says the
+    distribution moved, q_cusum_changepoint says when the level shifted,
+    THIS separates how much of a day's value is trend vs weekday pattern
+    vs genuinely unexplained.
+
+    Determinism: daily totals are exact decimal sums; the trend is one IEEE
+    division of a decimal window-sum; detrended values snap to
+    DECIMAL(28,6) before the per-weekday mean (order-independent; the 1e-6
+    grid is ~1e8 ulps coarse at these magnitudes, so both engines land on
+    the same decimal — a 1e-12 grid is only ~100 ulps coarse and DID
+    diverge at cast-rounding boundaries, caught by the oracle gate), and the
+    remainder is a two-op IEEE chain — identical in both engines. Trend is
+    NULL at the 3-day edges (incomplete window), seasonal/remainder NULL
+    with it — pinned, not imputed.
+
+    Scale shape: one day-grain aggregation (map-side partials over the
+    fact), a 7-row window and a ≤7-row seasonal broadcast over the
+    day-cardinality series — everything after the first aggregate is
+    bounded by |days|, not |rows|.
+    """
+    epoch_ts = d.epoch("ts")
+    day = f"CAST({d.idiv(epoch_ts, '86400')} AS BIGINT)"
+    dow = d.dow("ts")
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, MIN({dow}) AS dow,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y,
+         SUM(CAST(value AS DECIMAL(28,6))) AS y_dec
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY {day}
+),
+trended AS (
+  SELECT day, dow, y,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(y_dec) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, dow, y, trend,
+         CAST(y - trend AS DECIMAL(28,6)) AS det_dec
+  FROM trended
+),
+seasonal AS (
+  SELECT dow,
+         CAST(SUM(det_dec) AS DOUBLE) / COUNT(det_dec) AS s
+  FROM det WHERE det_dec IS NOT NULL GROUP BY dow
+)
+SELECT
+  t.day,
+  t.dow,
+  t.y,
+  t.trend,
+  CASE WHEN t.trend IS NOT NULL THEN s.s END AS seasonal,
+  CASE WHEN t.trend IS NOT NULL THEN t.y - t.trend - s.s END AS remainder
+FROM det t JOIN seasonal s ON t.dow = s.dow
+"""
+
+
+sql_query(
+    "q_stl_decompose",
+    spark_sql=_stl_sql(SPARK),
+    duck_sql=_stl_sql(DUCK),
+    tables=["events"],
+    doc=_stl_sql.__doc__,
+)

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_shard_manifest",
     "q_bpe_merge_step",
     "q_audio_vad",
+    "q_stl_decompose",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -125,7 +126,6 @@ _DRIVER_PRIORITY: list[str] = [
     # a clean driver row).
     "q_synth_source",
     "q_udtf_shingles",
-    "q_semi_anti",
     "q_bigram_lm",
     "q_pq_assign",
     "q_gap_fill",
@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_semi_anti",
     "q_full_outer_audit",
     "q_correlated_subquery",
     "q_user_profile_state",

@@ -79,6 +79,9 @@ WHITELIST = {
     "q_skew_report": ({"bnlj", "single-part"}, "window over per-key aggregate x 1-row stats"),
     # Constant 4-row seed fanout (the d hash rows of the sketch grid).
     "q_countmin_freq": ({"bnlj"}, "4-row CMS seed grid cross join"),
+    # Centered-MA window over the DAILY aggregate (cardinality = #days) +
+    # ≤7-row seasonal table broadcast — q_cusum_changepoint's shape.
+    "q_stl_decompose": ({"bnlj", "single-part"}, "window over per-day aggregate x 7-row seasonal"),
 }
 
 
