@@ -1283,3 +1283,77 @@ def prod_dedup_chain(docs: DataFrame) -> DataFrame:
         F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def _blocking_quality_sql(d: Dialect) -> str:
+    """Blocking-scheme audit — the two numbers that justify a dedup
+    blocking key before running it at 100 TB (record-linkage methodology):
+
+    - reduction ratio: 1 − |candidate pairs| / |all pairs| — how much of
+      the quadratic pair space the (lang, source) blocking key removes;
+    - pairs completeness: of the TRUE near-dup pairs (token Jaccard ≥ 0.8
+      computed UNBLOCKED), the fraction whose members share a block — what
+      the blocking would actually find.
+
+    Evaluated over a deterministic 1-in-10 document sample (md5 bucket) so
+    the ground-truth unblocked pair join stays bounded; both metrics are
+    sample-consistent estimators and every count is an exact integer.
+    """
+    tok = d.distinct_token_rows("sample_docs", extra_cols="lang, source")
+    return f"""
+WITH sample_docs AS (
+  SELECT * FROM documents WHERE ({d.md5_int32('CAST(doc_id AS STRING)' if d.name == 'spark' else 'CAST(doc_id AS VARCHAR)')} % 10) = 0
+),
+tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+meta AS (SELECT doc_id, lang, source FROM sample_docs),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sample_docs),
+blocks AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM sample_docs GROUP BY lang, source
+),
+cand AS (
+  SELECT CAST(SUM(nb * (nb - 1) / 2) AS BIGINT) AS n_candidates FROM blocks
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE p.inter * 10 >= 8 * (sa.n_tokens + sb.n_tokens - p.inter)
+),
+found AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN ma.lang = mb.lang AND ma.source = mb.source
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_block
+  FROM truth t
+  JOIN meta ma ON t.doc_a = ma.doc_id
+  JOIN meta mb ON t.doc_b = mb.doc_id
+)
+SELECT
+  n.n_docs,
+  CAST(n.n_docs * (n.n_docs - 1) / 2 AS BIGINT) AS n_all_pairs,
+  c.n_candidates,
+  1.0 - CAST(c.n_candidates AS DOUBLE) / (n.n_docs * (n.n_docs - 1) / 2)
+    AS reduction_ratio,
+  f.n_true,
+  f.n_in_block,
+  CAST(f.n_in_block AS DOUBLE) / f.n_true AS pairs_completeness
+FROM n CROSS JOIN cand c CROSS JOIN found f
+"""
+
+
+sql_query(
+    "q_blocking_quality",
+    spark_sql=_blocking_quality_sql(SPARK),
+    duck_sql=_blocking_quality_sql(DUCK),
+    tables=["documents"],
+    doc=_blocking_quality_sql.__doc__,
+)

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_bpe_merge_step",
     "q_audio_vad",
     "q_stl_decompose",
+    "q_blocking_quality",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -111,7 +112,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_deletion_vectors",
     "q_stream_join_outer",
     "q_triangle_count",
-    "q_ab_welch",
     "q_market_basket",
     "q_cdf_incremental_rollup",
     "q_weighted_median",
@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_ab_welch",
     "q_semi_anti",
     "q_full_outer_audit",
     "q_correlated_subquery",

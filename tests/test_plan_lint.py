@@ -82,6 +82,9 @@ WHITELIST = {
     # Centered-MA window over the DAILY aggregate (cardinality = #days) +
     # ≤7-row seasonal table broadcast — q_cusum_changepoint's shape.
     "q_stl_decompose": ({"bnlj", "single-part"}, "window over per-day aggregate x 7-row seasonal"),
+    # Three 1-row audit scalars (n / candidates / truth-completeness)
+    # cross-joined into the single report row.
+    "q_blocking_quality": ({"bnlj", "single-part"}, "1-row audit scalars x 1-row report"),
 }
 
 
