@@ -1119,3 +1119,94 @@ sql_query(
     "pass per group partition; complements q_value_percentiles (exact "
     "unweighted) and the equi-depth histogram.",
 )
+
+
+# --- Poisson-bootstrap confidence interval --------------------------------
+
+_BOOT_B = 32
+# Cumulative Poisson(1) inverse-CDF thresholds (constants, 12 decimals —
+# identical literals in both engines; the uniform is an exact rational).
+_POIS_CUM = [
+    ("0.367879441171", 0), ("0.735758882343", 1), ("0.919698602929", 2),
+    ("0.981011843124", 3), ("0.996340153173", 4), ("0.999405815182", 5),
+]
+
+
+def _bootstrap_sql(d) -> str:
+    """Distributed confidence interval for the mean order value via the
+    POISSON BOOTSTRAP (Chamandy et al., Google 2012) — the resampling
+    scheme that works when n is too large to index: instead of drawing n
+    rows with replacement, each row enters replicate b with weight ~
+    Poisson(1), independent per (row, replicate) — a pure map over the
+    data, no global sample state.
+
+    Made fully deterministic (and therefore oracle-checkable) by deriving
+    the Poisson weight from an inverse-CDF lookup on a hash-uniform
+    u(row, b) = md5(key:b) mod 10^6 / 10^6 — exact rational vs constant
+    decimal thresholds; no RNG state anywhere. Replicate means are exact
+    decimal sums with one IEEE division; the 93.75% percentile interval is
+    an exact order statistic (2nd / 31st of B=32 replicate means).
+
+    Scale shape: one B-way fanout (map), one (replicate)-keyed aggregation
+    of 32 groups — map-side partials reduce it to 32·partitions rows — and
+    a 32-row sort. The fanout is compute, not shuffle: the exchange
+    carries 32 rows per partition.
+    """
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    if d.name == "spark":
+        reps = f"SELECT explode(sequence(0, {_BOOT_B - 1})) AS b"
+    else:
+        reps = f"SELECT unnest(range({_BOOT_B})) AS b"
+    u = (
+        f"CAST(({d.md5_int32(f'concat(CAST(o_orderkey AS {s}), chr(58), CAST(r.b AS {s}))')}"
+        f" % 1000000) AS DOUBLE) / 1000000.0"
+    )
+    cascade = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for t, k in _POIS_CUM
+    ) + " ELSE 6 END"
+    return f"""
+WITH reps AS ({reps}),
+weighted AS (
+  SELECT b, {cascade} AS w, price
+  FROM (SELECT r.b AS b, {u} AS u,
+               CAST(o_totalprice AS DECIMAL(28,2)) AS price
+        FROM orders CROSS JOIN reps r) t
+),
+rep_means AS (
+  SELECT b,
+         CAST(SUM(w * price) AS DOUBLE) / SUM(w) AS m
+  FROM weighted WHERE w > 0 GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM rep_means
+),
+point AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+           AS estimate,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+)
+SELECT
+  p.estimate,
+  p.n,
+  {_BOOT_B} AS n_replicates,
+  (SELECT m FROM ranked WHERE rk = 2) AS ci_lo,
+  (SELECT m FROM ranked WHERE rk = {_BOOT_B - 1}) AS ci_hi
+FROM point p
+"""
+
+
+def _register_bootstrap():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_bootstrap_ci",
+        spark_sql=_bootstrap_sql(SPARK),
+        duck_sql=_bootstrap_sql(DUCK),
+        tables=["orders"],
+        doc=_bootstrap_sql.__doc__,
+    )
+
+
+_register_bootstrap()

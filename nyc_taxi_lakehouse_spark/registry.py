@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_audio_vad",
     "q_stl_decompose",
     "q_blocking_quality",
+    "q_bootstrap_ci",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -114,7 +115,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_triangle_count",
     "q_market_basket",
     "q_cdf_incremental_rollup",
-    "q_weighted_median",
     "q_session_dynamic",
     "q_funnel_windowed",
     "q_multimodal_phash_dedup",
@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_weighted_median",
     "q_ab_welch",
     "q_semi_anti",
     "q_full_outer_audit",

@@ -97,3 +97,14 @@ def test_containment_detects_planted_superset(spark):
     assert r.relation == "subsumed"
     assert r.jaccard < 0.8  # Jaccard-threshold dedup would have missed it
     assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_bootstrap_ci_brackets_estimate_and_shrinks(spark):
+    """Poisson-bootstrap sanity: the interval brackets the point estimate,
+    and 10x data gives a strictly narrower interval (the 1/sqrt(n) law)."""
+    r1 = SPECS["q_bootstrap_ci"].fn(spark, SF).collect()[0]
+    r10 = SPECS["q_bootstrap_ci"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    for r in (r1, r10):
+        assert r.ci_lo <= r.estimate <= r.ci_hi
+        assert r.n_replicates == 32
+    assert (r10.ci_hi - r10.ci_lo) < (r1.ci_hi - r1.ci_lo)

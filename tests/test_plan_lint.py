@@ -85,6 +85,8 @@ WHITELIST = {
     # Three 1-row audit scalars (n / candidates / truth-completeness)
     # cross-joined into the single report row.
     "q_blocking_quality": ({"bnlj", "single-part"}, "1-row audit scalars x 1-row report"),
+    # Constant 32-replicate fanout + 32-row rank window + 1-row scalars.
+    "q_bootstrap_ci": ({"bnlj", "single-part"}, "32-replicate fanout x 32-row order stats"),
 }
 
 
