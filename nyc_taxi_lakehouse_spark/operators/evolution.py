@@ -155,3 +155,72 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(version=2).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
+
+
+# --- Partition-SPEC evolution through the oracle gate ---------------------
+
+_PEVO_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_part_evo")
+
+
+def _pevo_dir(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = f"{src}:absent"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:12]
+    return os.path.join(_PEVO_ROOT, f"{key}-pid{os.getpid()}")
+
+
+@df_query(
+    "q_partition_evolution",
+    duck_sql="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month
+FROM lineitem
+WHERE month(l_shipdate) = 3
+""",
+    tables=["lineitem"],
+    doc="Partition-spec evolution round trip (Iceberg's metadata-only "
+    "repartitioning): era 0 holds even order keys partitioned by "
+    "ship_year; the spec then evolves to (ship_year, ship_month) and era "
+    "1 receives the odd keys — NO old files rewritten. The read unions "
+    "both eras and filters ship_month = 3: era 1 prunes month "
+    "DIRECTORIES, era 0 falls back to a pushed data filter (plan-"
+    "asserted in tests/test_partevo.py), and the result must equal the "
+    "oracle's plain scan of the source — proving the union schema, the "
+    "per-era layouts, and the partition-column restoration all at once.",
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partevo import PartitionEvolvingTable
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    line = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    )
+    path = _pevo_dir(sf_dir)
+    table = PartitionEvolvingTable(spark, path)
+    marker = os.path.join(path, "_PEVO_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        table.set_spec(["ship_year"])
+        table.append(line.filter("l_orderkey % 2 = 0"))
+        table.set_spec(["ship_year", "ship_month"])
+        table.append(line.filter("l_orderkey % 2 = 1"))
+        with open(marker, "w"):
+            pass
+    return table.read().filter("ship_month = 3").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("ship_year").cast("int").alias("ship_year"),
+        F.col("ship_month").cast("int").alias("ship_month"),
+    )

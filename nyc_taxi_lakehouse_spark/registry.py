@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stl_decompose",
     "q_blocking_quality",
     "q_bootstrap_ci",
+    "q_partition_evolution",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -115,7 +116,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_triangle_count",
     "q_market_basket",
     "q_cdf_incremental_rollup",
-    "q_session_dynamic",
     "q_funnel_windowed",
     "q_multimodal_phash_dedup",
     "q_seasonal_anomaly",
@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_session_dynamic",
     "q_weighted_median",
     "q_ab_welch",
     "q_semi_anti",
