@@ -220,6 +220,14 @@ class Dialect:
             f" AS token FROM {table}"
         )
 
+    def all_token_rows(self, table: str) -> str:
+        """SELECT fragment exploding ALL token occurrences (duplicates kept
+        — the tf side of retrieval scoring)."""
+        return (
+            f"SELECT doc_id, explode({self.split_tokens('text')})"
+            f" AS token FROM {table}"
+        )
+
     def epoch_us(self, ts: str) -> str:
         """Epoch microseconds as BIGINT (the safe cross-engine encoding for
         the ns-precision events timestamps)."""
@@ -286,6 +294,12 @@ class DuckDialect(Dialect):
         cols = f"{extra_cols}, " if extra_cols else ""
         return (
             f"SELECT doc_id, {cols}unnest(list_distinct({self.split_tokens('text')}))"
+            f" AS token FROM {table}"
+        )
+
+    def all_token_rows(self, table: str) -> str:
+        return (
+            f"SELECT doc_id, unnest({self.split_tokens('text')})"
             f" AS token FROM {table}"
         )
 

@@ -733,3 +733,67 @@ sql_query(
     tables=["documents"],
     doc=_bpe_merge_sql.__doc__,
 )
+
+
+# --- Keyword search (serving-side retrieval over the inverted index) ------
+
+_SEARCH_TERMS = ["data", "value", "table"]
+_SEARCH_TOP = 20
+
+
+def _keyword_search_sql(d: Dialect) -> str:
+    """Multi-term keyword search with tf·(N/df) ranking — the serving-side
+    retrieval query the inverted index (q_inverted_index) exists for. The
+    linear-idf variant (N/df instead of log(N/df)) keeps every score a
+    ratio of exact integers: per-term contributions snap to DECIMAL(28,6)
+    and sum in decimal (order-independent), so the ranking is bit-stable
+    cross-engine — the log form is rank-equivalent per term but not
+    cross-libm exact (q_tfidf's lesson).
+
+    Scale shape: term postings come from one token-keyed aggregation
+    filtered to the query terms (at serving time: 3 index point-lookups);
+    the doc-score aggregation touches only docs containing ≥1 term; top-20
+    via TakeOrderedAndProject — no global sort.
+    """
+    tok = d.distinct_token_rows("documents")
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH tok AS ({tok}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tok WHERE token IN ({terms}) GROUP BY token
+),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ({d.all_token_rows('documents')}) t
+  WHERE t.token IN ({terms})
+  GROUP BY t.doc_id, t.token
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS DECIMAL(28,6))
+           AS c
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_terms_matched,
+       CAST(SUM(c) AS DOUBLE) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY SUM(c) DESC, doc_id
+LIMIT {_SEARCH_TOP}
+"""
+
+
+def _register_search():
+    sql_query(
+        "q_keyword_search",
+        spark_sql=_keyword_search_sql(SPARK),
+        duck_sql=_keyword_search_sql(DUCK),
+        tables=["documents"],
+        doc=_keyword_search_sql.__doc__,
+    )
+
+
+_register_search()

@@ -305,3 +305,92 @@ sql_query(
     "on user_id and the unbounded current rows (valid_to = +inf "
     "sentinel) cost nothing extra.",
 )
+
+
+@df_query(
+    "q_asof_cogroup",
+    duck_sql=_ASOF_ORACLE,
+    tables=["events"],
+    doc="The SAME as-of attribution through Spark's remaining Arrow API "
+    "surface: cogrouped pandas (groupBy().cogroup().applyInPandas) — both "
+    "sides shuffle once on user_id, each user's purchase and click groups "
+    "arrive as a pandas pair, and pandas.merge_asof does the per-group "
+    "merge. Hash-checked against the identical DuckDB ASOF LEFT JOIN "
+    "oracle as q_asof_join, so the window encoding, the cogroup encoding, "
+    "and DuckDB's native implementation all pin each other. Per-task "
+    "memory is one user's groups — bounded by per-user activity; the "
+    "relational form (q_asof_join) remains the default at scale (no "
+    "Python in the path), this is the escape hatch when per-group logic "
+    "outgrows SQL.",
+)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = (
+        t["events"]
+        .filter(_CLEAN)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", F.col("ts_us").alias("click_ts_us"), "click_event_id")
+    )
+
+    schema = (
+        "purchase_event_id long, user_id long, purchase_ts_us long, "
+        "purchase_value double, click_event_id long, click_ts_us long, gap_us long"
+    )
+
+    def merge(p: "pd.DataFrame", c: "pd.DataFrame") -> "pd.DataFrame":
+        if len(p) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "purchase_event_id", "user_id", "purchase_ts_us",
+                    "purchase_value", "click_event_id", "click_ts_us", "gap_us",
+                ]
+            )
+        p = p.sort_values("purchase_ts_us")
+        if len(c) == 0:
+            out = p.copy()
+            out["click_event_id"] = pd.array([None] * len(p), dtype="Int64")
+            out["click_ts_us"] = pd.array([None] * len(p), dtype="Int64")
+        else:
+            c = c.sort_values("click_ts_us").drop(columns=["user_id"])
+            out = pd.merge_asof(
+                p,
+                c,
+                left_on="purchase_ts_us",
+                right_on="click_ts_us",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            out["click_event_id"] = out["click_event_id"].astype("Int64")
+            out["click_ts_us"] = out["click_ts_us"].astype("Int64")
+        out["gap_us"] = (out["purchase_ts_us"] - out["click_ts_us"]).astype("Int64")
+        return out[
+            [
+                "purchase_event_id", "user_id", "purchase_ts_us",
+                "purchase_value", "click_event_id", "click_ts_us", "gap_us",
+            ]
+        ]
+
+    return (
+        purch.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )

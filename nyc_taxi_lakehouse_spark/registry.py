@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_blocking_quality",
     "q_bootstrap_ci",
     "q_partition_evolution",
+    "q_keyword_search",
+    "q_asof_cogroup",
     # round-3 continuation additions (newest — need their first driver row)
     "q_snapshot_diff",
     "q_chunk_overlap",
@@ -109,13 +111,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q_regression",
     "q_pareto_frontier",
     "q_dedup_ppjoin",
-    "q_variant_extract",
     "q_sql_udf",
     "q_deletion_vectors",
     "q_stream_join_outer",
     "q_triangle_count",
     "q_market_basket",
-    "q_cdf_incremental_rollup",
     "q_funnel_windowed",
     "q_multimodal_phash_dedup",
     "q_seasonal_anomaly",
@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_cdf_incremental_rollup",
+    "q_variant_extract",
     "q_session_dynamic",
     "q_weighted_median",
     "q_ab_welch",
