@@ -87,6 +87,8 @@ WHITELIST = {
     "q_blocking_quality": ({"bnlj", "single-part"}, "1-row audit scalars x 1-row report"),
     # Constant 32-replicate fanout + 32-row rank window + 1-row scalars.
     "q_bootstrap_ci": ({"bnlj", "single-part"}, "32-replicate fanout x 32-row order stats"),
+    # 1-row corpus-size scalar x 3-row term-df table broadcast into scores.
+    "q_keyword_search": ({"bnlj", "single-part"}, "1-row N scalar x 3-term df table"),
 }
 
 
