@@ -787,3 +787,72 @@ sql_query(
     tables=["events"],
     doc=_stl_sql.__doc__,
 )
+
+
+# --- Clamped running balance (Lindley recursion, closed form) -------------
+
+
+def _capped_runsum_sql(d: Dialect) -> str:
+    """Inventory/ledger semantics: per user, purchases add value and errors
+    deduct it, but the balance never goes below zero — the CLAMPED running
+    sum W_k = max(0, W_{k-1} + x_k). The recursion looks window-
+    inexpressible (each step depends on the clamped previous step), and
+    the tempting per-key fold (collect_list + aggregate lambda) carries a
+    whole key's history as task state. The scale answer is the LINDLEY
+    REFLECTION IDENTITY from queueing theory:
+
+        W_k = S_k − min(0, min_{j≤k} S_j)      (S = plain prefix sum)
+
+    and a clamp fires exactly when S_k drops below the previous running
+    minimum (a strict new minimum under 0). Both sides become ordinary
+    prefix-sum/running-min windows — O(1) state per row, exact integer
+    cents, identical in both engines. (A fold formulation was tried first:
+    DuckDB 1.0's list_reduce mis-evaluates struct accumulators on longer
+    lists — the oracle gate caught it; the closed form sidesteps the bug
+    AND removes the per-key list state.)
+
+    Scale shape: one shuffle on user_id, two stacked window passes on the
+    same (user_id → ts) sort, one final per-user aggregate.
+    """
+    ts = d.epoch_us("ts")
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+WITH mv AS (
+  SELECT user_id, {ts} AS ts_us, event_id,
+         CASE WHEN event_type = 'purchase' THEN {cents} ELSE -{cents} END AS d
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+    AND event_type IN ('purchase', 'error')
+),
+prefix AS (
+  SELECT user_id, ts_us, event_id, d,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM mv
+),
+flagged AS (
+  SELECT user_id, d, s,
+         CASE WHEN s < LEAST(0, COALESCE(MIN(s) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+              THEN 1 ELSE 0 END AS clamp
+  FROM prefix
+)
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_moves,
+  CAST(SUM(d) - LEAST(0, MIN(s)) AS BIGINT) AS final_balance_cents,
+  CAST(SUM(clamp) AS INT) AS n_clamps,
+  CAST(SUM(d) - LEAST(0, MIN(s)) AS DOUBLE) / 100.0 AS final_balance
+FROM flagged
+GROUP BY user_id
+"""
+
+
+sql_query(
+    "q_capped_runsum",
+    spark_sql=_capped_runsum_sql(SPARK),
+    duck_sql=_capped_runsum_sql(DUCK),
+    tables=["events"],
+    doc=_capped_runsum_sql.__doc__,
+)

@@ -104,8 +104,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_partition_evolution",
     "q_keyword_search",
     "q_asof_cogroup",
+    "q_capped_runsum",
     # round-3 continuation additions (newest — need their first driver row)
-    "q_snapshot_diff",
     "q_chunk_overlap",
     "q_heavy_hitters",
     "q_regression",
@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_collocations",
     "q_window_navigation",
     # --- 50-row driver cap lands here under the r02 cap behavior ---
+    "q_snapshot_diff",
     "q_cdf_incremental_rollup",
     "q_variant_extract",
     "q_session_dynamic",

@@ -108,3 +108,36 @@ def test_bootstrap_ci_brackets_estimate_and_shrinks(spark):
         assert r.ci_lo <= r.estimate <= r.ci_hi
         assert r.n_replicates == 32
     assert (r10.ci_hi - r10.ci_lo) < (r1.ci_hi - r1.ci_lo)
+
+
+def test_capped_runsum_matches_direct_simulation(spark):
+    """The Lindley-identity windows must equal the literal clamp recursion
+    W_k = max(0, W_{k-1} + x_k) simulated in plain Python — validating the
+    reflection identity itself, which cross-engine agreement (same algebra
+    both sides) cannot."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+              CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+            FROM '{SF}/events.parquet'
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+              AND event_type IN ('purchase', 'error')
+            ORDER BY user_id, ts_us, event_id"""
+    ).fetchall()
+    sim: dict[int, list[int]] = {}
+    for uid, _, _, delta in rows:
+        bal, clamps, n = sim.get(uid, (0, 0, 0)) if uid in sim else (0, 0, 0)
+        nb = bal + delta
+        if nb < 0:
+            clamps += 1
+        sim[uid] = (max(nb, 0), clamps, n + 1)
+
+    got = {
+        r.user_id: (r.final_balance_cents, r.n_clamps, r.n_moves)
+        for r in SPECS["q_capped_runsum"].fn(spark, SF).collect()
+    }
+    assert got == sim
+    assert sum(c for _, c, _ in sim.values()) > 0  # clamps actually fire
