@@ -228,6 +228,14 @@ class Dialect:
             f" AS token FROM {table}"
         )
 
+    def all_token_rows_src(self, table: str) -> str:
+        """SELECT fragment exploding ALL token occurrences, carrying the
+        provenance columns (lang, source) alongside doc_id."""
+        return (
+            f"SELECT doc_id, lang, source, explode({self.split_tokens('text')})"
+            f" AS token FROM {table}"
+        )
+
     def epoch_us(self, ts: str) -> str:
         """Epoch microseconds as BIGINT (the safe cross-engine encoding for
         the ns-precision events timestamps)."""
@@ -300,6 +308,12 @@ class DuckDialect(Dialect):
     def all_token_rows(self, table: str) -> str:
         return (
             f"SELECT doc_id, unnest({self.split_tokens('text')})"
+            f" AS token FROM {table}"
+        )
+
+    def all_token_rows_src(self, table: str) -> str:
+        return (
+            f"SELECT doc_id, lang, source, unnest({self.split_tokens('text')})"
             f" AS token FROM {table}"
         )
 

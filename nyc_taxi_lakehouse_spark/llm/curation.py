@@ -558,3 +558,93 @@ def write_shards(documents: DataFrame, out_dir: str, n_shards: int = _N_SHARDS):
             F.max("sort_key").cast("bigint").alias("max_sort_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling — select raw docs that look like a target
+# domain, via hashed n-gram importance weights (Xie et al., NeurIPS 2023:
+# "Data Selection for Language Models via Importance Resampling").
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 256  # hashed feature buckets
+_DSIR_SCALE = 10_000  # fixed-point grid for the per-bucket importance ratio
+
+
+def _dsir_sql(d: Dialect) -> str:
+    """Hashed-unigram importance weights: target = the English slice of the
+    corpus (stand-in for a curated in-domain set), raw = everything.
+
+    Per bucket b: w(b) = p_target(b) / p_raw(b) with add-one smoothing,
+    as an exact fixed-point integer ((tc+1)·(TR+K)·SCALE) DIV ((rc+1)·(TT+K))
+    — the likelihood ratio itself, no ln(): cross-libm-unstable transforms
+    never enter the gate. A document's score is the MEAN bucket ratio over
+    its token occurrences (integer DIV) — rank-equivalent to DSIR's
+    mean-log-ratio for selection purposes and bit-stable across engines.
+    SCALE=1e4 keeps (tc+1)·(TR+K)·SCALE < 2^63 up to ~3e7 corpus tokens;
+    beyond that the bucket counts become DECIMAL probabilities first.
+
+    Selection keeps the top quarter PER SOURCE (row_number over the
+    source-partitioned window) — source-stratified selection preserves
+    provenance diversity AND keeps the ranking window hash-partitioned
+    (no global single-partition sort at any scale).
+    """
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         {d.md5_int32('token')} % {_DSIR_K} AS b
+  FROM ({d.all_token_rows_src('documents')}) t
+),
+cnt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+  FROM tok GROUP BY b
+),
+tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr, CAST(SUM(tc) AS BIGINT) AS tt FROM cnt),
+w AS (
+  SELECT b,
+         {d.idiv(f'((tc + 1) * (tr + {_DSIR_K}) * {_DSIR_SCALE})',
+                 f'((rc + 1) * (tt + {_DSIR_K}))')} AS w_q4
+  FROM cnt CROSS JOIN tot
+),
+scored AS (
+  SELECT tok.doc_id, tok.lang, tok.source,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(w.w_q4) AS BIGINT) AS sw
+  FROM tok JOIN w ON tok.b = w.b
+  GROUP BY tok.doc_id, tok.lang, tok.source
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_toks,
+         CAST({d.idiv('sw', 'n_toks')} AS BIGINT) AS dsir_q4,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {d.idiv('sw', 'n_toks')} DESC, doc_id
+         ) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS src_docs
+  FROM scored
+)
+SELECT doc_id, lang, source, n_toks, dsir_q4,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(CASE WHEN src_rank * 4 <= src_docs THEN 1 ELSE 0 END AS INT) AS selected
+FROM ranked
+"""
+
+
+sql_query(
+    "q_dsir_weights",
+    spark_sql=_dsir_sql(SPARK),
+    duck_sql=_dsir_sql(DUCK),
+    tables=["documents"],
+    doc="DSIR importance resampling (hashed-unigram likelihood ratios, "
+    "Xie et al. 2023): weight every raw document by how target-like its "
+    "token distribution is, then keep the top quarter per source. All "
+    "integer fixed-point — the add-one-smoothed bucket ratio is one exact "
+    "DIV, the doc score a mean of bucket ratios. Plan: token explode is "
+    "map-side; the bucket histogram is a 256-key partial-aggregated "
+    "shuffle; the 256-row weight table broadcasts back onto the token "
+    "stream; one doc_id shuffle scores docs; ranking windows are "
+    "hash-partitioned by source (no global sort). At 100 TB the only "
+    "full-data exchanges are the two token-stream aggregations, both "
+    "map-side-combined; the weight model itself stays 256 rows whatever "
+    "the corpus size.",
+)

@@ -247,3 +247,125 @@ sql_query(
     "All-integer until the final coefficient (one exact int/int "
     "division).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS — hop distance from a seed set over the trade graph.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEED_NATION = 0
+
+
+def _bfs_oracle(rounds: int = _BFS_ROUNDS) -> str:
+    """Cumulative reach sets r0 ⊆ r1 ⊆ … unrolled as CTEs; hop = MIN round
+    of first appearance. Same edge construction as q_pagerank."""
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+r0 AS (
+  SELECT DISTINCT c.c_custkey * 2 AS node
+  FROM customer c
+  JOIN (SELECT DISTINCT src FROM edges) g ON g.src = c.c_custkey * 2
+  WHERE c.c_nationkey = {_BFS_SEED_NATION}
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT node FROM r{i - 1}
+  UNION
+  SELECT e.dst AS node FROM edges e JOIN r{i - 1} p ON e.src = p.node
+)"""
+        )
+    layers = " UNION ALL ".join(
+        f"SELECT node, {i} AS h FROM r{i}" for i in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT
+  node,
+  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+  CAST(node // 2 AS BIGINT) AS entity_key,
+  CAST(MIN(h) AS INT) AS hop
+FROM ({layers}) all_layers
+GROUP BY node
+"""
+    )
+
+
+@df_query(
+    "q_bfs_hops",
+    duck_sql=_bfs_oracle(),
+    tables=["orders", "lineitem", "customer"],
+    doc="Multi-source BFS: hop distance (≤4) from the nation-0 customer "
+    "cohort over the symmetric customer↔supplier trade graph — the "
+    "reachability/shortest-path member of the iterative family (PageRank = "
+    "fixed-count walk, CC = min-label fixpoint, BFS = frontier expansion). "
+    "FRONTIER-optimized: each round joins only the newly discovered nodes "
+    "against the once-checkpointed edge list, then anti-joins the visited "
+    "set — work per round is O(frontier-adjacent edges), not O(all nodes), "
+    "which is the shape that survives a 100 TB graph (plus: the frontier "
+    "is localCheckpointed per round so lineage stays O(1), the "
+    "q_dedup_clusters discipline). Integers end to end; the oracle unrolls "
+    "cumulative reach sets r0⊆r1⊆… and takes MIN first-appearance round — "
+    "an intentionally different algebra that pins the frontier bookkeeping "
+    "(UNION-dedup vs anti-join-accumulate must agree exactly).",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "customer"])
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    # Seeds: nation-0 customers that actually trade (graph nodes only — the
+    # oracle's reach sets can never contain an isolated seed, so neither
+    # should round 0).
+    in_graph = edges.select("src").distinct()
+    seeds = (
+        t["customer"]
+        .where(F.col("c_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .join(in_graph, F.col("node") == F.col("src"), "leftsemi")
+        .distinct()
+    )
+    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = dist
+    for i in range(1, _BFS_ROUNDS + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            neighbors.join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint()
+        )
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_key"),
+        F.col("hop").cast("int").alias("hop"),
+    )

@@ -134,6 +134,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q_schema_evolution",
     "q_session_stream",
     "q_dedup_clusters_star",
+    # --- 50-row driver cap lands exactly here (names above get driver
+    # CORRECTNESS rows; everything below is next in line and covered by the
+    # local mirror suite at two SFs either way) ---
+    # round-3 second-continuation additions (newest first in the overflow)
+    "q_bpe_encode",
+    "q_dsir_weights",
+    "q_bfs_hops",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",
@@ -145,7 +152,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_event_unpivot",
     "q_collocations",
     "q_window_navigation",
-    # --- 50-row driver cap lands here under the r02 cap behavior ---
     "q_snapshot_diff",
     "q_cdf_incremental_rollup",
     "q_variant_extract",
@@ -223,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import modern_sql  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401
+    from .llm import bpe  # noqa: F401
     from .llm import text  # noqa: F401
     from .llm import quality  # noqa: F401
     from .llm import quantize  # noqa: F401

@@ -674,3 +674,47 @@ def test_bpe_train_matches_python_reference(spark):
     # sanity: later merges include at least one multi-char symbol (i.e. the
     # training genuinely builds on earlier merges, not just char bigrams)
     assert any(len(l) > 1 or len(r) > 1 for l, r, _ in got)
+
+
+def test_bpe_encode_chain_matches_python_encoder(spark):
+    """The chained-replace encoder (q_bpe_encode) produces EXACTLY the token
+    sequence a pure-Python greedy BPE encoder produces under the same fixed
+    merge table, word by word, on the real corpus."""
+    from nyc_taxi_lakehouse_spark.llm.bpe import (
+        TOKENIZER_MERGES,
+        _PUA,
+        bpe_encode_chain,
+    )
+
+    def ref_encode(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in TOKENIZER_MERGES:
+            out, skip = [], False
+            for i, s in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                if i < len(syms) - 1 and s == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    skip = True
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    # placeholder char -> merged symbol string, to decode the SQL output
+    decode = {chr(_PUA + i): l + r for i, (l, r) in enumerate(TOKENIZER_MERGES)}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = (
+        docs.selectExpr(
+            "text", f"{bpe_encode_chain('text', TOKENIZER_MERGES)} AS enc"
+        )
+        .limit(50)
+        .collect()
+    )
+    assert rows
+    for text, enc in rows:
+        for word, enc_word in zip(text.split(" "), enc.split(" ")):
+            got = [decode.get(c, c) for c in enc_word]
+            assert got == ref_encode(word), (word, got)

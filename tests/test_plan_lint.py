@@ -41,6 +41,8 @@ WHITELIST = {
     "q_dedup_chargram": ({"single-part"}, "COUNT(*) scalar for df-cap"),
     # 1-row corpus-token-total broadcast into the lift denominator.
     "q_collocations": ({"single-part", "bnlj"}, "N-tokens scalar x bigram table"),
+    # 1-row corpus/target token totals x the 256-bucket DSIR weight table.
+    "q_dsir_weights": ({"single-part", "bnlj"}, "1-row totals x 256-bucket weights"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
