@@ -630,21 +630,86 @@ FROM ranked
 """
 
 
-sql_query(
+@df_query(
     "q_dsir_weights",
-    spark_sql=_dsir_sql(SPARK),
     duck_sql=_dsir_sql(DUCK),
     tables=["documents"],
     doc="DSIR importance resampling (hashed-unigram likelihood ratios, "
     "Xie et al. 2023): weight every raw document by how target-like its "
     "token distribution is, then keep the top quarter per source. All "
     "integer fixed-point — the add-one-smoothed bucket ratio is one exact "
-    "DIV, the doc score a mean of bucket ratios. Plan: token explode is "
-    "map-side; the bucket histogram is a 256-key partial-aggregated "
-    "shuffle; the 256-row weight table broadcasts back onto the token "
-    "stream; one doc_id shuffle scores docs; ranking windows are "
-    "hash-partitioned by source (no global sort). At 100 TB the only "
-    "full-data exchanges are the two token-stream aggregations, both "
-    "map-side-combined; the weight model itself stays 256 rows whatever "
-    "the corpus size.",
+    "DIV, the doc score a mean of bucket ratios. The Spark side explodes "
+    "tokens ONCE into a checkpointed per-(doc, bucket) count table (≤256 "
+    "rows per doc regardless of doc length — the corpus compresses before "
+    "any reuse, dodging the CTE-inlining double-explode the oracle SQL "
+    "would cost Spark); the 256-row bucket histogram, 1-row totals and "
+    "weight table all derive from it, and the weight join back is an "
+    "explicit broadcast. Ranking windows are hash-partitioned by source "
+    "(no global sort at any scale). The oracle recomputes the same "
+    "integer algebra from raw SQL in DuckDB.",
 )
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " +")).alias("token"),
+    )
+    tokb = (
+        tok.withColumn(
+            "b",
+            F.expr(
+                f"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_DSIR_K}"
+            ),
+        )
+        .groupBy("doc_id", "lang", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    cnt = tokb.groupBy("b").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),
+    )
+    tot = cnt.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
+    w = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        f"((tc + 1) * (tr + {_DSIR_K}) * {_DSIR_SCALE})"
+        f" DIV ((rc + 1) * (tt + {_DSIR_K})) AS w_q4",
+    )
+    scored = (
+        tokb.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.col("c") * F.col("w_q4")).alias("sw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    src_w = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.expr("sw DIV n_toks").cast("bigint").alias("dsir_q4"),
+        F.row_number()
+        .over(src_w.orderBy(F.expr("sw DIV n_toks").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("src_rank"),
+        F.count("*").over(src_w).alias("src_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_toks",
+        "dsir_q4",
+        "src_rank",
+        F.when(F.col("src_rank") * 4 <= F.col("src_docs"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("selected"),
+    )
