@@ -228,6 +228,10 @@ class Dialect:
             f" AS token FROM {table}"
         )
 
+    def to_str(self, expr: str) -> str:
+        """Cast to the engine's string type (STRING vs VARCHAR)."""
+        return f"CAST({expr} AS STRING)"
+
     def all_token_rows_src(self, table: str) -> str:
         """SELECT fragment exploding ALL token occurrences, carrying the
         provenance columns (lang, source) alongside doc_id."""
@@ -310,6 +314,9 @@ class DuckDialect(Dialect):
             f"SELECT doc_id, unnest({self.split_tokens('text')})"
             f" AS token FROM {table}"
         )
+
+    def to_str(self, expr: str) -> str:
+        return f"CAST({expr} AS VARCHAR)"
 
     def all_token_rows_src(self, table: str) -> str:
         return (

@@ -713,3 +713,56 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + shard assignment — the data-loading order.
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+
+
+def _epoch_shuffle_sql(d: Dialect) -> str:
+    """Per (epoch, doc): shuffle key = md5(doc_id ':' epoch) — a fresh
+    pseudorandom permutation every epoch, reproducible from nothing but the
+    epoch number. Shard = key % shards; position = rank within shard by
+    (key, doc_id). Windows are (epoch, shard)-partitioned — the global
+    permutation is realized as independent per-shard sorted runs, exactly
+    how a distributed data loader consumes it (each worker streams its own
+    shard in key order), so no global sort exists at any scale."""
+    key = d.md5_int32(
+        f"concat({d.to_str('doc_id')}, ':', {d.to_str('e.epoch')})"
+    )
+    epochs = ", ".join(f"({i})" for i in range(_SHUF_EPOCHS))
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, e.epoch, {key} AS skey
+  FROM documents CROSS JOIN (VALUES {epochs}) AS e(epoch)
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, skey % {_SHUF_SHARDS}
+         ORDER BY skey, doc_id
+       ) AS BIGINT) AS pos
+FROM assigned
+"""
+
+
+sql_query(
+    "q_epoch_shuffle",
+    spark_sql=_epoch_shuffle_sql(SPARK),
+    duck_sql=_epoch_shuffle_sql(DUCK),
+    tables=["documents"],
+    doc="Deterministic training-epoch shuffle: every epoch gets a fresh, "
+    "reproducible global permutation of the corpus (md5 of doc_id:epoch), "
+    "materialized as shard assignment + position-within-shard. The "
+    "permutation is never globally sorted — ROW_NUMBER windows are "
+    "(epoch, shard)-partitioned, so at 100 TB the work is `shards` "
+    "independent sorted runs (each worker range-reads its shard in key "
+    "order), and re-running any epoch reproduces the identical order "
+    "bit-for-bit (seeded-hash reproducibility, the q_train_split "
+    "property extended to load order). The 2-row epoch grid cross join "
+    "is constant-size (whitelisted).",
+)

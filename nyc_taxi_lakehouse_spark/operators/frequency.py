@@ -232,3 +232,127 @@ def _register_cms():
 
 
 _register_cms()
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable AND intersectable.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_H = 4294967295  # md5_int32 hash space upper bound (2^32 - 1)
+
+
+def _kmv_sql(d) -> str:
+    """Distinct-user sketches for two halves of the events month, with the
+    set algebra HLL cannot do: an INTERSECTION estimate.
+
+    KMV (Bar-Yossef et al. 2002): keep the k smallest distinct hash values
+    of the key; with hashes uniform on [0, H], est = (k-1)·H DIV h_k. The
+    union sketch is the k smallest of the merged hash sets (mergeability =
+    MIN algebra, same as HLL); the Jaccard estimate is the fraction of the
+    union sketch's members present in BOTH input sets, and
+    est∩ = |both| · est∪ DIV k. Everything is integer arithmetic on md5
+    hashes — deterministic in both engines, no RNG.
+    """
+    h = d.md5_int32(d.to_str("o_custkey"))
+    return f"""
+WITH hashed AS (
+  SELECT period, h FROM (
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00' THEN 'a'
+                WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 'b'
+                ELSE NULL END AS period,
+           {h} AS h
+    FROM orders
+  ) s WHERE period IS NOT NULL
+  GROUP BY period, h
+),
+exact AS (
+  SELECT
+    CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_exact,
+    CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_exact,
+    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_union_exact,
+    CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact
+  FROM (
+    SELECT h,
+           SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+    FROM hashed GROUP BY h
+  ) g
+),
+ranked AS (
+  SELECT period, h,
+         ROW_NUMBER() OVER (PARTITION BY period ORDER BY h) AS r
+  FROM hashed
+),
+sk AS (SELECT period, h FROM ranked WHERE r <= {_KMV_K}),
+kth AS (
+  SELECT period, CAST(MAX(h) AS BIGINT) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_eff
+  FROM sk GROUP BY period
+),
+est AS (
+  SELECT period,
+         CASE WHEN k_eff < {_KMV_K} THEN k_eff
+              ELSE {d.idiv(f'({_KMV_K} - 1) * {_KMV_H}', 'h_k')} END AS n_est
+  FROM kth
+),
+usk AS (SELECT h, in_a, in_b FROM (
+  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b,
+         ROW_NUMBER() OVER (ORDER BY h) AS r
+  FROM (
+    SELECT h,
+           CASE WHEN period = 'a' THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN period = 'b' THEN 1 ELSE 0 END AS in_b
+    FROM sk
+  ) u GROUP BY h
+) q WHERE r <= {_KMV_K}),
+ukth AS (
+  SELECT CAST(MAX(h) AS BIGINT) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_eff,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM usk
+),
+uest AS (
+  SELECT
+    CASE WHEN k_eff < {_KMV_K} THEN k_eff
+         ELSE {d.idiv(f'({_KMV_K} - 1) * {_KMV_H}', 'h_k')} END AS n_union_est,
+    n_both, k_eff
+  FROM ukth
+)
+SELECT
+  e.n_a_exact, e.n_b_exact, e.n_union_exact, e.n_inter_exact,
+  CAST(a.n_est AS BIGINT) AS n_a_est,
+  CAST(b.n_est AS BIGINT) AS n_b_est,
+  CAST(u.n_union_est AS BIGINT) AS n_union_est,
+  CAST({d.idiv('u.n_both * u.n_union_est', 'u.k_eff')} AS BIGINT) AS n_inter_est
+FROM exact e
+CROSS JOIN (SELECT n_est FROM est WHERE period = 'a') a
+CROSS JOIN (SELECT n_est FROM est WHERE period = 'b') b
+CROSS JOIN uest u
+"""
+
+
+def _register_kmv():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_kmv_distinct",
+        spark_sql=_kmv_sql(SPARK),
+        duck_sql=_kmv_sql(DUCK),
+        tables=["orders"],
+        doc="KMV (k-minimum-values) distinct sketch over two customer "
+        "cohorts (orders before 1997 vs after 1999) — the mergeable distinct counter that, unlike "
+        "HLL, also supports INTERSECTION estimates (est∩ = |union-sketch "
+        "members in both| · est∪ / k). All integer md5-hash algebra, so "
+        "both engines reproduce the sketch bit-for-bit, and the exact "
+        "counts ride along for error inspection. Plan: one distinct-"
+        "(period, hash) aggregation (map-side partials), per-period "
+        "k-smallest via rank windows (WindowGroupLimit pushes the k-limit "
+        "into each partition — no full sort), then all remaining algebra "
+        "runs on ≤2k rows; the 1-row scalar joins are whitelisted. At "
+        "100 TB the sketch per group is k BIGINTs — the KB-sized summary "
+        "that answers distinct-users-in-common across arbitrary segment "
+        "pairs without re-scanning either.",
+    )
+
+
+_register_kmv()

@@ -292,3 +292,101 @@ def _register_skew_report():
 
 
 _register_skew_report()
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles WITHOUT a global sort: sketch-guided bisection.
+# ---------------------------------------------------------------------------
+
+_QB_PS = [(50, "p50_cents"), (90, "p90_cents")]
+
+
+def _exact_quantile_oracle() -> str:
+    """kth-smallest (k = ceil(p·n)) via ORDER BY / OFFSET — the textbook
+    definition the bisection must reproduce exactly."""
+    cols = ",\n  ".join(
+        f"""(SELECT v FROM cents ORDER BY v
+   LIMIT 1 OFFSET (CAST(ceil(0.{p} * (SELECT n FROM tot)) AS BIGINT) - 1)) AS {alias}"""
+        for p, alias in _QB_PS
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem
+),
+tot AS (SELECT COUNT(*) AS n FROM cents)
+SELECT (SELECT n FROM tot) AS n,
+  {cols}
+"""
+
+
+def _register_quantile_bisect():
+    from ..registry import df_query
+    from ..sources.tables import load_tables
+
+    @df_query(
+        "q_exact_quantile_bisect",
+        duck_sql=_exact_quantile_oracle(),
+        tables=["lineitem"],
+        doc="EXACT p50/p90 of l_extendedprice (as integer cents) with NO "
+        "global sort: 256-ary value-domain bisection finds the exact "
+        "kth-smallest (k = ceil(p·n)) in ceil(log_256(domain)) ≈ 3 passes — "
+        "each pass one bucket-count aggregate over a single checkpointed "
+        "column (≤256 groups, map-side partials, ≤256-row collect: the "
+        "bounded driver-scalar pattern of the CC convergence probe), after "
+        "which the bracket snaps to the winning bucket's exact MIN/MAX so "
+        "sparse domains collapse even faster. A global ORDER BY at 100 TB "
+        "shuffles the whole column through a range exchange; this shape "
+        "reads it 3 times with ZERO row movement — the classic distributed "
+        "selection trade, made exact (no sketch in the loop, so correctness "
+        "is self-contained). Oracle: textbook ORDER BY/OFFSET kth-smallest.",
+    )
+    def q_exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tables(spark, sf_dir, ["lineitem"])
+        vals = (
+            t["lineitem"]
+            .select((F.col("l_extendedprice") * 100).cast("bigint").alias("v"))
+            .localCheckpoint()
+        )
+        row = vals.agg(
+            F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        n = int(row.n)
+
+        out = {"n": n}
+        for p, alias in _QB_PS:
+            k = -(-p * n // 100)  # ceil(p·n / 100) = rank of the quantile
+            lo, hi = int(row.lo), int(row.hi)
+            below = 0  # exact count of values < lo (maintained invariant)
+            # 256-ary refinement: ceil(log_256(domain)) rounds ≈ 3 for any
+            # realistic value domain. Each round: one filtered bucket-count
+            # aggregate (≤256 groups, map-side partials), then the bracket
+            # snaps to the chosen bucket's MIN/MAX (so a sparse domain
+            # collapses faster than the nominal 256x per round).
+            while lo < hi:
+                width = hi - lo + 1
+                rows = (
+                    vals.where(F.col("v").between(lo, hi))
+                    .groupBy(
+                        ((F.col("v") - lo) * 256 / width).cast("bigint").alias("b")
+                    )
+                    .agg(
+                        F.count("*").alias("c"),
+                        F.min("v").alias("bmin"),
+                        F.max("v").alias("bmax"),
+                    )
+                    .collect()
+                )
+                cum = below
+                for r in sorted(rows, key=lambda r: r.b):
+                    if cum + r.c >= k:
+                        lo, hi, below = int(r.bmin), int(r.bmax), cum
+                        break
+                    cum += int(r.c)
+            out[alias] = lo
+        return spark.createDataFrame(
+            [tuple(out[c] for c in ["n"] + [a for _, a in _QB_PS])],
+            "n bigint, " + ", ".join(f"{a} bigint" for _, a in _QB_PS),
+        )
+
+
+_register_quantile_bisect()

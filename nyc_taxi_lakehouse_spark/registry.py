@@ -141,6 +141,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_bpe_encode",
     "q_dsir_weights",
     "q_bfs_hops",
+    "q_exact_quantile_bisect",
+    "q_epoch_shuffle",
+    "q_kmv_distinct",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -43,6 +43,10 @@ WHITELIST = {
     "q_collocations": ({"single-part", "bnlj"}, "N-tokens scalar x bigram table"),
     # 1-row corpus/target token totals x the 256-bucket DSIR weight table.
     "q_dsir_weights": ({"single-part", "bnlj"}, "1-row totals x 256-bucket weights"),
+    # Constant 2-row epoch grid fanned out over the corpus scan.
+    "q_epoch_shuffle": ({"bnlj"}, "2-row epoch grid x corpus"),
+    # 1-row exact/sketch scalars cross-joined into the single report row.
+    "q_kmv_distinct": ({"single-part", "bnlj"}, "1-row sketch scalars x report"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).

@@ -418,3 +418,44 @@ def test_cms_merge_and_never_undercounts(spark, sf_dir):
             over_bound += 1
     # P(over bound) <= 2^-d = 1/16 per key; allow 2x slack.
     assert over_bound <= len(exact) / 8, over_bound
+
+
+def test_kmv_merge_equals_sketch_of_union():
+    """KMV mergeability: the k smallest of (sketch_A ∪ sketch_B) equal the
+    k smallest of (A ∪ B) — merging sketches loses nothing. (Holds because
+    any of the union's k smallest hashes is within the k smallest of the
+    side it came from.) Verified directly on the real cohort hashes, plus
+    the estimator error bound at k=128."""
+    import duckdb
+
+    from nyc_taxi_lakehouse_spark.functions.detsql import DUCK
+    from nyc_taxi_lakehouse_spark.operators.frequency import _KMV_K
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        " '/root/testdata/sf0.01/orders.parquet'"
+    )
+    h = DUCK.md5_int32(DUCK.to_str("o_custkey"))
+    rows = con.execute(f"""
+        WITH hashed AS (
+          SELECT period, h FROM (
+            SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'a'
+                        WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 'b'
+                   END AS period, {h} AS h
+            FROM orders) s WHERE period IS NOT NULL GROUP BY period, h)
+        SELECT period, h FROM hashed
+    """).fetchall()
+    a = sorted({r[1] for r in rows if r[0] == "a"})
+    b = sorted({r[1] for r in rows if r[0] == "b"})
+    k = _KMV_K
+    sk_a, sk_b = a[:k], b[:k]
+    merged = sorted(set(sk_a) | set(sk_b))[:k]
+    direct = sorted(set(a) | set(b))[:k]
+    assert merged == direct
+
+    # estimator sanity: (k-1)*H/h_k within 25% of truth at k=128
+    H = 4294967295
+    est = (k - 1) * H // direct[k - 1]
+    truth = len(set(a) | set(b))
+    assert abs(est - truth) / truth < 0.25
