@@ -772,3 +772,104 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_rank").cast("int").alias("cell_rank"),
         (F.col("cell_rank") <= _SEMDEDUP_KEEP_RANK).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (farthest-first traversal) — diversity selection.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    """The identical greedy recurrence unrolled: round i picks the point
+    with the maximum current min-distance (tiebreak min vec_id), then
+    distances contract by LEAST against the new center."""
+    comp = _components_sql(DUCK, "true")
+    center_dist = (
+        "SELECT v.vec_id, CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS nd\n"
+        "   FROM comp v JOIN comp c ON v.i = c.i AND c.vec_id = ({sel})\n"
+        "   GROUP BY v.vec_id"
+    )
+    ctes = [
+        f"comp AS ({comp})",
+        "c0 AS (SELECT MIN(vec_id) AS vec_id FROM comp)",
+        "d1 AS ({})".format(
+            center_dist.format(sel="SELECT vec_id FROM c0").replace(" AS nd", " AS dist")
+        ),
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, dist FROM d{i}"
+            f" ORDER BY dist DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            nd = center_dist.format(sel=f"SELECT vec_id FROM s{i}")
+            ctes.append(
+                f"""d{i + 1} AS (
+  SELECT d.vec_id, CAST(LEAST(d.dist, n.nd) AS BIGINT) AS dist
+  FROM d{i} d JOIN ({nd}) n ON d.vec_id = n.vec_id
+)"""
+            )
+    sel = ["SELECT 0 AS sel_order, vec_id, CAST(0 AS BIGINT) AS dist_at_selection FROM c0"]
+    sel += [
+        f"SELECT {i} AS sel_order, vec_id, dist AS dist_at_selection FROM s{i}"
+        for i in range(1, k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@df_query(
+    "q_kcenter_coreset",
+    duck_sql=_kcenter_oracle(),
+    tables=["embeddings"],
+    doc="k-center greedy coreset (farthest-first traversal, the 2-approx "
+    "max-coverage selection behind diversity-pruned training subsets): "
+    "seed = min vec_id, then 7 rounds of argmax-min-distance selection "
+    "with exact integer squared-L2 on the quantized components — every "
+    "distance and comparison is 64-bit exact, tiebreak (dist DESC, "
+    "vec_id), so the greedy trajectory is bit-reproducible and the "
+    "unrolled-CTE oracle must walk the identical path. Plan per round: "
+    "the new center's 64 component rows broadcast onto the checkpointed "
+    "component table, one vec_id-keyed partial-agg distance sum, LEAST "
+    "contraction against the running min-distance column, and a 1-row "
+    "argmax collect (the bounded driver-scalar pattern). At 100 TB: "
+    "rounds are k (constant), per-round work one map-side-combined "
+    "aggregation over N×64 component rows — no pair joins, no global "
+    "sort; dist_at_selection is the certified covering radius after "
+    "each pick.",
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    comp = _quant_components(t["embeddings"]).localCheckpoint()
+
+    def dist_to(vid: int) -> DataFrame:
+        cc = comp.where(F.col("vec_id") == vid).select(
+            F.col("i").alias("ci"), F.col("q").alias("cq")
+        )
+        return (
+            comp.join(F.broadcast(cc), comp.i == F.col("ci"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .cast("bigint")
+                .alias("nd")
+            )
+        )
+
+    c0 = int(comp.agg(F.min("vec_id")).collect()[0][0])
+    centers = [(0, c0, 0)]
+    dist = dist_to(c0).withColumnRenamed("nd", "dist").localCheckpoint()
+    for i in range(1, _KC_K):
+        top = dist.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
+        vid, dd = int(top.vec_id), int(top.dist)
+        centers.append((i, vid, dd))
+        if i < _KC_K - 1:
+            dist = (
+                dist.join(dist_to(vid), "vec_id")
+                .select("vec_id", F.least("dist", "nd").cast("bigint").alias("dist"))
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        centers, "sel_order int, vec_id bigint, dist_at_selection bigint"
+    )
