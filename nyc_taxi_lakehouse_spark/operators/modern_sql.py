@@ -128,3 +128,49 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ddl in _SQL_UDF_DDL:
         spark.sql(ddl)
     return spark.sql(_SQL_UDF_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy traversal.
+# ---------------------------------------------------------------------------
+
+
+def _recursive_chain_sql(idiv: str, strtype: str) -> str:
+    """Ancestor-chain walk over the implicit digit tree (parent = key DIV
+    10): per customer, depth to the single-digit root plus the full
+    materialized path. Linear recursion — each row spawns exactly one
+    successor until its root — so total work is Σ depth(node) rows."""
+    return f"""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth,
+         CAST(c_custkey AS {strtype}) AS path
+  FROM customer
+  UNION ALL
+  SELECT node, cur {idiv} 10, depth + 1,
+         path || '>' || CAST(cur {idiv} 10 AS {strtype})
+  FROM chain WHERE cur >= 10
+)
+SELECT node, CAST(depth AS INT) AS depth, CAST(cur AS BIGINT) AS root, path
+FROM chain WHERE cur < 10
+"""
+
+
+@df_query(
+    "q_recursive_cte",
+    duck_sql=_recursive_chain_sql("//", "VARCHAR"),
+    tables=["customer"],
+    doc="WITH RECURSIVE hierarchy traversal (Spark 4's recursive CTE "
+    "surface — SPARK-24497): every customer's ancestor chain through the "
+    "implicit digit tree parent = key DIV 10, emitting depth, root, and "
+    "the materialized path string. The recursion is row-linear (one "
+    "successor per row until the root, ≤5 levels for 5-digit keys), so "
+    "Spark executes it as a bounded loop of UnionLoop iterations — each "
+    "iteration a map over the previous frontier, no joins, no shuffle — "
+    "and the engine-level termination check replaces the hand-rolled "
+    "iterate+localCheckpoint pattern the pre-4.x operators (CC, BFS, "
+    "PageRank) needed. DuckDB runs the identical recursion natively; "
+    "hash equality pins both engines' fixpoint semantics.",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql(_recursive_chain_sql("DIV", "STRING"))

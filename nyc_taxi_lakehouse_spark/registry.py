@@ -145,6 +145,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_epoch_shuffle",
     "q_kmv_distinct",
     "q_kcenter_coreset",
+    "q_recursive_cte",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",
