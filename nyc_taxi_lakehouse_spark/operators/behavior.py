@@ -471,3 +471,79 @@ sql_query(
     tables=["events"],
     doc=_event_pattern_sql.__doc__,
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — first / last / linear revenue allocation.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24h lookback
+
+
+def _attribution_sql(d: Dialect) -> str:
+    """Each purchase's cents are allocated to the click/view touches of the
+    same user within the 24h lookback, under three models at once:
+    first-touch (all cents to the earliest touch), last-touch (latest),
+    linear (cents DIV n per touch, remainder to the first touch so every
+    model conserves the total exactly — integer-exact, no float splits).
+    Purchases with no touch in window land in the 'none' channel intact."""
+    return f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, {d.epoch_us('ts')} AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS tid, event_type AS channel, {d.epoch_us('ts')} AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.pid, p.cents, t.channel, t.tid, t.tts
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.tts < p.pts AND t.tts >= p.pts - {_ATTR_WINDOW_US}
+),
+r AS (
+  SELECT pid, cents,
+         COALESCE(channel, 'none') AS channel,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn_last,
+         CAST(COUNT(tid) OVER (PARTITION BY pid) AS BIGINT) AS n
+  FROM j
+),
+alloc AS (
+  SELECT channel,
+    CASE WHEN rn_first = 1 THEN cents ELSE 0 END AS fc,
+    CASE WHEN rn_last = 1 THEN cents ELSE 0 END AS lc,
+    CASE WHEN n = 0 THEN cents
+         ELSE {d.idiv('cents', 'n')}
+              + CASE WHEN rn_first = 1 THEN cents % n ELSE 0 END
+    END AS lin
+  FROM r
+)
+SELECT channel,
+  CAST(COUNT(*) AS BIGINT) AS n_allocations,
+  CAST(SUM(fc) AS BIGINT) AS first_touch_cents,
+  CAST(SUM(lc) AS BIGINT) AS last_touch_cents,
+  CAST(SUM(lin) AS BIGINT) AS linear_cents
+FROM alloc
+GROUP BY channel
+"""
+
+
+sql_query(
+    "q_attribution",
+    spark_sql=_attribution_sql(SPARK),
+    duck_sql=_attribution_sql(DUCK),
+    tables=["events"],
+    doc="Multi-touch revenue attribution: every purchase's cents allocated "
+    "to same-user click/view touches in a 24h lookback under first-touch, "
+    "last-touch and linear models simultaneously — all integer-cent "
+    "arithmetic with the division remainder pinned to the first touch, so "
+    "each model conserves the purchase total EXACTLY (asserted in "
+    "tests/test_behavior_props.py). Plan: one bounded-range left join "
+    "(user equi-key + 24h band — same shape as q_range_join, state "
+    "bounded by the window), pid-partitioned rank/count windows reusing "
+    "one exchange, then a 3-group aggregate. No floats anywhere, so the "
+    "two engines' allocations match bit-for-bit.",
+)

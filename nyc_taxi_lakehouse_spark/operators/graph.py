@@ -369,3 +369,120 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node DIV 2").alias("entity_key"),
         F.col("hop").cast("int").alias("hop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — community detection (synchronous, deterministic).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_mode_sql(prev: str) -> str:
+    """One synchronous LPA round in SQL: each node adopts the most frequent
+    label among its neighbors, tiebreak smallest label (then the node keeps
+    its own label only if it has no neighbors — impossible here: the edge
+    build makes the graph symmetric with no isolated nodes)."""
+    return f"""
+  SELECT dst AS node, label FROM (
+    SELECT e.dst, p.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst
+             ORDER BY COUNT(*) DESC, p.label
+           ) AS rnk
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst, p.label
+  ) m WHERE rnk = 1
+"""
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"l{i} AS ({_lpa_mode_sql(f'l{i - 1}')})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node,
+  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+  CAST(node // 2 AS BIGINT) AS entity_key,
+  CAST(label AS BIGINT) AS community
+FROM l{rounds}
+"""
+    )
+
+
+@df_query(
+    "q_label_propagation",
+    duck_sql=_lpa_oracle(),
+    tables=["orders", "lineitem"],
+    doc="Synchronous label propagation (Raghavan et al. 2007) over the "
+    "trade graph — community detection, the fourth iterative-graph shape "
+    "(vs PageRank's weighted walk, CC's min-label fixpoint, BFS's frontier "
+    "expansion): each round every node adopts its neighbors' MODE label "
+    "with the deterministic tiebreak (count DESC, label ASC) that makes "
+    "classic LPA — normally RNG-tiebroken and irreproducible — "
+    "bit-reproducible and oracle-checkable. Per round: one join of labels "
+    "onto the checkpointed edge list, one (dst, label) count aggregate, "
+    "then the argmax as a pure HASH aggregate max(struct(cnt, -label)) — "
+    "both aggs partial-aggregate map-side, zero sorts per round (the "
+    "oracle keeps the ROW_NUMBER form, pinning the rewrite); rounds are "
+    "a fixed constant, labels stay lazy across them (shallow lineage).",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    # Mode-with-tiebreak as a pure HASH aggregate: max(struct(cnt, -label))
+    # realizes (count DESC, label ASC) without the per-round sort window the
+    # oracle uses — both aggs partial-aggregate map-side, so each round is
+    # two combinable exchanges and zero sorts. Parity with the oracle's
+    # ROW_NUMBER form pins the rewrite.
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+    return labels.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_key"),
+        F.col("label").cast("bigint").alias("community"),
+    )

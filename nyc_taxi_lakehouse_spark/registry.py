@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_kmv_distinct",
     "q_kcenter_coreset",
     "q_recursive_cte",
+    "q_label_propagation",
+    "q_attribution",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -141,3 +141,23 @@ def test_capped_runsum_matches_direct_simulation(spark):
     }
     assert got == sim
     assert sum(c for _, c, _ in sim.values()) > 0  # clamps actually fire
+
+
+def test_attribution_conserves_revenue(spark):
+    """Every attribution model allocates EXACTLY the total purchase cents —
+    the integer remainder handling cannot leak or mint a cent."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    pdf = all_queries()["q_attribution"].fn(spark, sf).toPandas()
+    total = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) t")
+        .collect()[0].t
+    )
+    assert int(pdf.first_touch_cents.sum()) == total
+    assert int(pdf.last_touch_cents.sum()) == total
+    assert int(pdf.linear_cents.sum()) == total
+    # and the models genuinely differ per channel (first != last somewhere)
+    assert (pdf.first_touch_cents != pdf.last_touch_cents).any()
