@@ -84,6 +84,17 @@ HEADLINE = [
     "q_scene_changes",
     "q_similarity_pq_rerank",
     "q_shard_manifest",
+    # Round-3 continuation flagships, part 5: BPE tokenizer application,
+    # DSIR importance resampling, frontier BFS, sortless exact quantiles,
+    # k-center coreset, recursive CTE, LPA communities, attribution.
+    "q_bpe_encode",
+    "q_dsir_weights",
+    "q_bfs_hops",
+    "q_exact_quantile_bisect",
+    "q_kcenter_coreset",
+    "q_recursive_cte",
+    "q_label_propagation",
+    "q_attribution",
 ]
 
 

@@ -873,3 +873,84 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         centers, "sel_order int, vec_id bigint, dist_at_selection bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation ablation — similarity preserved at reduced dims.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = [8, 16, 32]
+
+
+def _mrl_sql(d: Dialect) -> str:
+    """For each truncation dim d, the mean |cos_d - cos_64| over all
+    probe×corpus pairs: how much pairwise similarity moves when vectors are
+    truncated to their first d components (the Matryoshka / MRL ablation
+    that decides how small an index can be). Dots and norms are exact
+    integer sums band-sliced with conditional aggregation in ONE pass;
+    each cosine is two IEEE sqrt + one division (identical expression tree
+    both engines); the |diff|s snap to DECIMAL(28,12) before the exact sum."""
+    comp = _components_sql(d, "true")
+    dot_cols = ", ".join(
+        f"SUM(CASE WHEN p.i < {k} THEN p.q * c.q ELSE 0 END) AS dot{k}"
+        for k in _MRL_DIMS
+    )
+    norm_cols = ", ".join(
+        f"SUM(CASE WHEN i < {k} THEN q * q ELSE 0 END) AS n{k}" for k in _MRL_DIMS
+    )
+    cos_exprs = ", ".join(
+        f"""CASE WHEN np.n{k} = 0 OR nc.n{k} = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(pr.dot{k} AS DOUBLE)
+              / (SQRT(CAST(np.n{k} AS DOUBLE)) * SQRT(CAST(nc.n{k} AS DOUBLE)))
+    END AS cos{k}"""
+        for k in _MRL_DIMS
+    )
+    layers = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CAST(ABS(cos{k} - cos64) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+    AS mae_cosine
+FROM scored"""
+        for k in _MRL_DIMS
+    )
+    return f"""
+WITH comp AS ({comp}),
+pairs AS (
+  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         {dot_cols},
+         SUM(p.q * c.q) AS dot64
+  FROM comp p JOIN comp c ON p.i = c.i
+  WHERE p.vec_id < {_N_PROBES} AND c.vec_id >= {_N_PROBES}
+  GROUP BY p.vec_id, c.vec_id
+),
+norms AS (
+  SELECT vec_id, {norm_cols}, SUM(q * q) AS n64 FROM comp GROUP BY vec_id
+),
+scored AS (
+  SELECT pr.pid, pr.cid, {cos_exprs},
+         CAST(pr.dot64 AS DOUBLE)
+           / (SQRT(CAST(np.n64 AS DOUBLE)) * SQRT(CAST(nc.n64 AS DOUBLE))) AS cos64
+  FROM pairs pr
+  JOIN norms np ON np.vec_id = pr.pid
+  JOIN norms nc ON nc.vec_id = pr.cid
+)
+{layers}
+"""
+
+
+sql_query(
+    "q_mrl_truncation",
+    spark_sql=_mrl_sql(SPARK),
+    duck_sql=_mrl_sql(DUCK),
+    tables=["embeddings"],
+    doc="Matryoshka (MRL) truncation ablation: mean |cos_d − cos_full| "
+    "over probe×corpus pairs for d ∈ 8/16/32 — the measurement that "
+    "decides how far an embedding index can shrink before ANN quality "
+    "moves. All band dots/norms are ONE conditional-sum aggregation over "
+    "the component join (no per-dim rescans); cosines are exact-int "
+    "ratios with one sqrt/division each; |diff|s quantize to decimal "
+    "before the order-independent sum. Plan: probe side is 10 vectors — "
+    "the component join broadcasts it; the pair aggregate partial-"
+    "aggregates on (pid, cid); norms reuse the same scan. At 100 TB the "
+    "probe set stays an evaluation sample, so cost is O(|corpus| × "
+    "probes × dims) with no pair materialization beyond the aggregate.",
+)

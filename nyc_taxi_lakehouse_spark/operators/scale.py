@@ -390,3 +390,71 @@ def _register_quantile_bisect():
 
 
 _register_quantile_bisect()
+
+
+# ---------------------------------------------------------------------------
+# Global dense IDs WITHOUT a single-partition window — two-pass offsets.
+# ---------------------------------------------------------------------------
+
+
+def _register_dense_ids():
+    from ..registry import df_query
+    from ..sources.tables import load_tables
+
+    @df_query(
+        "q_dense_ids",
+        duck_sql="""
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS dense_id
+FROM orders
+""",
+        tables=["orders"],
+        doc="Contiguous 0..N-1 surrogate keys in key order WITHOUT the "
+        "single-partition ROW_NUMBER() OVER (ORDER BY ...) window that the "
+        "plan linter bans for unbounded inputs: range-repartition by key, "
+        "sort within partitions, count rows per partition (one tiny "
+        "collect, ≤ #partitions rows — the bounded driver-scalar pattern), "
+        "then global_id = partition-offset + local ROW_NUMBER, with the "
+        "offset map broadcast back. The range partitioner's sampled "
+        "boundaries are nondeterministic, but the OUTPUT is not: offsets "
+        "are computed from whatever boundaries were drawn, so the id of a "
+        "row depends only on its rank in the total order — the oracle's "
+        "global ROW_NUMBER proves it. This is the classic zipWithIndex "
+        "two-pass, kept in the DataFrame API; at 100 TB it is the only "
+        "shape that assigns contiguous ids at all (a global window would "
+        "serialize the entire table through one task).",
+    )
+    def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        t = load_tables(spark, sf_dir, ["orders"])
+        parts = (
+            t["orders"]
+            .select("o_orderkey")
+            .repartitionByRange(32, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint()  # pin the sampled range boundaries: the count
+            # pass and the id pass must see the SAME partitioning
+        )
+        counts = {
+            int(r.pid): int(r.c)
+            for r in parts.groupBy("pid").agg(F.count("*").alias("c")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        w = Window.partitionBy("pid").orderBy("o_orderkey")
+        return parts.select(
+            "o_orderkey",
+            (off[F.col("pid")] + F.row_number().over(w) - 1)
+            .cast("bigint")
+            .alias("dense_id"),
+        )
+
+
+_register_dense_ids()

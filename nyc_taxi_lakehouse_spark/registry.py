@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_recursive_cte",
     "q_label_propagation",
     "q_attribution",
+    "q_dense_ids",
+    "q_mrl_truncation",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -47,6 +47,8 @@ WHITELIST = {
     "q_epoch_shuffle": ({"bnlj"}, "2-row epoch grid x corpus"),
     # 1-row exact/sketch scalars cross-joined into the single report row.
     "q_kmv_distinct": ({"single-part", "bnlj"}, "1-row sketch scalars x report"),
+    # Three 1-row scalar MAE aggregates (one per truncation dim).
+    "q_mrl_truncation": ({"single-part"}, "scalar MAE row per truncation dim"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
