@@ -161,3 +161,45 @@ def test_attribution_conserves_revenue(spark):
     assert int(pdf.linear_cents.sum()) == total
     # and the models genuinely differ per channel (first != last somewhere)
     assert (pdf.first_touch_cents != pdf.last_touch_cents).any()
+
+
+def test_bfs_loop_equals_recursive_cte(spark):
+    """The hand-rolled frontier loop (q_bfs_hops) and Spark 4's declarative
+    WITH RECURSIVE produce identical hop distances on the same graph —
+    pinning the iterate+checkpoint pattern against the engine's own
+    fixpoint execution."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    loop = {
+        (r.node, r.hop)
+        for r in all_queries()["q_bfs_hops"].fn(spark, sf).collect()
+    }
+    load_tables(spark, sf, ["orders", "lineitem", "customer"])
+    rec = spark.sql("""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT g.src AS node, 0 AS hop
+  FROM (SELECT DISTINCT src FROM (
+          SELECT o_custkey * 2 AS src FROM orders o
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey) p) g
+  JOIN customer c ON g.src = c.c_custkey * 2
+  WHERE c.c_nationkey = 0
+  UNION ALL
+  SELECT DISTINCT e.dst, w.hop + 1
+  FROM walk w
+  JOIN (
+    SELECT a AS src, b AS dst FROM (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) p
+    UNION ALL
+    SELECT b AS src, a AS dst FROM (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) p
+  ) e ON e.src = w.node
+  WHERE w.hop < 4
+)
+SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+""")
+    got = {(r.node, r.hop) for r in rec.collect()}
+    assert got == loop
