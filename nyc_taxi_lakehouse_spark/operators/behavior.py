@@ -547,3 +547,71 @@ sql_query(
     "one exchange, then a 3-group aggregate. No floats anywhere, so the "
     "two engines' allocations match bit-for-bit.",
 )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU — exact rolling distinct actives without COUNT(DISTINCT
+# ... OVER RANGE) (which neither engine supports over windows).
+# ---------------------------------------------------------------------------
+
+
+def _dau_sql(d: Dialect) -> str:
+    """Exact trailing-window distinct actives: each (user, active-day) pair
+    CONTRIBUTES to the trailing-7d count of days [day, day+6], so exploding
+    the 7 contribution days and deduplicating (window-day, user) turns the
+    rolling distinct into a plain per-day COUNT — the shape that scales
+    (7× the activity rows, map-side dedup, one day-keyed aggregation)
+    instead of a per-day re-scan. New/cumulative users ride along via the
+    first-activity flag + running sum."""
+    day = d.epoch("date_trunc('day', ts)")
+    if d.name == "spark":
+        fan = "explode(sequence(0, 6)) AS off"
+    else:
+        fan = "unnest(range(7)) AS off"
+    return f"""
+WITH act AS (
+  SELECT user_id, {day} AS day FROM events GROUP BY user_id, {day}
+),
+fanned AS (
+  SELECT DISTINCT u.user_id, u.day + off * 86400 AS wday
+  FROM (SELECT user_id, day, {fan} FROM act) u
+),
+wau AS (
+  SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS wau FROM fanned GROUP BY wday
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+         CAST(SUM(is_first) AS BIGINT) AS new_users
+  FROM (
+    SELECT day, user_id,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) = 1
+                THEN 1 ELSE 0 END AS is_first
+    FROM act
+  ) f GROUP BY day
+)
+SELECT d.day, d.dau, w.wau, d.new_users,
+       CAST(SUM(d.new_users) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+sql_query(
+    "q_dau_wau_mau",
+    spark_sql=_dau_sql(SPARK),
+    duck_sql=_dau_sql(DUCK),
+    tables=["events"],
+    doc="DAU / trailing-7d WAU / new + cumulative users per day — the "
+    "growth-analytics staple, computed EXACTLY without COUNT(DISTINCT) "
+    "windows (which no engine supports over RANGE frames): each (user, "
+    "active-day) pair explodes into the 7 trailing-window days it "
+    "contributes to, (window-day, user) dedups map-side, and the rolling "
+    "distinct collapses to a plain per-day COUNT — 7x the deduped "
+    "activity rows instead of a per-day corpus re-scan, the shape that "
+    "holds at 100 TB (and generalizes: MAU = 30x fanout, or the "
+    "HLL-merge cube q_hll_rollup when approximate is acceptable). "
+    "Day keys are epoch BIGINTs; the final cumulative sum is a day-"
+    "cardinality window (≤ |days| rows). WAU rows for days past the "
+    "observation end are inner-joined away by construction.",
+)

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_attribution",
     "q_dense_ids",
     "q_mrl_truncation",
+    "q_dau_wau_mau",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -49,6 +49,8 @@ WHITELIST = {
     "q_kmv_distinct": ({"single-part", "bnlj"}, "1-row sketch scalars x report"),
     # Three 1-row scalar MAE aggregates (one per truncation dim).
     "q_mrl_truncation": ({"single-part"}, "scalar MAE row per truncation dim"),
+    # Day-cardinality cumulative window (<= |days| rows after the day agg).
+    "q_dau_wau_mau": ({"single-part"}, "cumulative sum over day-grain rows"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
