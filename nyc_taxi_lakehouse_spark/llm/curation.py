@@ -650,7 +650,14 @@ FROM ranked
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    tok = t["documents"].select(
+    return dsir_weights(t["documents"])
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """The q_dsir_weights algebra over any documents frame (reused by the
+    v2 corpus pipeline): hashed-unigram importance scores + per-source
+    top-quarter selection. See the registered query's doc for the plan."""
+    tok = documents.select(
         "doc_id",
         "lang",
         "source",

@@ -114,3 +114,63 @@ def dedup_append(table: LakeTable, new_docs: DataFrame) -> int:
     if n:
         table.append(out)
     return n
+
+
+def curate_corpus_v2(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> tuple[LakeTable, DataFrame]:
+    """Second-generation corpus build — the round-3 operators composed:
+
+    1. quality gate + exact dedup        (v1 stages, unchanged)
+    2. DSIR importance selection         (keep each source's top quarter
+                                          by target-likeness — dsir_weights)
+    3. train/val/test split              (stable multiplicative hash)
+    4. BPE token accounting              (n_bpe_tokens under the fixed
+                                          tokenizer artifact — a zero-
+                                          shuffle chained-replace column)
+    5. packed-sequence manifest          (per (split, lang) shard: docs,
+                                          BPE tokens, 2048-token training
+                                          sequences, doc_id checksum)
+
+    Writes the corpus partitioned by (split, lang) and returns the table
+    plus the manifest frame. Every stage is deterministic, so two builds
+    from the same input produce byte-identical manifests (pinned in
+    tests/test_llm_pipeline.py)."""
+    from .bpe import TOKENIZER_MERGES, bpe_encode_chain
+    from .curation import dsir_weights
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = dedup_exact_canonical(quality_gate(t["documents"]))
+    keep = dsir_weights(base).where(F.col("selected") == 1).select("doc_id")
+    curated = assign_split(base.join(keep, "doc_id"))
+    chain = bpe_encode_chain("__norm", TOKENIZER_MERGES)
+    tokenized = (
+        curated.withColumn(
+            "__norm", F.expr("trim(regexp_replace(text, ' +', ' '))")
+        )
+        .withColumn(
+            "n_bpe_tokens",
+            F.expr(
+                # encoded length minus the (untouched) spaces = token count
+                f"CAST(length({chain})"
+                " - (length(__norm) - length(replace(__norm, ' ', '')))"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__norm")
+    )
+    table = LakeTable(spark, out_path, ["split", "lang"])
+    table.append(tokenized)
+    manifest = (
+        table.read()
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(ceil(SUM(n_bpe_tokens) / 2048.0) AS BIGINT)").alias(
+                "n_seqs"
+            ),
+            F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+        )
+    )
+    return table, manifest

