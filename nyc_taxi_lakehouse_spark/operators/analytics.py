@@ -1210,3 +1210,73 @@ def _register_bootstrap():
 
 
 _register_bootstrap()
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — Gini coefficient + Lorenz top-shares.
+# ---------------------------------------------------------------------------
+
+
+def _gini_sql(d) -> str:
+    """Gini over per-customer revenue via the sorted-rank identity
+    G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n  (x ascending, i = 1..n), plus
+    top-1% / top-10% revenue shares. Revenue is an exact DECIMAL sum;
+    i·x_i products stay decimal (rank is an exact integer), so both Σ
+    terms are order-independent and the final expression is one shared
+    IEEE tree. The rank window is global but runs over the per-customer
+    AGGREGATE (bounded: one row per customer with orders)."""
+    return f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r,
+         CAST(ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM rev
+),
+tot AS (
+  SELECT n,
+         CAST(SUM(r) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(r * i) AS DECIMAL(38,2)) AS sxi,
+         CAST(SUM(CASE WHEN i > n - {d.idiv('n', '100')} THEN r ELSE 0 END)
+              AS DECIMAL(38,2)) AS top1,
+         CAST(SUM(CASE WHEN i > n - {d.idiv('n', '10')} THEN r ELSE 0 END)
+              AS DECIMAL(38,2)) AS top10
+  FROM ranked GROUP BY n
+)
+SELECT
+  n AS n_customers,
+  CAST(sx AS DOUBLE) AS total_revenue,
+  CAST(2 * CAST(sxi AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+       - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS DOUBLE) AS gini,
+  CAST(CAST(top1 AS DOUBLE) / CAST(sx AS DOUBLE) AS DOUBLE) AS top1pct_share,
+  CAST(CAST(top10 AS DOUBLE) / CAST(sx AS DOUBLE) AS DOUBLE) AS top10pct_share
+FROM tot
+"""
+
+
+def _register_gini():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_gini_concentration",
+        spark_sql=_gini_sql(SPARK),
+        duck_sql=_gini_sql(DUCK),
+        tables=["orders"],
+        doc="Revenue-concentration report: Gini coefficient via the exact "
+        "sorted-rank identity plus top-1%/top-10% Lorenz shares over "
+        "per-customer revenue. All Σ terms are exact decimal sums (rank "
+        "is an integer, so Σ i·x_i stays decimal — order-independent "
+        "under any shuffle), with one shared IEEE expression tree at the "
+        "end. The global rank window runs over the per-customer "
+        "AGGREGATE, not raw orders (the q_rank_report whitelist "
+        "pattern); at true scale the rank would come from q_dense_ids' "
+        "two-pass offsets with identical output.",
+    )
+
+
+_register_gini()

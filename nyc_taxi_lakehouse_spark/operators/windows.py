@@ -856,3 +856,93 @@ sql_query(
     tables=["events"],
     doc=_capped_runsum_sql.__doc__,
 )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic motif mining over the hourly series.
+# ---------------------------------------------------------------------------
+
+_SAX_W = 24  # window length (hours)
+_SAX_SEG = 4  # hours per PAA segment -> 6 symbols per word
+_SAX_BP = ("-0.6745", "0", "0.6745")  # N(0,1) quartile breakpoints -> a..d
+
+
+def _sax_sql(d: Dialect) -> str:
+    """SAX (Lin et al. 2003): slide a 24h window over the hourly totals,
+    z-normalize within the window, average 4h segments (PAA), discretize
+    against the N(0,1) quartile breakpoints, and count the resulting
+    6-symbol words — recurring words are motifs, rare words discords.
+
+    Determinism: hourly totals and every frame sum (Σv, Σv², per-segment
+    Σv) are EXACT decimal window sums over one ROWS-frame sort; mean/std/
+    PAA are then single shared IEEE expressions, so symbol boundaries
+    resolve identically in both engines. Windows with zero variance emit
+    the all-'b' word by convention. Frames are ROWS-based over observed
+    hours (documented: a truly empty hour — absent in this data — would
+    compact the sequence, identically in both engines)."""
+    v = "CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))"
+    seg_sums = ", ".join(
+        f"""CAST(SUM(v) OVER (ORDER BY h
+      ROWS BETWEEN {j * _SAX_SEG} FOLLOWING AND {(j + 1) * _SAX_SEG - 1} FOLLOWING)
+      AS DECIMAL(38,2)) AS s{j}"""
+        for j in range(_SAX_W // _SAX_SEG)
+    )
+    sym = []
+    for j in range(_SAX_W // _SAX_SEG):
+        paa = f"((CAST(s{j} AS DOUBLE) / {_SAX_SEG}) - mean) / std"
+        sym.append(
+            f"""CASE WHEN std = 0 THEN 'b'
+           WHEN {paa} < {_SAX_BP[0]} THEN 'a'
+           WHEN {paa} < {_SAX_BP[1]} THEN 'b'
+           WHEN {paa} < {_SAX_BP[2]} THEN 'c'
+           ELSE 'd' END"""
+        )
+    word = " || ".join(sym)
+    return f"""
+WITH hourly AS (
+  SELECT {d.epoch_hour('ts')} AS h, {v} AS v
+  FROM events GROUP BY {d.epoch_hour('ts')}
+),
+framed AS (
+  SELECT h,
+    CAST(COUNT(*) OVER (ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND {_SAX_W - 1} FOLLOWING) AS INT) AS nf,
+    CAST(SUM(v) OVER (ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND {_SAX_W - 1} FOLLOWING) AS DECIMAL(38,2)) AS sv,
+    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) OVER (ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND {_SAX_W - 1} FOLLOWING) AS DECIMAL(38,4)) AS svv,
+    {seg_sums}
+  FROM hourly
+),
+stats AS (
+  SELECT h, s0, s1, s2, s3, s4, s5,
+         CAST(sv AS DOUBLE) / {_SAX_W} AS mean,
+         SQRT((CAST({_SAX_W} AS DOUBLE) * CAST(svv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              / ({_SAX_W}.0 * {_SAX_W - 1}.0)) AS std
+  FROM framed WHERE nf = {_SAX_W}
+),
+words AS (SELECT h, {word} AS sax_word FROM stats)
+SELECT sax_word,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(h) AS BIGINT) AS first_start_epoch
+FROM words GROUP BY sax_word
+"""
+
+
+sql_query(
+    "q_sax_motifs",
+    spark_sql=_sax_sql(SPARK),
+    duck_sql=_sax_sql(DUCK),
+    tables=["events"],
+    doc="SAX symbolic time-series motif mining (Lin et al. 2003) over the "
+    "hourly totals: 24h sliding windows → per-window z-normalization → "
+    "4h PAA segments → N(0,1)-quartile alphabet → 6-symbol words, "
+    "grouped with counts (recurring words = motifs, singletons = "
+    "discords). Every frame statistic is an exact decimal ROWS-window "
+    "sum sharing ONE hour-ordered sort; normalization/discretization "
+    "are shared IEEE trees, so the symbolic words match across engines "
+    "bit-for-bit. The series windows run on the hour-grain AGGREGATE "
+    "(≤ |hours| rows — whitelisted like q_stl_decompose); at 100 TB the "
+    "hourly rollup is the only full-data pass, map-side combined.",
+)

@@ -151,6 +151,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dense_ids",
     "q_mrl_truncation",
     "q_dau_wau_mau",
+    "q_gini_concentration",
+    "q_sax_motifs",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

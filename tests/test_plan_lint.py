@@ -51,6 +51,10 @@ WHITELIST = {
     "q_mrl_truncation": ({"single-part"}, "scalar MAE row per truncation dim"),
     # Day-cardinality cumulative window (<= |days| rows after the day agg).
     "q_dau_wau_mau": ({"single-part"}, "cumulative sum over day-grain rows"),
+    # Global rank over the per-customer aggregate (q_rank_report pattern).
+    "q_gini_concentration": ({"single-part"}, "rank over per-customer aggregate"),
+    # Hour-grain series windows (<= |hours| rows after the hourly agg).
+    "q_sax_motifs": ({"single-part"}, "series windows over hour-grain agg"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
