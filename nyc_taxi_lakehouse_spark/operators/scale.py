@@ -458,3 +458,71 @@ FROM orders
 
 
 _register_dense_ids()
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) hashing — shard routing with minimal-movement resize.
+# ---------------------------------------------------------------------------
+
+
+def _rendezvous_sql(d) -> str:
+    """Highest-random-weight shard assignment under 8 shards vs 9: each doc
+    goes to argmax over shards of md5(doc ':' shard). HRW's guarantee —
+    growing the ring moves ONLY the keys whose new-shard weight wins, i.e.
+    an expected 1/9 of keys, all INTO the new shard — falls out of the
+    algebra and is reported per source shard (and pinned in
+    tests/test_scale.py)."""
+    h = d.md5_int32(
+        f"concat({d.to_str('doc_id')}, ':', {d.to_str('s.shard')})"
+    )
+    w8 = ", ".join(f"({i})" for i in range(8))
+    w9 = ", ".join(f"({i})" for i in range(9))
+    return f"""
+WITH a8 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, s.shard, {h} AS w,
+           MAX({h}) OVER (PARTITION BY doc_id) AS mw
+    FROM documents CROSS JOIN (VALUES {w8}) AS s(shard)
+  ) x WHERE w = mw
+),
+a9 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, s.shard, {h} AS w,
+           MAX({h}) OVER (PARTITION BY doc_id) AS mw
+    FROM documents CROSS JOIN (VALUES {w9}) AS s(shard)
+  ) x WHERE w = mw
+)
+SELECT a8.shard AS shard_8,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a9.shard <> a8.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(SUM(CASE WHEN a9.shard <> a8.shard AND a9.shard <> 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+GROUP BY a8.shard
+"""
+
+
+def _register_rendezvous():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_rendezvous_shards",
+        spark_sql=_rendezvous_sql(SPARK),
+        duck_sql=_rendezvous_sql(DUCK),
+        tables=["documents"],
+        doc="Rendezvous (highest-random-weight) hashing — the shard router "
+        "that, unlike mod-N, reshards with MINIMAL movement: doc → argmax "
+        "over shards of md5(doc:shard). The query assigns under 8 and 9 "
+        "shards and reports per-shard movement; n_moved_elsewhere = 0 "
+        "(every moved key lands in the NEW shard) is the HRW guarantee, "
+        "asserted in tests/test_scale.py along with the ~1/9 expected "
+        "movement fraction. Plan: constant 8/9-row shard grids fan out "
+        "over the corpus scan (whitelisted bnlj), argmax via a doc-keyed "
+        "window on the same exchange, one join on doc_id, 8-group "
+        "aggregate. Integer md5 algebra — both engines agree exactly.",
+    )
+
+
+_register_rendezvous()

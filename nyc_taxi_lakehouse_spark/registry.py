@@ -153,6 +153,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dau_wau_mau",
     "q_gini_concentration",
     "q_sax_motifs",
+    "q_rendezvous_shards",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -55,6 +55,8 @@ WHITELIST = {
     "q_gini_concentration": ({"single-part"}, "rank over per-customer aggregate"),
     # Hour-grain series windows (<= |hours| rows after the hourly agg).
     "q_sax_motifs": ({"single-part"}, "series windows over hour-grain agg"),
+    # Constant 8/9-row shard grids fanned out over the corpus scan.
+    "q_rendezvous_shards": ({"bnlj"}, "8/9-row shard grid x corpus"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).

@@ -323,3 +323,18 @@ def test_aqe_skew_join_split_fires(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_rendezvous_minimal_movement(spark):
+    """HRW resize 8→9 shards: every moved key lands in the NEW shard, and
+    the movement fraction is near the theoretical 1/9."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["q_rendezvous_shards"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    assert int(pdf.n_moved_elsewhere.sum()) == 0
+    frac = pdf.n_moved.sum() / pdf.n_docs.sum()
+    assert abs(frac - 1 / 9) < 0.05, frac
