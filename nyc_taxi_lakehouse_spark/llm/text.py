@@ -797,3 +797,60 @@ def _register_search():
 
 
 _register_search()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) — new vs cumulative types per corpus decile.
+# ---------------------------------------------------------------------------
+
+
+def _vocab_growth_sql(d: Dialect) -> str:
+    """Scan the corpus in doc_id order, split into 10 deciles (bucket =
+    doc_id·10 DIV N — doc_ids are dense, so no global row numbering), and
+    chart vocabulary growth: a token TYPE is born in the decile of its
+    MIN(doc_id). Sub-linear cumulative growth (Heaps' law) is the
+    canonical dedup-health signal — a corpus whose vocabulary grows
+    linearly is mostly unique noise, one that flattens too fast is
+    heavily duplicated."""
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+toks AS ({d.all_token_rows('documents')}),
+births AS (
+  SELECT token, MIN(doc_id) AS first_doc, CAST(COUNT(*) AS BIGINT) AS occurrences
+  FROM toks GROUP BY token
+),
+by_decile AS (
+  SELECT {d.idiv('first_doc * 10', 'n_docs')} AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM births CROSS JOIN n GROUP BY {d.idiv('first_doc * 10', 'n_docs')}
+),
+occ AS (
+  SELECT {d.idiv('doc_id * 10', 'n_docs')} AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks CROSS JOIN n GROUP BY {d.idiv('doc_id * 10', 'n_docs')}
+)
+SELECT o.decile,
+       o.n_tokens,
+       COALESCE(b.new_types, 0) AS new_types,
+       CAST(SUM(COALESCE(b.new_types, 0)) OVER (
+         ORDER BY o.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_types
+FROM occ o LEFT JOIN by_decile b ON o.decile = b.decile
+"""
+
+
+sql_query(
+    "q_vocab_growth",
+    spark_sql=_vocab_growth_sql(SPARK),
+    duck_sql=_vocab_growth_sql(DUCK),
+    tables=["documents"],
+    doc="Heaps'-law vocabulary growth curve: token TYPES born per corpus "
+    "decile (birth = decile of the type's MIN(doc_id)) against token "
+    "occurrences, with the cumulative type count — the dedup-health "
+    "diagnostic (flattening too fast ⇒ duplication; linear ⇒ noise). "
+    "Deciles come straight from dense doc_ids (doc_id·10 DIV N with a "
+    "1-row count broadcast — no global row numbering of the corpus); "
+    "the one full-data pass is the token explode into a (token) "
+    "min/count aggregate, map-side combined; the cumulative window runs "
+    "over 10 rows.",
+)

@@ -154,6 +154,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_gini_concentration",
     "q_sax_motifs",
     "q_rendezvous_shards",
+    "q_vocab_growth",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

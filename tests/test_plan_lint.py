@@ -57,6 +57,8 @@ WHITELIST = {
     "q_sax_motifs": ({"single-part"}, "series windows over hour-grain agg"),
     # Constant 8/9-row shard grids fanned out over the corpus scan.
     "q_rendezvous_shards": ({"bnlj"}, "8/9-row shard grid x corpus"),
+    # 1-row corpus-count broadcast + cumulative window over 10 decile rows.
+    "q_vocab_growth": ({"bnlj", "single-part"}, "1-row N x 10 decile rows"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
