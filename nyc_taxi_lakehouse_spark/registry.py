@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_sax_motifs",
     "q_rendezvous_shards",
     "q_vocab_growth",
+    "q_ewma_control",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -59,6 +59,8 @@ WHITELIST = {
     "q_rendezvous_shards": ({"bnlj"}, "8/9-row shard grid x corpus"),
     # 1-row corpus-count broadcast + cumulative window over 10 decile rows.
     "q_vocab_growth": ({"bnlj", "single-part"}, "1-row N x 10 decile rows"),
+    # Day-grain series folded in one task (collect_list over <=|days| rows).
+    "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
