@@ -107,3 +107,54 @@ sql_query(
     "ratio divisions are double/int with identical IEEE evaluation in "
     "both engines.",
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — quasi-identifier group-size governance check.
+# ---------------------------------------------------------------------------
+
+
+def _kanon_sql(d) -> str:
+    """Group the corpus by the quasi-identifier tuple (lang, source,
+    length-bucket) and report the k-anonymity profile: how many equivalence
+    classes and rows sit below k=5 — the re-identification risk surface a
+    privacy review asks for before a corpus ships."""
+    lb = d.idiv("n_chars", "200")
+    return f"""
+WITH classes AS (
+  SELECT lang, source, CAST({lb} AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents
+  GROUP BY lang, source, {lb}
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(k) AS BIGINT) AS n_rows,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_5,
+  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
+  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons
+FROM classes
+"""
+
+
+def _register_kanon():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_k_anonymity",
+        spark_sql=_kanon_sql(SPARK),
+        duck_sql=_kanon_sql(DUCK),
+        tables=["documents"],
+        doc="k-anonymity audit over the quasi-identifier tuple (lang, "
+        "source, 200-char length bucket): equivalence-class profile with "
+        "the below-k=5 class/row counts and singleton count — the "
+        "governance gate run before releasing a corpus (generalize or "
+        "suppress the flagged classes to raise k). One map-side-combined "
+        "aggregation to class grain, then scalar profiling of the class "
+        "table; integer-exact.",
+    )
+
+
+_register_kanon()

@@ -854,3 +854,82 @@ sql_query(
     "min/count aggregate, map-side combined; the cumulative window runs "
     "over 10 rows.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM evaluation — train the bigram model on the train split, score
+# the val/test splits (the generalization measurement q_bigram_lm's
+# train-on-self form cannot make).
+# ---------------------------------------------------------------------------
+
+
+def _lm_holdout_sql(d: Dialect) -> str:
+    """Bigram counts from split='train' docs only (the q_train_split
+    multiplicative hash reproduced inline), then add-one-smoothed scoring
+    of the held-out docs: p(w2|w1) = (c12 + 1) / (c1 + V), V = train
+    vocabulary size — smoothing is REQUIRED here because held-out bigrams
+    can be unseen (train-on-self never needed it). Every probability is
+    one exact int/int division snapped to DECIMAL(28,12) before the
+    order-independent sum."""
+    bucket = "((doc_id * 2654435761 + 104729) % 1000)"
+    return f"""
+WITH toks AS ({d.positional_token_rows('documents')}),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, token AS w1,
+           LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+    FROM toks
+  ) b WHERE w2 IS NOT NULL
+),
+split AS (SELECT doc_id, {bucket} AS bkt FROM documents),
+train_big AS (
+  SELECT big.w1, big.w2 FROM big JOIN split ON big.doc_id = split.doc_id
+  WHERE split.bkt < 960
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM train_big GROUP BY w1, w2),
+un AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_big GROUP BY w1),
+v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM (
+    SELECT w1 FROM train_big UNION SELECT w2 FROM train_big
+  ) w
+),
+held AS (
+  SELECT big.doc_id,
+         CASE WHEN split.bkt < 980 THEN 'val' ELSE 'test' END AS split,
+         big.w1, big.w2
+  FROM big JOIN split ON big.doc_id = split.doc_id
+  WHERE split.bkt >= 960
+),
+scored AS (
+  SELECT h.doc_id, h.split,
+         CAST(CAST(COALESCE(g.c12, 0) + 1 AS DOUBLE)
+              / (COALESCE(u.c1, 0) + v.vsize) AS DECIMAL(28,12)) AS p,
+         CASE WHEN g.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM held h
+  LEFT JOIN bg g ON h.w1 = g.w1 AND h.w2 = g.w2
+  LEFT JOIN un u ON h.w1 = u.w1
+  CROSS JOIN v
+)
+SELECT doc_id, split,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_smoothed_prob,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen
+FROM scored GROUP BY doc_id, split
+"""
+
+
+sql_query(
+    "q_lm_holdout",
+    spark_sql=_lm_holdout_sql(SPARK),
+    duck_sql=_lm_holdout_sql(DUCK),
+    tables=["documents"],
+    doc="Held-out LM evaluation with proper train/score separation: "
+    "bigram counts from the train split only (q_train_split's "
+    "multiplicative hash inline), add-one-smoothed scoring of val/test "
+    "docs — unseen-bigram handling that train-on-self (q_bigram_lm) "
+    "never exercises. Per-doc mean smoothed probability + unseen count "
+    "= the deterministic stand-in for held-out perplexity. Plan: one "
+    "positional explode feeds both sides; train aggregates are "
+    "(w1, w2)-keyed hash joins back onto the held stream; the 1-row "
+    "vocab size broadcasts; decimal-snapped sums keep the gate exact.",
+)

@@ -156,6 +156,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_rendezvous_shards",
     "q_vocab_growth",
     "q_ewma_control",
+    "q_lm_holdout",
+    "q_k_anonymity",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -61,6 +61,10 @@ WHITELIST = {
     "q_vocab_growth": ({"bnlj", "single-part"}, "1-row N x 10 decile rows"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
+    # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
+    "q_lm_holdout": ({"single-part", "bnlj"}, "1-row V scalar x held-out stream"),
+    # Scalar profile row over the class-grain aggregate.
+    "q_k_anonymity": ({"single-part"}, "1-row profile of class table"),
     # Generated forecast grid x small per-hour profile (both tiny).
     "q_demand_prediction": ({"bnlj"}, "sequence grid x hourly profile"),
     # Dim-sized quadratic ops (25-row nation table).
