@@ -37,6 +37,15 @@ CASES = [
     "q_pagerank",
     "q_heavy_hitters",
     "q_pareto_frontier",
+    # round-3 session additions with partition-sensitive internals:
+    #   spark_partition_id + range-partition offsets -> q_dense_ids
+    #   checkpointed bucket counts + per-source ranks -> q_dsir_weights
+    #   greedy argmax trajectory over a checkpointed component table
+    #   (a single tie broken differently would derail every later round)
+    #   -> q_kcenter_coreset
+    "q_dense_ids",
+    "q_dsir_weights",
+    "q_kcenter_coreset",
 ]
 
 
