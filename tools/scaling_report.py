@@ -12,6 +12,8 @@ HEAVY = [
     "q_triangle_count", "q_dedup_prod_pipeline", "q_dedup_clusters_star",
     "q_dedup_chargram", "q_dedup_containment", "q_market_basket",
     "q_pagerank", "q_ingest_clean", "q_zone_performance",
+    "q_bfs_hops", "q_label_propagation", "q_kcenter_coreset",
+    "q_dsir_weights",
 ]
 
 def t(spark, spec, sf_dir):
