@@ -723,3 +723,158 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") / F.lit(float(total))).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup candidate detection — LSH band collisions with
+# watermark-bounded state.
+# ---------------------------------------------------------------------------
+
+_ND_BANDS = 4
+_ND_WINDOW_S = 300  # tumbling window over synthetic arrival time
+_ND_WATERMARK_S = 60
+_ND_SPACING_S = 10  # doc i arrives at base + 10·i seconds
+
+
+def _nd_band_expr(engine: str) -> str:
+    """Array of (band_id, band_key) structs: band_key_b = min over tokens of
+    md5_int32(b ':' token) — four independent 1-hash MinHash bands. Any
+    shared band key between two docs is a near-dup CANDIDATE collision
+    (high recall, verify-later — the banding contract of q_dedup_minhash,
+    restated for a stream)."""
+    keys = []
+    for b in range(_ND_BANDS):
+        if engine == "spark":
+            keys.append(
+                f"named_struct('band_id', {b}, 'band_key',"
+                f" array_min(transform(split(text, ' +'),"
+                f" t -> CAST(conv(substring(md5(concat('{b}', ':', t)), 1, 8), 16, 10) AS BIGINT))))"
+            )
+        else:
+            keys.append(
+                f"{{'band_id': {b}, 'band_key':"
+                f" list_min(list_transform(string_split_regex(text, ' +'),"
+                f" t -> CAST(('0x' || substring(md5(concat('{b}', ':', t)), 1, 8)) AS BIGINT)))}}"
+            )
+    arr = ", ".join(keys)
+    return f"[{arr}]" if engine == "duckdb" else f"array({arr})"
+
+
+_ND_DUCK_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         (epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id * {_ND_SPACING_S}) AS ats,
+         {_nd_band_expr('duckdb')} AS bands
+  FROM documents
+),
+wm AS (SELECT MAX(ats) - {_ND_WATERMARK_S} AS watermark_s FROM arr),
+rows_ AS (
+  SELECT doc_id, ats,
+         (CAST(floor(ats / {_ND_WINDOW_S}) AS BIGINT) * {_ND_WINDOW_S}) AS win_start,
+         unnest(bands, recursive := true)
+  FROM arr
+),
+grouped AS (
+  SELECT win_start, band_id, band_key,
+         CAST(COUNT(*) AS BIGINT) AS n_claims,
+         CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         CAST(MAX(doc_id) AS BIGINT) AS last_doc
+  FROM rows_ GROUP BY win_start, band_id, band_key
+)
+SELECT g.win_start, CAST(g.band_id AS INT) AS band_id, g.band_key,
+       g.n_claims, g.first_doc, g.last_doc
+FROM grouped g CROSS JOIN wm
+WHERE g.win_start + {_ND_WINDOW_S} <= wm.watermark_s
+  AND g.n_claims >= 2
+"""
+
+
+@df_query(
+    "q_stream_neardup",
+    duck_sql=_ND_DUCK_SQL,
+    tables=["documents"],
+    doc="STREAMING near-dup candidate detection: the corpus replayed as a "
+    "document stream (one doc per 10 s of synthetic event time), four "
+    "1-hash MinHash band keys computed in-stream (array_min over the "
+    "token hashes — no explode of the token stream), then a watermarked "
+    "tumbling-window aggregation over (window, band, key) whose state is "
+    "the LSH band table bounded by the watermark horizon — the ingest-"
+    "time dedup screen that flags collisions (n_claims ≥ 2) for the "
+    "batch verify stage, without ever joining doc pairs. availableNow "
+    "drain semantics make it oracle-checkable exactly like "
+    "q_cdc_windowed: append mode emits precisely the windows with "
+    "window_end ≤ max(event_time) − 60 s, which the DuckDB oracle "
+    "restates as pure SQL. Deterministic because the emitted row is an "
+    "AGGREGATE of each collision group (count/min/max) — no arbitrary "
+    "first-arrival winner survives.",
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    key = _replay_key(sf_dir)
+    src_dir = os.path.join(_REPLAY_ROOT, key, "neardup_src")
+    src_marker = os.path.join(src_dir, "_SRC_COMPLETE")
+    docs = t["documents"].selectExpr(
+        "doc_id",
+        "text",
+        f"timestamp_seconds(unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')"
+        f" + doc_id * {_ND_SPACING_S}) AS ats",
+    )
+    if not os.path.exists(src_marker):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        docs.write.mode("overwrite").parquet(os.path.join(src_dir, "data"))
+        with open(src_marker, "w"):
+            pass
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "neardup_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    run_marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(run_marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("ats", T.TimestampType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(os.path.join(src_dir, "data"))
+        bands = stream.selectExpr(
+            "doc_id", "ats", f"explode({_nd_band_expr('spark')}) AS b"
+        ).select("doc_id", "ats", "b.band_id", "b.band_key")
+        agg = (
+            bands.withWatermark("ats", f"{_ND_WATERMARK_S} seconds")
+            .groupBy(
+                F.window("ats", f"{_ND_WINDOW_S} seconds").alias("w"),
+                "band_id",
+                "band_key",
+            )
+            .agg(
+                F.count("*").alias("n_claims"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream-neardup pipeline did not drain within 600s")
+        with open(run_marker, "w"):
+            pass
+    out = spark.read.parquet(sink)
+    return out.where(F.col("n_claims") >= 2).select(
+        F.unix_timestamp(F.col("w.start")).alias("win_start"),
+        F.col("band_id").cast("int").alias("band_id"),
+        "band_key",
+        F.col("n_claims").cast("bigint").alias("n_claims"),
+        F.col("first_doc").cast("bigint").alias("first_doc"),
+        F.col("last_doc").cast("bigint").alias("last_doc"),
+    )
