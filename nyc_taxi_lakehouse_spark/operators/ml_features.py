@@ -246,3 +246,76 @@ sql_query(
     "order — native REGR_* aggregates on raw doubles would flake the "
     "cross-engine hash gate.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step — closed-form rank-2 user-factor solve (matrix factorization).
+# ---------------------------------------------------------------------------
+
+
+def _als_sql(d) -> str:
+    """One alternating-least-squares HALF-STEP at rank 2: item factors are
+    a fixed deterministic embedding v(part) = (1, part%7 − 3); each user's
+    factor solves the 2×2 ridge normal equation (A + λI)u = b EXACTLY by
+    the adjugate formula — A's entries and b are integer sums (ratings =
+    integral l_quantity, item components are small ints), det is an
+    integer, and each factor is ONE exact int/int double division. The
+    per-user solve is embarrassingly parallel: this is why ALS scales
+    where gradient methods need synchronized state."""
+    lam = 1
+    return f"""
+WITH r AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rating
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+),
+v AS (
+  SELECT u, rating,
+         CAST(1 AS BIGINT) AS v1,
+         CAST((i % 7) - 3 AS BIGINT) AS v2
+  FROM r
+),
+norm AS (
+  SELECT u,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(v1 * v1) + {lam} AS BIGINT) AS a11,
+         CAST(SUM(v1 * v2) AS BIGINT) AS a12,
+         CAST(SUM(v2 * v2) + {lam} AS BIGINT) AS a22,
+         CAST(SUM(rating * v1) AS BIGINT) AS b1,
+         CAST(SUM(rating * v2) AS BIGINT) AS b2
+  FROM v GROUP BY u
+)
+SELECT u AS custkey, n_items,
+       CAST(CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+            / (a11 * a22 - a12 * a12) AS DOUBLE) AS u1,
+       CAST(CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+            / (a11 * a22 - a12 * a12) AS DOUBLE) AS u2
+FROM norm
+"""
+
+
+def _register_als():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_als_user_step",
+        spark_sql=_als_sql(SPARK),
+        duck_sql=_als_sql(DUCK),
+        tables=["orders", "lineitem"],
+        doc="Matrix-factorization training at scale: one ALS half-step "
+        "solving every user's rank-2 ridge normal equation in closed "
+        "form (adjugate over an integer 2×2 — det and all moments are "
+        "exact integer sums, each factor one exact int/int division; "
+        "λ=1 guarantees positive-definiteness so det > 0 always). Item "
+        "factors are a fixed deterministic embedding, making the step "
+        "oracle-checkable; the real loop alternates sides with the same "
+        "per-key algebra. Plan: one fact join + two keyed aggregations, "
+        "all map-side combinable — per-user solves are embarrassingly "
+        "parallel, the property that makes ALS the distributed MF "
+        "algorithm of choice.",
+    )
+
+
+_register_als()

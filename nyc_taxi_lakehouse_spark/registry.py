@@ -159,6 +159,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_lm_holdout",
     "q_k_anonymity",
     "q_stream_neardup",
+    "q_als_user_step",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",
