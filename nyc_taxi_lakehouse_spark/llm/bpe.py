@@ -153,6 +153,8 @@ def _bpe_encode_sql(d) -> str:
     counting — engine-common, no split() dialect divergence. Everything is
     exact integer arithmetic; the compression ratio is fixed-point ppm.
     """
+    # GREATEST(.., 1) guards the all-whitespace-document edge (token count 0
+    # would make the ratio a division by zero — DuckDB throws, Spark NULLs).
     collapse = (
         "regexp_replace(text, ' +', ' ')"
         if d.name == "spark"
@@ -173,7 +175,7 @@ enc AS (
 SELECT doc_id, lang, n_words,
   n_norm - n_words + 1 AS n_syms,
   n_enc - n_words + 1 AS n_bpe_tokens,
-  {d.idiv('(n_norm - n_words + 1) * 1000000', '(n_enc - n_words + 1)')} AS compression_ppm
+  {d.idiv('(n_norm - n_words + 1) * 1000000', 'GREATEST(n_enc - n_words + 1, 1)')} AS compression_ppm
 FROM enc
 """
 

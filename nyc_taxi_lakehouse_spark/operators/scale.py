@@ -481,16 +481,18 @@ def _rendezvous_sql(d) -> str:
 WITH a8 AS (
   SELECT doc_id, shard FROM (
     SELECT doc_id, s.shard, {h} AS w,
-           MAX({h}) OVER (PARTITION BY doc_id) AS mw
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {h} DESC, s.shard)
+             AS rnk
     FROM documents CROSS JOIN (VALUES {w8}) AS s(shard)
-  ) x WHERE w = mw
+  ) x WHERE rnk = 1
 ),
 a9 AS (
   SELECT doc_id, shard FROM (
     SELECT doc_id, s.shard, {h} AS w,
-           MAX({h}) OVER (PARTITION BY doc_id) AS mw
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {h} DESC, s.shard)
+             AS rnk
     FROM documents CROSS JOIN (VALUES {w9}) AS s(shard)
-  ) x WHERE w = mw
+  ) x WHERE rnk = 1
 )
 SELECT a8.shard AS shard_8,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
