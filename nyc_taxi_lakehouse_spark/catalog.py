@@ -135,3 +135,59 @@ def create_table(
         ddl += f" TBLPROPERTIES ({kv})"
     spark.sql(ddl)
     return CatalogTable(spark, name, partition_by)
+
+
+def create_view(
+    spark: SparkSession,
+    name: str,
+    query: str,
+    comment: str | None = None,
+    temporary: bool = False,
+) -> None:
+    """CREATE OR REPLACE [TEMPORARY] VIEW over any SQL text. Views are
+    Catalyst-inlined at plan time, so predicates on a view reach the
+    underlying scan unchanged (asserted in tests/test_catalog.py).
+    ``temporary`` is required when the view references session temp views
+    (Spark refuses a persistent view over temporary objects)."""
+    kind = "TEMPORARY VIEW" if temporary else "VIEW"
+    ddl = f"CREATE OR REPLACE {kind} {_ident(name)}"
+    if comment and not temporary:
+        ddl += f" COMMENT {_str_lit(comment)}"
+    spark.sql(ddl + f" AS {query}")
+
+
+def create_secure_view(
+    spark: SparkSession,
+    name: str,
+    source: str,
+    masked_cols: dict[str, str] | None = None,
+    row_filter: str | None = None,
+    drop_cols: list[str] | None = None,
+    temporary: bool = False,
+) -> None:
+    """Row/column security as a plain view — the governance pattern Unity
+    Catalog / Ranger express with policies, here compiled into the view
+    text so ANY Spark reader enforces it:
+
+    - masked_cols: column -> masking SQL expression (e.g. a crypto hash or
+      a literal redaction); the expression replaces the column under the
+      SAME name, so downstream queries keep working.
+    - row_filter: SQL predicate appended as WHERE — because views inline,
+      the filter PUSHES DOWN to the parquet scan (plan-asserted), i.e.
+      security filtering costs what a hand-written filter costs.
+    - drop_cols: columns omitted from the view entirely.
+    """
+    masked = masked_cols or {}
+    drop = set(drop_cols or [])
+    cols = []
+    for f in spark.table(source).schema.fields:
+        if f.name in drop:
+            continue
+        if f.name in masked:
+            cols.append(f"{masked[f.name]} AS {_ident(f.name)}")
+        else:
+            cols.append(_ident(f.name))
+    body = f"SELECT {', '.join(cols)} FROM {_ident(source)}"
+    if row_filter:
+        body += f" WHERE {row_filter}"
+    create_view(spark, name, body, temporary=temporary)

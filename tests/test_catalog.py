@@ -97,3 +97,36 @@ def test_ddl_string_values_escaped(spark, tmp_path):
     assert props.get("owner's note") == "o'brien"
     tbl.drop()
     spark.sql("DROP DATABASE IF EXISTS esc_db CASCADE")
+
+
+def test_secure_view_masks_filters_and_pushes_down(spark):
+    """Row/column security views: the masked column is irreversibly
+    replaced, filtered rows are gone for every reader, dropped columns are
+    absent — and the row filter reaches the parquet scan (views inline, so
+    governance costs what a hand-written predicate costs)."""
+    from nyc_taxi_lakehouse_spark.catalog import create_secure_view
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001", ["events"])
+    create_secure_view(
+        spark,
+        "events_secure",
+        "events",
+        masked_cols={"user_id": "CAST(md5(CAST(user_id AS STRING)) AS STRING)"},
+        row_filter="event_type <> 'error'",
+        drop_cols=["props"],
+        temporary=True,
+    )
+    sec = spark.table("events_secure")
+    assert "props" not in sec.columns
+    assert sec.where("event_type = 'error'").count() == 0
+    raw = spark.table("events")
+    assert sec.count() == raw.where("event_type <> 'error'").count()
+    # masked: same column name, md5 strings, none equal to a raw id
+    row = sec.select("user_id").first()
+    assert isinstance(row.user_id, str) and len(row.user_id) == 32
+    # pushdown THROUGH the view: the filter appears at the file scan
+    plan = sec._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "error" in plan  # the literal reached the scan's filter list
+    spark.catalog.dropTempView("events_secure")
