@@ -396,6 +396,28 @@ class VersionedLakeTable(TxnLedger):
         self.spark.catalog.refreshByPath(self.path)
         return self._commit("compact", new_live, schema)
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE TABLE ... TO VERSION AS OF n: commit a NEW version
+        whose manifest is the target version's file list — a zero-copy
+        rollback that PRESERVES history (the bad versions stay readable
+        until vacuum, exactly Delta's semantics; a destructive log rewind
+        would break time travel and concurrent readers). Refuses if any
+        restored file has been vacuumed away in the meantime."""
+        m = self._manifest(version)
+        missing = [
+            f for f in m["files"]
+            if not self.fs.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValidationError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (e.g. {missing[0]}); restore is only "
+                "possible within the vacuum retention window"
+            )
+        return self._commit(
+            "restore", set(m["files"]), T.StructType.fromJson(m["schema"])
+        )
+
     def clone_to(self, dest_path: str) -> "VersionedLakeTable":
         """Zero-copy SHALLOW CLONE of the latest snapshot (Delta CLONE):
         the clone gets its own commit log whose first manifest references

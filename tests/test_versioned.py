@@ -262,3 +262,33 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
     fresh = VersionedLakeTable(spark, path)
     assert fresh._manifest(2)["op"] == "append"
     assert fresh.append(df) == 3
+
+
+def test_restore_is_zero_copy_and_history_preserving(spark, tmp_path):
+    """RESTORE commits a NEW version pinning the old file list: the table
+    reads as the restored snapshot, the bad version stays time-travelable,
+    and vacuuming past the window makes a later restore refuse loudly."""
+    import pytest as _pytest
+
+    from nyc_taxi_lakehouse_spark.versioned import ValidationError, VersionedLakeTable
+
+    t = VersionedLakeTable(spark, str(tmp_path / "vt"), [])
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    t.append(df1)  # v1
+    t.append(spark.range(5, 8).selectExpr("id", "id * 2 AS v"))  # v2
+    t.delete_where("id < 3")  # v3
+    assert t.read().count() == 5
+
+    v = t.restore(1)  # v4 = v1's files
+    assert v == 4
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # history preserved: v3 still time-travelable
+    assert t.read(version=3).count() == 5
+    assert t.history()[-1]["op"] == "restore"
+    # restoring the restore is idempotent in content
+    t.restore(4)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # vacuum keeps only the latest version's files -> restore to v2 refuses
+    t.vacuum(retain_last=1)
+    with _pytest.raises(ValidationError):
+        t.restore(2)
