@@ -191,3 +191,51 @@ def create_secure_view(
     if row_filter:
         body += f" WHERE {row_filter}"
     create_view(spark, name, body, temporary=temporary)
+
+
+def _register_secure_read():
+    from .functions.detsql import DUCK
+    from .registry import df_query
+    from .sources.tables import load_tables
+
+    @df_query(
+        "q_secure_read",
+        duck_sql=f"""
+SELECT event_id,
+       CAST(md5(CAST(user_id AS VARCHAR)) AS VARCHAR) AS user_id,
+       event_type,
+       value,
+       {DUCK.epoch_us('ts')} AS ts_us
+FROM events
+WHERE event_type <> 'error'
+""",
+        tables=["events"],
+        doc="Read THROUGH a row/column security view (create_secure_view): "
+        "user_id masked to its md5 under the same column name, error rows "
+        "filtered, props dropped — and because views inline, the row "
+        "filter pushes to the parquet scan (plan-asserted in "
+        "tests/test_catalog.py), so governance costs what a hand-written "
+        "predicate costs. The oracle applies the identical mask+filter "
+        "inline; hash equality proves any reader of the view sees "
+        "EXACTLY the policy output, nothing more.",
+    )
+    def q_secure_read(spark, sf_dir):
+        load_tables(spark, sf_dir, ["events"])
+        create_secure_view(
+            spark,
+            "events_secure_q",
+            "events",
+            masked_cols={
+                "user_id": "CAST(md5(CAST(user_id AS STRING)) AS STRING)"
+            },
+            row_filter="event_type <> 'error'",
+            drop_cols=["props"],
+            temporary=True,
+        )
+        return spark.table("events_secure_q").selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "unix_micros(ts) AS ts_us",
+        )
+
+
+_register_secure_read()

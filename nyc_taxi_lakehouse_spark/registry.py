@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_k_anonymity",
     "q_stream_neardup",
     "q_als_user_step",
+    "q_secure_read",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",
@@ -246,6 +247,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import cdf  # noqa: F401
     from .operators import frequency  # noqa: F401
     from .operators import modern_sql  # noqa: F401
+    from . import catalog  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401
     from .llm import bpe  # noqa: F401
