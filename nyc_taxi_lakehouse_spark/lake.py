@@ -529,3 +529,132 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> dict[str, f
     ]
     row = df.agg(*aggs).collect()[0]
     return {c: float(row[c]) for c in cols}
+
+
+# ---------------------------------------------------------------------------
+# Schema contracts — registry-style compatibility checking for evolution.
+# ---------------------------------------------------------------------------
+
+# Lossless numeric widenings (Spark's own upcast lattice, the direction
+# parquet/Avro registries call compatible).
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _field_map(schema: T.StructType) -> dict[str, T.StructField]:
+    return {f.name: f for f in schema.fields}
+
+
+def schema_compat(
+    old: T.StructType, new: T.StructType, mode: str = "backward"
+) -> list[str]:
+    """Schema-registry compatibility check for lake evolution. Returns the
+    list of violations (empty = compatible).
+
+    - backward: readers of the NEW schema can read OLD data — new required
+      (non-nullable) columns without defaults break; dropping a column is
+      fine (readers project); type changes must be lossless widenings.
+    - forward: readers of the OLD schema can read NEW data — dropping a
+      column the old reader requires breaks; ADDING columns is fine (old
+      readers ignore them); narrowing breaks.
+    - full: both.
+
+    Nullability uses the same normalization as append(merge_schema=True):
+    flipping nullable→required is a (forward) break, required→nullable is
+    always safe.
+    """
+    if mode == "full":
+        return [f"backward: {v}" for v in schema_compat(old, new, "backward")] + [
+            f"forward: {v}" for v in schema_compat(old, new, "forward")
+        ]
+    if mode not in ("backward", "forward"):
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    olds, news = _field_map(old), _field_map(new)
+    bad: list[str] = []
+
+    def widens(a: T.DataType, b: T.DataType) -> bool:
+        return (
+            _nullability_normalized(a) == _nullability_normalized(b)
+            or (a.typeName(), b.typeName()) in _WIDENINGS
+        )
+
+    if mode == "backward":
+        # new readers over old data: every column the new schema REQUIRES
+        # must exist in old data, and old types must upcast to new types.
+        for name, nf in news.items():
+            if name not in olds:
+                if not nf.nullable:
+                    bad.append(f"new required column `{name}` absent from old data")
+                continue
+            if not widens(olds[name].dataType, nf.dataType):
+                bad.append(
+                    f"column `{name}`: {olds[name].dataType.simpleString()} "
+                    f"!~> {nf.dataType.simpleString()} (not a lossless widening)"
+                )
+    else:
+        # old readers over new data: every old column must still exist with
+        # a type the old reader can hold, and must not have gone required→
+        # nullable-violating (old readers tolerate nullable→nullable only
+        # if they already expected nulls: required old column must stay
+        # non-null in new data).
+        for name, of in olds.items():
+            if name not in news:
+                bad.append(f"column `{name}` dropped (old readers require it)")
+                continue
+            nf = news[name]
+            if not widens(nf.dataType, of.dataType) and not widens(
+                of.dataType, nf.dataType
+            ):
+                bad.append(
+                    f"column `{name}`: incompatible type change "
+                    f"{of.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+            elif (of.dataType.typeName(), nf.dataType.typeName()) in _WIDENINGS:
+                bad.append(
+                    f"column `{name}`: widened {of.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()} (old readers cannot hold it)"
+                )
+            if not of.nullable and nf.nullable:
+                bad.append(
+                    f"column `{name}` became nullable (old readers assume non-null)"
+                )
+    return bad
+
+
+def checked_append(
+    table: "LakeTable", df: DataFrame, mode: str = "backward"
+) -> None:
+    """append(merge_schema=True) gated by a schema-contract check: the
+    incoming frame's schema must be `mode`-compatible with the table's
+    current schema, else ValidationError with every violation listed —
+    the write-side enforcement a schema registry provides for Kafka,
+    applied to the lake table.
+
+    The incoming frame is checked as the MERGED table schema it would
+    produce: columns absent from the current schema are forced nullable
+    (old rows have no value for them), so a batch carrying a non-null
+    literal column is still a benign nullable ADD — while type
+    narrowings and (in forward mode) drops/widenings are refused. Use
+    schema_compat directly to check declared reader contracts."""
+    current = table._saved_schema()
+    if current is None and table.exists():
+        current = table.read().schema
+    if current is not None:
+        have = {f.name for f in current.fields}
+        effective = T.StructType(
+            [
+                f if f.name in have else T.StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+            ]
+        )
+        bad = schema_compat(current, effective, mode)
+        if bad:
+            raise ValidationError(
+                f"schema contract ({mode}) violated: " + "; ".join(bad)
+            )
+    table.append(df, merge_schema=True)

@@ -339,3 +339,74 @@ def test_lake_table_on_scheme_qualified_uri(spark, tmp_path):
     t.delete_where("day = 'd2'")
     assert t.read().filter("day = 'd2'").count() == 0
     assert not t.fs.exists(f"{uri}/day=d2")
+
+
+def test_schema_compat_rules(spark):
+    """Registry-style compatibility: widening/nullable-add are backward-safe,
+    required-add breaks backward, drop/widen/nullable-flip break forward."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_lakehouse_spark.lake import schema_compat
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("v", T.FloatType(), True),
+        ]
+    )
+    widened_plus_nullable = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    assert schema_compat(old, widened_plus_nullable, "backward") == []
+    # forward: old readers can't hold widened types, and can't find dropped cols
+    fwd = schema_compat(old, widened_plus_nullable, "forward")
+    assert any("widened" in v for v in fwd)
+    required_add = T.StructType(
+        old.fields + [T.StructField("must", T.StringType(), False)]
+    )
+    assert any(
+        "required column" in v for v in schema_compat(old, required_add, "backward")
+    )
+    dropped = T.StructType([old.fields[0]])
+    assert any("dropped" in v for v in schema_compat(old, dropped, "forward"))
+    assert schema_compat(old, dropped, "backward") == []
+    narrowed = T.StructType(
+        [T.StructField("id", T.ShortType(), False), old.fields[1]]
+    )
+    assert schema_compat(old, narrowed, "backward") != []
+    # full composes both directions with labels
+    full = schema_compat(old, widened_plus_nullable, "full")
+    assert any(v.startswith("forward:") for v in full)
+    assert not any(v.startswith("backward:") for v in full)
+
+
+def test_checked_append_enforces_contract(spark, tmp_path):
+    """checked_append admits a backward-compatible batch (nullable add) and
+    refuses an incompatible one (required add) with the violation listed."""
+    import pytest as _pytest
+
+    from nyc_taxi_lakehouse_spark.lake import (
+        LakeTable,
+        ValidationError,
+        checked_append,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "contract"), [])
+    base = spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    checked_append(t, base)  # first write: no contract yet
+    ok = spark.range(5, 8).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CAST('x' AS STRING) AS note"
+    )
+    checked_append(t, ok)  # nullable add: backward-compatible
+    assert t.read().count() == 8
+    # a batch carrying a non-null literal column is a benign nullable ADD
+    # (the merged table schema nulls it for old rows) — but a type
+    # NARROWING is a genuine contract break and must be refused.
+    bad = spark.range(8, 9).selectExpr("id", "CAST(id AS INT) AS v")
+    with _pytest.raises(ValidationError, match="not a lossless widening"):
+        checked_append(t, bad)
+    assert t.read().count() == 8  # refused write left the table untouched
