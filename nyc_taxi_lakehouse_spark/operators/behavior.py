@@ -615,3 +615,65 @@ sql_query(
     "cardinality window (≤ |days| rows). WAU rows for days past the "
     "observation end are inner-joined away by construction.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC via tie-corrected rank-sum (Mann-Whitney U) — no pairwise join.
+# ---------------------------------------------------------------------------
+
+
+def _auc_sql(d: Dialect) -> str:
+    """AUC of `value` as a score for predicting purchases, computed exactly
+    as U/(n⁺·n⁻) with average-rank tie correction — the rank-sum identity
+    that turns the O(n⁺·n⁻) pairwise comparison into one sort-free pass
+    over per-score counts. Doubled ranks keep everything integer: for a
+    score group g with c items starting after `below` items, the doubled
+    average rank is 2·below + c + 1; Σ over positives of doubled ranks
+    gives 2U after subtracting n⁺(n⁺+1). Scores are integer cents."""
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+grp AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, c, pos,
+         CAST(COALESCE(SUM(c) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS below
+  FROM grp
+),
+agg AS (
+  SELECT
+    CAST(SUM(pos) AS BIGINT) AS n_pos,
+    CAST(SUM(c - pos) AS BIGINT) AS n_neg,
+    CAST(SUM(pos * (2 * below + c + 1)) AS BIGINT) AS r2_pos
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       r2_pos - n_pos * (n_pos + 1) AS u2,
+       CAST({d.idiv('(r2_pos - n_pos * (n_pos + 1)) * 1000000',
+                    '(2 * n_pos * n_neg)')} AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+sql_query(
+    "q_auc",
+    spark_sql=_auc_sql(SPARK),
+    duck_sql=_auc_sql(DUCK),
+    tables=["events"],
+    doc="Exact AUC (does `value` rank purchases above other events?) via "
+    "the tie-corrected Mann-Whitney rank-sum identity — the O(n⁺·n⁻) "
+    "pairwise probability collapsed to one per-score aggregation plus a "
+    "cumulative window over DISTINCT scores (cardinality = score domain, "
+    "not rows — the q_pareto_frontier boundedness class; at a truly "
+    "unbounded score domain the ranks would come from q_dense_ids' "
+    "two-pass offsets). Doubled ranks keep tie-averaging integer-exact: "
+    "auc_ppm is one exact DIV, u2 the exact doubled U statistic — "
+    "bit-identical across engines, no floats anywhere.",
+)

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stream_neardup",
     "q_als_user_step",
     "q_secure_read",
+    "q_auc",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -59,6 +59,8 @@ WHITELIST = {
     "q_rendezvous_shards": ({"bnlj"}, "8/9-row shard grid x corpus"),
     # 1-row corpus-count broadcast + cumulative window over 10 decile rows.
     "q_vocab_growth": ({"bnlj", "single-part"}, "1-row N x 10 decile rows"),
+    # Cumulative window over DISTINCT scores (q_pareto_frontier class).
+    "q_auc": ({"single-part"}, "sweep over per-score aggregate"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
