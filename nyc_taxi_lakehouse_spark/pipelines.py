@@ -245,3 +245,26 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mart.read().select(
         "ship_year", "ship_month", "l_returnflag", "n_lines", "revenue"
     )
+
+
+def observed_clean_facts(raw: DataFrame):
+    """clean_facts instrumented with DataFrame.observe(): named metrics
+    (rows kept, quantity total, null keys seen) accumulate DURING the next
+    action with zero extra passes — the batch observability API that
+    replaces the "run an extra count query" anti-pattern. Returns the
+    observed frame and the pyspark.sql.Observation handle; ``obs.get``
+    yields the metrics dict after any action (tests/test_pipelines.py),
+    or a QueryExecutionListener collects them in production."""
+    from pyspark.sql import Observation
+
+    name = Observation("ingest_metrics")
+    cleaned = clean_facts(raw)
+    observed = cleaned.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("qty_total"),
+        F.sum(
+            F.when(F.col("order_key").isNull(), 1).otherwise(0)
+        ).alias("null_keys"),
+    )
+    return observed, name

@@ -102,3 +102,22 @@ def test_quality_gates(spark, tmp_path):
     assert report["null_pct"]["order_key"] == 0.0
     with pytest.raises(ValidationError):
         run_quality_gates(clean_facts(raw).filter("1=0"), ["order_key"])
+
+
+def test_observe_metrics_accumulate_during_action(spark):
+    """DataFrame.observe(): ingest metrics accumulate in the SAME pass as
+    the action (no second scan) and match an independent recount."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.pipelines import clean_facts, observed_clean_facts
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    observed, obs = observed_clean_facts(raw)
+    n = observed.count()  # the one action; metrics ride along
+    row = obs.get
+    assert row["rows_kept"] == n
+    expect = clean_facts(raw).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("q")
+    ).collect()[0].q
+    assert row["qty_total"] == expect
+    assert row["null_keys"] == 0
