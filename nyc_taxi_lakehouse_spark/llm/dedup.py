@@ -1357,3 +1357,101 @@ sql_query(
     tables=["documents"],
     doc=_blocking_quality_sql.__doc__,
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration — measured band-hit rate vs 1-(1-s^r)^b theory.
+# ---------------------------------------------------------------------------
+
+
+def _theory_ppm(bucket: int) -> int:
+    """P(candidate | s) = 1 − (1 − s^rows_per_band)^bands at the bucket
+    midpoint, as an integer ppm LITERAL (computed here in Python — no
+    cross-libm pow() ever reaches the gate)."""
+    rows_per_band = len(_PERMS) // _BANDS
+    s = (bucket + 0.5) / 10
+    return round((1 - (1 - s**rows_per_band) ** _BANDS) * 1_000_000)
+
+
+def _lsh_calibration_sql(d: Dialect) -> str:
+    """On the 1-in-5 doc_id sample: exact Jaccard for every intersecting
+    pair (pairs sharing zero tokens are excluded — their theoretical rate
+    is 0 and enumerating them would be a cartesian product), the 4×4
+    dictionary-minhash banding over the same sample, and per-Jaccard-decile
+    measured candidate rates against the analytic S-curve midpoints."""
+    tok = d.distinct_token_rows("documents", extra_cols="")
+    sig_cols = ",\n  ".join(
+        f"MIN(({a} * tid + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    rows_per_band = len(_PERMS) // _BANDS
+    band_exprs = []
+    for bi in range(_BANDS):
+        hs = range(bi * rows_per_band, (bi + 1) * rows_per_band)
+        concat = " || '_' || ".join(f"CAST(h{i} AS STRING)" for i in hs)
+        band_exprs.append(f"{concat} AS band{bi}")
+    bands = ",\n  ".join(band_exprs)
+    cand_union = "\nUNION\n".join(
+        f"SELECT x.doc_id AS da, y.doc_id AS db FROM bands x "
+        f"JOIN bands y ON x.band{bi} = y.band{bi} AND x.doc_id < y.doc_id"
+        for bi in range(_BANDS)
+    )
+    theory = "\n    ".join(
+        f"WHEN {bkt} THEN {_theory_ppm(bkt)}" for bkt in range(10)
+    )
+    return f"""
+WITH tok AS (SELECT * FROM ({tok}) s WHERE doc_id % 5 = 0),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+),
+tt AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token),
+sig AS (SELECT doc_id, {sig_cols} FROM tt GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM sig),
+collide AS ({cand_union}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT i.da, i.db,
+         LEAST({d.idiv('i.c * 10', '(sa.n + sb.n - i.c)')}, 9) AS bucket
+  FROM inter i
+  JOIN sizes sa ON i.da = sa.doc_id
+  JOIN sizes sb ON i.db = sb.doc_id
+),
+hits AS (
+  SELECT j.bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN co.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_band_hits
+  FROM j LEFT JOIN collide co ON j.da = co.da AND j.db = co.db
+  GROUP BY j.bucket
+)
+SELECT CAST(bucket AS INT) AS jaccard_decile, n_pairs, n_band_hits,
+       CAST({d.idiv('n_band_hits * 1000000', 'n_pairs')} AS BIGINT)
+         AS measured_ppm,
+       CAST(CASE bucket
+    {theory}
+       END AS BIGINT) AS theory_ppm
+FROM hits
+"""
+
+
+sql_query(
+    "q_lsh_calibration",
+    spark_sql=_lsh_calibration_sql(SPARK),
+    duck_sql=_lsh_calibration_sql(DUCK),
+    tables=["documents"],
+    doc="LSH banding CALIBRATION: on a 1-in-5 hash sample, exact Jaccard "
+    "for every intersecting pair vs whether the 4×4 minhash banding "
+    "fired — measured candidate rate per Jaccard decile against the "
+    "analytic S-curve 1−(1−s⁴)⁴ at decile midpoints (theory values are "
+    "Python-computed integer-ppm LITERALS, so no pow() enters the "
+    "cross-engine gate; a behavioral test additionally asserts the "
+    "measured curve is monotone and brackets theory at the ends). This "
+    "is how banding parameters (r, b) are validated before a 100 TB "
+    "dedup run: the pair enumeration stays within the bounded sample, "
+    "exactly like q_blocking_quality's audit.",
+)

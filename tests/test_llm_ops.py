@@ -718,3 +718,30 @@ def test_bpe_encode_chain_matches_python_encoder(spark):
         for word, enc_word in zip(text.split(" "), enc.split(" ")):
             got = [decode.get(c, c) for c in enc_word]
             assert got == ref_encode(word), (word, got)
+
+
+def test_lsh_calibration_tracks_theory(spark):
+    """The measured band-hit curve behaves like the analytic S-curve:
+    monotone non-decreasing in Jaccard (beyond small-n noise), ~0 at the
+    bottom decile, ~1 at the top, and within 12 points of theory where the
+    buckets are well-populated."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["q_lsh_calibration"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("jaccard_decile")
+        .reset_index(drop=True)
+    )
+    assert pdf.jaccard_decile.tolist() == list(range(10))
+    top = pdf.iloc[-1]
+    assert top.measured_ppm > 990_000
+    assert pdf.iloc[0].measured_ppm < 100_000
+    well = pdf[pdf.n_pairs >= 300]
+    assert (
+        (well.measured_ppm - well.theory_ppm).abs() <= 120_000
+    ).all(), well.to_string()
+    # monotone over the well-populated region
+    m = well.measured_ppm.tolist()
+    assert all(a <= b for a, b in zip(m, m[1:]))

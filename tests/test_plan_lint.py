@@ -61,6 +61,9 @@ WHITELIST = {
     "q_vocab_growth": ({"bnlj", "single-part"}, "1-row N x 10 decile rows"),
     # Cumulative window over DISTINCT scores (q_pareto_frontier class).
     "q_auc": ({"single-part"}, "sweep over per-score aggregate"),
+    # Sample-bounded calibration: vocab dictionary sort (oracle anchor) +
+    # 10-bucket curve rows.
+    "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
