@@ -410,3 +410,63 @@ def test_checked_append_enforces_contract(spark, tmp_path):
     with _pytest.raises(ValidationError, match="not a lossless widening"):
         checked_append(t, bad)
     assert t.read().count() == 8  # refused write left the table untouched
+
+
+def test_schema_compat_properties():
+    """Hypothesis: structural laws of the compatibility checker over random
+    schemas — reflexivity, add-nullable safety (backward), drop safety
+    (backward) vs drop breakage (forward), and widening asymmetry."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from nyc_taxi_lakehouse_spark.lake import schema_compat
+
+    atom = st.sampled_from(
+        [T.IntegerType(), T.LongType(), T.DoubleType(), T.StringType(),
+         T.FloatType(), T.ShortType()]
+    )
+    field = st.tuples(
+        st.sampled_from(list("abcdefgh")), atom, st.booleans()
+    )
+
+    def mk(fields):
+        seen, out = set(), []
+        for name, dt, nullable in fields:
+            if name not in seen:
+                seen.add(name)
+                out.append(T.StructField(name, dt, nullable))
+        return T.StructType(out)
+
+    @given(st.lists(field, min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def laws(fields):
+        s = mk(fields)
+        # reflexivity in both directions
+        assert schema_compat(s, s, "backward") == []
+        assert schema_compat(s, s, "forward") == []
+        # adding a nullable column is backward-safe, forward-safe too
+        extra = T.StructType(
+            s.fields + [T.StructField("zz_new", T.StringType(), True)]
+        )
+        assert schema_compat(s, extra, "backward") == []
+        assert schema_compat(s, extra, "forward") == []
+        # dropping any column: backward-safe, forward-BREAKING
+        if len(s.fields) > 1:
+            dropped = T.StructType(s.fields[:-1])
+            assert schema_compat(s, dropped, "backward") == []
+            assert schema_compat(s, dropped, "forward") != []
+        # int->long widening: backward-safe, forward-breaking
+        if any(f.dataType == T.IntegerType() for f in s.fields):
+            widened = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType(), f.nullable)
+                    if f.dataType == T.IntegerType()
+                    else f
+                    for f in s.fields
+                ]
+            )
+            assert schema_compat(s, widened, "backward") == []
+            assert schema_compat(s, widened, "forward") != []
+
+    laws()
