@@ -1053,3 +1053,88 @@ aggregate(
         "CAST(CASE WHEN 5 * ABS(s.x - s.e) > s.e THEN 1 ELSE 0 END AS INT)"
         " AS out_of_control",
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot matching — cumulative-interval overlap (set-based inventory
+# accounting).
+# ---------------------------------------------------------------------------
+
+
+def _fifo_sql(d: Dialect) -> str:
+    """Match each (supplier, part)'s returned quantities against its shipped
+    lots FIRST-IN-FIRST-OUT — the inventory-accounting process that looks
+    inherently sequential but has a closed set-based form: give ships and
+    returns each a cumulative-quantity interval [cum−q, cum) in arrival
+    order; FIFO matching is EXACTLY the pairwise overlap of those
+    intervals (matched qty = min(ends) − max(starts) where positive). One
+    window per side + one bounded per-key range join — no per-key loops,
+    no state."""
+    return f"""
+WITH lines AS (
+  SELECT l_suppkey, l_partkey, l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         {d.epoch('l_shipdate')} AS sd, l_orderkey, l_linenumber
+  FROM lineitem
+),
+ships AS (
+  SELECT l_suppkey, l_partkey, q,
+         CAST(SUM(q) OVER (
+           PARTITION BY l_suppkey, l_partkey
+           ORDER BY sd, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM lines WHERE l_returnflag <> 'R'
+),
+rets AS (
+  SELECT l_suppkey, l_partkey, q,
+         CAST(SUM(q) OVER (
+           PARTITION BY l_suppkey, l_partkey
+           ORDER BY sd, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM lines WHERE l_returnflag = 'R'
+),
+matched AS (
+  SELECT s.l_suppkey, s.l_partkey,
+         CAST(SUM(
+           LEAST(s.cum, r.cum) - GREATEST(s.cum - s.q, r.cum - r.q)
+         ) AS BIGINT) AS matched_qty
+  FROM ships s JOIN rets r
+    ON s.l_suppkey = r.l_suppkey AND s.l_partkey = r.l_partkey
+   AND s.cum - s.q < r.cum AND r.cum - r.q < s.cum
+  GROUP BY s.l_suppkey, s.l_partkey
+),
+totals AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN q ELSE 0 END) AS BIGINT)
+           AS shipped_qty,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN q ELSE 0 END) AS BIGINT)
+           AS returned_qty
+  FROM lines GROUP BY l_suppkey, l_partkey
+)
+SELECT t.l_suppkey, t.l_partkey, t.shipped_qty, t.returned_qty,
+       COALESCE(m.matched_qty, 0) AS fifo_matched_qty,
+       t.returned_qty - COALESCE(m.matched_qty, 0) AS unmatched_returns
+FROM totals t LEFT JOIN matched m
+  ON t.l_suppkey = m.l_suppkey AND t.l_partkey = m.l_partkey
+WHERE t.returned_qty > 0
+"""
+
+
+sql_query(
+    "q_fifo_match",
+    spark_sql=_fifo_sql(SPARK),
+    duck_sql=_fifo_sql(DUCK),
+    tables=["lineitem"],
+    doc="FIFO inventory matching WITHOUT sequential state: returns consume "
+    "the oldest shipped lots first, computed as the overlap of cumulative-"
+    "quantity intervals — ship lot [cum−q, cum) × return lot [cum−q, cum) "
+    "overlap IS the FIFO allocation (the same reflection that turns "
+    "running clamps into q_capped_runsum's closed form). Plan: two "
+    "(supplier, part)-partitioned cumulative windows sharing the sort, "
+    "one per-key band join whose fanout is bounded by lots-per-key, one "
+    "rollup; all integer quantities. Unmatched returns (returns exceeding "
+    "shipments) are reported — the reconciliation signal inventory audits "
+    "need.",
+)

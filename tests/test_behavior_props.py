@@ -203,3 +203,59 @@ SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
 """)
     got = {(r.node, r.hop) for r in rec.collect()}
     assert got == loop
+
+
+def test_fifo_interval_identity_matches_sequential_simulation(spark):
+    """The cumulative-interval overlap (q_fifo_match's algebra) equals a
+    literal sequential FIFO simulation on randomized per-key lot streams."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for key in range(20):
+        for i in range(rnd.randint(1, 8)):
+            rows.append((key, "S", i, rnd.randint(1, 9)))
+        for i in range(rnd.randint(0, 6)):
+            rows.append((key, "R", i, rnd.randint(1, 9)))
+
+    # sequential reference: consume oldest lots first
+    expect = {}
+    for key in range(20):
+        ships = [q for k, t, _i, q in rows if k == key and t == "S"]
+        rets = sum(q for k, t, _i, q in rows if k == key and t == "R")
+        remaining, matched = rets, 0
+        for q in ships:
+            take = min(q, remaining)
+            matched += take
+            remaining -= take
+        if rets:
+            expect[key] = (matched, rets - matched)
+
+    df = spark.createDataFrame(rows, "key int, typ string, seq int, q long")
+    df.createOrReplaceTempView("lots")
+    got = {
+        r.key: (r.m, r.u)
+        for r in spark.sql("""
+WITH ships AS (
+  SELECT key, q, SUM(q) OVER (PARTITION BY key ORDER BY seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lots WHERE typ = 'S'
+),
+rets AS (
+  SELECT key, q, SUM(q) OVER (PARTITION BY key ORDER BY seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lots WHERE typ = 'R'
+),
+m AS (
+  SELECT s.key, SUM(LEAST(s.cum, r.cum) - GREATEST(s.cum - s.q, r.cum - r.q)) AS mq
+  FROM ships s JOIN rets r ON s.key = r.key
+   AND s.cum - s.q < r.cum AND r.cum - r.q < s.cum
+  GROUP BY s.key
+),
+t AS (SELECT key, SUM(CASE WHEN typ = 'R' THEN q ELSE 0 END) AS rq
+      FROM lots GROUP BY key)
+SELECT t.key, COALESCE(m.mq, 0) AS m, t.rq - COALESCE(m.mq, 0) AS u
+FROM t LEFT JOIN m ON t.key = m.key WHERE t.rq > 0
+""").collect()
+    }
+    assert got == expect
