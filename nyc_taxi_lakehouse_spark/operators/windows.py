@@ -1138,3 +1138,65 @@ sql_query(
     "shipments) are reported — the reconciliation signal inventory audits "
     "need.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — seasonal-naive baseline scored with WAPE/bias.
+# ---------------------------------------------------------------------------
+
+
+def _backtest_sql(d: Dialect) -> str:
+    """Hold out the final 7 days; forecast each as the MEAN of the same
+    weekday's totals over the training window (the seasonal-naive baseline
+    every real forecaster must beat). All integer cents: the per-dow mean
+    is one floor DIV, errors are exact, and WAPE/bias are single exact
+    DIVs over the 7-row holdout — so the scorecard is bit-identical across
+    engines (no MAPE: division by a per-day actual would blow up on quiet
+    days; WAPE's Σ|err|/Σactual is the scale-stable form)."""
+    day = d.epoch("date_trunc('day', ts)")
+    cents = "CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, {cents} AS x FROM events GROUP BY {day}
+),
+bounds AS (SELECT MAX(day) - 6 * 86400 AS test_start FROM daily),
+train AS (
+  SELECT {d.idiv('(day', '86400)')} % 7 AS dow,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily CROSS JOIN bounds WHERE day < test_start
+  GROUP BY {d.idiv('(day', '86400)')} % 7
+),
+test AS (
+  SELECT day, x, {d.idiv('(day', '86400)')} % 7 AS dow
+  FROM daily CROSS JOIN bounds WHERE day >= test_start
+),
+scored AS (
+  SELECT t.day, t.x AS actual_cents,
+         {d.idiv('tr.sx', 'tr.n')} AS forecast_cents
+  FROM test t JOIN train tr ON t.dow = tr.dow
+)
+SELECT day, actual_cents, forecast_cents,
+       ABS(actual_cents - forecast_cents) AS abs_err_cents,
+       CAST({d.idiv('SUM(ABS(actual_cents - forecast_cents)) OVER () * 1000000',
+                    'SUM(actual_cents) OVER ()')} AS BIGINT) AS wape_ppm,
+       CAST({d.idiv('SUM(forecast_cents - actual_cents) OVER () * 1000000',
+                    'SUM(actual_cents) OVER ()')} AS BIGINT) AS bias_ppm
+FROM scored
+"""
+
+
+sql_query(
+    "q_forecast_backtest",
+    spark_sql=_backtest_sql(SPARK),
+    duck_sql=_backtest_sql(DUCK),
+    tables=["events"],
+    doc="Forecast backtesting: the final week held out and predicted by "
+    "the per-weekday training mean (seasonal-naive — the baseline any "
+    "production forecaster must beat), scored with WAPE and signed bias "
+    "in exact integer cents (WAPE over MAPE deliberately: Σ|err|/Σactual "
+    "never divides by a quiet day). Plan: one map-side-combined day "
+    "rollup is the only full-data pass; the 7-row dow profile broadcasts "
+    "onto the 7-row holdout; scorecard windows run over 7 rows "
+    "(whitelisted). The profile generalizes to the per-(zone, dow, hour) "
+    "grain of q_demand_prediction unchanged.",
+)

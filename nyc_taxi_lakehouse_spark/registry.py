@@ -165,6 +165,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_multimodal_arrow_fp",
     "q_lsh_calibration",
     "q_fifo_match",
+    "q_forecast_backtest",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

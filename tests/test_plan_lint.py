@@ -64,6 +64,8 @@ WHITELIST = {
     # Sample-bounded calibration: vocab dictionary sort (oracle anchor) +
     # 10-bucket curve rows.
     "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
+    # 7-row dow profile x 7-row holdout + scorecard windows over 7 rows.
+    "q_forecast_backtest": ({"bnlj", "single-part"}, "7-row profile x 7-row holdout"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
