@@ -244,3 +244,25 @@ def running_user_profile_tws(parsed: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Writer-side session conf for the production state backend: RocksDB
+    spills streaming state to local disk instead of the default HDFS-backed
+    in-memory map — the difference between watermark state bounded by
+    EXECUTOR MEMORY and state bounded by local disk at 100 TB (plus
+    changelog checkpointing for faster recovery). Per-query override via
+    .option() is not supported; set it on the session/cluster conf. Result
+    equivalence with the default provider is pinned in
+    tests/test_streaming.py."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # incremental changelog instead of full snapshot uploads per batch
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true",
+    }

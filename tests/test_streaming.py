@@ -523,3 +523,68 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
         )
         outs[tag] = sorted(map(tuple, final.collect()))
     assert outs["aip"] == outs["tws"] and len(outs["tws"]) > 0
+
+
+def test_rocksdb_state_store_equivalence(spark, tmp_path):
+    """The RocksDB state store (production backend: state on local disk,
+    not executor memory) produces EXACTLY the default provider's results
+    on a watermarked windowed aggregation, and its checkpoint actually
+    contains RocksDB artifacts — proving the engine runs on the backend
+    that survives 100 TB state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.streaming.stateful import rocksdb_state_conf
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(500)
+        .selectExpr("id % 7 AS k", "timestamp_seconds(1700000000 + id * 37) AS ts")
+        .write.parquet(src)
+    )
+
+    def run(tag: str, confs: dict) -> list:
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            sink = str(tmp_path / f"sink_{tag}")
+            ckpt = str(tmp_path / f"ckpt_{tag}")
+            stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "30 minutes"), "k")
+                .agg(F.count("*").alias("n"))
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            rows = sorted(
+                (r["window"].start, r.k, r.n)
+                for r in spark.read.parquet(sink).collect()
+            )
+            return rows, ckpt
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    base, _ = run("hdfs", {})
+    rock, ckpt = run("rocks", rocksdb_state_conf())
+    assert rock == base and len(base) > 0
+    # the state dir really is RocksDB: changelog/zip artifacts present
+    state_files = []
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        state_files += files
+    assert any(
+        f.endswith(".zip") or f.endswith(".changelog") for f in state_files
+    ), state_files
