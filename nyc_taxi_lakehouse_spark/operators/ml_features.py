@@ -319,3 +319,71 @@ def _register_als():
 
 
 _register_als()
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding — leakage-safe categorical encoding.
+# ---------------------------------------------------------------------------
+
+
+def _target_enc_sql(d) -> str:
+    """Target-encode customer nation by mean order value WITHOUT leakage:
+    each row's encoding is computed from the OTHER folds only (out-of-fold
+    mean = (nation_total − fold_total) / (nation_n − fold_n)) with the
+    fold assignment a stable multiplicative hash of the customer key.
+    Totals are exact decimal cents, the OOF mean one exact int/int double
+    division, and the smoothing fallback (folds that exhaust a nation's
+    rows) is the global mean — all algebra shuffle-order-independent."""
+    fold = "CAST((o_custkey * 2654435761 + 104729) % 5 AS INT)"
+    return f"""
+WITH fact AS (
+  SELECT c.c_nationkey AS nat, {fold} AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+per_fold AS (
+  SELECT nat, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(cents) AS BIGINT) AS s_f
+  FROM fact GROUP BY nat, fold
+),
+per_nat AS (
+  SELECT nat, CAST(SUM(n_f) AS BIGINT) AS n_t, CAST(SUM(s_f) AS BIGINT) AS s_t
+  FROM per_fold GROUP BY nat
+),
+gstats AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_g, CAST(SUM(s_t) AS BIGINT) AS s_g FROM per_nat)
+SELECT f.nat AS nationkey, f.fold, f.n_f AS fold_rows,
+       CAST(n.n_t - f.n_f AS BIGINT) AS oof_rows,
+       CAST(CASE WHEN n.n_t - f.n_f > 0
+            THEN CAST(n.s_t - f.s_f AS DOUBLE) / (n.n_t - f.n_f)
+            ELSE CAST(g.s_g AS DOUBLE) / g.n_g END AS DOUBLE) AS oof_mean_cents
+FROM per_fold f
+JOIN per_nat n ON f.nat = n.nat
+CROSS JOIN gstats g
+"""
+
+
+def _register_target_enc():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_target_encoding",
+        spark_sql=_target_enc_sql(SPARK),
+        duck_sql=_target_enc_sql(DUCK),
+        tables=["orders", "customer"],
+        doc="Leakage-safe target encoding: per (nation, fold), the mean "
+        "order value computed from the OTHER four folds only — "
+        "OOF mean = (Σnation − Σfold)/(n − n_fold), so a model trained on "
+        "fold k never sees its own rows' targets in the feature (the "
+        "encoding-leakage failure mode this construction exists to "
+        "prevent; global-mean fallback for exhausted cells). ONE pass "
+        "builds per-(nation, fold) partials; nation totals and the "
+        "global scalar derive from them — no second scan, all exact "
+        "integer cents until one final double division. At 100 TB the "
+        "encoding table stays |categories|×|folds| rows — broadcast "
+        "material for the training join.",
+    )
+
+
+_register_target_enc()

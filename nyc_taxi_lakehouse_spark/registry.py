@@ -166,6 +166,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_lsh_calibration",
     "q_fifo_match",
     "q_forecast_backtest",
+    "q_target_encoding",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

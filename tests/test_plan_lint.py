@@ -66,6 +66,8 @@ WHITELIST = {
     "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
     # 7-row dow profile x 7-row holdout + scorecard windows over 7 rows.
     "q_forecast_backtest": ({"bnlj", "single-part"}, "7-row profile x 7-row holdout"),
+    # 1-row global-mean scalar broadcast into the fallback branch.
+    "q_target_encoding": ({"bnlj", "single-part"}, "1-row global mean x encoding table"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
