@@ -677,3 +677,66 @@ sql_query(
     "auc_ppm is one exact DIV, u2 the exact doubled U statistic — "
     "bit-identical across engines, no floats anywhere.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table — targeting evaluation by score decile.
+# ---------------------------------------------------------------------------
+
+
+def _gains_sql(d: Dialect) -> str:
+    """Rank events by score (value, descending), split into population
+    deciles, and report per-decile positives, cumulative capture, and
+    lift — the targeting chart behind 'contact the top 20%'. Deciles are
+    assigned per score-GROUP (a group lands in the decile of its last
+    row), so the computation stays on the per-score aggregate — same
+    boundedness as q_auc — rather than a global NTILE over raw rows; a
+    tied score never splits across deciles (documented snap)."""
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+grp AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p FROM grp),
+cum AS (
+  SELECT s, c, pos,
+         CAST(SUM(c) OVER (
+           ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_c
+  FROM grp
+),
+bucketed AS (
+  SELECT LEAST({d.idiv('(cum_c - 1) * 10', 'n')}, 9) AS decile, c, pos
+  FROM cum CROSS JOIN tot
+),
+per_decile AS (
+  SELECT decile, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM bucketed GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n_rows, n_pos,
+       CAST({d.idiv('SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000', 'p')} AS BIGINT)
+         AS cum_capture_ppm,
+       CAST({d.idiv('(n_pos * n) * 1000000', '(n_rows * p)')} AS BIGINT)
+         AS lift_ppm
+FROM per_decile CROSS JOIN tot
+"""
+
+
+sql_query(
+    "q_gains_chart",
+    spark_sql=_gains_sql(SPARK),
+    duck_sql=_gains_sql(DUCK),
+    tables=["events"],
+    doc="Cumulative gains / lift table by score decile (does targeting the "
+    "top deciles of `value` capture the purchases?) — q_auc's companion "
+    "chart, computed on the SAME per-score aggregate boundedness (decile "
+    "boundaries snap to score-group ends; ties never split, so no "
+    "row-level global NTILE exists in the plan). Capture and lift are "
+    "exact integer ppm; windows sweep DISTINCT scores then 10 decile "
+    "rows.",
+)

@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_fifo_match",
     "q_forecast_backtest",
     "q_target_encoding",
+    "q_gains_chart",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",

@@ -68,6 +68,8 @@ WHITELIST = {
     "q_forecast_backtest": ({"bnlj", "single-part"}, "7-row profile x 7-row holdout"),
     # 1-row global-mean scalar broadcast into the fallback branch.
     "q_target_encoding": ({"bnlj", "single-part"}, "1-row global mean x encoding table"),
+    # Sweep over DISTINCT scores + 10 decile rows x 1-row totals.
+    "q_gains_chart": ({"bnlj", "single-part"}, "score sweep + 10 deciles x 1-row totals"),
     # Day-grain series folded in one task (collect_list over <=|days| rows).
     "q_ewma_control": ({"single-part"}, "day-array fold, |days| structs"),
     # 1-row train-vocab-size scalar broadcast into the smoothing denominator.
