@@ -95,3 +95,86 @@ GROUP BY d.doc_id
 
 
 _register_query()
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF — output schema computed by analyze() from a literal
+# argument (the Spark 4 advanced form; the static-returnType form above).
+# ---------------------------------------------------------------------------
+
+
+def make_split_fields():
+    """CSV splitter whose OUTPUT SCHEMA is decided at plan time by the
+    n_cols literal: split_fields(csv, 3) produces (c0, c1, c2). This is
+    the polymorphic-UDTF contract — analyze() receives the arguments
+    (with literal values when constant-foldable) and returns the schema,
+    so one function serves any width with full Catalyst column pruning
+    downstream."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFields:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n_cols: AnalyzeArgument) -> AnalyzeResult:
+            if n_cols.value is None:
+                raise ValueError("split_fields: n_cols must be a literal")
+            n = int(n_cols.value)
+            schema = StructType()
+            for i in range(n):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n_cols: int):
+            parts = (text or "").split(",")
+            n = int(n_cols)
+            yield tuple((parts[i] if i < len(parts) else None) for i in range(n))
+
+    return udtf(SplitFields)
+
+
+def _register_poly_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from ..registry import df_query
+    from ..sources.tables import load_tables
+
+    @df_query(
+        "q_udtf_polymorphic",
+        duck_sql="""
+SELECT event_id,
+       split_part(csv, ',', 1) AS c0,
+       split_part(csv, ',', 2) AS c1,
+       split_part(csv, ',', 3) AS c2
+FROM (
+  SELECT event_id,
+         event_type || ',' || CAST(user_id AS VARCHAR) || ','
+           || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS csv
+  FROM events
+) s
+""",
+        tables=["events"],
+        doc="POLYMORPHIC Python UDTF (Spark 4 analyze()): split_fields(csv, "
+        "3) computes its (c0, c1, c2) output schema at PLAN time from the "
+        "width literal — one function, any arity, full downstream column "
+        "pruning (the static-returnType form is q_udtf_shingles). Policy "
+        "unchanged: UDTFs prove the API surface, never the hot path; the "
+        "round-trip (concat to CSV in JVM, split in Python) is hash-"
+        "checked against DuckDB split_part, pinning registration, "
+        "analyze-time schema, lateral marshalling and NULL padding.",
+    )
+    def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, ["events"])
+        spark.udtf.register("split_fields", make_split_fields())
+        return spark.sql("""
+SELECT e.event_id, s.c0, s.c1, s.c2
+FROM (
+  SELECT event_id,
+         concat(event_type, ',', CAST(user_id AS STRING), ',',
+                CAST(CAST(round(value * 100) AS BIGINT) AS STRING)) AS csv
+  FROM events
+) e, LATERAL split_fields(e.csv, 3) s
+""")
+
+
+_register_poly_query()

@@ -168,6 +168,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_forecast_backtest",
     "q_target_encoding",
     "q_gains_chart",
+    "q_udtf_polymorphic",
     "q_quality_gate",
     "q_dedup_chargram",
     "q_embedding_quantize",
