@@ -127,8 +127,20 @@ class VersionedLakeTable(TxnLedger):
         live: set[str],
         schema: T.StructType,
         base: str | None = None,
+        expected_version: int | None = None,
     ) -> int:
-        version = (self.latest_version() or 0) + 1 if self.versions() else 1
+        """``expected_version`` is the snapshot version this commit's live
+        set was DERIVED from (None for callers that did not read state).
+        The put-if-absent write targets exactly expected+1 — so a racer
+        that committed in between makes THIS commit fail with
+        ConcurrentCommitError instead of silently dropping the racer's
+        files from the live set (the lost-update mode the concurrent
+        stress test caught: recomputing latest_version() here let a
+        read-modify-write land on a fresh version number while carrying a
+        stale live set)."""
+        if expected_version is None:
+            expected_version = self.latest_version() or 0
+        version = expected_version + 1
         self.fs.mkdirs(self._log_dir)
         manifest = {
             "version": version,
@@ -190,6 +202,55 @@ class VersionedLakeTable(TxnLedger):
 
     # -- commits ------------------------------------------------------------
 
+    def _staged_write(
+        self, df: DataFrame, subdir: str = "", partitioned: bool | None = None
+    ) -> set[str]:
+        """Write df's part files through a PRIVATE staging directory, then
+        move them into the table layout; returns the relative paths added.
+
+        The naive write-then-diff (snapshot _data_files before/after a
+        mode("append") write straight into the table) has two concurrency
+        defects the OCC log cannot fix: concurrent jobs share Hadoop's
+        <table>/_temporary staging (one job's commit deletes the other's
+        attempts — observed as lost appends in the stress test), and the
+        set diff attributes a racing writer's files to this commit. A
+        per-commit staging dir (Delta writes files the same way: uniquely
+        named, invisible until the log commit) gives each writer private
+        staging and an EXACT added-file list."""
+        import uuid as _uuid
+
+        stage = os.path.join(self.path, "_staging", _uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        use_partitioning = (
+            bool(self.partition_cols) if partitioned is None else partitioned
+        )
+        if use_partitioning:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(stage)
+
+        added: set[str] = set()
+
+        def walk(rel: str) -> None:
+            for name, is_dir, _size in self.fs.list(os.path.join(stage, rel)):
+                r = os.path.join(rel, name) if rel else name
+                if is_dir:
+                    walk(r)
+                elif not name.startswith("_") and not name.startswith("."):
+                    added.add(r)
+
+        walk("")
+        for rel in added:
+            dest_rel = os.path.join(subdir, rel) if subdir else rel
+            dest = os.path.join(self.path, dest_rel)
+            parent = os.path.dirname(dest)
+            if parent:
+                self.fs.mkdirs(parent)
+            if not self.fs.rename(os.path.join(stage, rel), dest):
+                raise ValidationError(f"staged move failed: {rel} -> {dest_rel}")
+        self.fs.delete(stage, recursive=True)
+        self.spark.catalog.refreshByPath(self.path)
+        return {os.path.join(subdir, r) if subdir else r for r in added}
+
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Commit an append. Data lands as fresh uniquely-named part files in
         the normal partition layout; the new manifest = previous live set +
@@ -218,14 +279,10 @@ class VersionedLakeTable(TxnLedger):
         else:
             schema = df.schema
             prev_live = set()
-        before = self._data_files()
-        writer = df.write.mode("append")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.path)
-        added = self._data_files() - before
-        self.spark.catalog.refreshByPath(self.path)
-        return self._commit("append", prev_live | added, schema)
+        added = self._staged_write(df)
+        return self._commit(
+            "append", prev_live | added, schema, expected_version=latest or 0
+        )
 
     def delete_where(self, predicate: str) -> int:
         """Commit a DELETE. Survivors of affected partitions are rewritten as
@@ -248,7 +305,7 @@ class VersionedLakeTable(TxnLedger):
                 for r in affected.select(*self.partition_cols).distinct().collect()
             ]
             if not parts:
-                return self._commit("delete_where(noop)", live, schema)
+                return self._commit("delete_where(noop)", live, schema, expected_version=latest)
             prefixes = tuple(
                 _partition_prefix(self.partition_cols, p) for p in parts
             )
@@ -260,14 +317,10 @@ class VersionedLakeTable(TxnLedger):
         else:
             dead = set(live)
             survivors = current.filter(keep_pred)
-        before = self._data_files()
-        writer = survivors.write.mode("append")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.path)
-        added = self._data_files() - before
-        self.spark.catalog.refreshByPath(self.path)
-        return self._commit("delete_where", (live - dead) | added, schema)
+        added = self._staged_write(survivors)
+        return self._commit(
+            "delete_where", (live - dead) | added, schema, expected_version=latest
+        )
 
     def merge_upsert(
         self,
@@ -318,7 +371,7 @@ class VersionedLakeTable(TxnLedger):
             )
             parts = [tuple(r) for r in touched.collect()]
             if not parts:
-                return self._commit("merge_upsert(noop)", live, schema)
+                return self._commit("merge_upsert(noop)", live, schema, expected_version=latest)
             from .lake import _partition_filter
 
             prefixes = tuple(_partition_prefix(pcols, p) for p in parts)
@@ -332,14 +385,10 @@ class VersionedLakeTable(TxnLedger):
         else:
             dead = set(live)
             merged = current.join(all_keys, keys, "left_anti").unionByName(inserts)
-        before = self._data_files()
-        writer = merged.write.mode("append")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.path)
-        added = self._data_files() - before
-        self.spark.catalog.refreshByPath(self.path)
-        return self._commit("merge_upsert", (live - dead) | added, schema)
+        added = self._staged_write(merged)
+        return self._commit(
+            "merge_upsert", (live - dead) | added, schema, expected_version=latest
+        )
 
     # -- maintenance --------------------------------------------------------
 
@@ -383,18 +432,18 @@ class VersionedLakeTable(TxnLedger):
                 .option("basePath", self.path)
                 .parquet(*abs_files)
             )
-            before = self._data_files()
-            writer = df.coalesce(want).drop(*self.partition_cols).write.mode("append")
-            # Write directly into the partition directory (values are fixed
-            # within it), keeping the hive layout without re-shuffling.
-            target = os.path.join(self.path, d) if d else self.path
-            writer.parquet(target)
-            added = self._data_files() - before
+            # Stage into the partition directory (values are fixed within
+            # it), keeping the hive layout without re-shuffling.
+            added = self._staged_write(
+                df.coalesce(want).drop(*self.partition_cols),
+                subdir=d,
+                partitioned=False,
+            )
             new_live = (new_live - set(files)) | added
         if not rewrote:
             return -1
         self.spark.catalog.refreshByPath(self.path)
-        return self._commit("compact", new_live, schema)
+        return self._commit("compact", new_live, schema, expected_version=latest)
 
     def restore(self, version: int) -> int:
         """Delta RESTORE TABLE ... TO VERSION AS OF n: commit a NEW version
@@ -403,6 +452,7 @@ class VersionedLakeTable(TxnLedger):
         until vacuum, exactly Delta's semantics; a destructive log rewind
         would break time travel and concurrent readers). Refuses if any
         restored file has been vacuumed away in the meantime."""
+        head = self.latest_version()
         m = self._manifest(version)
         missing = [
             f for f in m["files"]
@@ -415,7 +465,10 @@ class VersionedLakeTable(TxnLedger):
                 "possible within the vacuum retention window"
             )
         return self._commit(
-            "restore", set(m["files"]), T.StructType.fromJson(m["schema"])
+            "restore",
+            set(m["files"]),
+            T.StructType.fromJson(m["schema"]),
+            expected_version=head,
         )
 
     def clone_to(self, dest_path: str) -> "VersionedLakeTable":

@@ -292,3 +292,50 @@ def test_restore_is_zero_copy_and_history_preserving(spark, tmp_path):
     t.vacuum(retain_last=1)
     with _pytest.raises(ValidationError):
         t.restore(2)
+
+
+def test_occ_concurrent_append_stress(spark, tmp_path):
+    """Two writers race appends for 12 rounds with retry-on-conflict: every
+    version number is won by exactly one commit, no append is lost, and the
+    final table holds precisely the union of all batches — the put-if-absent
+    log protocol under real thread interleaving, not just a staged
+    two-step conflict."""
+    import threading
+
+    from nyc_taxi_lakehouse_spark.versioned import (
+        ConcurrentCommitError,
+        VersionedLakeTable,
+    )
+
+    path = str(tmp_path / "occ")
+    VersionedLakeTable(spark, path, []).append(
+        spark.range(0, 1).selectExpr("id AS batch", "id AS writer")
+    )
+    rounds, conflicts = 12, [0, 0]
+
+    def writer(w: int) -> None:
+        t = VersionedLakeTable(spark, path, [])
+        for r in range(rounds):
+            batch = spark.range(1).selectExpr(
+                f"CAST({r + 1} AS BIGINT) AS batch", f"CAST({w} AS BIGINT) AS writer"
+            )
+            while True:
+                try:
+                    t.append(batch)
+                    break
+                except ConcurrentCommitError:
+                    conflicts[w] += 1
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    t = VersionedLakeTable(spark, path, [])
+    # every append landed exactly once
+    rows = t.read().groupBy("batch", "writer").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    assert t.read().count() == 1 + 2 * rounds
+    # version numbers are a gapless sequence: one winner per version
+    assert t.versions() == list(range(1, 2 + 2 * rounds))
