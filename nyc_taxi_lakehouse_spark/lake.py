@@ -107,7 +107,13 @@ class TxnLedger:
 
 
 class LakeTable(TxnLedger):
-    """A partitioned parquet table with append / delete+append / merge."""
+    """A partitioned parquet table with append / delete+append / merge.
+
+    Concurrency contract: SINGLE WRITER (the reference's Airflow DAGs
+    serialize writers per table; streaming sinks get effectively-once via
+    the TxnLedger). Writers needing multi-writer safety use
+    VersionedLakeTable, whose commits are OCC-serialized (put-if-absent at
+    read-version+1) and whose data files land via private staging."""
 
     def __init__(self, spark: SparkSession, path: str, partition_cols: list[str] | None = None):
         from .fs import LakeFS
