@@ -518,7 +518,11 @@ class VersionedLakeTable(TxnLedger):
     def vacuum(self, retain_last: int = 1) -> int:
         """Physically delete files unreferenced by the newest ``retain_last``
         manifests, then drop the expired manifests (Delta VACUUM + log
-        retention in one). Returns the number of data files removed."""
+        retention in one). Also clears ``_staging`` leftovers from crashed
+        commits (underscore-prefixed, so invisible to readers and to the
+        orphan walk) — like Delta's VACUUM, this must not run concurrently
+        with in-flight writers, whose private staging dirs live there.
+        Returns the number of data files removed."""
         vs = self.versions()
         if not vs:
             return 0
@@ -528,6 +532,9 @@ class VersionedLakeTable(TxnLedger):
                 removed += 1
         for v in vs[: -max(1, retain_last)]:
             self.fs.delete(self._manifest_path(v))
+        staging = os.path.join(self.path, "_staging")
+        if self.fs.exists(staging):
+            self.fs.delete(staging, recursive=True)
         self.spark.catalog.refreshByPath(self.path)
         return removed
 
