@@ -383,3 +383,28 @@ def test_occ_concurrent_merge_stress(spark, tmp_path):
     assert len(rows) == 20
     assert all(v == rounds for v in rows.values()), rows
     assert t.versions() == list(range(1, 2 + 2 * rounds))
+
+
+def test_crashed_commit_staging_is_invisible_and_vacuumable(spark, tmp_path):
+    """A commit that died mid-staged-write leaves only a _staging dir:
+    readers and time travel are unaffected (underscore-prefixed = invisible
+    to scans and the orphan walk), a subsequent commit is unaffected, and
+    vacuum clears the leftovers."""
+    import os
+
+    from nyc_taxi_lakehouse_spark.versioned import VersionedLakeTable
+
+    t = VersionedLakeTable(spark, str(tmp_path / "crash"), [])
+    t.append(spark.range(5).selectExpr("id"))
+    # simulate the crash: stale staging with a parquet-looking file
+    stale = os.path.join(t.path, "_staging", "deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert t.read().count() == 5  # reader untouched
+    t.append(spark.range(5, 8).selectExpr("id"))  # next commit fine
+    assert t.read().count() == 8
+    assert t.orphans(retain_last=1) == set()  # staging invisible to the walk
+    t.vacuum(retain_last=1)
+    assert not os.path.exists(os.path.join(t.path, "_staging"))
+    assert t.read().count() == 8
