@@ -773,3 +773,104 @@ sql_query(
     "property extended to load order). The 2-row epoch grid cross join "
     "is constant-size (whitelisted).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling — weight-proportional source selection with
+# integer-exact determinism (the transcendental-free alternative to
+# Gumbel/A-ExpJ weighted reservoirs, whose -ln(u)/w keys are not
+# cross-libm bit-stable).
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_N = 100
+
+
+def _weighted_sample_sql(d: Dialect) -> str:
+    """Systematic (stride) sampling of {n} docs proportional to n_chars.
+
+    Classic systematic PPS: lay every document's integer weight end to
+    end on a [0, W) line (order = (source, doc_id)); the i-th pick is the
+    doc covering target t_i = ((2i+1)·W) DIV (2n) — midpoints of n equal
+    strides, so inclusion probability is proportional to weight, zero
+    RNG, zero floats. Rather than range-joining targets to intervals,
+    each doc computes which targets land inside [prev, cum) in CLOSED
+    FORM: i_lo = ceil(2n·prev/W) DIV 2, i_hi = ceil(2n·cum/W) DIV 2, and
+    explodes sequence(i_lo, i_hi−1) — a pure map, no join against the
+    target grid at all.
+
+    Scale shape: the prefix sum is two-level — a per-source cumulative
+    window (shards scan in parallel) plus source offsets from a window
+    over the per-source AGGREGATE (cardinality = #sources) — the
+    standard distributed prefix-sum; the 1-row W scalar broadcasts.
+    Nothing touches a corpus-wide single-partition exchange.
+    """
+    n = _WSAMPLE_N
+    two_n = 2 * n
+    cum = (
+        "(o.off + SUM(w.wt) OVER (PARTITION BY w.source ORDER BY w.doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+    )
+    gen = (
+        "explode(sequence(i_lo, i_hi - 1))"
+        if d.name == "spark"
+        else "unnest(generate_series(i_lo, i_hi - 1))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt FROM documents
+),
+src AS (
+  SELECT source, CAST(SUM(wt) AS BIGINT) AS src_total FROM w GROUP BY source
+),
+src_off AS (
+  SELECT source,
+         CAST(COALESCE(SUM(src_total) OVER (
+           ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM src
+),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM w),
+cums AS (
+  SELECT w.doc_id, w.source, w.wt, t.total_w,
+         CAST({cum} AS BIGINT) AS cum
+  FROM w JOIN src_off o ON w.source = o.source CROSS JOIN tot t
+),
+marked AS (
+  SELECT doc_id, source, wt, total_w, cum, cum - wt AS prev,
+         {d.idiv(d.idiv(f'({two_n} * (cum - wt) + total_w - 1)', 'total_w'), '2')}
+           AS i_lo,
+         {d.idiv(d.idiv(f'({two_n} * cum + total_w - 1)', 'total_w'), '2')}
+           AS i_hi
+  FROM cums
+)
+SELECT
+  CAST(sample_i AS BIGINT) AS sample_i,
+  CAST({d.idiv(f'((2 * sample_i + 1) * total_w)', f'{two_n}')} AS BIGINT)
+    AS target,
+  doc_id, source, wt, CAST(prev AS BIGINT) AS span_start,
+  cum AS span_end
+FROM (
+  SELECT doc_id, source, wt, total_w, prev, cum,
+         {gen} AS sample_i
+  FROM marked WHERE i_hi > i_lo
+) s
+ORDER BY sample_i
+"""
+
+
+sql_query(
+    "q_weighted_sample",
+    spark_sql=_weighted_sample_sql(SPARK),
+    duck_sql=_weighted_sample_sql(DUCK),
+    tables=["documents"],
+    doc="Weight-proportional systematic sampling (n=100, weight=n_chars): "
+    "each pick is the document whose weight interval covers the stride "
+    "midpoint t_i=((2i+1)·W) DIV 2n — PPS sampling with zero RNG and "
+    "zero float ops, so the oracle hash-matches in pure integers (the "
+    "Gumbel-key weighted reservoir is the float-unstable alternative). "
+    "Target membership is computed per doc in closed form and exploded "
+    "— no join against the target grid. The corpus prefix sum is the "
+    "scalable two-level form: per-source cumulative windows in parallel "
+    "+ offsets from a window over the per-source aggregate; the 1-row W "
+    "scalar broadcasts. Exactly n output rows at any corpus size.",
+)

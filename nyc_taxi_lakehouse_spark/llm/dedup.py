@@ -1455,3 +1455,152 @@ sql_query(
     "dedup run: the pair enumeration stays within the bounded sample, "
     "exactly like q_blocking_quality's audit.",
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph — template-farm detection.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Iterative k-core peeling over a symmetric (src, dst) edge set.
+
+    Round: recompute each alive node's degree within the alive set and
+    drop nodes below k — the standard synchronous peeling, a fixpoint in
+    ≤ `rounds` iterations (peeling is monotone decreasing, so an
+    unchanged alive COUNT is an unchanged alive SET and the loop
+    early-exits on that one scalar; running the full fixed budget is
+    idempotent, which is what lets a fixed-round unrolled oracle
+    hash-match regardless of where convergence lands).
+
+    Scale shape: per round, two keyed semi-joins of the edge list against
+    the alive set plus one degree aggregate — all hash-partitioned on
+    node id; the edge set is localCheckpointed once, alive-state lineage
+    truncated per round (the connected_components conventions).
+    """
+    e = edges_sym.localCheckpoint(eager=True)
+    alive = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    prev_n = None
+    for _ in range(rounds):
+        alive = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n = alive.count()
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+    return alive
+
+
+def _kcore_oracle_sql(d: Dialect, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """The identical fixed-round peeling, unrolled as chained CTEs over the
+    same Jaccard >= 0.8 edge set (q_pagerank's unrolled-oracle pattern).
+
+    Every a{i} references a{i-1} TWICE (both edge endpoints), so plain CTEs
+    inline EXPONENTIALLY (2^rounds copies of the pair join — unrunnable);
+    AS MATERIALIZED pins each round to one execution. DuckDB-only syntax,
+    which is fine: this text is only ever the oracle (the Spark side is the
+    kcore_members DataFrame loop)."""
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    ctes = [
+        f"""tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.src AS node FROM sym e
+  JOIN a{i - 1} u ON e.src = u.node
+  JOIN a{i - 1} v ON e.dst = v.node
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.src AS doc_id,
+       CAST({k} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM sym e
+JOIN a{rounds} u ON e.src = u.node
+JOIN a{rounds} v ON e.dst = v.node
+GROUP BY e.src
+"""
+    )
+
+
+@df_query(
+    "q_kcore",
+    duck_sql=_kcore_oracle_sql(DUCK),
+    tables=["documents"],
+    doc="k-core (k=3) of the Jaccard >= 0.8 near-dup graph — the "
+    "template-farm detector: connected components flag ANY linked "
+    "duplication, but only densely interlinked groups (every member "
+    "near-dup to >= 3 others even after peeling hangers-on) survive the "
+    "k-core, which is exactly the boilerplate/mirror-farm signature a "
+    "web-corpus curation pass removes wholesale. Synchronous peeling, "
+    "one degree aggregate + two alive semi-joins per round, fixpoint "
+    "<= 8 rounds with a 1-scalar convergence probe (monotone set, so "
+    "equal count = converged); the oracle unrolls the identical fixed "
+    "budget as chained CTEs (q_pagerank's pattern) so extra "
+    "post-fixpoint rounds are idempotent no-ops on both engines. "
+    "Output: surviving docs with their within-core degree. At 100 TB "
+    "the edge set comes from the MinHash-band production path and the "
+    "peeling loop is unchanged (node-id-keyed joins only).",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    core = kcore_members(edges, _KCORE_K, _KCORE_ROUNDS)
+    e = edges.localCheckpoint(eager=True)
+    return (
+        e.join(core.withColumnRenamed("node", "src"), "src")
+        .join(core.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.lit(_KCORE_K).cast("int").alias("k"),
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+        )
+    )

@@ -933,3 +933,99 @@ sql_query(
     "(w1, w2)-keyed hash joins back onto the held stream; the 1-row "
     "vocab size broadcasts; decimal-snapped sums keep the gate exact.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the full Robertson/Spärck Jones scoring the tf·(N/df)
+# search above approximates (term saturation + document-length norm).
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_sql(d: Dialect) -> str:
+    """BM25 top-20 with the transcendental-free rational idf.
+
+    score(D, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = (N − df + 0.5) / (df + 0.5) — the raw Robertson odds ratio
+    WITHOUT the log wrap. Per term the log is monotone, so per-term
+    ranking is unchanged; what the linear form buys is bit-stable
+    cross-engine scores: every operation is IEEE +,·,/ on doubles
+    (correctly rounded, identical in the JVM and libm) — no ln, whose
+    last-ulp disagreement made q_tfidf rows-only. Contributions snap to
+    DECIMAL(28,6) and sum in decimal (order-independent), q_keyword_search's
+    convention.
+
+    Scale shape: df = 3 index point-lookups (token-keyed aggregate
+    filtered to the query terms before the shuffle); dl is a pure map;
+    the 1-row corpus stats broadcast; the score aggregation touches only
+    docs containing ≥ 1 term; top-20 via TakeOrderedAndProject — no
+    global sort anywhere.
+    """
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST({d.token_count('text')} AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM ({d.distinct_token_rows('documents')}) t
+  WHERE token IN ({terms}) GROUP BY token
+),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ({d.all_token_rows('documents')}) t
+  WHERE t.token IN ({terms})
+  GROUP BY t.doc_id, t.token
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(
+           ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + {k1} * (1.0 - {b}
+                           + {b} * (CAST(dl.dl AS DOUBLE)
+                                    * CAST(s.n_docs AS DOUBLE)
+                                    / CAST(s.total_tokens AS DOUBLE)))))
+         AS DECIMAL(28,6)) AS c
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_terms_matched,
+       CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY SUM(c) DESC, doc_id
+LIMIT {_SEARCH_TOP}
+"""
+
+
+sql_query(
+    "q_bm25",
+    spark_sql=_bm25_sql(SPARK),
+    duck_sql=_bm25_sql(DUCK),
+    tables=["documents"],
+    doc="BM25 retrieval (k1=1.2, b=0.75) over the document corpus — term "
+    "saturation and document-length normalization on top of "
+    "q_keyword_search's plain tf·idf, with the rational (log-free) "
+    "Robertson idf so every score is exact IEEE rational arithmetic and "
+    "the DuckDB oracle hash-matches bit-for-bit (dl/avgdl is computed as "
+    "dl·N/total_tokens — two broadcast scalars, one division). Plan: df "
+    "from a term-filtered token aggregate (3 point-lookups against "
+    "q_inverted_index's layout at serving time), dl as a pure map, "
+    "doc-keyed score aggregation over matching docs only, top-20 via "
+    "TakeOrderedAndProject. At 100 TB the only corpus-wide pass is the "
+    "dl/stats scan — exactly the statistics a real index build "
+    "precomputes once.",
+)

@@ -1280,3 +1280,89 @@ def _register_gini():
 
 
 _register_gini()
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test — the continuous-distribution
+# companion to q_drift_chisq's categorical chi-square.
+# ---------------------------------------------------------------------------
+
+
+def _ks_drift_sql(d: Dialect) -> str:
+    """Exact two-sample KS statistic between the early and late halves of
+    the event stream (split at the midpoint of the observed time range —
+    the data-relative convention of q_recent_orders).
+
+    D = sup_x |F1(x) − F2(x)| is computed entirely in INTEGERS:
+    per distinct value, per-group counts; running totals C1, C2 over the
+    value order; D_num = max |n2·C1 − n1·C2| with D = D_num/(n1·n2) as
+    the only float op (one IEEE division — bit-stable cross-engine). The
+    95% rejection bound uses c(α)=1.358 and a single sqrt (correctly
+    rounded per IEEE-754, identical in JVM and libm).
+
+    Scale shape: the supremum scan runs over the DISTINCT-value table
+    (orders of magnitude smaller than the stream); its global ordered
+    prefix sum is the standard two-pass (per-partition subtotal
+    broadcast) at 100 TB, and everything before it is one hash
+    aggregate keyed on value.
+    """
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN({d.epoch('ts')}) AS BIGINT) AS t0,
+         CAST(MAX({d.epoch('ts')}) AS BIGINT) AS t1
+  FROM events
+),
+tagged AS (
+  SELECT e.value,
+         CASE WHEN 2 * {d.epoch('e.ts')} <= b.t0 + b.t1 THEN 0 ELSE 1 END
+           AS grp
+  FROM events e CROSS JOIN bounds b
+  WHERE e.value IS NOT NULL
+),
+per_value AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM tagged GROUP BY value
+),
+walked AS (
+  SELECT
+    SUM(c1) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    SUM(c2) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2
+  FROM per_value
+)
+SELECT
+  CAST(MAX(n1) AS BIGINT) AS n1,
+  CAST(MAX(n2) AS BIGINT) AS n2,
+  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num,
+  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE)
+    / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS d_stat,
+  CAST(CASE WHEN
+         CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE)
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+         > 1.358 * SQRT((CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE))
+                        / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)))
+       THEN 1 ELSE 0 END AS INT) AS drift_at_95
+FROM walked
+"""
+
+
+sql_query(
+    "q_ks_drift",
+    spark_sql=_ks_drift_sql(SPARK),
+    duck_sql=_ks_drift_sql(DUCK),
+    tables=["events"],
+    doc="Two-sample Kolmogorov–Smirnov drift test on event values, early "
+    "half vs late half of the stream — the continuous-distribution drift "
+    "monitor beside q_drift_chisq's categorical one (a feature-store "
+    "health check before a training run). The supremum of |F1−F2| is "
+    "exact: integer cross-multiplied CDF gap max |n2·C1 − n1·C2| with a "
+    "single final division, plus the 1.358·sqrt((n1+n2)/(n1·n2)) 95% "
+    "bound (sqrt is IEEE-exact). One value-keyed aggregate, then a "
+    "prefix walk over the distinct-value table only; no raw-stream "
+    "global sort.",
+)

@@ -134,6 +134,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q_schema_evolution",
     "q_session_stream",
     "q_dedup_clusters_star",
+    # round-3 continuation (this session) — queue behind the earlier
+    # never-checked queries; the checked-history rotation in all_queries()
+    # moves them into the cap as older entries earn driver rows.
+    "q_bm25",
+    "q_ks_drift",
+    "q_weighted_sample",
+    "q_kcore",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---
@@ -273,10 +280,63 @@ def all_queries() -> dict[str, QuerySpec]:
     from .streaming import batch_equiv  # noqa: F401
     from .streaming import replay  # noqa: F401
 
-    ordered: dict[str, QuerySpec] = {}
+    base: dict[str, QuerySpec] = {}
     for name in _DRIVER_PRIORITY:
         if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+            base[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
+        base.setdefault(name, spec)
+
+    # Driver-cap rotation: the driver's correctness harness only records
+    # rows for the FIRST ~50 queries in iteration order, but the registry
+    # holds ~190. Rather than hand-curating the cap every round, promote
+    # queries that have NEVER received a clean driver row (per the
+    # accumulated CORRECTNESS_r*.json history in the repo root) ahead of
+    # already-checked ones, preserving _DRIVER_PRIORITY order within each
+    # class. Over successive rounds this rotates the whole registry
+    # through the driver gate; locally everything is still verified by
+    # tests/test_oracle_parity.py at two SFs regardless of position.
+    checked = _driver_checked_names()
+    ordered: dict[str, QuerySpec] = {}
+    for name, spec in base.items():
+        if name not in checked:
+            ordered[name] = spec
+    for name, spec in base.items():
         ordered.setdefault(name, spec)
     return ordered
+
+
+def _driver_checked_names() -> set[str]:
+    """Names with a clean row in any driver CORRECTNESS_r*.json so far.
+
+    A row counts as checked when the harness completed without error and
+    nothing mismatched ('no_oracle' is the rows-only path completing, not
+    a failure). Crashed or mismatching rows stay unchecked so the query
+    is re-presented inside the cap next round.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err is not None and err != "no_oracle":
+                continue
+            if row.get("rows_match") is False or row.get("hash_match") is False:
+                continue
+            if row.get("schema_match") is False:
+                continue
+            checked.add(name)
+    return checked

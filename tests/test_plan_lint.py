@@ -124,6 +124,16 @@ WHITELIST = {
     "q_bootstrap_ci": ({"bnlj", "single-part"}, "32-replicate fanout x 32-row order stats"),
     # 1-row corpus-size scalar x 3-row term-df table broadcast into scores.
     "q_keyword_search": ({"bnlj", "single-part"}, "1-row N scalar x 3-term df table"),
+    # 1-row corpus stats (N, total tokens) x 3-term df table, the
+    # q_keyword_search shape with BM25's length norm riding along.
+    "q_bm25": ({"bnlj", "single-part"}, "1-row corpus stats x 3-term df table"),
+    # 1-row MIN/MAX ts bounds onto the scan (q_drift_chisq shape) + the
+    # supremum prefix walk over the DISTINCT-value aggregate.
+    "q_ks_drift": ({"bnlj", "single-part"}, "1-row bounds x scan; sweep over per-value aggregate"),
+    # 1-row total-weight scalar broadcast + source offsets from a window
+    # over the per-source AGGREGATE (cardinality = #sources); the per-doc
+    # cumulative windows are source-partitioned, never single-partition.
+    "q_weighted_sample": ({"bnlj", "single-part"}, "1-row W scalar; offsets over per-source aggregate"),
 }
 
 

@@ -214,13 +214,18 @@ def test_zorder_clustering_tightens_file_stats(spark, tmp_path):
     z_x, z_y = avg_range(str(tmp_path / "zorder"), "x"), avg_range(str(tmp_path / "zorder"), "y")
     s_x, s_y = avg_range(str(tmp_path / "xsort"), "x"), avg_range(str(tmp_path / "xsort"), "y")
     # The x-sorted layout is near-perfect on x but useless on y (full 0-255
-    # span per file). Z-order must be selective on BOTH: each of the 8 files
-    # covers ~a quadrant-tree cell, so both spans should be well under the
-    # full domain, and y must improve dramatically over the x-sort.
+    # span per file). Z-order must be selective on BOTH: 8 files = 3 z-bits
+    # = quadtree cells of 1/4 domain in one dimension and 1/2 in the other
+    # (+ boundary slop from range-partition edges), so the weaker dimension
+    # is bounded by ~0.62·full (observed 153/255 = 0.60 exactly — the old
+    # strict-< 0.6 bound failed on that tie), and y must still improve
+    # dramatically over the x-sort's full-domain span.
     full = 255
     assert s_y > 0.9 * full  # sanity: single-col sort leaves y unclustered
-    assert z_y < 0.6 * full, f"zorder y span {z_y}"
-    assert z_x < 0.6 * full, f"zorder x span {z_x}"
+    assert z_y < 0.7 * full, f"zorder y span {z_y}"
+    assert z_x < 0.7 * full, f"zorder x span {z_x}"
+    assert z_x + z_y < 1.15 * full, f"combined zorder span {z_x + z_y}"
+    assert z_y < 0.7 * s_y, f"zorder y {z_y} not better than x-sort y {s_y}"
 
 
 def test_runtime_bloom_filter_join_pruning(spark):
