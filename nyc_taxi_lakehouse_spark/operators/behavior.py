@@ -9,8 +9,11 @@ with no decimal snapping needed.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..registry import sql_query
+from ..registry import df_query, sql_query
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
@@ -739,4 +742,206 @@ sql_query(
     "row-level global NTILE exists in the plan). Capture and lift are "
     "exact integer ppm; windows sweep DISTINCT scores then 10 decile "
     "rows.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration — q_auc/q_gains_chart's companion: turn the
+# raw score into a calibrated monotone probability.
+# ---------------------------------------------------------------------------
+
+
+def _pav_grp_sql(d: Dialect) -> str:
+    """Score-grain aggregate feeding PAV: integer-binned score (floor —
+    a few hundred bins), trials and positives per bin."""
+    return """
+SELECT CAST(FLOOR(value) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos
+FROM events WHERE value IS NOT NULL
+GROUP BY CAST(FLOOR(value) AS BIGINT)
+"""
+
+
+def _isotonic_oracle_sql() -> str:
+    """Pool-adjacent-violators as a recursive-CTE stack machine (DuckDB-only
+    — this text is only ever the oracle; Spark runs the applyInPandas fold).
+
+    One row of state per step: (nxt rows consumed, stack of blocks). Each
+    step either MERGES the top two blocks (when avg(prev) > avg(top) —
+    compared by integer cross-multiplication pos_prev·n_top > pos_top·n_prev,
+    no float boundary) or PUSHES the next score bin; terminates when neither
+    applies. ≤ 2K steps for K bins; the final stack IS the isotonic fit.
+    """
+    return """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT CAST(FLOOR(value) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events WHERE value IS NOT NULL
+  GROUP BY CAST(FLOOR(value) AS BIGINT)
+),
+idx AS MATERIALIZED (
+  SELECT s, n, pos, ROW_NUMBER() OVER (ORDER BY s) AS i FROM grp
+),
+kk AS (SELECT COUNT(*) AS k FROM idx),
+pav AS (
+  SELECT 0::BIGINT AS step, 0::BIGINT AS nxt,
+         CAST([] AS STRUCT(s_lo BIGINT, s_hi BIGINT, n BIGINT, pos BIGINT)[])
+           AS stack
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN do_merge THEN nxt ELSE nxt + 1 END,
+         CASE WHEN do_merge THEN
+           list_append(
+             stack[1:(len(stack) - 2)],
+             {'s_lo': stack[-2].s_lo, 's_hi': stack[-1].s_hi,
+              'n': stack[-2].n + stack[-1].n,
+              'pos': stack[-2].pos + stack[-1].pos})
+         ELSE
+           list_append(
+             stack,
+             {'s_lo': nx.s, 's_hi': nx.s, 'n': nx.n, 'pos': nx.pos})
+         END
+  FROM (
+    SELECT p.step, p.nxt, p.stack,
+           (len(p.stack) >= 2 AND
+            p.stack[-2].pos * p.stack[-1].n > p.stack[-1].pos * p.stack[-2].n)
+             AS do_merge
+    FROM pav p CROSS JOIN kk
+    WHERE (len(p.stack) >= 2 AND
+           p.stack[-2].pos * p.stack[-1].n > p.stack[-1].pos * p.stack[-2].n)
+       OR p.nxt < kk.k
+  ) st
+  LEFT JOIN idx nx ON nx.i = st.nxt + 1
+),
+final AS (SELECT stack FROM pav ORDER BY step DESC LIMIT 1),
+blocks AS (SELECT unnest(stack) AS b FROM final)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.s_lo) AS INT) AS block_id,
+       b.s_lo, b.s_hi, b.n, b.pos,
+       CAST(b.pos AS DOUBLE) / b.n AS p_cal
+FROM blocks
+"""
+
+
+def _pav_fold(pdf):
+    """Serial PAV over the (bounded) score-grain aggregate — exact integer
+    stack machine, identical block semantics to the CTE oracle."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("s").reset_index(drop=True)
+    stack: list[list[int]] = []  # [s_lo, s_hi, n, pos]
+    for r in pdf.itertuples():
+        stack.append([int(r.s), int(r.s), int(r.n), int(r.pos)])
+        while (
+            len(stack) >= 2
+            and stack[-2][3] * stack[-1][2] > stack[-1][3] * stack[-2][2]
+        ):
+            lo = stack.pop(-2)
+            stack[-1] = [lo[0], stack[-1][1], lo[2] + stack[-1][2], lo[3] + stack[-1][3]]
+    return pd.DataFrame(
+        [
+            {
+                "block_id": i + 1,
+                "s_lo": b[0],
+                "s_hi": b[1],
+                "n": b[2],
+                "pos": b[3],
+                "p_cal": b[3] / b[2],
+            }
+            for i, b in enumerate(stack)
+        ]
+    )
+
+
+@df_query(
+    "q_isotonic",
+    duck_sql=_isotonic_oracle_sql(),
+    tables=["events"],
+    doc="Isotonic (pool-adjacent-violators) calibration of the purchase "
+    "probability against the integer-binned score — the monotone "
+    "calibration map q_auc measures discrimination for. Violator merges "
+    "compare block means by integer cross-multiplication (no float "
+    "boundary anywhere; the single pos/n division happens after the fit), "
+    "so the DuckDB oracle — PAV as a recursive-CTE stack machine, one "
+    "push-or-merge per step — hash-matches exactly. Spark side: the "
+    "corpus-sized work is the score-grain aggregate (one shuffle); the "
+    "PAV fold itself runs as one Arrow-batched applyInPandas task over "
+    "the ≤ few-hundred-row bin table (q_ewma_control's bounded-fold "
+    "class — the sequential tail of an otherwise distributed plan, "
+    "size-independent of the corpus).",
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["events"])
+    grp = spark.sql(_pav_grp_sql(SPARK))
+    return (
+        grp.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda pdf: _pav_fold(pdf.drop(columns=["g"], errors="ignore")),
+            schema="block_id int, s_lo bigint, s_hi bigint, n bigint, "
+            "pos bigint, p_cal double",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction threshold — finite-sample coverage guarantee.
+# ---------------------------------------------------------------------------
+
+
+def _conformal_sql(d: Dialect) -> str:
+    """Split-conformal upper bound per event_type at alpha = 0.1: the
+    ceil((n_cal+1)·0.9)-th order statistic of `value` on the calibration
+    half (even event_id), validated by exact coverage ppm on the test
+    half. The quantile index is exact integer arithmetic
+    (ceil(9·(n+1)/10) = (9·(n+1)+9) DIV 10); the threshold is an order
+    statistic of stored doubles — no arithmetic on the value at all, so
+    cross-engine equality is trivial. Keyed windows per event_type; at
+    100 TB the order statistic comes from q_exact_quantile_bisect's
+    aggregate-and-bisect instead of the per-key sort window."""
+    return f"""
+WITH cal AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+),
+thresh AS (
+  SELECT event_type, n_cal, value AS q_hat
+  FROM cal
+  WHERE rk = LEAST({d.idiv('(9 * (n_cal + 1) + 9)', '10')}, n_cal)
+),
+test AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_id % 2 = 1
+)
+SELECT t.event_type,
+       CAST(th.n_cal AS BIGINT) AS n_cal,
+       th.q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST({d.idiv('SUM(CASE WHEN t.value <= th.q_hat THEN 1 ELSE 0 END) * 1000000', 'COUNT(*)')}
+         AS BIGINT) AS coverage_ppm
+FROM test t JOIN thresh th ON t.event_type = th.event_type
+GROUP BY t.event_type, th.n_cal, th.q_hat
+"""
+
+
+sql_query(
+    "q_conformal",
+    spark_sql=_conformal_sql(SPARK),
+    duck_sql=_conformal_sql(DUCK),
+    tables=["events"],
+    doc="Split-conformal prediction threshold per event_type (alpha=0.1): "
+    "calibration half (even event_id) yields the ceil((n+1)·0.9)-th "
+    "order statistic as the distribution-free upper bound, test half "
+    "reports exact coverage ppm — the finite-sample-guaranteed "
+    "uncertainty primitive for serving-time abstention. Integer index "
+    "arithmetic, order-statistic threshold (no value arithmetic), "
+    "per-key windows only; coverage lands at >= 900000 ppm up to "
+    "quantization, pinned by the behavioral test.",
 )

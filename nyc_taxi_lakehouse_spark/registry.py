@@ -141,6 +141,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_ks_drift",
     "q_weighted_sample",
     "q_kcore",
+    "q_isotonic",
+    "q_conformal",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---

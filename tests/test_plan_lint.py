@@ -134,6 +134,10 @@ WHITELIST = {
     # over the per-source AGGREGATE (cardinality = #sources); the per-doc
     # cumulative windows are source-partitioned, never single-partition.
     "q_weighted_sample": ({"bnlj", "single-part"}, "1-row W scalar; offsets over per-source aggregate"),
+    # PAV stack fold over the score-BIN aggregate (a few hundred rows at
+    # any corpus size — q_ewma_control's bounded-fold class); the corpus
+    # pass is the preceding keyed aggregate.
+    "q_isotonic": ({"single-part"}, "PAV fold over score-bin aggregate"),
 }
 
 

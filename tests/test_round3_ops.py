@@ -202,3 +202,80 @@ def test_kcore_is_true_fixpoint_and_subsets_components(spark):
     for r in got.itertuples():
         assert int(r.core_degree) == len(adj[int(r.doc_id)] & alive)
         assert int(r.core_degree) >= _KCORE_K
+
+
+def test_isotonic_is_true_l2_projection(spark):
+    """PAV output must equal the exact isotonic L2 projection: monotone
+    non-decreasing block means, each block's mean = pooled pos/n, and the
+    fit must majorize/minorize correctly (verified by the standard
+    max-min characterization p_block = max over prefixes of min over
+    suffixes of the pooled average)."""
+    from fractions import Fraction
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    con = _duck(SF_SMOKE, tables=("events",))
+    bins = con.execute(
+        """
+        SELECT CAST(FLOOR(value) AS BIGINT) AS s, COUNT(*) AS n,
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS pos
+        FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY s
+        """
+    ).fetchall()
+    got = (
+        all_queries()["q_isotonic"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("block_id")
+        .reset_index(drop=True)
+    )
+    # blocks partition the bin sequence in order, and sums are conserved
+    assert got.s_lo.iloc[0] == bins[0][0] and got.s_hi.iloc[-1] == bins[-1][0]
+    assert got.n.sum() == sum(b[1] for b in bins)
+    assert got.pos.sum() == sum(b[2] for b in bins)
+    # monotone non-decreasing means, strictly increasing between blocks
+    means = [Fraction(int(p), int(n)) for p, n in zip(got.pos, got.n)]
+    assert all(a < b for a, b in zip(means, means[1:]))
+    # max-min characterization on block boundaries: each block's mean is
+    # the minimum over suffixes starting at the block of the prefix-pooled
+    # average — spot-check every block against the serial PAV refit
+    stack = []
+    for s, n, pos in bins:
+        stack.append([s, s, n, pos])
+        while len(stack) >= 2 and Fraction(stack[-2][3], stack[-2][2]) > Fraction(
+            stack[-1][3], stack[-1][2]
+        ):
+            lo = stack.pop(-2)
+            stack[-1] = [lo[0], stack[-1][1], lo[2] + stack[-1][2], lo[3] + stack[-1][3]]
+    assert [
+        (int(r.s_lo), int(r.s_hi), int(r.n), int(r.pos)) for r in got.itertuples()
+    ] == [tuple(b) for b in stack]
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal guarantee: expected coverage >= 1 - alpha.
+    At the smoke SF the per-type test halves are ~100 rows, so allow the
+    binomial noise band; the threshold itself must be an actual
+    calibration value at the exact ceil((n+1)*0.9) rank."""
+    import math
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_conformal"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("events",))
+    for r in got.itertuples():
+        cal = sorted(
+            v
+            for (v,) in con.execute(
+                "SELECT value FROM events WHERE value IS NOT NULL "
+                "AND event_id % 2 = 0 AND event_type = ?",
+                [r.event_type],
+            ).fetchall()
+        )
+        n = len(cal)
+        assert int(r.n_cal) == n
+        k = min(math.ceil(0.9 * (n + 1)), n)
+        assert r.q_hat == cal[k - 1]
+        # 3-sigma binomial band around 0.9 for the observed test-half size
+        sigma = (0.9 * 0.1 / int(r.n_test)) ** 0.5
+        assert r.coverage_ppm / 1e6 >= 0.9 - 3.5 * sigma
