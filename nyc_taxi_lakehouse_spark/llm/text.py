@@ -957,33 +957,43 @@ def _bm25_sql(d: Dialect) -> str:
     DECIMAL(28,6) and sum in decimal (order-independent), q_keyword_search's
     convention.
 
-    Scale shape: df = 3 index point-lookups (token-keyed aggregate
-    filtered to the query terms before the shuffle); dl is a pure map;
-    the 1-row corpus stats broadcast; the score aggregation touches only
-    docs containing ≥ 1 term; top-20 via TakeOrderedAndProject — no
-    global sort anywhere.
+    Scale shape: ONE corpus scan computes (dl, query-filtered token
+    array) per doc — the filter runs on the array BEFORE any explode, so
+    the generator emits only matching occurrences (~the posting lists,
+    not the token stream); df falls out of tf (count of docs per term),
+    dl rides through the explode as a grouping key (functionally
+    dependent on doc_id — no join-back scan), the 1-row corpus stats
+    broadcast, and top-20 goes through TakeOrderedAndProject. Two scans
+    total (postings + corpus stats), no global sort.
     """
     terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
     k1, b = _BM25_K1, _BM25_B
+    toks = d.split_tokens("text")
+    if d.name == "spark":
+        qtoks = f"filter({toks}, x -> x IN ({terms}))"
+        gen = "explode(qtoks)"
+    else:
+        qtoks = f"list_filter({toks}, x -> x IN ({terms}))"
+        gen = "unnest(qtoks)"
     return f"""
-WITH dl AS (
-  SELECT doc_id, CAST({d.token_count('text')} AS BIGINT) AS dl FROM documents
+WITH base AS (
+  SELECT doc_id,
+         CAST({d.arr_len(toks)} AS BIGINT) AS dl,
+         {qtoks} AS qtoks
+  FROM documents
 ),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dl) AS BIGINT) AS total_tokens
-  FROM dl
-),
-df AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-  FROM ({d.distinct_token_rows('documents')}) t
-  WHERE token IN ({terms}) GROUP BY token
+  FROM base
 ),
 tf AS (
-  SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM ({d.all_token_rows('documents')}) t
-  WHERE t.token IN ({terms})
-  GROUP BY t.doc_id, t.token
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, {gen} AS token FROM base) t
+  GROUP BY doc_id, dl, token
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
 ),
 contrib AS (
   SELECT tf.doc_id,
@@ -992,13 +1002,12 @@ contrib AS (
            * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
               / (CAST(tf.tf AS DOUBLE)
                  + {k1} * (1.0 - {b}
-                           + {b} * (CAST(dl.dl AS DOUBLE)
+                           + {b} * (CAST(tf.dl AS DOUBLE)
                                     * CAST(s.n_docs AS DOUBLE)
                                     / CAST(s.total_tokens AS DOUBLE)))))
          AS DECIMAL(28,6)) AS c
   FROM tf
   JOIN df ON tf.token = df.token
-  JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s
 )
 SELECT doc_id,
