@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detsql import DUCK, SPARK, Dialect
+from ..functions.detsql import DUCK, SPARK, Dialect, dec2
 from ..registry import df_query, sql_query
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -944,4 +944,210 @@ sql_query(
     "arithmetic, order-statistic threshold (no value arithmetic), "
     "per-key windows only; coverage lands at >= 900000 ppm up to "
     "quantization, pinned by the behavioral test.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival with right-censoring — churn curves done properly.
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000_000_000  # 1e12 fixed-point survival grid
+_KM_HORIZON_H = 48  # administrative-censoring horizon (hours)
+
+
+def _km_steps_sql(d: Dialect) -> str:
+    """Shared step table (both engines): per-user time-to-first-purchase in
+    HOURS from the user's first event; administratively right-censored at
+    the 48 h horizon (conversion later than 48 h — or never — is censored
+    at 48, the textbook fixed-window design that keeps every subject's
+    follow-up complete). Per distinct conversion hour t: deaths d,
+    censored c, at-risk n = users with follow-up ≥ t (suffix sum over the
+    ≤49-row hour grain)."""
+    hour = f"CAST({d.epoch('ts')} AS BIGINT)"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         {d.idiv(f'MIN({hour})', '3600')} AS first_h,
+         {d.idiv(f"MIN(CASE WHEN event_type = 'purchase' THEN {hour} END)", '3600')}
+           AS conv_h
+  FROM events GROUP BY user_id
+),
+lives AS (
+  SELECT user_id,
+         CASE WHEN conv_h IS NOT NULL AND conv_h - first_h <= {_KM_HORIZON_H}
+              THEN conv_h - first_h ELSE {_KM_HORIZON_H} END AS t,
+         CASE WHEN conv_h IS NOT NULL AND conv_h - first_h <= {_KM_HORIZON_H}
+              THEN 1 ELSE 0 END AS died
+  FROM per_user
+),
+grain AS (
+  SELECT t,
+         CAST(SUM(died) AS BIGINT) AS d,
+         CAST(SUM(1 - died) AS BIGINT) AS c
+  FROM lives GROUP BY t
+),
+steps AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (
+           ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_at_risk
+  FROM grain
+)
+SELECT t, d, c, n_at_risk FROM steps WHERE d > 0
+"""
+
+
+def _km_oracle_sql() -> str:
+    """DuckDB oracle: the identical integer fixed-point product recurrence
+    S_i = (S_{{i-1}}·(n_i − d_i)) DIV n_i as a linear recursive CTE over the
+    ordered death times (q_pagerank's exact-integer convention — no float
+    product, so the hash gate is bit-exact)."""
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY t) AS i, t, d, c, n_at_risk
+  FROM ({_km_steps_sql(DUCK)}) s
+),
+rec AS (
+  SELECT 0::BIGINT AS i, 0::BIGINT AS t, 0::BIGINT AS d, 0::BIGINT AS c,
+         0::BIGINT AS n_at_risk, CAST({_KM_SCALE} AS BIGINT) AS surv_fp
+  UNION ALL
+  SELECT b.i, b.t, b.d, b.c, b.n_at_risk,
+         CAST((r.surv_fp * (b.n_at_risk - b.d)) // b.n_at_risk AS BIGINT)
+  FROM rec r JOIN base b ON b.i = r.i + 1
+)
+SELECT t, d, c, n_at_risk, surv_fp,
+       CAST(surv_fp AS DOUBLE) / {_KM_SCALE} AS survival
+FROM rec WHERE i > 0
+"""
+
+
+def _km_fold(pdf):
+    """Bounded fold over the ≤49 death-time rows: same integer recurrence."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t").reset_index(drop=True)
+    surv = _KM_SCALE
+    out = []
+    for r in pdf.itertuples():
+        surv = (surv * (int(r.n_at_risk) - int(r.d))) // int(r.n_at_risk)
+        out.append(
+            {
+                "t": int(r.t),
+                "d": int(r.d),
+                "c": int(r.c),
+                "n_at_risk": int(r.n_at_risk),
+                "surv_fp": surv,
+                "survival": surv / _KM_SCALE,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+@df_query(
+    "q_kaplan_meier",
+    duck_sql=_km_oracle_sql(),
+    tables=["events"],
+    doc="Kaplan–Meier time-to-first-purchase curve with RIGHT CENSORING "
+    "(administrative 48 h horizon: users converting later — or never — "
+    "are censored at 48, not counted as non-converters — the bias "
+    "q_retention's naive rates carry). Survival is the exact integer fixed-point recurrence "
+    "S_i = (S_{i-1}·(n_i−d_i)) DIV n_i on a 1e12 grid (q_pagerank's "
+    "convention), so the DuckDB oracle — the same recurrence as a linear "
+    "recursive CTE — hash-matches bit-for-bit. Corpus-scale work is one "
+    "user-keyed aggregate; the at-risk suffix sum and the product fold "
+    "run on the ≤49-row hour grain (bounded-fold class, one Arrow task). "
+    "At 100 TB only the per-user aggregate grows; the curve stays "
+    "horizon-sized.",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["events"])
+    steps = spark.sql(_km_steps_sql(SPARK))
+    return (
+        steps.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda pdf: _km_fold(pdf.drop(columns=["g"], errors="ignore")),
+            schema="t bigint, d bigint, c bigint, n_at_risk bigint, "
+            "surv_fp bigint, survival double",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend — median-of-pairwise-slopes over daily revenue.
+# ---------------------------------------------------------------------------
+
+
+def _theilsen_sql(d: Dialect) -> str:
+    """Theil–Sen estimator on the day-grain revenue series: slope = LOWER
+    MEDIAN of the ~|days|²/2 pairwise slopes (y_j−y_i)/(x_j−x_i), intercept
+    = lower median of y_i − slope·x_i. Every slope is one IEEE division of
+    exact integers (revenue snapped to cents, day index integer) — no
+    transcendental anywhere, and lower-median order statistics make the
+    selection tie-safe, so the gate is hash-exact.
+
+    Scale shape: the quadratic is over the per-DAY aggregate — bounded by
+    the calendar (2.4k days → ~3M pairs), NOT by data volume; at 100 TB
+    the day grain is identical and only the one keyed rollup grows."""
+    day = "CAST(o_orderdate AS DATE)"
+    if d.name == "spark":
+        daynum = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+    else:
+        daynum = "CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {daynum} AS x,
+         CAST(SUM(CAST({dec2('o_totalprice')} * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS y_cents
+  FROM orders GROUP BY {daynum}
+),
+slopes AS (
+  SELECT (CAST(b.y_cents - a.y_cents AS DOUBLE) / (b.x - a.x)) / 100.0
+           AS slope
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+slope_pick AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk,
+         COUNT(*) OVER () AS n_pairs
+  FROM slopes
+),
+sl AS (
+  SELECT slope AS theil_slope, n_pairs FROM slope_pick
+  WHERE rk = {d.idiv('(n_pairs + 1)', '2')}
+),
+resid AS (
+  SELECT (CAST(dd.y_cents AS DOUBLE) / 100.0) - s.theil_slope * dd.x
+           AS r0,
+         s.theil_slope, s.n_pairs
+  FROM daily dd CROSS JOIN sl s
+),
+resid_pick AS (
+  SELECT r0, theil_slope, n_pairs,
+         ROW_NUMBER() OVER (ORDER BY r0) AS rk, COUNT(*) OVER () AS n_days
+  FROM resid
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       theil_slope AS slope_per_day,
+       r0 AS intercept
+FROM resid_pick
+WHERE rk = {d.idiv('(n_days + 1)', '2')}
+"""
+
+
+sql_query(
+    "q_theilsen",
+    spark_sql=_theilsen_sql(SPARK),
+    duck_sql=_theilsen_sql(DUCK),
+    tables=["orders"],
+    doc="Theil–Sen robust trend of daily order revenue — the median-of-"
+    "pairwise-slopes estimator that shrugs off the outlier days OLS "
+    "(q_regression) chases (29.3% breakdown point). Slopes are single "
+    "IEEE divisions of exact integer cents/day-index deltas; slope and "
+    "intercept are LOWER-MEDIAN order statistics (tie-safe, no "
+    "interpolation averaging) — hash-exact cross-engine. The quadratic "
+    "pair join and the median sweeps run entirely on the per-day "
+    "AGGREGATE (calendar-bounded: ~2.4k days → ~3M pairs at ANY data "
+    "volume); the only corpus-scale stage is the day rollup.",
 )

