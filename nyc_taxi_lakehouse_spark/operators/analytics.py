@@ -1366,3 +1366,108 @@ sql_query(
     "prefix walk over the distinct-value table only; no raw-stream "
     "global sort.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across groups — batch-effect correction for scores
+# coming from heterogeneous sources.
+# ---------------------------------------------------------------------------
+
+
+def _quantile_norm_sql(d: Dialect) -> str:
+    """Map each event_type's value distribution onto the POOLED value
+    distribution by rank: a value at (doubled) midrank m2 within its type
+    (m2 = 2·cum − c + 1 over the type's n_g rows) normalizes to the pooled
+    order statistic at index i = ceil(m2·N / (2·n_g)) — the rank-based
+    batch-effect correction (microarray quantile normalization) that makes
+    per-source quality scores comparable before a global threshold.
+
+    Everything is value-DOMAIN grain: per-(type, value) and per-value
+    aggregates with cumulative windows; the index→order-statistic lookup
+    is the union-and-backfill trick (pooled rows sit at pos = their
+    cumulative count; each query row at pos = i takes the FIRST pooled
+    value at pos ≥ i via one descending last-ignore-nulls window) — no
+    range join, no row-grain global sort. Ties share a midrank so the map
+    is deterministic with no arbitrary within-tie ordering; the only
+    per-row ops are integer arithmetic and order-statistic lookups of
+    stored doubles — hash-exact."""
+    last_pooled = (
+        "last(pv, true)" if d.name == "spark" else "last_value(pv IGNORE NULLS)"
+    )
+    return f"""
+WITH pooled AS (
+  SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM events WHERE value IS NOT NULL GROUP BY value
+),
+pooled_cum AS (
+  SELECT v, pc,
+         CAST(SUM(pc) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS pcum,
+         CAST(SUM(pc) OVER () AS BIGINT) AS n_total
+  FROM pooled
+),
+typed AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
+),
+typed_cum AS (
+  SELECT event_type, v, c,
+         CAST(SUM(c) OVER (
+           PARTITION BY event_type
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+  FROM typed
+),
+queries AS (
+  SELECT event_type, v, c,
+         {d.idiv('((2 * cum - c + 1) * n_total + 2 * n_g - 1)', '(2 * n_g)')}
+           AS pos
+  FROM typed_cum CROSS JOIN (SELECT DISTINCT n_total FROM pooled_cum) nt
+),
+lane AS (
+  SELECT pcum AS pos, v AS pv,
+         CAST(NULL AS STRING) AS event_type,
+         CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS c, 0 AS tag
+  FROM pooled_cum
+  UNION ALL
+  SELECT pos, CAST(NULL AS DOUBLE) AS pv, event_type, v, c, 1 AS tag
+  FROM queries
+),
+filled AS (
+  SELECT event_type, v, c, tag,
+         {last_pooled} OVER (
+           ORDER BY pos DESC, tag ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS v_norm
+  FROM lane
+)
+SELECT event_type, v AS value, c AS n_rows, v_norm
+FROM filled WHERE tag = 1
+"""
+
+
+def _register_quantile_norm():
+    from ..registry import sql_query
+
+    qn = _quantile_norm_sql
+    sql_query(
+        "q_quantile_norm",
+        spark_sql=qn(SPARK).replace("CAST(NULL AS STRING)", "CAST(NULL AS STRING)"),
+        duck_sql=qn(DUCK).replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)"),
+        tables=["events"],
+        doc="Quantile normalization of per-type score distributions onto "
+        "the pooled distribution (rank-based batch-effect correction): a "
+        "value at doubled midrank m2 within its event_type maps to the "
+        "pooled order statistic at ceil(m2·N/(2·n_g)). All work is at "
+        "value-DOMAIN grain (per-value aggregates + cumulative windows, "
+        "q_auc's boundedness class), and the index lookup is a "
+        "union-and-backfill window instead of a range join. Ties share a "
+        "midrank (deterministic, no within-tie order), arithmetic is "
+        "integer, normalized values are order statistics of stored "
+        "doubles — hash-exact.",
+    )
+
+
+_register_quantile_norm()

@@ -145,6 +145,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_conformal",
     "q_kaplan_meier",
     "q_theilsen",
+    "q_quantile_norm",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---

@@ -144,6 +144,9 @@ WHITELIST = {
     # Quadratic pair join + median sweeps over the per-DAY aggregate —
     # calendar-bounded (~2.4k days → ~3M pairs at ANY data volume).
     "q_theilsen": ({"bnlj", "single-part"}, "calendar-bounded day-grain quadratic + median sweep"),
+    # Cumulative windows + union-backfill lane over value-DOMAIN grain
+    # (per-value aggregates — q_auc's boundedness class) + 1-row N scalar.
+    "q_quantile_norm": ({"bnlj", "single-part"}, "windows over per-value aggregates x 1-row N"),
 }
 
 

@@ -376,3 +376,34 @@ def test_theilsen_robust_to_outlier_day(spark):
         abs(theil(daily)), 1.0
     )
     assert abs(theil(trimmed) - got.slope_per_day) <= 0.5 * full_spread
+
+
+def test_quantile_norm_properties(spark):
+    """After normalization: per-type monotone in the original value, outputs
+    drawn from the pooled support, and each type's normalized distribution
+    tracks the pooled one (KS distance between normalized-type and pooled
+    CDFs bounded by the coarseness of the type's grid)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_quantile_norm"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("events",))
+    pooled = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT value FROM events WHERE value IS NOT NULL"
+        ).fetchall()
+    )
+    assert set(got.v_norm).issubset(set(pooled))
+    import bisect
+
+    n = len(pooled)
+    for t, g in got.groupby("event_type"):
+        g = g.sort_values("value")
+        assert (g.v_norm.diff().dropna() >= 0).all(), t
+        # normalized empirical CDF within 1/n_g of the pooled CDF
+        n_g = int(g.n_rows.sum())
+        cum = 0
+        for r in g.itertuples():
+            cum += int(r.n_rows)
+            pooled_cdf = bisect.bisect_right(pooled, r.v_norm) / n
+            assert abs(cum / n_g - pooled_cdf) <= 1.0 / n_g + 1.0 / n
