@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detsql import DUCK, SPARK, Dialect, dec2
+from ..functions.detsql import DUCK, SPARK, Dialect, dec2, dstddev
 from ..registry import df_query, sql_query
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -1151,3 +1151,173 @@ sql_query(
     "AGGREGATE (calendar-bounded: ~2.4k days → ~3M pairs at ANY data "
     "volume); the only corpus-scale stage is the day rollup.",
 )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — experimentation with pre-period covariates.
+# ---------------------------------------------------------------------------
+
+
+def _cuped_sql(d: Dialect) -> str:
+    """CUPED (Deng et al., WSDM'13): adjust each user's experiment-period
+    metric y by their PRE-period covariate x — y' = y − θ·(x − x̄),
+    θ = cov(x,y)/var(x) pooled — and report per-arm means and the variance
+    reduction the adjustment buys. Periods split at the observation
+    midpoint (data-relative); arms are the deterministic user_id % 2.
+
+    Exactness: per-user x/y are decimal sums; pooled moments are dxsum
+    exact-decimal product sums; θ, x̄ and every adjusted statistic come
+    from ONE shared IEEE expression tree; adjusted values re-quantize to
+    DECIMAL(14,6) before the per-arm second-moment sums (the house
+    order-independence convention). Scale shape: user-keyed aggregate →
+    1-row pooled moments broadcast → arm-keyed aggregate."""
+    ep = d.epoch("ts")
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN({ep}) AS BIGINT) AS t0, CAST(MAX({ep}) AS BIGINT) AS t1
+  FROM events
+),
+per_user AS (
+  SELECT e.user_id,
+         CAST(user_id % 2 AS INT) AS arm,
+         CAST(SUM(CASE WHEN 2 * {d.epoch('e.ts')} <= b.t0 + b.t1
+                  THEN CAST(e.value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+              AS DECIMAL(14,2)) AS x,
+         CAST(SUM(CASE WHEN 2 * {d.epoch('e.ts')} > b.t0 + b.t1
+                  THEN CAST(e.value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+              AS DECIMAL(14,2)) AS y
+  FROM events e CROSS JOIN bounds b
+  WHERE e.value IS NOT NULL
+  GROUP BY e.user_id
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(20,2)) * y), 2) AS DOUBLE) AS sxy,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(20,2)) * x), 2) AS DOUBLE) AS sxx
+  FROM per_user
+),
+theta AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS th,
+         sx / CAST(n AS DOUBLE) AS xbar
+  FROM pooled
+),
+adjusted AS (
+  SELECT u.arm,
+         u.y,
+         CAST(CAST(u.y AS DOUBLE) - t.th * (CAST(u.x AS DOUBLE) - t.xbar)
+              AS DECIMAL(14,6)) AS y_adj
+  FROM per_user u CROSS JOIN theta t
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_y,
+       CAST(SUM(y_adj) AS DOUBLE) / COUNT(*) AS mean_y_adj,
+       {dstddev('COUNT(*)', 'CAST(SUM(y) AS DOUBLE)', 'CAST(ROUND(SUM(CAST(y AS DECIMAL(20,2)) * y), 2) AS DOUBLE)')}
+         AS sd_y,
+       {dstddev('COUNT(*)', 'CAST(SUM(y_adj) AS DOUBLE)', 'CAST(ROUND(SUM(CAST(y_adj AS DECIMAL(20,6)) * y_adj), 2) AS DOUBLE)')}
+         AS sd_y_adj
+FROM adjusted
+GROUP BY arm
+"""
+
+
+def _register_cuped():
+    sql_query(
+        "q_cuped",
+        spark_sql=_cuped_sql(SPARK),
+        duck_sql=_cuped_sql(DUCK),
+        tables=["events"],
+        doc="CUPED variance reduction for A/B metrics: per-user experiment "
+        "metric adjusted by the pre-period covariate (θ = cov/var pooled, "
+        "periods split at the data midpoint, arms = user_id % 2), "
+        "reporting per-arm means and the adjusted vs raw standard "
+        "deviation — the standard trick that cuts experiment runtimes "
+        "~40-50% when behavior is autocorrelated. Decimal per-user sums, "
+        "dxsum-exact pooled moments, one shared IEEE tree for θ and the "
+        "adjustment, DECIMAL(14,6) re-quantization before second moments "
+        "— hash-exact. One user-keyed aggregate, a 1-row moment "
+        "broadcast, one arm-keyed aggregate.",
+    )
+
+
+_register_cuped()
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes (beta-binomial) shrinkage of per-block quality rates.
+# ---------------------------------------------------------------------------
+
+
+def _eb_shrink_sql(d: Dialect) -> str:
+    """Per-(lang, source) document quality rates shrunk toward the corpus
+    prior: method-of-moments Beta(α, β) fit on the observed rates, then
+    shrunk_i = (pos_i + α)/(n_i + α + β). The standard guard rails a
+    non-positive strength when rates are over-dispersed past the
+    binomial. Rates quantize to DECIMAL(14,12) before the moment sums
+    (products stay ≤ 38 digits and sums are order-independent; the
+    scale-24 second-moment sum rounds back to scale 12 before its double
+    cast — the dxsum2 2^53 rule); the fit and every shrunk rate come
+    from one shared IEEE tree."""
+    return """
+WITH grp AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos
+  FROM documents GROUP BY lang, source
+),
+rates AS (
+  SELECT lang, source, n, pos,
+         CAST(CAST(pos AS DOUBLE) / n AS DECIMAL(14,12)) AS r
+  FROM grp
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(r) AS DOUBLE) AS sr,
+         CAST(ROUND(SUM(CAST(r AS DECIMAL(20,12)) * r), 12) AS DOUBLE) AS srr
+  FROM rates
+),
+fit AS (
+  SELECT k,
+         sr / CAST(k AS DOUBLE) AS m,
+         (srr - sr * sr / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) AS v
+  FROM mom
+),
+prior AS (
+  SELECT k, m, v,
+         GREATEST(m * (1.0 - m) / v - 1.0, 0.000001) AS s
+  FROM fit
+)
+SELECT r.lang, r.source, r.n, r.pos,
+       CAST(r.r AS DOUBLE) AS raw_rate,
+       p.m * p.s AS alpha,
+       (1.0 - p.m) * p.s AS beta,
+       (CAST(r.pos AS DOUBLE) + p.m * p.s)
+         / (CAST(r.n AS DOUBLE) + p.s) AS shrunk_rate
+FROM rates r CROSS JOIN prior p
+"""
+
+
+def _register_eb():
+    sql_query(
+        "q_eb_shrinkage",
+        spark_sql=_eb_shrink_sql(SPARK),
+        duck_sql=_eb_shrink_sql(DUCK),
+        tables=["documents"],
+        doc="Empirical-Bayes (beta-binomial) shrinkage of per-(lang, "
+        "source) quality-pass rates toward the corpus prior — the "
+        "small-sample-safe way to rank data sources by quality before a "
+        "mixture decision (a 2-doc block at rate 1.0 must not outrank a "
+        "10k-doc block at 0.9). Method-of-moments Beta fit from "
+        "DECIMAL(14,12)-quantized rate moments, shrunk_i = "
+        "(pos+α)/(n+α+β) in one shared IEEE tree — hash-exact. One "
+        "block-keyed aggregate + a 1-row prior broadcast; block count is "
+        "bounded by the (lang, source) domain at any corpus size.",
+    )
+
+
+_register_eb()

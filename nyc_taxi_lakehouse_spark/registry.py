@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_kaplan_meier",
     "q_theilsen",
     "q_quantile_norm",
+    "q_cuped",
+    "q_eb_shrinkage",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---

