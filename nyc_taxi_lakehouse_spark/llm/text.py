@@ -1038,3 +1038,87 @@ sql_query(
     "dl/stats scan — exactly the statistics a real index build "
     "precomputes once.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 over near-dup candidate pairs — the eval-metric primitive.
+# ---------------------------------------------------------------------------
+
+
+def _rouge_pairs_sql(d: Dialect) -> str:
+    """ROUGE-2 (clipped bigram overlap) precision/recall/F1 for every
+    Jaccard >= 0.8 near-dup candidate pair — the summarization-eval metric
+    repurposed as a dedup audit: token-set Jaccard ignores order and
+    multiplicity, ROUGE's clipped counts (Σ min(c_a, c_b)) see both, so a
+    pair with high Jaccard but low ROUGE-2 is a bag-of-words false
+    friend. Overlap, totals and the P/R/F1 ratios are exact integers and
+    single IEEE divisions (F1 = 2·o/(ta+tb) — the harmonic identity with
+    no intermediate P·R product) — hash-exact.
+
+    Scale shape: bigram tables are (doc, gram)-keyed aggregates; each
+    pair pulls ITS OWN two gram multisets through (pair, gram)-keyed
+    equality joins (no corpus-wide gram fanout); the candidate set comes
+    from the same blocked Jaccard join the dedup family shares (MinHash
+    bands at 100 TB)."""
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    pos = d.positional_token_rows("documents")
+    return f"""
+WITH tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8
+),
+positioned AS ({pos}),
+bigrams AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM positioned a
+  JOIN positioned b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id, a.token, b.token
+),
+pair_overlap AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(SUM(LEAST(ga.c, gb.c)) AS BIGINT) AS o
+  FROM pairs p
+  JOIN bigrams ga ON ga.doc_id = p.doc_a
+  JOIN bigrams gb ON gb.doc_id = p.doc_b
+               AND gb.w1 = ga.w1 AND gb.w2 = ga.w2
+  GROUP BY p.doc_a, p.doc_b
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM bigrams GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(o.o, 0) AS overlap,
+       ta.t AS bigrams_a, tb.t AS bigrams_b,
+       CAST(COALESCE(o.o, 0) AS DOUBLE) / tb.t AS rouge2_p,
+       CAST(COALESCE(o.o, 0) AS DOUBLE) / ta.t AS rouge2_r,
+       2.0 * COALESCE(o.o, 0) / (CAST(ta.t AS DOUBLE) + tb.t) AS rouge2_f1
+FROM pairs p
+LEFT JOIN pair_overlap o ON p.doc_a = o.doc_a AND p.doc_b = o.doc_b
+JOIN totals ta ON p.doc_a = ta.doc_id
+JOIN totals tb ON p.doc_b = tb.doc_id
+"""
+
+
+sql_query(
+    "q_rouge_pairs",
+    spark_sql=_rouge_pairs_sql(SPARK),
+    duck_sql=_rouge_pairs_sql(DUCK),
+    tables=["documents"],
+    doc=_rouge_pairs_sql.__doc__,
+)

@@ -1321,3 +1321,70 @@ def _register_eb():
 
 
 _register_eb()
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error — the scalar the isotonic fit improves.
+# ---------------------------------------------------------------------------
+
+
+def _ece_sql(d: Dialect) -> str:
+    """ECE over 10 equal-width bins of the min-max-normalized score: the
+    n_b-weighted mean |accuracy_b − confidence_b|. Normalization, bin
+    means and the final weighted sum are all rational arithmetic on
+    decimal-quantized sums (no transcendental anywhere); bin assignment
+    is exact integer arithmetic on value cents so no float boundary
+    decides membership."""
+    return f"""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+rng AS (
+  SELECT CAST(MIN(s_cents) AS BIGINT) AS lo, CAST(MAX(s_cents) AS BIGINT) AS hi
+  FROM scored
+),
+binned AS (
+  SELECT LEAST({d.idiv('(s_cents - r.lo) * 10', '(r.hi - r.lo)')}, 9) AS bin,
+         s_cents, y, r.lo, r.hi
+  FROM scored CROSS JOIN rng r
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS pos_b,
+         CAST(SUM(s_cents) AS BIGINT) AS s_sum,
+         CAST(MAX(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM per_bin)
+SELECT CAST(p.bin AS INT) AS bin,
+       p.n_b,
+       p.pos_b,
+       CAST(p.pos_b AS DOUBLE) / p.n_b AS accuracy,
+       (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo) / (p.hi - p.lo) AS confidence,
+       ABS(CAST(p.pos_b AS DOUBLE) / p.n_b
+           - (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo) / (p.hi - p.lo))
+         * p.n_b / t.n AS ece_contrib
+FROM per_bin p CROSS JOIN tot t
+"""
+
+
+def _register_ece():
+    sql_query(
+        "q_ece",
+        spark_sql=_ece_sql(SPARK),
+        duck_sql=_ece_sql(DUCK),
+        tables=["events"],
+        doc="Expected calibration error by decile bin of the min-max-"
+        "normalized score (reliability-diagram table + per-bin ECE "
+        "contribution; Σ ece_contrib IS the ECE scalar) — the calibration "
+        "audit q_isotonic's monotone fit exists to reduce. Bin membership "
+        "is exact integer arithmetic on score cents (no float boundary); "
+        "accuracy/confidence come from integer/decimal sums through one "
+        "shared IEEE tree. One keyed aggregate + two 1-row broadcasts.",
+    )
+
+
+_register_ece()

@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_quantile_norm",
     "q_cuped",
     "q_eb_shrinkage",
+    "q_ece",
+    "q_rouge_pairs",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---

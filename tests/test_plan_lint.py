@@ -152,6 +152,8 @@ WHITELIST = {
     "q_cuped": ({"bnlj", "single-part"}, "1-row bounds/theta scalars x keyed aggregates"),
     # 1-row method-of-moments prior x the (lang, source)-grain rollup.
     "q_eb_shrinkage": ({"bnlj", "single-part"}, "1-row prior x block-grain rollup"),
+    # 1-row min/max range + 1-row N scalars around the 10-bin rollup.
+    "q_ece": ({"bnlj", "single-part"}, "1-row range/N scalars x 10 bins"),
 }
 
 

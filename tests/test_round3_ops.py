@@ -455,3 +455,53 @@ def test_eb_shrinkage_orders_small_samples_correctly(spark):
     big_good = got[(got.n >= 20) & (got.raw_rate >= 0.9)]
     if len(small_perfect) and len(big_good):
         assert small_perfect.shrunk_rate.max() < big_good.shrunk_rate.max()
+
+
+def test_ece_decomposition_and_bounds(spark):
+    """ECE invariants: contributions sum to a value in [0, 1], bins
+    partition the sample, and each bin's confidence lies inside its
+    nominal decile interval of the normalized score."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_ece"].fn(spark, SF_SMOKE).toPandas().sort_values("bin")
+    con = _duck(SF_SMOKE, tables=("events",))
+    n = con.execute(
+        "SELECT COUNT(*) FROM events WHERE value IS NOT NULL"
+    ).fetchone()[0]
+    assert int(got.n_b.sum()) == n
+    ece = got.ece_contrib.sum()
+    assert 0.0 <= ece <= 1.0
+    for r in got.itertuples():
+        assert 0.0 <= r.accuracy <= 1.0
+        # bin b covers normalized scores [b/10, (b+1)/10) (last bin closed)
+        assert r.bin / 10 - 1e-9 <= r.confidence <= (r.bin + 1) / 10 + 1e-9
+        assert abs(
+            r.ece_contrib - abs(r.accuracy - r.confidence) * r.n_b / n
+        ) < 1e-12
+
+
+def test_rouge_pairs_matches_serial_clipped_counts(spark):
+    """ROUGE-2 vs a serial clipped-bigram-count reference on every candidate
+    pair, plus the metric identities P = o/|B|, R = o/|A|, F1 harmonic."""
+    from collections import Counter
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_rouge_pairs"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("documents",))
+    texts = dict(
+        con.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+
+    def bigrams(doc_id):
+        toks = [t for t in texts[doc_id].split(" ") if True]
+        return Counter(zip(toks, toks[1:]))
+
+    assert len(got) > 0
+    for r in got.itertuples():
+        ba, bb = bigrams(int(r.doc_a)), bigrams(int(r.doc_b))
+        o = sum(min(c, bb[g]) for g, c in ba.items())
+        assert int(r.overlap) == o
+        assert int(r.bigrams_a) == sum(ba.values())
+        assert int(r.bigrams_b) == sum(bb.values())
+        assert r.rouge2_f1 == 2.0 * o / (sum(ba.values()) + sum(bb.values()))
