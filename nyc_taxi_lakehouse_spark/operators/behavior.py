@@ -1388,3 +1388,145 @@ def _register_ece():
 
 
 _register_ece()
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — categorical-categorical association strength.
+# ---------------------------------------------------------------------------
+
+
+def _cramers_v_sql(d: Dialect) -> str:
+    """Association between event_type and hour-of-day: the χ² statistic
+    over the observed k₁×k₂ contingency with rational expected counts
+    e = row·col/n, then V = sqrt(χ²/(n·(min(k)−1))). Everything before
+    the single sqrt is exact integer/rational arithmetic in one shared
+    tree; the contingency/marginals are tiny keyed aggregates."""
+    ep = d.epoch("ts")
+    hour = f"CAST({d.idiv(f'({ep} % 86400)', '3600')} AS BIGINT)"
+    return f"""
+WITH obs AS (
+  SELECT event_type, {hour} AS hr, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, {hour}
+),
+row_m AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY event_type),
+col_m AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY hr),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k1,
+         CAST(COUNT(DISTINCT hr) AS BIGINT) AS k2
+  FROM obs
+),
+cells AS (
+  SELECT o.o, r.rt, c.ct, t.n, t.k1, t.k2
+  FROM obs o
+  JOIN row_m r ON o.event_type = r.event_type
+  JOIN col_m c ON o.hr = c.hr
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT n, k1, k2,
+         CAST((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+              * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+              / (CAST(rt AS DOUBLE) * ct / n) AS DECIMAL(28,12)) AS term
+  FROM cells
+)
+SELECT
+  CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MAX(k1) AS BIGINT) AS k1,
+  CAST(MAX(k2) AS BIGINT) AS k2,
+  CAST((MAX(k1) - 1) * (MAX(k2) - 1) AS BIGINT) AS dof,
+  CAST(SUM(term) AS DOUBLE) AS chi2,
+  SQRT(CAST(SUM(term) AS DOUBLE)
+       / (CAST(MAX(n) AS DOUBLE) * (LEAST(MAX(k1), MAX(k2)) - 1)))
+    AS cramers_v
+FROM terms
+"""
+
+
+def _register_cramers():
+    sql_query(
+        "q_cramers_v",
+        spark_sql=_cramers_v_sql(SPARK),
+        duck_sql=_cramers_v_sql(DUCK),
+        tables=["events"],
+        doc="Cramér's V association between event_type and hour-of-day — "
+        "the normalized effect size behind q_drift_chisq's raw χ² "
+        "(comparable across tables of any shape, the categorical "
+        "feature-selection signal). Expected counts are rational "
+        "(row·col/n); each cell term is a bit-identical IEEE expression "
+        "quantized to DECIMAL(28,12) BEFORE the sum, so χ² is "
+        "order-independent under any shuffle (the house convention — "
+        "raw double SUM would be partial-aggregation-order dependent). "
+        "One contingency aggregate + two marginal joins + a 1-row "
+        "total.",
+    )
+
+
+_register_cramers()
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — the significance companion to Theil–Sen.
+# ---------------------------------------------------------------------------
+
+
+def _mann_kendall_sql(d: Dialect) -> str:
+    """Exact integer S = Σ_{{i<j}} sign(y_j − y_i) over the daily revenue
+    series, tie-corrected variance n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18
+    (exact integer DIV 18 on the numerator sum), continuity-corrected
+    z = (S ∓ 1)/sqrt(var). Only the final sqrt/division are floats.
+    Same calendar-bounded day-grain quadratic as q_theilsen."""
+    if d.name == "spark":
+        daynum = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+    else:
+        daynum = "CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {daynum} AS x,
+         CAST(SUM(CAST({dec2('o_totalprice')} * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS y
+  FROM orders GROUP BY {daynum}
+),
+s_stat AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_num
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y) g
+  WHERE t > 1
+)
+SELECT nn.n AS n_days,
+       s.s AS s_stat,
+       CAST({d.idiv('(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_num)', '18')}
+         AS BIGINT) AS var_s,
+       (CAST(s.s AS DOUBLE) - CAST(CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END AS DOUBLE))
+         / SQRT(CAST({d.idiv('(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_num)', '18')} AS DOUBLE))
+         AS z,
+       CAST(CASE WHEN ABS(
+         (CAST(s.s AS DOUBLE) - CAST(CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END AS DOUBLE))
+           / SQRT(CAST({d.idiv('(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_num)', '18')} AS DOUBLE))
+       ) > 1.96 THEN 1 ELSE 0 END AS INT) AS trend_at_95
+FROM s_stat s CROSS JOIN nn CROSS JOIN ties
+"""
+
+
+def _register_mk():
+    sql_query(
+        "q_mann_kendall",
+        spark_sql=_mann_kendall_sql(SPARK),
+        duck_sql=_mann_kendall_sql(DUCK),
+        tables=["orders"],
+        doc="Mann–Kendall non-parametric trend test on daily revenue — IS "
+        "there a monotone trend (q_theilsen answers how steep). Exact "
+        "integer S statistic over the calendar-bounded day-grain "
+        "quadratic, tie-corrected variance as one integer DIV 18, "
+        "continuity-corrected z with a single sqrt — hash-exact. "
+        "Distribution-free: no normality assumption on the revenue "
+        "series, robust to the same outlier days Theil–Sen shrugs off.",
+    )
+
+
+_register_mk()

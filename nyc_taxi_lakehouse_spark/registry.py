@@ -150,6 +150,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_eb_shrinkage",
     "q_ece",
     "q_rouge_pairs",
+    "q_dedup_editdist",
+    "q_cramers_v",
+    "q_mann_kendall",
     # --- 50-row driver cap lands exactly here (names above get driver
     # CORRECTNESS rows; everything below is next in line and covered by the
     # local mirror suite at two SFs either way) ---
@@ -315,7 +318,7 @@ def all_queries() -> dict[str, QuerySpec]:
     return ordered
 
 
-def _driver_checked_names() -> set[str]:
+def _driver_checked_names(root: str | None = None) -> set[str]:
     """Names with a clean row in any driver CORRECTNESS_r*.json so far.
 
     A row counts as checked when the harness completed without error and
@@ -327,7 +330,8 @@ def _driver_checked_names() -> set[str]:
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:

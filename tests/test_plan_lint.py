@@ -154,6 +154,11 @@ WHITELIST = {
     "q_eb_shrinkage": ({"bnlj", "single-part"}, "1-row prior x block-grain rollup"),
     # 1-row min/max range + 1-row N scalars around the 10-bin rollup.
     "q_ece": ({"bnlj", "single-part"}, "1-row range/N scalars x 10 bins"),
+    # 1-row totals x the <= k1*k2-cell contingency term table.
+    "q_cramers_v": ({"bnlj", "single-part"}, "1-row totals x contingency cells"),
+    # Same calendar-bounded day-grain quadratic as q_theilsen + 1-row
+    # S/n/ties scalars into the report row.
+    "q_mann_kendall": ({"bnlj", "single-part"}, "calendar-bounded day-grain quadratic x 1-row scalars"),
 }
 
 

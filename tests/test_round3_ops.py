@@ -505,3 +505,80 @@ def test_rouge_pairs_matches_serial_clipped_counts(spark):
         assert int(r.bigrams_a) == sum(ba.values())
         assert int(r.bigrams_b) == sum(bb.values())
         assert r.rouge2_f1 == 2.0 * o / (sum(ba.values()) + sum(bb.values()))
+
+
+def test_editdist_verify_stage_properties(spark):
+    """Edit-distance verify invariants: distance within [|len_a−len_b|,
+    max(len)], symmetric definition via the pair orientation, and spot
+    agreement with a serial Wagner-Fischer implementation."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_dedup_editdist"].fn(spark, SF_SMOKE).toPandas()
+    assert len(got) > 0
+    assert (got.edit_dist >= (got.len_a - got.len_b).abs()).all()
+    assert (got.edit_dist <= got[["len_a", "len_b"]].max(axis=1)).all()
+    assert got.edit_sim.between(0, 1).all()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    con = _duck(SF_SMOKE)
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    for r in got.head(3).itertuples():
+        assert int(r.edit_dist) == lev(texts[int(r.doc_a)], texts[int(r.doc_b)])
+
+
+def test_cramers_v_and_mann_kendall_reference(spark):
+    """Cramér's V vs a serial chi-square on the same contingency; MK S
+    statistic vs a serial pair scan."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    con = _duck(SF_SMOKE, tables=("events", "orders"))
+    # --- Cramér's V
+    cells = con.execute(
+        """
+        SELECT event_type, CAST(epoch(ts) AS BIGINT) % 86400 // 3600 AS hr,
+               COUNT(*) FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    rows: dict = {}
+    cols: dict = {}
+    for et, hr, c in cells:
+        rows[et] = rows.get(et, 0) + c
+        cols[hr] = cols.get(hr, 0) + c
+    chi2 = sum(
+        (c - rows[et] * cols[hr] / n) ** 2 / (rows[et] * cols[hr] / n)
+        for et, hr, c in cells
+    )
+    got = all_queries()["q_cramers_v"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    assert int(got.n) == n
+    assert abs(got.chi2 - chi2) < 1e-6
+    v_ref = (chi2 / (n * (min(len(rows), len(cols)) - 1))) ** 0.5
+    assert abs(got.cramers_v - v_ref) < 1e-9
+
+    # --- Mann–Kendall S
+    daily = con.execute(
+        """
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)))
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    ys = [int(y) for _, y in daily]
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    mk = all_queries()["q_mann_kendall"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    assert int(mk.s_stat) == s
+    assert int(mk.n_days) == len(ys)
