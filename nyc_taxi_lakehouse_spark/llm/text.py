@@ -948,14 +948,18 @@ def _bm25_sql(d: Dialect) -> str:
     """BM25 top-20 with the transcendental-free rational idf.
 
     score(D, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
-    idf(t) = (N − df + 0.5) / (df + 0.5) — the raw Robertson odds ratio
-    WITHOUT the log wrap. Per term the log is monotone, so per-term
-    ranking is unchanged; what the linear form buys is bit-stable
-    cross-engine scores: every operation is IEEE +,·,/ on doubles
-    (correctly rounded, identical in the JVM and libm) — no ln, whose
-    last-ulp disagreement made q_tfidf rows-only. Contributions snap to
-    DECIMAL(28,6) and sum in decimal (order-independent), q_keyword_search's
-    convention.
+    idf(t) = max((N − df + 0.5) / (df + 0.5), 1e-6) — the raw Robertson
+    odds ratio WITHOUT the log wrap, floored at a small positive value
+    (the Lucene convention applied to the rational form: the raw ratio
+    goes negative when df > N/2, which would let a majority-frequent
+    term invert rankings). Per term the log is monotone, so per-term
+    ranking is unchanged; cross-term sums make this a BM25-inspired
+    rational variant rather than exact BM25 ordering — documented
+    trade for bit-stable cross-engine scores: every operation is IEEE
+    +,·,/,max on doubles (correctly rounded, identical in the JVM and
+    libm) — no ln, whose last-ulp disagreement made q_tfidf rows-only.
+    Contributions snap to DECIMAL(28,6) and sum in decimal
+    (order-independent), q_keyword_search's convention.
 
     Scale shape: ONE corpus scan computes (dl, query-filtered token
     array) per doc — the filter runs on the array BEFORE any explode, so
@@ -998,7 +1002,8 @@ df AS (
 contrib AS (
   SELECT tf.doc_id,
          CAST(
-           ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           GREATEST((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5),
+                    0.000001)
            * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
               / (CAST(tf.tf AS DOUBLE)
                  + {k1} * (1.0 - {b}
@@ -1053,7 +1058,9 @@ def _rouge_pairs_sql(d: Dialect) -> str:
     pair with high Jaccard but low ROUGE-2 is a bag-of-words false
     friend. Overlap, totals and the P/R/F1 ratios are exact integers and
     single IEEE divisions (F1 = 2·o/(ta+tb) — the harmonic identity with
-    no intermediate P·R product) — hash-exact.
+    no intermediate P·R product) — hash-exact. Totals LEFT-join onto the
+    pair set so a single-token doc (zero bigrams) keeps its audit row
+    with totals 0 and NULL ratios instead of being silently dropped.
 
     Scale shape: bigram tables are (doc, gram)-keyed aggregates; each
     pair pulls ITS OWN two gram multisets through (pair, gram)-keyed
@@ -1104,14 +1111,19 @@ totals AS (
 )
 SELECT p.doc_a, p.doc_b,
        COALESCE(o.o, 0) AS overlap,
-       ta.t AS bigrams_a, tb.t AS bigrams_b,
-       CAST(COALESCE(o.o, 0) AS DOUBLE) / tb.t AS rouge2_p,
-       CAST(COALESCE(o.o, 0) AS DOUBLE) / ta.t AS rouge2_r,
-       2.0 * COALESCE(o.o, 0) / (CAST(ta.t AS DOUBLE) + tb.t) AS rouge2_f1
+       COALESCE(ta.t, 0) AS bigrams_a, COALESCE(tb.t, 0) AS bigrams_b,
+       CASE WHEN COALESCE(tb.t, 0) > 0
+            THEN CAST(COALESCE(o.o, 0) AS DOUBLE) / tb.t END AS rouge2_p,
+       CASE WHEN COALESCE(ta.t, 0) > 0
+            THEN CAST(COALESCE(o.o, 0) AS DOUBLE) / ta.t END AS rouge2_r,
+       CASE WHEN COALESCE(ta.t, 0) + COALESCE(tb.t, 0) > 0
+            THEN 2.0 * COALESCE(o.o, 0)
+                 / (CAST(COALESCE(ta.t, 0) AS DOUBLE) + COALESCE(tb.t, 0))
+       END AS rouge2_f1
 FROM pairs p
 LEFT JOIN pair_overlap o ON p.doc_a = o.doc_a AND p.doc_b = o.doc_b
-JOIN totals ta ON p.doc_a = ta.doc_id
-JOIN totals tb ON p.doc_b = tb.doc_id
+LEFT JOIN totals ta ON p.doc_a = ta.doc_id
+LEFT JOIN totals tb ON p.doc_b = tb.doc_id
 """
 
 
@@ -1120,5 +1132,14 @@ sql_query(
     spark_sql=_rouge_pairs_sql(SPARK),
     duck_sql=_rouge_pairs_sql(DUCK),
     tables=["documents"],
-    doc=_rouge_pairs_sql.__doc__,
+    doc="ROUGE-2 (clipped bigram overlap) precision/recall/F1 for every "
+    "Jaccard>=0.8 near-dup candidate pair — the summarization-eval metric "
+    "repurposed as a dedup audit: token-set Jaccard ignores order and "
+    "multiplicity, ROUGE's clipped counts see both, so a high-Jaccard/"
+    "low-ROUGE pair is a bag-of-words false friend. Totals LEFT-join "
+    "onto the pair set (zero-bigram docs keep their row, NULL ratios). "
+    "Plan: (doc,gram)-keyed bigram aggregates; each pair pulls its own "
+    "two gram multisets through (pair,gram)-keyed equality joins; "
+    "candidates come from the shared blocked Jaccard join (MinHash "
+    "bands at 100 TB).",
 )

@@ -1340,8 +1340,10 @@ SELECT
   CAST(MAX(n2) AS BIGINT) AS n2,
   CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num,
   CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE)
-    / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS d_stat,
-  CAST(CASE WHEN
+    / NULLIF(CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE), 0.0)
+    AS d_stat,
+  CAST(CASE WHEN MAX(n1) = 0 OR MAX(n2) = 0 THEN NULL
+       WHEN
          CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE)
            / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
          > 1.358 * SQRT((CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE))

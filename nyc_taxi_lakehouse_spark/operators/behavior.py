@@ -1201,7 +1201,7 @@ pooled AS (
 theta AS (
   SELECT n,
          (CAST(n AS DOUBLE) * sxy - sx * sy)
-           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS th,
+           / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) AS th,
          sx / CAST(n AS DOUBLE) AS xbar
   FROM pooled
 ),
@@ -1284,12 +1284,17 @@ mom AS (
 fit AS (
   SELECT k,
          sr / CAST(k AS DOUBLE) AS m,
-         (srr - sr * sr / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) AS v
+         (srr - sr * sr / CAST(k AS DOUBLE))
+           / NULLIF(CAST(k AS DOUBLE) - 1, 0.0) AS v
   FROM mom
 ),
 prior AS (
   SELECT k, m, v,
-         GREATEST(m * (1.0 - m) / v - 1.0, 0.000001) AS s
+         -- degenerate fits (k=1 → v NULL; v=0 → NULL via NULLIF) fall
+         -- through to the epsilon floor (GREATEST ignores NULL in both
+         -- engines): strength ~0 means shrunk_rate ≈ raw_rate, the
+         -- defined can't-estimate-the-prior sentinel instead of Inf/NaN
+         GREATEST(m * (1.0 - m) / NULLIF(v, 0.0) - 1.0, 0.000001) AS s
   FROM fit
 )
 SELECT r.lang, r.source, r.n, r.pos,
@@ -1346,7 +1351,10 @@ rng AS (
   FROM scored
 ),
 binned AS (
-  SELECT LEAST({d.idiv('(s_cents - r.lo) * 10', '(r.hi - r.lo)')}, 9) AS bin,
+  -- hi=lo (all scores identical) makes the integer division NULL in
+  -- both engines; COALESCE collapses the degenerate input to one bin 0
+  SELECT LEAST(COALESCE({d.idiv('(s_cents - r.lo) * 10', '(r.hi - r.lo)')},
+               0), 9) AS bin,
          s_cents, y, r.lo, r.hi
   FROM scored CROSS JOIN rng r
 ),
@@ -1363,9 +1371,11 @@ SELECT CAST(p.bin AS INT) AS bin,
        p.n_b,
        p.pos_b,
        CAST(p.pos_b AS DOUBLE) / p.n_b AS accuracy,
-       (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo) / (p.hi - p.lo) AS confidence,
+       (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo)
+         / NULLIF(CAST(p.hi - p.lo AS DOUBLE), 0.0) AS confidence,
        ABS(CAST(p.pos_b AS DOUBLE) / p.n_b
-           - (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo) / (p.hi - p.lo))
+           - (CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo)
+             / NULLIF(CAST(p.hi - p.lo AS DOUBLE), 0.0))
          * p.n_b / t.n AS ece_contrib
 FROM per_bin p CROSS JOIN tot t
 """

@@ -301,39 +301,63 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # Driver-cap rotation: the driver's correctness harness only records
     # rows for the FIRST ~50 queries in iteration order, but the registry
-    # holds ~190. Rather than hand-curating the cap every round, promote
-    # queries that have NEVER received a clean driver row (per the
-    # accumulated CORRECTNESS_r*.json history in the repo root) ahead of
-    # already-checked ones, preserving _DRIVER_PRIORITY order within each
-    # class. Over successive rounds this rotates the whole registry
-    # through the driver gate; locally everything is still verified by
-    # tests/test_oracle_parity.py at two SFs regardless of position.
-    checked = _driver_checked_names()
-    ordered: dict[str, QuerySpec] = {}
-    for name, spec in base.items():
-        if name not in checked:
-            ordered[name] = spec
-    for name, spec in base.items():
-        ordered.setdefault(name, spec)
-    return ordered
+    # holds ~200. Rather than hand-curating the cap every round, order by
+    # least-recently-driver-verified (per the accumulated, git-tracked
+    # CORRECTNESS_r*.json history in the repo root): never-verified
+    # queries first, then ascending by the round of their last clean row,
+    # preserving _DRIVER_PRIORITY order within each class. Once the
+    # never-checked pool drains, previously-verified queries are
+    # re-admitted oldest-first, so a later regression in an
+    # already-checked query is eventually re-caught by the driver (not
+    # excluded forever). A 'no_oracle' row only counts as verified while
+    # the query genuinely has no oracle; if an oracle has since been
+    # added, the query is re-presented for a real hash check. Ordering
+    # depends only on committed artifacts + registration order, so it is
+    # reproducible across checkouts; set LAKEHOUSE_NO_ROTATION=1 to get
+    # pure registration order (local determinism / debugging). Locally
+    # everything is verified by tests/test_oracle_parity.py at two SFs
+    # regardless of position.
+    import os
+
+    if os.environ.get("LAKEHOUSE_NO_ROTATION"):
+        return base
+    last_round = _driver_verified_rounds()
+    names = list(base)
+    pos = {n: i for i, n in enumerate(names)}
+
+    def eligible_round(n: str) -> int:
+        row = last_round.get(n)
+        if row is None:
+            return -1
+        rnd, hash_verified = row
+        if not hash_verified and base[n].oracle is not None:
+            return -1  # oracle exists now; the rows-only row doesn't count
+        return rnd
+
+    names.sort(key=lambda n: (eligible_round(n), pos[n]))
+    return {n: base[n] for n in names}
 
 
-def _driver_checked_names(root: str | None = None) -> set[str]:
-    """Names with a clean row in any driver CORRECTNESS_r*.json so far.
+def _driver_verified_rounds(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a clean driver row, was it hash-verified).
 
-    A row counts as checked when the harness completed without error and
-    nothing mismatched ('no_oracle' is the rows-only path completing, not
-    a failure). Crashed or mismatching rows stay unchecked so the query
-    is re-presented inside the cap next round.
+    A row counts as clean when the harness completed without error and
+    nothing mismatched; 'no_oracle' is the rows-only path completing (a
+    weaker signal, flagged hash_verified=False). Crashed or mismatching
+    rows don't count, so the query is re-presented inside the cap next
+    round.
     """
     import glob
     import json
     import os
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
+    verified: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -351,5 +375,12 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
                 continue
             if row.get("schema_match") is False:
                 continue
-            checked.add(name)
-    return checked
+            hash_ok = row.get("hash_match") is True
+            prev = verified.get(name)
+            if prev is None or rnd >= prev[0]:
+                # same-name rows across rounds: keep the newest; within a
+                # round a hash-verified row outranks a rows-only one
+                if prev is not None and rnd == prev[0]:
+                    hash_ok = hash_ok or prev[1]
+                verified[name] = (rnd, hash_ok)
+    return verified
