@@ -1373,45 +1373,54 @@ def _theory_ppm(bucket: int) -> int:
     return round((1 - (1 - s**rows_per_band) ** _BANDS) * 1_000_000)
 
 
-def _lsh_calibration_sql(d: Dialect) -> str:
-    """On the 1-in-5 doc_id sample: exact Jaccard for every intersecting
-    pair (pairs sharing zero tokens are excluded — their theoretical rate
-    is 0 and enumerating them would be a cartesian product), the 4×4
-    dictionary-minhash banding over the same sample, and per-Jaccard-decile
-    measured candidate rates against the analytic S-curve midpoints."""
-    tok = d.distinct_token_rows("documents", extra_cols="")
-    sig_cols = ",\n  ".join(
+def _lshcal_sig_cols() -> str:
+    return ",\n  ".join(
         f"MIN(({a} * tid + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_PERMS)
     )
+
+
+def _lshcal_tail_sql(d: Dialect, tt_ref: str, sig_ref: str) -> str:
+    """The audit tail — exact Jaccard on every intersecting sample pair,
+    whether the banding would have fired for it, per-decile
+    measured-vs-theory rates — over an integer-id token table `tt_ref`
+    (doc_id, tid; one row per distinct doc-token, so set sizes and
+    intersections match the raw token table) and a signature table
+    `sig_ref`. The refs are CTE names for DuckDB (which materializes
+    shared CTEs once) and checkpointed temp views for Spark (which would
+    otherwise inline-and-recompute the token scan and signature build per
+    use). Joining the pair-intersection self-join on BIGINT tid instead of
+    the token string cuts its probe+shuffle cost ~2x — the join output is
+    sum(df^2) rows over frequent tokens, so per-row key cost dominates
+    this query.
+
+    Band membership is evaluated IN THE PAIR DOMAIN: the candidate rate is
+    only ever read for intersecting pairs (the earlier form LEFT-JOINed
+    band collisions onto the Jaccard pairs, dropping non-intersecting
+    collisions), and "pair collides under banding" == "some band's hash
+    rows are all equal" — a row-local predicate over the two signatures.
+    That replaces the 4-band self-join UNION + dedup + LEFT JOIN with two
+    keyed sig joins and zero extra shuffles (3.0 s → ~1.4 s at sf0.1)."""
     rows_per_band = len(_PERMS) // _BANDS
-    band_exprs = []
-    for bi in range(_BANDS):
-        hs = range(bi * rows_per_band, (bi + 1) * rows_per_band)
-        concat = " || '_' || ".join(f"CAST(h{i} AS STRING)" for i in hs)
-        band_exprs.append(f"{concat} AS band{bi}")
-    bands = ",\n  ".join(band_exprs)
-    cand_union = "\nUNION\n".join(
-        f"SELECT x.doc_id AS da, y.doc_id AS db FROM bands x "
-        f"JOIN bands y ON x.band{bi} = y.band{bi} AND x.doc_id < y.doc_id"
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.h{i} = sb.h{i}"
+            for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+        )
+        + ")"
         for bi in range(_BANDS)
     )
     theory = "\n    ".join(
         f"WHEN {bkt} THEN {_theory_ppm(bkt)}" for bkt in range(10)
     )
     return f"""
-WITH tok AS (SELECT * FROM ({tok}) s WHERE doc_id % 5 = 0),
-vocab AS (
-  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT token FROM tok) v
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM {tt_ref} GROUP BY doc_id
 ),
-tt AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token),
-sig AS (SELECT doc_id, {sig_cols} FROM tt GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM sig),
-collide AS ({cand_union}),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
-  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  FROM {tt_ref} a JOIN {tt_ref} b
+    ON a.tid = b.tid AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 j AS (
@@ -1424,9 +1433,11 @@ j AS (
 hits AS (
   SELECT j.bucket,
          CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         CAST(SUM(CASE WHEN co.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN {band_hit} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_band_hits
-  FROM j LEFT JOIN collide co ON j.da = co.da AND j.db = co.db
+  FROM j
+  JOIN {sig_ref} sa ON j.da = sa.doc_id
+  JOIN {sig_ref} sb ON j.db = sb.doc_id
   GROUP BY j.bucket
 )
 SELECT CAST(bucket AS INT) AS jaccard_decile, n_pairs, n_band_hits,
@@ -1439,9 +1450,26 @@ FROM hits
 """
 
 
-sql_query(
+def _lsh_calibration_sql(d: Dialect) -> str:
+    """On the 1-in-5 doc_id sample: exact Jaccard for every intersecting
+    pair (pairs sharing zero tokens are excluded — their theoretical rate
+    is 0 and enumerating them would be a cartesian product), the 4×4
+    dictionary-minhash banding over the same sample, and per-Jaccard-decile
+    measured candidate rates against the analytic S-curve midpoints."""
+    tok = d.distinct_token_rows("documents", extra_cols="")
+    return f"""
+WITH tok AS (SELECT * FROM ({tok}) s WHERE doc_id % 5 = 0),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+),
+tt AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token),
+sig AS (SELECT doc_id, {_lshcal_sig_cols()} FROM tt GROUP BY doc_id),
+{_lshcal_tail_sql(d, 'tt', 'sig')}"""
+
+
+@df_query(
     "q_lsh_calibration",
-    spark_sql=_lsh_calibration_sql(SPARK),
     duck_sql=_lsh_calibration_sql(DUCK),
     tables=["documents"],
     doc="LSH banding CALIBRATION: on a 1-in-5 hash sample, exact Jaccard "
@@ -1455,6 +1483,34 @@ sql_query(
     "dedup run: the pair enumeration stays within the bounded sample, "
     "exactly like q_blocking_quality's audit.",
 )
+def _lsh_calibration_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same algebra as the DuckDB oracle, but the two shared intermediates
+    are materialized ONCE: Spark inlines WITH-CTEs, so the single-statement
+    form rescanned+retokenized the sample 4x (sizes, inter x2, tt) and
+    rebuilt the 16-hash signature aggregate 8x (once per side of each of
+    the 4 band self-joins). localCheckpoint truncates both; the tail SQL is
+    byte-shared with the oracle via _lshcal_tail_sql."""
+    load_tables(spark, sf_dir, ["documents"])
+    tok_sql = SPARK.distinct_token_rows("documents", extra_cols="")
+    tt = spark.sql(
+        f"""
+WITH tok AS (
+  SELECT * FROM ({tok_sql}) s WHERE doc_id % 5 = 0
+),
+vocab AS (
+  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok) v
+)
+SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token"""
+    ).localCheckpoint(eager=True)
+    tt.createOrReplaceTempView("lshcal_tt")
+    sig = spark.sql(
+        f"SELECT doc_id, {_lshcal_sig_cols()} FROM lshcal_tt GROUP BY doc_id"
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("lshcal_sig")
+    return spark.sql(
+        "WITH " + _lshcal_tail_sql(SPARK, "lshcal_tt", "lshcal_sig")
+    )
 
 
 # ---------------------------------------------------------------------------
