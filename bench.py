@@ -95,6 +95,8 @@ HEADLINE = [
     "q_recursive_cte",
     "q_label_propagation",
     "q_attribution",
+    # Round-4 flagships: Z-order layout audit.
+    "q_zorder_layout",
 ]
 
 

@@ -274,6 +274,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import cdf  # noqa: F401
     from .operators import frequency  # noqa: F401
     from .operators import modern_sql  # noqa: F401
+    from .operators import zorder  # noqa: F401
     from . import catalog  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401

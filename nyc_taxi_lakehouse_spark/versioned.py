@@ -445,6 +445,80 @@ class VersionedLakeTable(TxnLedger):
         self.spark.catalog.refreshByPath(self.path)
         return self._commit("compact", new_live, schema, expected_version=latest)
 
+    def cluster(
+        self,
+        zorder_by: list[str],
+        bits: int = 12,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 1,
+    ) -> int:
+        """Commit an OPTIMIZE ... ZORDER BY: rewrite the live set with rows
+        range-partitioned and sorted by the Morton interleave of the named
+        numeric columns, so file-level min/max statistics prune scans on
+        EVERY zorder dimension (the q_zorder_layout audit measures why).
+        Hive-partitioned tables are clustered within each partition
+        directory, Delta-style. Non-destructive like compact(): old files
+        keep serving older snapshots until vacuum(). Scale shape: one
+        bounded 2-scalar-per-column collect for the min/max bounds, then
+        repartitionByRange on the z-code (sampled range boundaries — no
+        global sort) + sortWithinPartitions; the z expression is JVM-side
+        bit arithmetic inside codegen. Returns the new version, or -1 if
+        the table is empty."""
+        import math
+
+        from .operators.zorder import minmax_scale, zorder_column
+
+        latest = self.latest_version()
+        if latest is None:
+            return -1
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        live = set(m["files"])
+        by_dir: dict[str, list[str]] = {}
+        for f in live:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        new_live = set(live)
+        rewrote = False
+        for d, files in by_dir.items():
+            abs_files = [os.path.join(self.path, f) for f in files]
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
+                .parquet(*abs_files)
+            ).drop(*self.partition_cols)
+            absdir = os.path.join(self.path, d) if d else self.path
+            listing = {
+                name: size for name, is_dir, size in self.fs.list(absdir) if not is_dir
+            }
+            total = sum(listing.get(os.path.basename(f), 0) for f in files)
+            want = max(min_files, math.ceil(total / target_file_bytes))
+            aggs = []
+            for c in zorder_by:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            bounds = df.agg(*aggs).collect()[0]
+            cols = [
+                minmax_scale(
+                    F.col(c),
+                    F.lit(bounds[f"mn_{c}"]),
+                    F.lit(bounds[f"mx_{c}"]),
+                    bits,
+                )
+                for c in zorder_by
+            ]
+            clustered = (
+                df.withColumn("__z", zorder_column(cols, bits))
+                .repartitionByRange(want, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            added = self._staged_write(clustered, subdir=d, partitioned=False)
+            new_live = (new_live - set(files)) | added
+            rewrote = True
+        if not rewrote:
+            return -1
+        self.spark.catalog.refreshByPath(self.path)
+        return self._commit("zorder", new_live, schema, expected_version=latest)
+
     def restore(self, version: int) -> int:
         """Delta RESTORE TABLE ... TO VERSION AS OF n: commit a NEW version
         whose manifest is the target version's file list — a zero-copy

@@ -64,6 +64,10 @@ WHITELIST = {
     # Sample-bounded calibration: vocab dictionary sort (oracle anchor) +
     # 10-bucket curve rows.
     "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
+    # Layout audit: NTILE file model IS the thing audited (production
+    # clustering uses repartitionByRange — versioned.cluster); 1-row
+    # min/max bounds broadcast.
+    "q_zorder_layout": ({"single-part", "bnlj"}, "NTILE file model + 1-row bounds"),
     # 7-row dow profile x 7-row holdout + scorecard windows over 7 rows.
     "q_forecast_backtest": ({"bnlj", "single-part"}, "7-row profile x 7-row holdout"),
     # 1-row global-mean scalar broadcast into the fallback branch.
