@@ -95,8 +95,9 @@ HEADLINE = [
     "q_recursive_cte",
     "q_label_propagation",
     "q_attribution",
-    # Round-4 flagships: Z-order layout audit.
+    # Round-4 flagships: Z-order layout audit, Bloom-filter join pruning.
     "q_zorder_layout",
+    "q_bloom_prune",
 ]
 
 

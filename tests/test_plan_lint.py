@@ -64,6 +64,8 @@ WHITELIST = {
     # Sample-bounded calibration: vocab dictionary sort (oracle anchor) +
     # 10-bucket curve rows.
     "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
+    # 1-row summary: 256-word filter + dim-key count scalar broadcast.
+    "q_bloom_prune": ({"single-part", "bnlj"}, "scalar audit row x 1-row dim count"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.

@@ -343,3 +343,31 @@ def test_rendezvous_minimal_movement(spark):
     assert int(pdf.n_moved_elsewhere.sum()) == 0
     frac = pdf.n_moved.sum() / pdf.n_docs.sum()
     assert abs(frac - 1 / 9) < 0.05, frac
+
+
+def test_bloom_prune_invariants(spark):
+    """The Bloom guarantee and its payoff: no false negatives ever, a
+    false-positive rate within ~4x of the analytic (1-e^(-kn/m))^k bound,
+    and a substantial pruned fraction (EUROPE is ~1/5 of suppliers)."""
+    import math
+
+    from nyc_taxi_lakehouse_spark.operators.scale import (
+        _BLOOM_M,
+        _BLOOM_SEEDS,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    r = (
+        all_queries()["q_bloom_prune"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    assert r.false_negatives == 0
+    assert r.n_pass_bloom >= r.n_true_match
+    assert r.pruned_ppm > 500_000  # filter kills most of the fact scan
+    k, n, m = len(_BLOOM_SEEDS), r.n_dim_keys, _BLOOM_M
+    analytic = (1 - math.exp(-k * n / m)) ** k
+    assert r.fp_rate_ppm <= max(4 * analytic * 1_000_000, 2_000), (
+        r.fp_rate_ppm,
+        analytic,
+    )
