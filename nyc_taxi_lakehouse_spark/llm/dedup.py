@@ -1555,14 +1555,18 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
         removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("gone"))
         if removed.isEmpty():
             break
+        # The removal frontier and its decrement table are node-bounded
+        # and shrink every round — broadcast both so the only work that
+        # touches the (big) edge list is a map-side probe of the
+        # checkpointed partitions; no per-round edge shuffle at all.
         dec = (
-            e.join(removed, e.dst == removed.gone)
+            e.join(F.broadcast(removed), e.dst == removed.gone)
             .groupBy("src")
             .agg(F.count("*").alias("dec"))
         )
         deg = (
             deg.filter(F.col("deg") >= k)
-            .join(dec, "src", "left")
+            .join(F.broadcast(dec), "src", "left")
             .select(
                 "src",
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
@@ -1657,17 +1661,58 @@ GROUP BY e.src
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
-    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Same Jaccard-pair algebra as _jaccard_sql, with the (token, lang,
+    # source) composite join key dictionary-encoded to one BIGINT first
+    # (the q_lsh_calibration trick): the pair join's output is
+    # sum(df^2) rows over a small frequent vocabulary, so per-row key
+    # comparison cost dominates — one int64 beats three strings ~2x. The
+    # encoding is a bijection on composite keys, so pair counts (and the
+    # oracle hash) are unchanged; the token table is checkpointed so the
+    # dictionary build runs once.
+    tok_sql = SPARK.distinct_token_rows("documents", extra_cols="lang, source")
+    tt = spark.sql(
+        f"""
+WITH tok AS ({tok_sql}),
+vocab AS (
+  SELECT token, lang, source,
+         CAST(DENSE_RANK() OVER (ORDER BY token, lang, source) AS BIGINT) AS cid
+  FROM (SELECT DISTINCT token, lang, source FROM tok) v
+)
+SELECT t.doc_id, v.cid FROM tok t
+JOIN vocab v ON t.token = v.token AND t.lang = v.lang AND t.source = v.source"""
+    ).localCheckpoint(eager=True)
+    tt.createOrReplaceTempView("kcore_tt")
+    pairs = spark.sql(
+        """
+WITH doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM kcore_tt GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kcore_tt a JOIN kcore_tt b
+    ON a.cid = b.cid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b
+FROM pair_inter p
+JOIN doc_size sa ON p.doc_a = sa.doc_id
+JOIN doc_size sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
     )
-    core = kcore_members(edges, _KCORE_K, _KCORE_ROUNDS)
-    e = edges.localCheckpoint(eager=True)
+    # Checkpoint the edge set ONCE and hand the materialized partitions to
+    # both the peel and the final core-degree join.
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    core = kcore_members(e, _KCORE_K, _KCORE_ROUNDS)
+    core_b = F.broadcast(core.localCheckpoint(eager=True))
     return (
-        e.join(core.withColumnRenamed("node", "src"), "src")
-        .join(core.withColumnRenamed("node", "dst"), "dst")
+        e.join(core_b.withColumnRenamed("node", "src"), "src")
+        .join(core_b.withColumnRenamed("node", "dst"), "dst")
         .groupBy("src")
         .agg(F.count("*").alias("core_degree"))
         .select(
