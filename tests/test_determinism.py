@@ -46,6 +46,13 @@ CASES = [
     "q_dense_ids",
     "q_dsir_weights",
     "q_kcenter_coreset",
+    # round-4 additions with partition-sensitive internals:
+    #   global NTILE file model + integer morton codes -> q_zorder_layout
+    #   bit_or word packing across partitions          -> q_bloom_prune
+    #   dictionary-keyed pair join + broadcast peel    -> q_kcore
+    "q_zorder_layout",
+    "q_bloom_prune",
+    "q_kcore",
 ]
 
 
