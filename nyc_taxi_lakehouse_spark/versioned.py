@@ -54,10 +54,19 @@ class VersionedLakeTable(TxnLedger):
         spark: SparkSession,
         path: str,
         partition_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ):
+        """``stats_cols``: numeric data columns whose per-file min/max are
+        recorded in every commit's manifest (Iceberg manifest / Delta
+        file-statistics semantics) and used by read(filters=...) to prune
+        files before Spark ever sees them. Stats come from parquet footers
+        (no data scan); at cluster scale the writer tasks would report
+        them with the commit — the driver-side footer scrape here is the
+        single-node stand-in for that protocol, not a table scan."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_cols = list(partition_cols or [])
+        self.stats_cols = list(stats_cols or [])
         self.fs = LakeFS(spark, path)
 
     # -- commit log ---------------------------------------------------------
@@ -152,6 +161,22 @@ class VersionedLakeTable(TxnLedger):
         }
         if base is not None:
             manifest["base"] = base
+        if self.stats_cols:
+            prev_stats: dict = {}
+            if expected_version >= 1:
+                try:
+                    prev_stats = self._manifest(expected_version).get("stats", {})
+                except Exception:
+                    prev_stats = {}
+            stats = {}
+            for f in manifest["files"]:
+                if f in prev_stats:
+                    stats[f] = prev_stats[f]  # carried-over file, stats valid
+                else:
+                    s = self._footer_stats(f)
+                    if s:
+                        stats[f] = s
+            manifest["stats"] = stats
         # Optimistic concurrency control (Delta protocol): the manifest for
         # version N is created put-if-absent. A concurrent writer that
         # committed N first wins; this writer gets ConcurrentCommitError
@@ -168,37 +193,121 @@ class VersionedLakeTable(TxnLedger):
             ) from None
         return version
 
+    def _footer_stats(self, rel: str) -> dict[str, list]:
+        """Per-column [min, max] for one data file, read from the parquet
+        FOOTER (row-group statistics aggregated across row groups) — no
+        data pages are touched. Only numeric physical types are trusted:
+        parquet writers may truncate binary/string min/max, which makes an
+        upper bound understate and pruning unsound for them."""
+        import pyarrow.parquet as pq
+
+        path = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        wanted = set(self.stats_cols)
+        out: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in wanted or col.physical_type not in (
+                    "INT32",
+                    "INT64",
+                    "FLOAT",
+                    "DOUBLE",
+                ):
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return {}  # any gap makes the file unprunable — be safe
+                if name in out:
+                    out[name][0] = min(out[name][0], st.min)
+                    out[name][1] = max(out[name][1], st.max)
+                else:
+                    out[name] = [st.min, st.max]
+        return out if set(out) == wanted else {}
+
     # -- reads --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def prune_files(
+        self,
+        filters: list[tuple[str, float, float]],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-level data skipping: (surviving relative files, total
+        live files) for conjunctive closed-range ``filters`` [(col, lo,
+        hi), ...] against the committed per-file min/max stats. A file
+        without stats for a filtered column is kept (pruning must never
+        drop a possible match). With a z-ordered layout (cluster()) every
+        filtered dimension prunes; with a single-column sort only that
+        column does — q_zorder_layout is the audit of exactly this."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValidationError(f"empty versioned table at {self.path}")
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        kept = []
+        for f in m["files"]:
+            s = stats.get(f)
+            keep = True
+            if s:
+                for col, lo, hi in filters:
+                    if col in s and (s[col][0] > hi or s[col][1] < lo):
+                        keep = False
+                        break
+            if keep:
+                kept.append(f)
+        return kept, len(m["files"])
+
+    def read(
+        self,
+        version: int | None = None,
+        filters: list[tuple[str, float, float]] | None = None,
+    ) -> DataFrame:
         """The table as of ``version`` (default: latest). Reads exactly the
         manifest's files — dead files from later deletes are invisible, and
-        pre-evolution files yield NULL for later-added columns."""
+        pre-evolution files yield NULL for later-added columns.
+
+        ``filters`` [(col, lo, hi), ...] prunes files via the manifest's
+        per-file min/max stats BEFORE Spark plans the scan (Iceberg/Delta
+        data skipping) and then applies the same predicates as WHERE
+        clauses, so the result equals a full-scan filter — just cheaper.
+        """
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValidationError(f"empty versioned table at {self.path}")
         m = self._manifest(v)
         schema = T.StructType.fromJson(m["schema"])
+        rel_files = m["files"]
+        if filters:
+            rel_files, _total = self.prune_files(filters, version=v)
         # Shallow-clone manifests (clone_to) list ABSOLUTE paths into the
         # source table; ordinary manifests list paths relative to this
         # table's root. A post-clone append may mix both.
         files = [
             f if os.path.isabs(f) else os.path.join(self.path, f)
-            for f in m["files"]
+            for f in rel_files
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
         reader = self.spark.read.schema(schema)
         if self.partition_cols:
             bases = {self.path if not os.path.isabs(f) else m.get("base", "")
-                     for f in m["files"]}
+                     for f in rel_files}
             if len(bases) > 1 or "" in bases:
                 raise ValidationError(
                     "partitioned shallow clone with mixed file roots — "
                     "compact() the clone to re-home its files first"
                 )
             reader = reader.option("basePath", bases.pop())
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        if filters:
+            for col, lo, hi in filters:
+                df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df
 
     # -- commits ------------------------------------------------------------
 

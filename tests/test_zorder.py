@@ -128,3 +128,52 @@ def test_minmax_scale_bounds(spark):
     vals = sorted(r.s for r in got)
     assert vals[0] == 0 and vals[-1] == 15  # full [0, 2^bits) span
     assert all(0 <= v <= 15 for v in vals)
+
+
+def test_manifest_stats_prune_and_filtered_read(spark, tmp_path):
+    base = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    t = VersionedLakeTable(
+        spark, str(tmp_path / "zs"), stats_cols=["a", "b"]
+    )
+    t.append(base.repartitionByRange(16, "a").sortWithinPartitions("a"))
+
+    # a-sorted layout: manifest stats prune on a, not on b.
+    kept_a, total = t.prune_files([("a", 8, 15)])
+    kept_b, _ = t.prune_files([("b", 8, 15)])
+    assert total == 16 and len(kept_a) <= 4 and len(kept_b) == total
+
+    t.cluster(zorder_by=["a", "b"], bits=6, min_files=16)
+    kept_a2, total2 = t.prune_files([("a", 8, 15)])
+    kept_b2, _ = t.prune_files([("b", 8, 15)])
+    kept_box, _ = t.prune_files([("a", 8, 15), ("b", 8, 15)])
+    assert total2 == 16
+    # z-layout prunes BOTH dimensions, and the box prunes hardest.
+    assert len(kept_a2) <= total2 // 2 and len(kept_b2) <= total2 // 2
+    assert len(kept_box) <= min(len(kept_a2), len(kept_b2))
+
+    # Filtered read == full-scan filter, on both layouts/versions.
+    want = sorted(
+        r.rid
+        for r in t.read().filter("a BETWEEN 8 AND 15 AND b BETWEEN 8 AND 15").collect()
+    )
+    got = sorted(
+        r.rid for r in t.read(filters=[("a", 8, 15), ("b", 8, 15)]).collect()
+    )
+    got_v1 = sorted(
+        r.rid
+        for r in t.read(version=1, filters=[("a", 8, 15), ("b", 8, 15)]).collect()
+    )
+    assert got == want and got_v1 == want and len(want) == 64
+
+
+def test_filters_without_stats_are_safe(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, v bigint")
+    t = VersionedLakeTable(spark, str(tmp_path / "ns"))  # no stats_cols
+    t.append(df)
+    kept, total = t.prune_files([("v", 0, 15)])
+    assert len(kept) == total  # nothing prunable, nothing dropped
+    assert [r.k for r in t.read(filters=[("v", 0, 15)]).collect()] == [1]
