@@ -360,10 +360,12 @@ class VersionedLakeTable(TxnLedger):
         self.spark.catalog.refreshByPath(self.path)
         return {os.path.join(subdir, r) if subdir else r for r in added}
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """Commit an append. Data lands as fresh uniquely-named part files in
-        the normal partition layout; the new manifest = previous live set +
-        added files. Returns the new version."""
+    def _append_prep(
+        self, df: DataFrame, merge_schema: bool
+    ) -> tuple[T.StructType, set[str], int | None]:
+        """Schema-merge validation shared by append/wap_append: returns the
+        (possibly evolved) table schema, the previous live set, and the
+        snapshot version the commit derives from."""
         latest = self.latest_version()
         if latest is not None:
             current_schema = T.StructType.fromJson(self._manifest(latest)["schema"])
@@ -388,10 +390,57 @@ class VersionedLakeTable(TxnLedger):
         else:
             schema = df.schema
             prev_live = set()
+        return schema, prev_live, latest
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Commit an append. Data lands as fresh uniquely-named part files in
+        the normal partition layout; the new manifest = previous live set +
+        added files. Returns the new version."""
+        schema, prev_live, latest = self._append_prep(df, merge_schema)
         added = self._staged_write(df)
         return self._commit(
             "append", prev_live | added, schema, expected_version=latest or 0
         )
+
+    def wap_append(
+        self,
+        df: DataFrame,
+        metrics: dict,
+        audit,
+        merge_schema: bool = False,
+    ):
+        """Write-Audit-Publish append (the Iceberg/Netflix WAP pattern) with
+        ZERO-extra-pass metrics: an Observation rides the staging write
+        job, so row counts / null counts / domain violations are measured
+        while the data is being written — not by the count()-per-gate
+        re-scans of validate_non_empty / null_profile, which each cost a
+        full extra pass at 100 TB. ``metrics`` maps name -> aggregate
+        Column (F.count/F.sum/...); ``audit`` is a callable taking the
+        observed dict and returning a list of violation strings. Empty
+        list -> the staged files are committed (publish) and
+        (version, observed) returned; any violation -> the staged files
+        are deleted, no commit is written (readers never saw them — the
+        audit happens BEFORE publish, unlike a post-append delete), and
+        ValidationError lists every violation."""
+        from pyspark.sql import Observation
+
+        schema, prev_live, latest = self._append_prep(df, merge_schema)
+        obs = Observation()
+        named = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        added = self._staged_write(named)
+        observed = dict(obs.get)
+        violations = audit(observed)
+        if violations:
+            for rel in added:
+                self.fs.delete(os.path.join(self.path, rel))
+            raise ValidationError(
+                "wap_append audit failed (staged files discarded, nothing "
+                "published): " + "; ".join(violations)
+            )
+        version = self._commit(
+            "append", prev_live | added, schema, expected_version=latest or 0
+        )
+        return version, observed
 
     def delete_where(self, predicate: str) -> int:
         """Commit a DELETE. Survivors of affected partitions are rewritten as

@@ -408,3 +408,52 @@ def test_crashed_commit_staging_is_invisible_and_vacuumable(spark, tmp_path):
     t.vacuum(retain_last=1)
     assert not os.path.exists(os.path.join(t.path, "_staging"))
     assert t.read().count() == 8
+
+
+def test_wap_append_publishes_with_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedLakeTable(spark, str(tmp_path / "wap"))
+    metrics = {
+        "n": F.count(F.lit(1)),
+        "null_amount": F.sum(F.col("amount").isNull().cast("long")),
+    }
+
+    def audit(m):
+        out = []
+        if m["n"] == 0:
+            out.append("empty batch")
+        if m["null_amount"] > 0:
+            out.append(f"{m['null_amount']} null amounts")
+        return out
+
+    v, observed = t.wap_append(
+        _mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]), metrics, audit
+    )
+    assert v == 1 and observed == {"n": 2, "null_amount": 0}
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_wap_append_audit_failure_discards_staging(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "wapf"))
+    t.append(_mk(spark, [(1, "O", 10.0)]))
+    metrics = {"null_amount": F.sum(F.col("amount").isNull().cast("long"))}
+
+    def audit(m):
+        return [f"{m['null_amount']} null amounts"] if m["null_amount"] else []
+
+    bad = spark.createDataFrame(
+        [(2, "F", None)], "id bigint, status string, amount double"
+    )
+    with pytest.raises(ValidationError, match="null amounts"):
+        t.wap_append(bad, metrics, audit)
+    # Nothing published: no new version, table unchanged, and the live
+    # set's files all exist while no stray data files remain on disk.
+    assert t.latest_version() == 1
+    assert [r.id for r in t.read().collect()] == [1]
+    live = set(t._manifest(1)["files"])
+    assert t._data_files() == live
