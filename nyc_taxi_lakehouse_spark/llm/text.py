@@ -1143,3 +1143,84 @@ sql_query(
     "candidates come from the shared blocked Jaccard join (MinHash "
     "bands at 100 TB).",
 )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty curve — memorization / duplication saturation by corpus
+# position.
+# ---------------------------------------------------------------------------
+
+_NOV_K = 8
+_NOV_MULT = [31, 37, 41, 43, 47, 53, 59, 61]
+
+
+def _ngram_novelty_sql(d: Dialect) -> str:
+    """8-gram novelty by corpus decile: for each tenth of the corpus (in
+    doc_id order — the ingestion-order proxy), what fraction of its 8-gram
+    occurrences involve a gram never seen in an EARLIER decile? A healthy
+    diverse corpus keeps the unseen fraction high in every decile; a
+    template-heavy or over-crawled one saturates (later deciles mostly
+    re-emit earlier grams) — the curve LLM curation teams watch for
+    memorization risk alongside exact/near dedup. Rolling 8-gram hashes
+    use the q_winnow_fingerprint arithmetic (32-bit md5 prefixes, distinct
+    multipliers mod a 31-bit prime — exact BIGINT); deciles come from
+    1-row doc_id bounds (broadcast)."""
+    pos = d.positional_token_rows("documents")
+    h = d.md5_int32("token")
+    gram = " + ".join(
+        f"{m} * LEAD(h, {j}) OVER (PARTITION BY doc_id ORDER BY i)"
+        if j
+        else f"{m} * h"
+        for j, m in enumerate(_NOV_MULT)
+    )
+    dec = d.idiv("(doc_id - mm.mn) * 10", "(mm.mx - mm.mn + 1)")
+    return f"""
+WITH pos_tok AS ({pos}),
+hashed AS (SELECT doc_id, i, {h} AS h FROM pos_tok),
+grams AS (
+  SELECT doc_id, ({gram}) % {1000000007} AS g
+  FROM hashed
+),
+mm AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS mn, CAST(MAX(doc_id) AS BIGINT) AS mx
+  FROM documents
+),
+gd AS (
+  SELECT CAST({dec} AS INT) AS dec, g
+  FROM grams CROSS JOIN mm
+  WHERE g IS NOT NULL
+),
+first_seen AS (
+  SELECT g, MIN(dec) AS first_dec FROM gd GROUP BY g
+)
+SELECT gd.dec AS corpus_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT gd.g) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN fs.first_dec = gd.dec THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unseen_occurrences,
+       CAST({d.idiv(
+           'SUM(CASE WHEN fs.first_dec = gd.dec THEN 1 ELSE 0 END) * 1000000',
+           'COUNT(*)')} AS BIGINT) AS unseen_ppm
+FROM gd JOIN first_seen fs ON gd.g = fs.g
+GROUP BY gd.dec
+"""
+
+
+sql_query(
+    "q_ngram_novelty",
+    spark_sql=_ngram_novelty_sql(SPARK),
+    duck_sql=_ngram_novelty_sql(DUCK),
+    tables=["documents"],
+    doc="8-gram novelty curve by corpus decile (ingestion-order proxy = "
+    "doc_id): per tenth of the corpus, the count and ppm of 8-gram "
+    "occurrences whose gram first appears in that decile — the "
+    "memorization-saturation diagnostic curation teams read next to "
+    "dedup rates (a template-heavy corpus's later deciles mostly re-emit "
+    "earlier grams). Rolling 8-gram hashes via doc-partitioned LEAD "
+    "windows over 32-bit md5 token prefixes with distinct multipliers "
+    "mod a 31-bit prime (exact BIGINT both engines); decile bounds from "
+    "a 1-row doc_id min/max broadcast (whitelisted). Plan: per-doc "
+    "windows (no global sort), one gram-keyed first-seen aggregate, one "
+    "gram-keyed join back — all hash-partitioned on the gram hash at "
+    "100 TB.",
+)

@@ -75,6 +75,10 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 additions (never driver-checked — first rows needed)
+    "q_zorder_layout",
+    "q_bloom_prune",
+    "q_ngram_novelty",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -745,3 +745,23 @@ def test_lsh_calibration_tracks_theory(spark):
     # monotone over the well-populated region
     m = well.measured_ppm.tolist()
     assert all(a <= b for a, b in zip(m, m[1:]))
+
+
+def test_ngram_novelty_curve_shape(spark):
+    """Decile 0 is definitionally all-unseen; later deciles can only lose
+    novelty relative to it, and occurrences bookkeeping must add up."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["q_ngram_novelty"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("corpus_decile")
+        .reset_index(drop=True)
+    )
+    assert pdf.corpus_decile.tolist() == list(range(10))
+    assert pdf.iloc[0].unseen_ppm == 1_000_000
+    assert (pdf.unseen_ppm <= 1_000_000).all()
+    assert pdf.iloc[-1].unseen_ppm <= pdf.iloc[0].unseen_ppm
+    assert (pdf.n_unseen_occurrences <= pdf.n_occurrences).all()
+    assert (pdf.n_distinct_grams <= pdf.n_occurrences).all()
