@@ -1540,3 +1540,88 @@ def _register_mk():
 
 
 _register_mk()
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit — pooled vs per-stratum regression sign check.
+# ---------------------------------------------------------------------------
+
+
+def _simpson_sql() -> str:
+    """Pooled OLS slope of extendedprice ~ quantity vs the same slope
+    within each l_returnflag stratum, with a sign-reversal flag per stratum
+    — the aggregation-bias (Simpson's paradox) audit run before trusting
+    any pooled metric in an experiment readout: if strata reverse the
+    pooled sign, the pooled number is a composition artifact, not an
+    effect. One moment-sum pass at the stratum grain; the pooled moments
+    are the SUM of the stratum moments (no second scan), so the audit
+    costs exactly one shuffle on the stratum key + a 1-row broadcast."""
+    from ..functions.detsql import dregr_slope
+
+    # Moments stay DECIMAL through BOTH aggregation levels: the pooled
+    # moments are SUMs of the stratum moments, and summing doubles across
+    # stratum rows would be accumulation-order-dependent at the last ulp
+    # (observed as a cross-engine hash mismatch). The single double cast
+    # happens inside the slope expression.
+    sx = "SUM(CAST(l_quantity AS DECIMAL(28,2)))"
+    sy = "SUM(CAST(l_extendedprice AS DECIMAL(28,2)))"
+    sxy = (
+        "ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))"
+        " * CAST(l_extendedprice AS DECIMAL(12,2))), 2)"
+    )
+    sxx = (
+        "ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))"
+        " * CAST(l_quantity AS DECIMAL(12,2))), 2)"
+    )
+
+    def slope(a: str) -> str:
+        return dregr_slope(
+            f"{a}.n",
+            f"CAST({a}.sx AS DOUBLE)",
+            f"CAST({a}.sy AS DOUBLE)",
+            f"CAST({a}.sxy AS DOUBLE)",
+            f"CAST({a}.sxx AS DOUBLE)",
+        )
+
+    return f"""
+WITH sums AS (
+  SELECT l_returnflag AS stratum,
+         COUNT(*) AS n,
+         {sx} AS sx,
+         {sy} AS sy,
+         {sxy} AS sxy,
+         {sxx} AS sxx
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxy) AS sxy, SUM(sxx) AS sxx
+  FROM sums
+)
+SELECT s.stratum,
+       CAST(s.n AS BIGINT) AS n_rows,
+       {slope('s')} AS stratum_slope,
+       {slope('p')} AS pooled_slope,
+       CAST(CASE WHEN ({slope('s')}) * ({slope('p')}) < 0
+                 THEN 1 ELSE 0 END AS INT) AS sign_reversed
+FROM sums s CROSS JOIN pooled p
+WHERE s.n >= 2
+"""
+
+
+sql_query(
+    "q_simpson_check",
+    spark_sql=_simpson_sql(),
+    duck_sql=_simpson_sql(),
+    tables=["lineitem"],
+    doc="Simpson's-paradox audit: pooled price~quantity OLS slope vs the "
+    "per-l_returnflag stratum slopes with a per-stratum sign-reversal flag "
+    "— the aggregation-bias check an experimentation readout runs before "
+    "trusting any pooled metric (a reversed stratum makes the pooled "
+    "number a composition artifact). The pooled moments are the SUM of "
+    "the stratum moments — one moment-sum pass (map-side combine), one "
+    "shuffle on the stratum key, 1-row pooled broadcast (whitelisted); "
+    "slopes are identical IEEE expression trees over exact decimal sums "
+    "(the q_regression determinism engineering).",
+)

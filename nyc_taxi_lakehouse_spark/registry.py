@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_zorder_layout",
     "q_bloom_prune",
     "q_ngram_novelty",
+    "q_simpson_check",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

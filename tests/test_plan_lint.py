@@ -68,6 +68,8 @@ WHITELIST = {
     "q_bloom_prune": ({"single-part", "bnlj"}, "scalar audit row x 1-row dim count"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
+    # 1-row pooled moments x the stratum-grain aggregate.
+    "q_simpson_check": ({"bnlj", "single-part"}, "1-row pooled moments x strata"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
