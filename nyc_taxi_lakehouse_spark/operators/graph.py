@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.detsql import DUCK, SPARK, Dialect
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -493,4 +494,136 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         F.expr("node DIV 2").alias("entity_key"),
         F.col("label").cast("bigint").alias("community"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the directed customer→supplier trade graph.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 10**12
+
+
+def _hits_chain_sql(d: Dialect, pairs_ref: str) -> str:
+    """The unrolled mutual-reinforcement chain over a (c, s) pair table:
+    auth(s) = Σ hub(c) over buyers, hub(c) = Σ auth(s) over suppliers
+    bought from, each half-step L1-normalized back onto the integer grid
+    via v DIV (total DIV SCALE) — a truncating normalization, but the
+    SAME truncation in both engines, which is what the hash gate needs
+    (float L2 normalization would diverge at the sqrt). Kleinberg's HITS
+    with fixed iteration count, exact BIGINT end to end."""
+    idiv = d.idiv
+    # MATERIALIZED on the DuckDB side: each normalization total references
+    # its raw table twice, so an inlining engine recomputes the upstream
+    # chain 2^(2*iters) times (19 s -> ~2 s at sf0.1). Spark runs the loop
+    # form in q_hits for the same reason.
+    mat = " MATERIALIZED" if d.name != "spark" else ""
+    ctes = [
+        f"""hub0 AS{mat} (
+  SELECT c AS node, CAST({_HITS_SCALE} AS BIGINT) AS v
+  FROM (SELECT DISTINCT c FROM {pairs_ref}) n)"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        norm = idiv("r.v", f"GREATEST({idiv('t.t', str(_HITS_SCALE))}, 1)")
+        ctes.append(
+            f"""rawa{i} AS{mat} (
+  SELECT p.s AS node, CAST(SUM(h.v) AS BIGINT) AS v
+  FROM {pairs_ref} p JOIN hub{i - 1} h ON p.c = h.node GROUP BY p.s),
+ta{i} AS{mat} (SELECT CAST(SUM(v) AS BIGINT) AS t FROM rawa{i}),
+auth{i} AS{mat} (
+  SELECT r.node, CAST({norm} AS BIGINT) AS v FROM rawa{i} r CROSS JOIN ta{i} t),
+rawh{i} AS{mat} (
+  SELECT p.c AS node, CAST(SUM(a.v) AS BIGINT) AS v
+  FROM {pairs_ref} p JOIN auth{i} a ON p.s = a.node GROUP BY p.c),
+th{i} AS{mat} (SELECT CAST(SUM(v) AS BIGINT) AS t FROM rawh{i}),
+hub{i} AS{mat} (
+  SELECT r.node, CAST({norm} AS BIGINT) AS v FROM rawh{i} r CROSS JOIN th{i} t)"""
+        )
+    k = _HITS_ITERS
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT 'customer' AS kind, CAST(node AS BIGINT) AS entity_key,
+       v AS hits_score, 'hub' AS role
+FROM hub{k}
+UNION ALL
+SELECT 'supplier', CAST(node AS BIGINT), v, 'authority'
+FROM auth{k}"""
+    )
+
+
+_HITS_PAIRS_SQL = """
+SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+
+
+@df_query(
+    "q_hits",
+    duck_sql="WITH pairs AS (" + _HITS_PAIRS_SQL + "),\n" + _hits_chain_sql(DUCK, "pairs"),
+    tables=["orders", "lineitem"],
+    doc="HITS hubs & authorities (Kleinberg, 3 synchronous iterations) "
+    "over the DIRECTED customer→supplier trade graph: a customer is a "
+    "good hub if they buy from authoritative suppliers, a supplier "
+    "authoritative if bought from by good hubs — the mutual-reinforcement "
+    "centrality PageRank's single score can't express on a bipartite "
+    "purchase graph. Exact BIGINT fixed point (1e12 grid) with an "
+    "engine-identical truncating L1 normalization per half-step; the "
+    "oracle unrolls the identical recurrence (q_pagerank's pattern). "
+    "Spark checkpoints the distinct pair table ONCE (each iteration "
+    "references it twice; CTE inlining would re-run the orders×lineitem "
+    "join six times), then each half-step is one hash join + one "
+    "key-grouped sum + a 1-row total broadcast — Pregel message-pass "
+    "shape, src/dst-keyed at any scale.",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative loop with a checkpoint per half-step: the unrolled CTE
+    # chain is only for the (materializing) oracle — Spark inlines CTEs,
+    # and each normalization total references its raw table twice, so the
+    # inlined chain recomputes the base join 2^(2*iters) times (measured
+    # 10 s vs ~3 s for this loop at sf0.1). Same recurrence, same hash.
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = spark.sql(_HITS_PAIRS_SQL).localCheckpoint(eager=True)
+
+    def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
+        # Checkpoint the RAW join+agg (the expensive part); the total and
+        # the normalization are then cheap re-runnable projections over the
+        # materialized partitions — checkpointing after normalization
+        # instead would run the pairs join twice per half-step (once for
+        # the total, once inside the checkpoint job).
+        raw = (
+            pairs.join(scores, F.col(in_key) == scores.node)
+            .groupBy(out_key)
+            .agg(F.sum("v").alias("v"))
+            .select(F.col(out_key).alias("node"), "v")
+            .localCheckpoint(eager=True)
+        )
+        tot = raw.agg(F.sum("v").cast("bigint").alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(
+                f"CAST(v DIV GREATEST(t DIV {_HITS_SCALE}, 1) AS BIGINT)"
+            ).alias("v"),
+        )
+
+    hub = (
+        pairs.select("c")
+        .distinct()
+        .select(F.col("c").alias("node"), F.lit(_HITS_SCALE).cast("bigint").alias("v"))
+    )
+    for _ in range(_HITS_ITERS):
+        auth = half_step(hub, "c", "s")
+        hub = half_step(auth, "s", "c")
+    return hub.select(
+        F.lit("customer").alias("kind"),
+        F.col("node").cast("bigint").alias("entity_key"),
+        F.col("v").alias("hits_score"),
+        F.lit("hub").alias("role"),
+    ).unionAll(
+        auth.select(
+            F.lit("supplier").alias("kind"),
+            F.col("node").cast("bigint").alias("entity_key"),
+            F.col("v").alias("hits_score"),
+            F.lit("authority").alias("role"),
+        )
     )

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_bloom_prune",
     "q_ngram_novelty",
     "q_simpson_check",
+    "q_hits",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -70,6 +70,8 @@ WHITELIST = {
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.
     "q_simpson_check": ({"bnlj", "single-part"}, "1-row pooled moments x strata"),
+    # 1-row L1 totals broadcast per HITS half-step normalization.
+    "q_hits": ({"bnlj", "single-part"}, "1-row norm totals x node scores"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
