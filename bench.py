@@ -95,9 +95,13 @@ HEADLINE = [
     "q_recursive_cte",
     "q_label_propagation",
     "q_attribution",
-    # Round-4 flagships: Z-order layout audit, Bloom-filter join pruning.
+    # Round-4 flagships: Z-order layout audit, Bloom-filter join pruning,
+    # n-gram novelty curve, Simpson's-paradox audit, HITS centrality.
     "q_zorder_layout",
     "q_bloom_prune",
+    "q_ngram_novelty",
+    "q_simpson_check",
+    "q_hits",
 ]
 
 
