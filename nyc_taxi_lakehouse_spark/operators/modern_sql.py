@@ -174,3 +174,49 @@ FROM chain WHERE cur < 10
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["customer"])
     return spark.sql(_recursive_chain_sql("DIV", "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery join — per-group top-k in ANSI form.
+# ---------------------------------------------------------------------------
+
+
+_LATERAL_TOPK_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nk, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+           AS spend_cents
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+)
+SELECT n.n_name, l.c_custkey, l.spend_cents
+FROM nation n,
+LATERAL (
+  SELECT s.c_custkey, s.spend_cents
+  FROM spend s
+  WHERE s.nk = n.n_nationkey
+  ORDER BY s.spend_cents DESC, s.c_custkey
+  LIMIT 3
+) l
+"""
+
+
+@df_query(
+    "q_lateral_topk",
+    duck_sql=_LATERAL_TOPK_SQL,
+    tables=["customer", "orders", "nation"],
+    doc="ANSI LATERAL correlated subquery join (Spark 4 lateral subquery "
+    "support): per-nation top-3 customers by lifetime spend, written as "
+    "the 'for each outer row, run this ordered+limited subquery' form "
+    "SQL users reach for before learning window tricks. Catalyst "
+    "DECORRELATES it — the per-nation sort+limit compiles to a "
+    "rank-window over the spend aggregate joined back to nation, the "
+    "same physical shape as q_top_parts_per_nation's explicit "
+    "ROW_NUMBER (WindowGroupLimit pushes the k-limit into each "
+    "partition), so the convenient syntax costs nothing at scale. "
+    "Integer-cent spend + (spend DESC, custkey) tiebreak keep the top-3 "
+    "selection hash-exact; DuckDB runs the identical SQL natively.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    return spark.sql(_LATERAL_TOPK_SQL)
