@@ -53,6 +53,12 @@ CASES = [
     "q_zorder_layout",
     "q_bloom_prune",
     "q_kcore",
+    #   truncating L1 normalization per iterative half-step -> q_hits
+    #   two-level decimal moment re-aggregation              -> q_simpson_check
+    #   decorrelated per-group sort+limit tiebreakers        -> q_lateral_topk
+    "q_hits",
+    "q_simpson_check",
+    "q_lateral_topk",
 ]
 
 
