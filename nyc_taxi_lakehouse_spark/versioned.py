@@ -137,6 +137,7 @@ class VersionedLakeTable(TxnLedger):
         schema: T.StructType,
         base: str | None = None,
         expected_version: int | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """``expected_version`` is the snapshot version this commit's live
         set was DERIVED from (None for callers that did not read state).
@@ -161,6 +162,13 @@ class VersionedLakeTable(TxnLedger):
         }
         if base is not None:
             manifest["base"] = base
+        # CHECK constraints travel in the manifest like the schema: every
+        # commit carries the previous version's set forward unless the
+        # caller (add/drop_check_constraint) overrides it explicitly.
+        if constraints is None:
+            constraints = self.check_constraints(expected_version or None)
+        if constraints:
+            manifest["constraints"] = constraints
         if self.stats_cols:
             prev_stats: dict = {}
             if expected_version >= 1:
@@ -192,6 +200,81 @@ class VersionedLakeTable(TxnLedger):
                 "concurrent writer; re-read and retry"
             ) from None
         return version
+
+    def check_constraints(self, version: int | None = None) -> dict[str, str]:
+        """The CHECK constraints in force as of ``version`` (default
+        latest): name -> SQL predicate. Empty for an empty table."""
+        v = self.latest_version() if version is None else version
+        if not v:
+            return {}
+        try:
+            return dict(self._manifest(v).get("constraints", {}))
+        except Exception:
+            return {}
+
+    def add_check_constraint(self, name: str, predicate: str) -> int:
+        """Delta's ALTER TABLE ADD CONSTRAINT ... CHECK: validate the
+        EXISTING data satisfies the predicate (one scan — a constraint
+        that current rows violate must be rejected, or history would lie),
+        then commit a data-identical version whose manifest carries the
+        constraint; every later append enforces it during the staging
+        write. SQL CHECK semantics: a row violates only when the predicate
+        evaluates to FALSE — NULL passes (add an IS NOT NULL conjunct for
+        not-null enforcement)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError("add_check_constraint: empty table")
+        cons = self.check_constraints(latest)
+        if name in cons:
+            raise ValidationError(f"constraint {name!r} already exists")
+        bad = (
+            self.read(latest)
+            .where(F.coalesce(~F.expr(predicate), F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValidationError(
+                f"add_check_constraint({name!r}): existing rows violate "
+                f"({predicate})"
+            )
+        m = self._manifest(latest)
+        cons[name] = predicate
+        return self._commit(
+            "add_constraint",
+            set(m["files"]),
+            T.StructType.fromJson(m["schema"]),
+            expected_version=latest,
+            constraints=cons,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError("drop_check_constraint: empty table")
+        cons = self.check_constraints(latest)
+        if name not in cons:
+            raise ValidationError(f"constraint {name!r} does not exist")
+        del cons[name]
+        m = self._manifest(latest)
+        return self._commit(
+            "drop_constraint",
+            set(m["files"]),
+            T.StructType.fromJson(m["schema"]),
+            expected_version=latest,
+            constraints=cons,
+        )
+
+    def _constraint_metrics(self) -> dict:
+        """Per-constraint violation counters as aggregate Columns — ridden
+        on the staging write's Observation, so enforcement costs zero
+        extra passes."""
+        return {
+            f"__check__{n}": F.sum(
+                F.coalesce(~F.expr(p), F.lit(False)).cast("long")
+            )
+            for n, p in self.check_constraints().items()
+        }
 
     def _footer_stats(self, rel: str) -> dict[str, list]:
         """Per-column [min, max] for one data file, read from the parquet
@@ -395,9 +478,32 @@ class VersionedLakeTable(TxnLedger):
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Commit an append. Data lands as fresh uniquely-named part files in
         the normal partition layout; the new manifest = previous live set +
-        added files. Returns the new version."""
+        added files. Returns the new version. CHECK constraints in force
+        are enforced during the staging write (Observation — no extra
+        pass); a violating batch is discarded before commit, Delta
+        semantics."""
         schema, prev_live, latest = self._append_prep(df, merge_schema)
+        checks = self._constraint_metrics()
+        if checks:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, *[c.alias(k) for k, c in checks.items()])
         added = self._staged_write(df)
+        if checks:
+            observed = dict(obs.get)
+            bad = {
+                k.removeprefix("__check__"): v
+                for k, v in observed.items()
+                if v and v > 0
+            }
+            if bad:
+                for rel in added:
+                    self.fs.delete(os.path.join(self.path, rel))
+                raise ValidationError(
+                    "append rejected by CHECK constraints (staged files "
+                    f"discarded): {bad}"
+                )
         return self._commit(
             "append", prev_live | added, schema, expected_version=latest or 0
         )
@@ -425,11 +531,18 @@ class VersionedLakeTable(TxnLedger):
         from pyspark.sql import Observation
 
         schema, prev_live, latest = self._append_prep(df, merge_schema)
+        all_metrics = dict(metrics) | self._constraint_metrics()
         obs = Observation()
-        named = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        named = df.observe(obs, *[c.alias(k) for k, c in all_metrics.items()])
         added = self._staged_write(named)
         observed = dict(obs.get)
-        violations = audit(observed)
+        check_fails = [
+            f"CHECK {k.removeprefix('__check__')}: {v} violating rows"
+            for k, v in observed.items()
+            if k.startswith("__check__") and v and v > 0
+        ]
+        observed = {k: v for k, v in observed.items() if not k.startswith("__check__")}
+        violations = check_fails + audit(observed)
         if violations:
             for rel in added:
                 self.fs.delete(os.path.join(self.path, rel))

@@ -457,3 +457,45 @@ def test_wap_append_audit_failure_discards_staging(spark, tmp_path):
     assert [r.id for r in t.read().collect()] == [1]
     live = set(t._manifest(1)["files"])
     assert t._data_files() == live
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "ck"))
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+
+    # Existing data must satisfy a new constraint.
+    with pytest.raises(ValidationError, match="existing rows violate"):
+        t.add_check_constraint("big", "amount > 15")
+    v = t.add_check_constraint("pos_amount", "amount > 0")
+    assert v == 2 and t.check_constraints() == {"pos_amount": "amount > 0"}
+    assert [h["op"] for h in t.history()][-1] == "add_constraint"
+
+    # Violating append is rejected pre-commit, staging cleaned up.
+    with pytest.raises(ValidationError, match="pos_amount"):
+        t.append(_mk(spark, [(3, "O", -5.0)]))
+    assert t.latest_version() == 2
+    assert t._data_files() == set(t._manifest(2)["files"])
+
+    # NULL passes (SQL CHECK semantics); good rows commit and the
+    # constraint is carried forward through ordinary commits.
+    nullrow = spark.createDataFrame(
+        [(4, "P", None)], "id bigint, status string, amount double"
+    )
+    assert t.append(nullrow) == 3
+    assert t.check_constraints() == {"pos_amount": "amount > 0"}
+
+    # wap_append surfaces constraint failures through its audit path.
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValidationError, match="CHECK pos_amount"):
+        t.wap_append(
+            _mk(spark, [(5, "O", -1.0)]),
+            {"n": F.count(F.lit(1))},
+            lambda m: [],
+        )
+
+    assert t.drop_check_constraint("pos_amount") == 4
+    assert t.check_constraints() == {}
+    assert t.append(_mk(spark, [(6, "O", -2.0)])) == 5  # no longer enforced
