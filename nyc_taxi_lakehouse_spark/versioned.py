@@ -138,6 +138,9 @@ class VersionedLakeTable(TxnLedger):
         base: str | None = None,
         expected_version: int | None = None,
         constraints: dict[str, str] | None = None,
+        column_mapping: dict[str, str] | None = None,
+        retired_physical: list[str] | None = None,
+        stats_override: dict | None = None,
     ) -> int:
         """``expected_version`` is the snapshot version this commit's live
         set was DERIVED from (None for callers that did not read state).
@@ -162,14 +165,30 @@ class VersionedLakeTable(TxnLedger):
         }
         if base is not None:
             manifest["base"] = base
-        # CHECK constraints travel in the manifest like the schema: every
-        # commit carries the previous version's set forward unless the
-        # caller (add/drop_check_constraint) overrides it explicitly.
+        # CHECK constraints, the column mapping, and the retired-physical
+        # ledger travel in the manifest like the schema: every commit
+        # carries the previous version's set forward unless the caller
+        # overrides it explicitly.
         if constraints is None:
             constraints = self.check_constraints(expected_version or None)
         if constraints:
             manifest["constraints"] = constraints
-        if self.stats_cols:
+        if column_mapping is None:
+            column_mapping = self.column_mapping(expected_version or None)
+        if column_mapping:
+            manifest["column_mapping"] = column_mapping
+        retired = retired_physical
+        if retired is None and expected_version:
+            try:
+                retired = self._manifest(expected_version).get("retired_physical", [])
+            except Exception:
+                retired = []
+        if retired:
+            manifest["retired_physical"] = retired
+        if stats_override is not None:
+            if stats_override:
+                manifest["stats"] = stats_override
+        elif self.stats_cols:
             prev_stats: dict = {}
             if expected_version >= 1:
                 try:
@@ -276,6 +295,186 @@ class VersionedLakeTable(TxnLedger):
             for n, p in self.check_constraints().items()
         }
 
+    # -- column mapping (Delta column-mapping semantics) ---------------------
+
+    def column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """logical column name -> physical parquet column name as of
+        ``version`` (default latest). Identity when never renamed."""
+        v = self.latest_version() if version is None else version
+        if not v:
+            return {}
+        try:
+            return dict(self._manifest(v).get("column_mapping", {}))
+        except Exception:
+            return {}
+
+    def _phys(self, name: str, mapping: dict[str, str]) -> str:
+        return mapping.get(name, name)
+
+    def _physical_schema(
+        self, schema: T.StructType, mapping: dict[str, str]
+    ) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(self._phys(f.name, mapping), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta's ALTER TABLE RENAME COLUMN under column mapping: a
+        METADATA-ONLY commit — no data file is rewritten; the logical
+        schema renames the field while the mapping keeps pointing at the
+        original physical parquet column, so every snapshot (old and new)
+        still reads every file. Partition columns are refused (their
+        physical identity is baked into the hive directory layout), as is
+        renaming a column referenced by a CHECK constraint (the stored
+        predicate text would silently break)."""
+        import re
+
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError("rename_column: empty table")
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValidationError(f"rename_column: no column {old!r}")
+        if new in names:
+            raise ValidationError(f"rename_column: {new!r} already exists")
+        if old in self.partition_cols:
+            raise ValidationError(
+                f"rename_column: {old!r} is a partition column (its physical "
+                "name is the hive directory layout)"
+            )
+        for cname, pred in self.check_constraints(latest).items():
+            if re.search(rf"\b{re.escape(old)}\b", pred):
+                raise ValidationError(
+                    f"rename_column: column {old!r} is referenced by CHECK "
+                    f"constraint {cname!r} — drop it first"
+                )
+        mapping = self.column_mapping(latest)
+        mapping[new] = mapping.pop(old, old)
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        stats_fix = None
+        if old in self.stats_cols:
+            self.stats_cols = [new if c == old else c for c in self.stats_cols]
+            stats_fix = (old, new)
+        version = self._commit_mapped(
+            "rename_column", m, new_schema, mapping, latest, stats_fix
+        )
+        return version
+
+    def drop_column(self, name: str) -> int:
+        """Delta's ALTER TABLE DROP COLUMN under column mapping: metadata-
+        only — the physical column stays in the old files (serving earlier
+        snapshots) but the logical schema and mapping forget it; its
+        physical name is RETIRED so a later re-added column of the same
+        logical name gets a fresh physical identity instead of
+        resurrecting the dropped values from old files."""
+        import re
+
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError("drop_column: empty table")
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        if name not in [f.name for f in schema.fields]:
+            raise ValidationError(f"drop_column: no column {name!r}")
+        if name in self.partition_cols:
+            raise ValidationError(f"drop_column: {name!r} is a partition column")
+        for cname, pred in self.check_constraints(latest).items():
+            if re.search(rf"\b{re.escape(name)}\b", pred):
+                raise ValidationError(
+                    f"drop_column: column {name!r} is referenced by CHECK "
+                    f"constraint {cname!r} — drop it first"
+                )
+        mapping = self.column_mapping(latest)
+        retired = list(m.get("retired_physical", []))
+        retired.append(self._phys(name, mapping))
+        mapping.pop(name, None)
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        if name in self.stats_cols:
+            self.stats_cols = [c for c in self.stats_cols if c != name]
+        return self._commit_mapped(
+            "drop_column", m, new_schema, mapping, latest, None, retired
+        )
+
+    def _commit_mapped(
+        self,
+        op: str,
+        m: dict,
+        new_schema: T.StructType,
+        mapping: dict[str, str],
+        latest: int,
+        stats_fix: tuple[str, str] | None = None,
+        retired: list[str] | None = None,
+    ) -> int:
+        """Metadata-only commit helper for rename/drop: same live set, new
+        logical schema + mapping (+ retired-physical ledger); per-file
+        stats are carried over with their logical keys renamed in place
+        (the physical footers are untouched by a metadata-only commit)."""
+        stats = dict(m.get("stats", {}))
+        if stats_fix:
+            old, new = stats_fix
+            stats = {
+                f: {(new if c == old else c): v for c, v in s.items()}
+                for f, s in stats.items()
+            }
+        return self._commit(
+            op,
+            set(m["files"]),
+            new_schema,
+            expected_version=latest,
+            constraints=self.check_constraints(latest),
+            column_mapping=mapping,
+            retired_physical=(
+                retired if retired is not None else list(m.get("retired_physical", []))
+            ),
+            stats_override=stats,
+        )
+
+    def _read_physical(self, abs_files: list[str], schema: T.StructType) -> DataFrame:
+        """Read specific data files (physical column names) back as the
+        LOGICAL schema — the rewrite paths' (compact/cluster) twin of
+        read()'s aliasing."""
+        mapping = self.column_mapping()
+        df = (
+            self.spark.read.schema(self._physical_schema(schema, mapping))
+            .option("basePath", self.path)
+            .parquet(*abs_files)
+        )
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(self._phys(f.name, mapping)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
+    def _fresh_physical(self, logical: str, latest: int | None) -> str:
+        """Physical name for a NEW logical column: the logical name itself
+        unless that physical identity is in use or retired (a re-added
+        column must not resurrect a dropped column's values)."""
+        if not latest:
+            return logical
+        m = self._manifest(latest)
+        mapping = self.column_mapping(latest)
+        used = set(mapping.values()) | set(m.get("retired_physical", []))
+        schema = T.StructType.fromJson(m["schema"])
+        used |= {self._phys(f.name, mapping) for f in schema.fields}
+        if logical not in used:
+            return logical
+        import uuid as _uuid
+
+        return f"{logical}_{_uuid.uuid4().hex[:8]}"
+
     def _footer_stats(self, rel: str) -> dict[str, list]:
         """Per-column [min, max] for one data file, read from the parquet
         FOOTER (row-group statistics aggregated across row groups) — no
@@ -289,14 +488,16 @@ class VersionedLakeTable(TxnLedger):
             md = pq.ParquetFile(path).metadata
         except Exception:
             return {}
-        wanted = set(self.stats_cols)
+        mapping = self.column_mapping()
+        logical_of = {self._phys(c, mapping): c for c in self.stats_cols}
+        wanted = set(logical_of)
         out: dict[str, list] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
-                name = col.path_in_schema
-                if name not in wanted or col.physical_type not in (
+                pname = col.path_in_schema
+                if pname not in wanted or col.physical_type not in (
                     "INT32",
                     "INT64",
                     "FLOAT",
@@ -306,12 +507,13 @@ class VersionedLakeTable(TxnLedger):
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return {}  # any gap makes the file unprunable — be safe
+                name = logical_of[pname]  # stats are keyed by LOGICAL name
                 if name in out:
                     out[name][0] = min(out[name][0], st.min)
                     out[name][1] = max(out[name][1], st.max)
                 else:
                     out[name] = [st.min, st.max]
-        return out if set(out) == wanted else {}
+        return out if set(out) == set(self.stats_cols) else {}
 
     # -- reads --------------------------------------------------------------
 
@@ -376,7 +578,11 @@ class VersionedLakeTable(TxnLedger):
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema)
+        # Column mapping: files are read under their PHYSICAL names (the
+        # names renames never touch) and aliased back to the version's
+        # logical schema — the metadata-only rename/drop contract.
+        mapping = self.column_mapping(v)
+        reader = self.spark.read.schema(self._physical_schema(schema, mapping))
         if self.partition_cols:
             bases = {self.path if not os.path.isabs(f) else m.get("base", "")
                      for f in rel_files}
@@ -387,6 +593,13 @@ class VersionedLakeTable(TxnLedger):
                 )
             reader = reader.option("basePath", bases.pop())
         df = reader.parquet(*files)
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(self._phys(f.name, mapping)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         if filters:
             for col, lo, hi in filters:
                 df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -395,7 +608,11 @@ class VersionedLakeTable(TxnLedger):
     # -- commits ------------------------------------------------------------
 
     def _staged_write(
-        self, df: DataFrame, subdir: str = "", partitioned: bool | None = None
+        self,
+        df: DataFrame,
+        subdir: str = "",
+        partitioned: bool | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> set[str]:
         """Write df's part files through a PRIVATE staging directory, then
         move them into the table layout; returns the relative paths added.
@@ -411,6 +628,15 @@ class VersionedLakeTable(TxnLedger):
         staging and an EXACT added-file list."""
         import uuid as _uuid
 
+        # Data files always carry PHYSICAL column names; callers work in
+        # logical names (df comes from read() or the user). `mapping` lets
+        # append() include physical identities for columns added in this
+        # same commit.
+        eff = self.column_mapping() if mapping is None else mapping
+        if eff:
+            df = df.select(
+                *[F.col(c).alias(eff.get(c, c)) for c in df.columns]
+            )
         stage = os.path.join(self.path, "_staging", _uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         use_partitioning = (
@@ -483,13 +709,14 @@ class VersionedLakeTable(TxnLedger):
         pass); a violating batch is discarded before commit, Delta
         semantics."""
         schema, prev_live, latest = self._append_prep(df, merge_schema)
+        mapping = self._mapping_with_new_cols(df, latest)
         checks = self._constraint_metrics()
         if checks:
             from pyspark.sql import Observation
 
             obs = Observation()
             df = df.observe(obs, *[c.alias(k) for k, c in checks.items()])
-        added = self._staged_write(df)
+        added = self._staged_write(df, mapping=mapping)
         if checks:
             observed = dict(obs.get)
             bad = {
@@ -505,8 +732,35 @@ class VersionedLakeTable(TxnLedger):
                     f"discarded): {bad}"
                 )
         return self._commit(
-            "append", prev_live | added, schema, expected_version=latest or 0
+            "append",
+            prev_live | added,
+            schema,
+            expected_version=latest or 0,
+            column_mapping=mapping,
         )
+
+    def _mapping_with_new_cols(
+        self, df: DataFrame, latest: int | None
+    ) -> dict[str, str]:
+        """The effective column mapping for an append: the committed
+        mapping plus fresh physical identities for columns this batch
+        introduces (schema evolution under column mapping)."""
+        mapping = self.column_mapping(latest)
+        if latest:
+            prev = {
+                f.name
+                for f in T.StructType.fromJson(
+                    self._manifest(latest)["schema"]
+                ).fields
+            }
+        else:
+            prev = set()
+        for c in df.columns:
+            if c not in prev and c not in mapping:
+                phys = self._fresh_physical(c, latest)
+                if phys != c:
+                    mapping[c] = phys
+        return mapping
 
     def wap_append(
         self,
@@ -531,10 +785,11 @@ class VersionedLakeTable(TxnLedger):
         from pyspark.sql import Observation
 
         schema, prev_live, latest = self._append_prep(df, merge_schema)
+        mapping = self._mapping_with_new_cols(df, latest)
         all_metrics = dict(metrics) | self._constraint_metrics()
         obs = Observation()
         named = df.observe(obs, *[c.alias(k) for k, c in all_metrics.items()])
-        added = self._staged_write(named)
+        added = self._staged_write(named, mapping=mapping)
         observed = dict(obs.get)
         check_fails = [
             f"CHECK {k.removeprefix('__check__')}: {v} violating rows"
@@ -551,7 +806,11 @@ class VersionedLakeTable(TxnLedger):
                 "published): " + "; ".join(violations)
             )
         version = self._commit(
-            "append", prev_live | added, schema, expected_version=latest or 0
+            "append",
+            prev_live | added,
+            schema,
+            expected_version=latest or 0,
+            column_mapping=mapping,
         )
         return version, observed
 
@@ -698,11 +957,7 @@ class VersionedLakeTable(TxnLedger):
                 continue
             rewrote = True
             abs_files = [os.path.join(self.path, f) for f in files]
-            df = (
-                self.spark.read.schema(schema)
-                .option("basePath", self.path)
-                .parquet(*abs_files)
-            )
+            df = self._read_physical(abs_files, schema)
             # Stage into the partition directory (values are fixed within
             # it), keeping the hive layout without re-shuffling.
             added = self._staged_write(
@@ -752,11 +1007,7 @@ class VersionedLakeTable(TxnLedger):
         rewrote = False
         for d, files in by_dir.items():
             abs_files = [os.path.join(self.path, f) for f in files]
-            df = (
-                self.spark.read.schema(schema)
-                .option("basePath", self.path)
-                .parquet(*abs_files)
-            ).drop(*self.partition_cols)
+            df = self._read_physical(abs_files, schema).drop(*self.partition_cols)
             absdir = os.path.join(self.path, d) if d else self.path
             listing = {
                 name: size for name, is_dir, size in self.fs.list(absdir) if not is_dir

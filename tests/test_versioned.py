@@ -499,3 +499,84 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     assert t.drop_check_constraint("pos_amount") == 4
     assert t.check_constraints() == {}
     assert t.append(_mk(spark, [(6, "O", -2.0)])) == 5  # no longer enforced
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "rn"))
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    files_before = set(t._manifest(1)["files"])
+    v = t.rename_column("amount", "total")
+    assert v == 2
+    assert set(t._manifest(2)["files"]) == files_before  # no rewrite
+    got = {r.id: r.total for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # Time travel still shows the OLD logical name at the old version.
+    assert "amount" in t.read(1).columns and "total" not in t.read(1).columns
+
+    # Appends and deletes keep working through the mapping.
+    t.append(_mk(spark, [(3, "P", 30.0)]).withColumnRenamed("amount", "total"))
+    assert {r.id: r.total for r in t.read().collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
+    t.delete_where("total > 25")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+    with pytest.raises(ValidationError, match="already exists"):
+        t.rename_column("status", "total")
+
+
+def test_rename_refused_for_partition_and_constraint_cols(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "rnp"), ["status"])
+    t.append(_mk(spark, [(1, "O", 10.0)]))
+    with pytest.raises(ValidationError, match="partition column"):
+        t.rename_column("status", "state")
+    t.add_check_constraint("pos", "amount > 0")
+    with pytest.raises(ValidationError, match="CHECK constraint"):
+        t.rename_column("amount", "total")
+
+
+def test_drop_column_and_readd_does_not_resurrect(spark, tmp_path):
+    t = VersionedLakeTable(spark, str(tmp_path / "dr"))
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    v = t.drop_column("amount")
+    assert v == 2
+    assert t.read().columns == ["id", "status"]
+    assert "amount" in t.read(1).columns  # old snapshot unaffected
+
+    # Re-adding a column with the SAME logical name must not read the
+    # dropped column's values back out of the old files.
+    t.append(
+        spark.createDataFrame(
+            [(3, "P", 99.0)], "id bigint, status string, amount double"
+        ),
+        merge_schema=True,
+    )
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: 99.0}
+
+
+def test_stats_pruning_survives_rename(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = spark.range(256).select(
+        F.col("id").alias("rid"), (F.col("id") % 16).alias("a")
+    )
+    t = VersionedLakeTable(spark, str(tmp_path / "rs"), stats_cols=["a"])
+    t.append(base.repartitionByRange(8, "a").sortWithinPartitions("a"))
+    kept, total = t.prune_files([("a", 0, 1)])
+    assert len(kept) < total
+    t.rename_column("a", "bucket")
+    kept2, total2 = t.prune_files([("bucket", 0, 1)])
+    assert (len(kept2), total2) == (len(kept), total)
+    # And a post-rename append records stats under the new logical name.
+    t.append(
+        spark.range(10).coalesce(1).select(
+            (F.col("id") + 1000).alias("rid"), F.lit(99).cast("long").alias("bucket")
+        )
+    )
+    kept3, total3 = t.prune_files([("bucket", 99, 99)])
+    assert total3 == total + 1 and len(kept3) == 1
