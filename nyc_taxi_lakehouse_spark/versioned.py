@@ -141,6 +141,7 @@ class VersionedLakeTable(TxnLedger):
         column_mapping: dict[str, str] | None = None,
         retired_physical: list[str] | None = None,
         stats_override: dict | None = None,
+        generated_cols: dict[str, str] | None = None,
     ) -> int:
         """``expected_version`` is the snapshot version this commit's live
         set was DERIVED from (None for callers that did not read state).
@@ -177,6 +178,10 @@ class VersionedLakeTable(TxnLedger):
             column_mapping = self.column_mapping(expected_version or None)
         if column_mapping:
             manifest["column_mapping"] = column_mapping
+        if generated_cols is None:
+            generated_cols = self.generated_columns(expected_version or None)
+        if generated_cols:
+            manifest["generated_cols"] = generated_cols
         retired = retired_physical
         if retired is None and expected_version:
             try:
@@ -295,6 +300,68 @@ class VersionedLakeTable(TxnLedger):
             for n, p in self.check_constraints().items()
         }
 
+    def generated_columns(self, version: int | None = None) -> dict[str, str]:
+        """Generated columns in force as of ``version``: name -> SQL
+        generation expression (Delta GENERATED ALWAYS AS)."""
+        v = self.latest_version() if version is None else version
+        if not v:
+            return {}
+        try:
+            return dict(self._manifest(v).get("generated_cols", {}))
+        except Exception:
+            return {}
+
+    def add_generated_column(self, name: str, expr: str, dtype: str) -> int:
+        """Delta's GENERATED ALWAYS AS: a metadata-only commit adding
+        ``name`` (DDL type ``dtype``) computed as ``expr`` over the other
+        columns. Rows in existing files read NULL for it (they predate the
+        column — standard schema-evolution semantics); every later append
+        either derives the column automatically (batch doesn't carry it)
+        or validates the provided values match the expression null-safely
+        and rejects the batch otherwise."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError("add_generated_column: empty table")
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        if name in [f.name for f in schema.fields]:
+            raise ValidationError(f"add_generated_column: {name!r} exists")
+        gen = self.generated_columns(latest)
+        gen[name] = expr
+        new_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(name, T._parse_datatype_string(dtype), True)]
+        )
+        return self._commit(
+            "add_generated_column",
+            set(m["files"]),
+            new_schema,
+            expected_version=latest,
+            generated_cols=gen,
+        )
+
+    def _apply_generated(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """Derive absent generated columns (cast to their declared table
+        type); emit null-safe mismatch counters (ridden on the write
+        Observation) for provided ones."""
+        gen = self.generated_columns()
+        checks: dict = {}
+        if not gen:
+            return df, checks
+        latest = self.latest_version()
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(self._manifest(latest)["schema"]).fields
+        }
+        for name, expr in gen.items():
+            if name in df.columns:
+                checks[f"__gen__{name}"] = F.sum(
+                    F.expr(f"NOT (({name}) <=> ({expr}))").cast("long")
+                )
+            else:
+                df = df.withColumn(name, F.expr(expr).cast(types[name]))
+        return df, checks
+
     # -- column mapping (Delta column-mapping semantics) ---------------------
 
     def column_mapping(self, version: int | None = None) -> dict[str, str]:
@@ -353,6 +420,12 @@ class VersionedLakeTable(TxnLedger):
                     f"rename_column: column {old!r} is referenced by CHECK "
                     f"constraint {cname!r} — drop it first"
                 )
+        for gname, gexpr in self.generated_columns(latest).items():
+            if gname == old or re.search(rf"\b{re.escape(old)}\b", gexpr):
+                raise ValidationError(
+                    f"rename_column: column {old!r} is a generated column or "
+                    f"referenced by generated column {gname!r}"
+                )
         mapping = self.column_mapping(latest)
         mapping[new] = mapping.pop(old, old)
         new_schema = T.StructType(
@@ -394,6 +467,14 @@ class VersionedLakeTable(TxnLedger):
                     f"drop_column: column {name!r} is referenced by CHECK "
                     f"constraint {cname!r} — drop it first"
                 )
+        gen = self.generated_columns(latest)
+        for gname, gexpr in gen.items():
+            if gname != name and re.search(rf"\b{re.escape(name)}\b", gexpr):
+                raise ValidationError(
+                    f"drop_column: column {name!r} is referenced by generated "
+                    f"column {gname!r} — drop it first"
+                )
+        gen.pop(name, None)  # dropping a generated column retires its rule
         mapping = self.column_mapping(latest)
         retired = list(m.get("retired_physical", []))
         retired.append(self._phys(name, mapping))
@@ -402,7 +483,7 @@ class VersionedLakeTable(TxnLedger):
         if name in self.stats_cols:
             self.stats_cols = [c for c in self.stats_cols if c != name]
         return self._commit_mapped(
-            "drop_column", m, new_schema, mapping, latest, None, retired
+            "drop_column", m, new_schema, mapping, latest, None, retired, gen
         )
 
     def _commit_mapped(
@@ -414,6 +495,7 @@ class VersionedLakeTable(TxnLedger):
         latest: int,
         stats_fix: tuple[str, str] | None = None,
         retired: list[str] | None = None,
+        generated_cols: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only commit helper for rename/drop: same live set, new
         logical schema + mapping (+ retired-physical ledger); per-file
@@ -437,6 +519,7 @@ class VersionedLakeTable(TxnLedger):
                 retired if retired is not None else list(m.get("retired_physical", []))
             ),
             stats_override=stats,
+            generated_cols=generated_cols,
         )
 
     def _read_physical(self, abs_files: list[str], schema: T.StructType) -> DataFrame:
@@ -708,9 +791,10 @@ class VersionedLakeTable(TxnLedger):
         are enforced during the staging write (Observation — no extra
         pass); a violating batch is discarded before commit, Delta
         semantics."""
+        df, gen_checks = self._apply_generated(df)
         schema, prev_live, latest = self._append_prep(df, merge_schema)
         mapping = self._mapping_with_new_cols(df, latest)
-        checks = self._constraint_metrics()
+        checks = self._constraint_metrics() | gen_checks
         if checks:
             from pyspark.sql import Observation
 
@@ -720,7 +804,7 @@ class VersionedLakeTable(TxnLedger):
         if checks:
             observed = dict(obs.get)
             bad = {
-                k.removeprefix("__check__"): v
+                k.removeprefix("__check__").removeprefix("__gen__"): v
                 for k, v in observed.items()
                 if v and v > 0
             }
@@ -728,8 +812,8 @@ class VersionedLakeTable(TxnLedger):
                 for rel in added:
                     self.fs.delete(os.path.join(self.path, rel))
                 raise ValidationError(
-                    "append rejected by CHECK constraints (staged files "
-                    f"discarded): {bad}"
+                    "append rejected by CHECK constraints / generated-"
+                    f"column validation (staged files discarded): {bad}"
                 )
         return self._commit(
             "append",
@@ -784,19 +868,25 @@ class VersionedLakeTable(TxnLedger):
         ValidationError lists every violation."""
         from pyspark.sql import Observation
 
+        df, gen_checks = self._apply_generated(df)
         schema, prev_live, latest = self._append_prep(df, merge_schema)
         mapping = self._mapping_with_new_cols(df, latest)
-        all_metrics = dict(metrics) | self._constraint_metrics()
+        all_metrics = dict(metrics) | self._constraint_metrics() | gen_checks
         obs = Observation()
         named = df.observe(obs, *[c.alias(k) for k, c in all_metrics.items()])
         added = self._staged_write(named, mapping=mapping)
         observed = dict(obs.get)
         check_fails = [
-            f"CHECK {k.removeprefix('__check__')}: {v} violating rows"
+            f"CHECK {k.removeprefix('__check__').removeprefix('__gen__')}: "
+            f"{v} violating rows"
             for k, v in observed.items()
-            if k.startswith("__check__") and v and v > 0
+            if k.startswith(("__check__", "__gen__")) and v and v > 0
         ]
-        observed = {k: v for k, v in observed.items() if not k.startswith("__check__")}
+        observed = {
+            k: v
+            for k, v in observed.items()
+            if not k.startswith(("__check__", "__gen__"))
+        }
         violations = check_fails + audit(observed)
         if violations:
             for rel in added:

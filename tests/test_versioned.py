@@ -580,3 +580,44 @@ def test_stats_pruning_survives_rename(spark, tmp_path):
     )
     kept3, total3 = t.prune_files([("bucket", 99, 99)])
     assert total3 == total + 1 and len(kept3) == 1
+
+
+def test_generated_columns(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "gen"))
+    t.append(_mk(spark, [(1, "O", 10.0), (2, "F", 20.0)]))
+    v = t.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)", "bigint")
+    assert v == 2
+    # Pre-existing rows read NULL (their files predate the column).
+    assert {r.id: r.amount_cents for r in t.read().collect()} == {1: None, 2: None}
+
+    # A batch WITHOUT the column gets it derived automatically.
+    t.append(_mk(spark, [(3, "P", 30.5)]))
+    got = {r.id: r.amount_cents for r in t.read().collect()}
+    assert got[3] == 3050
+
+    # A batch WITH the column must match the expression (null-safely).
+    good = spark.createDataFrame(
+        [(4, "O", 40.0, 4000)],
+        "id bigint, status string, amount double, amount_cents bigint",
+    )
+    t.append(good)
+    bad = spark.createDataFrame(
+        [(5, "O", 50.0, 9999)],
+        "id bigint, status string, amount double, amount_cents bigint",
+    )
+    with pytest.raises(ValidationError, match="amount_cents"):
+        t.append(bad)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
+
+    # Guards: the source column can be neither renamed nor dropped while
+    # the rule references it; dropping the generated column retires it.
+    with pytest.raises(ValidationError, match="generated"):
+        t.rename_column("amount", "total")
+    with pytest.raises(ValidationError, match="generated"):
+        t.drop_column("amount")
+    t.drop_column("amount_cents")
+    assert t.generated_columns() == {}
+    t.append(_mk(spark, [(6, "O", 60.0)]))  # no longer derived
+    assert "amount_cents" not in t.read().columns
