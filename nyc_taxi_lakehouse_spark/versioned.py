@@ -942,6 +942,99 @@ class VersionedLakeTable(TxnLedger):
             "delete_where", (live - dead) | added, schema, expected_version=latest
         )
 
+    def update_where(self, predicate: str, set_exprs: dict[str, str]) -> int:
+        """Commit an UPDATE ... SET (Delta UPDATE semantics): rows matching
+        ``predicate`` get each column in ``set_exprs`` recomputed from its
+        SQL expression (evaluated against the PRE-update row, all
+        assignments simultaneous, standard UPDATE semantics); unmatched
+        rows pass through byte-identical. Partition-bounded like
+        delete_where — only partitions containing a match are rewritten,
+        as NEW files, so earlier snapshots keep reading. CHECK constraints
+        in force are enforced on the rewritten rows (the update must not
+        smuggle in violations an append would have rejected); generated
+        columns are recomputed when their sources change is the caller's
+        concern — assigning a generated column directly is refused.
+        Partition columns cannot be assigned (that is a MERGE/move, not an
+        in-place update). Returns the new version."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValidationError(f"empty versioned table at {self.path}")
+        for c in set_exprs:
+            if c in self.partition_cols:
+                raise ValidationError(
+                    f"update_where: cannot assign partition column {c!r}"
+                )
+            if c in self.generated_columns(latest):
+                raise ValidationError(
+                    f"update_where: {c!r} is GENERATED ALWAYS AS — it cannot "
+                    "be assigned directly"
+                )
+        m = self._manifest(latest)
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        for c in set_exprs:
+            if c not in names:
+                raise ValidationError(f"update_where: no column {c!r}")
+        live = set(m["files"])
+        current = self.read(latest)
+        match = F.coalesce(F.expr(predicate), F.lit(False))
+        if self.partition_cols:
+            parts = [
+                tuple(r)
+                for r in current.filter(match)
+                .select(*self.partition_cols)
+                .distinct()
+                .collect()
+            ]
+            if not parts:
+                return self._commit(
+                    "update_where(noop)", live, schema, expected_version=latest
+                )
+            prefixes = tuple(_partition_prefix(self.partition_cols, p) for p in parts)
+            dead = {f for f in live if f.startswith(prefixes)}
+            from .lake import _partition_filter
+
+            scope = current.filter(_partition_filter(self.partition_cols, parts))
+        else:
+            dead = set(live)
+            scope = current
+        # Simultaneous assignment: every SET expression evaluates against
+        # the pre-update row (one select, not chained withColumns).
+        updated = scope.select(
+            *[
+                F.when(match, F.expr(set_exprs[c]).cast(schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in names
+            ]
+        )
+        checks = self._constraint_metrics()
+        if checks:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            updated = updated.observe(
+                obs, *[c.alias(k) for k, c in checks.items()]
+            )
+        added = self._staged_write(updated)
+        if checks:
+            bad = {
+                k.removeprefix("__check__"): v
+                for k, v in dict(obs.get).items()
+                if v and v > 0
+            }
+            if bad:
+                for rel in added:
+                    self.fs.delete(os.path.join(self.path, rel))
+                raise ValidationError(
+                    f"update_where rejected by CHECK constraints: {bad}"
+                )
+        return self._commit(
+            "update_where", (live - dead) | added, schema, expected_version=latest
+        )
+
     def merge_upsert(
         self,
         updates: DataFrame,

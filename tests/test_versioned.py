@@ -621,3 +621,44 @@ def test_generated_columns(spark, tmp_path):
     assert t.generated_columns() == {}
     t.append(_mk(spark, [(6, "O", 60.0)]))  # no longer derived
     assert "amount_cents" not in t.read().columns
+
+
+def test_update_where(spark, tmp_path):
+    from nyc_taxi_lakehouse_spark.lake import ValidationError
+
+    t = VersionedLakeTable(spark, str(tmp_path / "up"), ["status"])
+    t.append(
+        _mk(spark, [(1, "O", 10.0), (2, "F", 20.0), (3, "F", 30.0)])
+    )
+    m1 = set(t._manifest(1)["files"])
+
+    # Simultaneous assignment against the pre-update row: amount doubles
+    # AND id shifts by the OLD amount in the same statement.
+    v = t.update_where(
+        "status = 'F' AND amount > 25",
+        {"amount": "amount * 2", "id": "id + CAST(amount AS BIGINT)"},
+    )
+    assert v == 2
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 33: 60.0}
+    # Old snapshot intact; untouched partition's files carried over.
+    assert {r.id for r in t.read(1).collect()} == {1, 2, 3}
+    o_files = {f for f in m1 if f.startswith("status=O/")}
+    assert o_files <= set(t._manifest(2)["files"])
+
+    with pytest.raises(ValidationError, match="partition column"):
+        t.update_where("id = 1", {"status": "'X'"})
+
+    # Constraint enforcement: an update cannot smuggle in violations.
+    t.add_check_constraint("pos", "amount > 0")
+    with pytest.raises(ValidationError, match="pos"):
+        t.update_where("id = 1", {"amount": "-amount"})
+    assert t.read().filter("amount <= 0").count() == 0
+
+    # Generated columns cannot be assigned directly.
+    t2 = VersionedLakeTable(spark, str(tmp_path / "upg"))
+    t2.append(_mk(spark, [(1, "O", 10.0)]))
+    t2.add_generated_column("cents", "CAST(amount * 100 AS BIGINT)", "bigint")
+    with pytest.raises(ValidationError, match="GENERATED"):
+        t2.update_where("id = 1", {"cents": "0"})
+    assert t2.update_where("id = 1", {"amount": "11.0"}) == 3
