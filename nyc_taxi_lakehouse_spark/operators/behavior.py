@@ -1625,3 +1625,148 @@ sql_query(
     "slopes are identical IEEE expression trees over exact decimal sums "
     "(the q_regression determinism engineering).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle — cumulative revenue per acquisition cohort by age.
+# ---------------------------------------------------------------------------
+
+
+def _cohort_ltv_sql(d: Dialect) -> str:
+    """Monthly acquisition-cohort lifetime-value triangle: cohort = month
+    of a customer's FIRST order, age = months since, cell = cumulative
+    revenue of the cohort through that age plus per-customer LTV — the
+    monetary twin of q_retention's user-count triangle (the pair every
+    growth readout plots side by side). Exact integer cents end to end;
+    the cumulative window is cohort-partitioned (<= ~80 month cohorts,
+    each a short series — no global sort)."""
+    midx = (
+        "(CAST(year(o_orderdate) AS BIGINT) - 1992) * 12 "
+        "+ CAST(month(o_orderdate) AS BIGINT) - 1"
+    )
+    cents = (
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+        "AS DECIMAL(18,0))) AS BIGINT)"
+    )
+    return f"""
+WITH om AS (
+  SELECT o_custkey AS cust, {midx} AS midx, o_totalprice FROM orders
+),
+firsts AS (
+  SELECT cust, MIN(midx) AS cohort FROM om GROUP BY cust
+),
+rev AS (
+  SELECT f.cohort, o.midx - f.cohort AS age,
+         {cents.replace('o_totalprice', 'o.o_totalprice')} AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM (SELECT cust, midx, o_totalprice AS o_totalprice FROM om) o
+  JOIN firsts f ON o.cust = f.cust
+  GROUP BY f.cohort, o.midx - f.cohort
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM firsts GROUP BY cohort
+)
+SELECT CAST(r.cohort AS INT) AS cohort_month,
+       CAST(r.age AS INT) AS age_months,
+       r.n_orders,
+       s.n_customers,
+       CAST(SUM(r.cents) OVER (
+         PARTITION BY r.cohort ORDER BY r.age
+       ) AS BIGINT) AS cum_revenue_cents,
+       CAST({d.idiv(
+           'SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age)',
+           's.n_customers')} AS BIGINT) AS ltv_cents_per_customer
+FROM rev r JOIN sizes s ON r.cohort = s.cohort
+"""
+
+
+sql_query(
+    "q_cohort_ltv",
+    spark_sql=_cohort_ltv_sql(SPARK),
+    duck_sql=_cohort_ltv_sql(DUCK),
+    tables=["orders"],
+    doc="Monthly acquisition-cohort LTV triangle: cohort = month of first "
+    "order, age = months since, cumulative cohort revenue and per-"
+    "customer LTV per cell — the monetary twin of q_retention's count "
+    "triangle. Exact integer cents (decimal snap before the sum), "
+    "cohort-partitioned cumulative windows over <= ~80 short month "
+    "series (no global sort); plan = one first-order aggregate, one "
+    "(cohort, age) rollup, one broadcast-size cohort join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — randomness audit of the daily revenue series.
+# ---------------------------------------------------------------------------
+
+
+def _runs_test_sql(d: Dialect) -> str:
+    """Runs test over the daily-revenue sign sequence (above/below the
+    series mean): too FEW runs = trending/sticky days (positive serial
+    correlation), too MANY = oscillation — the randomness check run on
+    residuals before trusting an i.i.d. assumption in any daily metric
+    model. Everything stays rational: 'above mean' is cents*N > total
+    (no division), and the normal approximation's E[R] and Var[R] are
+    emitted as exact ppm-scaled integers (E = 1 + 2*n1*n2/n,
+    Var = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1))) so the consumer forms
+    z = (R - E)/sqrt(V) — sqrt never enters the cross-engine gate."""
+    day = "CAST(o_orderdate AS DATE)"
+    cents = (
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+        "AS DECIMAL(18,0))) AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, {cents} AS cents
+  FROM orders GROUP BY {day}
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily
+),
+signs AS (
+  SELECT d.day,
+         CASE WHEN d.cents * t.n > t.total THEN 1 ELSE 0 END AS above
+  FROM daily d CROSS JOIN tot t
+),
+seq AS (
+  SELECT above,
+         LAG(above) OVER (ORDER BY day) AS prev
+  FROM signs
+),
+agg AS (
+  SELECT CAST(SUM(above) AS BIGINT) AS n1,
+         CAST(SUM(1 - above) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM seq
+)
+SELECT n1 AS n_above,
+       n2 AS n_below,
+       r AS n_runs,
+       CAST({d.idiv('(n1 + n2 + 2 * n1 * n2) * 1000000', '(n1 + n2)')}
+         AS BIGINT) AS expected_runs_ppm,
+       CAST({d.idiv(
+           '2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) * 1000000',
+           '((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))')}
+         AS BIGINT) AS variance_runs_ppm
+FROM agg
+"""
+
+
+sql_query(
+    "q_runs_test",
+    spark_sql=_runs_test_sql(SPARK),
+    duck_sql=_runs_test_sql(DUCK),
+    tables=["orders"],
+    doc="Wald-Wolfowitz runs test on the daily-revenue sign sequence "
+    "(above/below the series mean): observed runs R vs the exact "
+    "rational E[R] and Var[R] (ppm-scaled integers — the consumer forms "
+    "z = (R-E)/sqrt(V); sqrt never enters the gate), the i.i.d./serial-"
+    "correlation audit run on residuals before trusting daily-metric "
+    "models. 'Above mean' is the division-free cents*N > total "
+    "comparison. The sequence windows run over the CALENDAR-bounded "
+    "daily aggregate (~2.4k rows — the q_cusum_changepoint shape), with "
+    "a 1-row total broadcast.",
+)

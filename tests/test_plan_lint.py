@@ -72,6 +72,9 @@ WHITELIST = {
     "q_simpson_check": ({"bnlj", "single-part"}, "1-row pooled moments x strata"),
     # 1-row L1 totals broadcast per HITS half-step normalization.
     "q_hits": ({"bnlj", "single-part"}, "1-row norm totals x node scores"),
+    # Day-sequence window over the CALENDAR-bounded daily aggregate
+    # (q_cusum_changepoint shape) + 1-row total broadcast.
+    "q_runs_test": ({"bnlj", "single-part"}, "day-grain sequence + 1-row total"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
