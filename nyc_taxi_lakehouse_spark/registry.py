@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_lateral_topk",
     "q_cohort_ltv",
     "q_runs_test",
+    "q_spearman",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -75,6 +75,8 @@ WHITELIST = {
     # Day-sequence window over the CALENDAR-bounded daily aggregate
     # (q_cusum_changepoint shape) + 1-row total broadcast.
     "q_runs_test": ({"bnlj", "single-part"}, "day-grain sequence + 1-row total"),
+    # Rank prefix walks over the DISTINCT-value aggregates (q_auc class).
+    "q_spearman": ({"single-part"}, "rank sweep over per-value aggregate"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
