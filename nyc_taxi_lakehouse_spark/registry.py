@@ -85,6 +85,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_cohort_ltv",
     "q_runs_test",
     "q_spearman",
+    "q_kendall_tau",
+    "q_mannwhitney_u",
+    "q_gk_lambda",
+    "q_tv_drift",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.
@@ -285,6 +289,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import frequency  # noqa: F401
     from .operators import modern_sql  # noqa: F401
     from .operators import zorder  # noqa: F401
+    from .operators import inference  # noqa: F401
     from . import catalog  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401

@@ -77,6 +77,14 @@ WHITELIST = {
     "q_runs_test": ({"bnlj", "single-part"}, "day-grain sequence + 1-row total"),
     # Rank prefix walks over the DISTINCT-value aggregates (q_auc class).
     "q_spearman": ({"single-part"}, "rank sweep over per-value aggregate"),
+    "q_mannwhitney_u": ({"single-part"}, "rank sweep over per-value aggregate"),
+    # Contingency-cell algebra: inequality self-join on the <=561-row cell
+    # table + 1-row scalar CTE broadcasts (cell count bounded by the
+    # variables' fixed cardinalities, not the corpus).
+    "q_kendall_tau": ({"bnlj", "single-part"}, "<=561-row cell self-join + 1-row CTEs"),
+    "q_gk_lambda": ({"bnlj", "single-part"}, "k1*k2 contingency + 1-row marginal CTEs"),
+    # Vocab-sized gap table + 1-row totals broadcast; final scalar agg.
+    "q_tv_drift": ({"bnlj", "single-part"}, "vocab-keyed agg + 1-row totals"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
