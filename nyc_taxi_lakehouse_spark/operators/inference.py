@@ -271,3 +271,304 @@ sql_query(
     "PSI would need banned ln() and JSD would need per-term doubles. "
     "One token explode + one keyed agg + two 1-row broadcasts.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ACF + Ljung-Box — time-series autocorrelation over the zero-filled calendar.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+
+def _acf_sql(d: Dialect) -> str:
+    """ACF of the DAILY order count at lags 1..14 plus the cumulative
+    Ljung-Box Q. The series is the calendar-filled one (missing order
+    days are real zero-demand days, not holes — the orders table covers
+    1094 of 2405 span days). Counts are integers, so Σx, Σx², and every
+    lagged cross-sum Σx_t·x_{t+k} are exact BIGINT; ρ_k is the textbook
+    fixed-mean estimator computed in one shared IEEE tree, and the LB
+    cumulative sums DECIMAL-snapped per-lag terms (order-independent,
+    house rule). Spine and lag fan-out are calendar-bounded (≤2405×14)."""
+    if d.name == "spark":
+        spine = "SELECT explode(sequence(0, span)) AS t FROM bounds"
+    else:
+        spine = (
+            "SELECT CAST(unnest(generate_series(0, span)) AS BIGINT) AS t"
+            " FROM bounds"
+        )
+    if d.name == "spark":
+        lags = f"SELECT explode(sequence(1, {_ACF_MAX_LAG})) AS k"
+    else:
+        lags = (
+            f"SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS BIGINT)"
+            " AS k"
+        )
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    return f"""
+WITH days AS (
+  SELECT {day} AS day_no, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY {day}
+),
+bounds AS (
+  SELECT MIN(day_no) AS d0, CAST(MAX(day_no) - MIN(day_no) AS BIGINT) AS span
+  FROM days
+),
+series AS (
+  SELECT s.t, COALESCE(dy.x, 0) AS x
+  FROM ({spine}) s
+  LEFT JOIN (SELECT day_no - b.d0 AS t, x FROM days CROSS JOIN bounds b) dy
+    ON s.t = dy.t
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM series
+),
+lagged AS (
+  SELECT l.k,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(SUM(a.x) AS BIGINT) AS sh,
+         CAST(SUM(b.x) AS BIGINT) AS st
+  FROM ({lags}) l
+  JOIN series a ON 1 = 1
+  JOIN series b ON b.t = a.t + l.k
+  GROUP BY l.k
+),
+rho AS (
+  SELECT k, m,
+         (CAST(sxy AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / n) * CAST(sh + st AS DOUBLE)
+          + CAST(m AS DOUBLE) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) AS rho_k,
+         n
+  FROM lagged CROSS JOIN mom
+)
+SELECT k AS lag, m AS n_pairs, rho_k,
+       CAST(n AS DOUBLE) * (n + 2)
+         * CAST(SUM(CAST(rho_k * rho_k / CAST(n - k AS DOUBLE) AS DECIMAL(28,12)))
+                OVER (ORDER BY k) AS DOUBLE) AS ljung_box_q
+FROM rho
+ORDER BY lag
+"""
+
+
+sql_query(
+    "q_acf",
+    spark_sql=_acf_sql(SPARK),
+    duck_sql=_acf_sql(DUCK),
+    tables=["orders"],
+    doc="Autocorrelation function of daily order demand, lags 1..14, with "
+    "cumulative Ljung-Box Q — the seasonality/whiteness diagnostic "
+    "behind q_stl_decompose and q_forecast_backtest (a significant "
+    "rho_7 IS the weekly cycle). Calendar-filled series (zero-demand "
+    "days are data, not holes); integer counts make every moment and "
+    "lagged cross-sum exact BIGINT; rho_k is one shared IEEE tree and "
+    "the LB cumulation DECIMAL-snaps per-lag terms (order-independent). "
+    "Cost is calendar-bounded: <=2405-row spine x 14 lags.",
+)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA — between/within variance decomposition by nation.
+# ---------------------------------------------------------------------------
+
+from ..functions.detsql import dsum, dxsum2  # noqa: E402
+
+
+def _anova_sql() -> str:
+    """One-way ANOVA of order totals across customer nations: SSB/SSW/F
+    and eta². Group moments (n_g, Σy, Σy²) come from ONE partial-agg pass
+    in exact DECIMAL (cents-exact products); the per-group terms
+    S_g²/n_g are snapped to DECIMAL(28,12) BEFORE the cross-group sum so
+    the decomposition is shuffle-order-independent; F and eta² are one
+    final IEEE tree. The variance-based inequality decomposition that
+    replaces ln()-based Theil under the house no-ln rule."""
+    return f"""
+WITH grp AS (
+  SELECT n.n_name AS nation,
+         COUNT(*) AS n_g,
+         {dsum('o_totalprice')} AS s_g,
+         {dxsum2('o_totalprice', 'o_totalprice')} AS ss_g
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+terms AS (
+  -- Snap scales chosen by the dxsum2 rule: the decimal→double cast is
+  -- engine-identical only while the UNSCALED sum stays < 2^53. s_g ≤ ~1e9
+  -- (ulp ≪ 0.01 → scale 2 is a faithful snap; Σ unscaled ~1e12 ✓). The
+  -- second moments run to ~1e14 per group (ulp ~0.03 → scale 2 would be
+  -- finer than the ulp: snap to scale 0, grid 1.0 ≫ ulp; Σ unscaled
+  -- ~3×10^15 < 2^53 through sf0.1 — coarsen further for larger corpora).
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(s_g AS DECIMAL(28,2))) AS DOUBLE) AS s_tot,
+         CAST(SUM(CAST(ss_g AS DECIMAL(28,0))) AS DOUBLE) AS ss_tot,
+         CAST(SUM(CAST(s_g * s_g / n_g AS DECIMAL(28,0))) AS DOUBLE) AS sum_sq_over_n
+  FROM grp
+)
+SELECT
+  n AS n_rows,
+  k AS n_groups,
+  sum_sq_over_n - s_tot * s_tot / n AS ss_between,
+  ss_tot - sum_sq_over_n AS ss_within,
+  ss_tot - s_tot * s_tot / n AS ss_total,
+  (sum_sq_over_n - s_tot * s_tot / n)
+    / (ss_tot - s_tot * s_tot / n) AS eta_squared,
+  ((sum_sq_over_n - s_tot * s_tot / n) / (k - 1))
+    / ((ss_tot - sum_sq_over_n) / (n - k)) AS f_stat
+FROM terms
+"""
+
+
+sql_query(
+    "q_anova",
+    spark_sql=_anova_sql(),
+    duck_sql=_anova_sql(),
+    tables=["orders", "customer", "nation"],
+    doc="One-way ANOVA F test of order totals by customer nation — the "
+    "does-geography-matter gate before building per-nation models, with "
+    "eta² effect size and the full SSB/SSW/SST decomposition (the "
+    "variance-based inequality split; ln()-based Theil is banned from "
+    "the hash gate). One partial-agg pass over the broadcast-joined "
+    "star, exact DECIMAL group moments, DECIMAL(28,12)-snapped "
+    "S_g²/n_g terms (order-independent re-aggregation), one final IEEE "
+    "tree for F.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyword extraction — per-source distinctive vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _chisq_keywords_sql(d: Dialect) -> str:
+    """Top-3 distinctive tokens per source by 2×2 chi-square: for token t
+    in source s, cells a=|t in s|, b=|t elsewhere|, c/d the complements;
+    χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). All eight cells are exact
+    BIGINT from one token×source aggregate + two marginals; (ad−bc) is
+    DOUBLE-cast before squaring (can exceed 2^63). Ranked per source by
+    (χ², token) — a total order, so top-3 is deterministic."""
+    tok = d.all_token_rows_src("documents")
+    return f"""
+WITH toks AS ({tok}),
+cell AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+  FROM toks GROUP BY source, token
+),
+tok_tot AS (SELECT token, CAST(SUM(a) AS BIGINT) AS t_tot FROM cell GROUP BY token),
+src_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot FROM cell GROUP BY source),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM cell),
+chis AS (
+  SELECT c.source, c.token, c.a,
+         t.t_tot - c.a AS b,
+         s.s_tot - c.a AS c_cell,
+         n.n - t.t_tot - s.s_tot + c.a AS d_cell,
+         CAST(n.n AS DOUBLE)
+           * (CAST(c.a AS DOUBLE) * (n.n - t.t_tot - s.s_tot + c.a)
+              - CAST(t.t_tot - c.a AS DOUBLE) * (s.s_tot - c.a))
+           * (CAST(c.a AS DOUBLE) * (n.n - t.t_tot - s.s_tot + c.a)
+              - CAST(t.t_tot - c.a AS DOUBLE) * (s.s_tot - c.a))
+           / (CAST(t.t_tot AS DOUBLE) * (n.n - t.t_tot)
+              * s.s_tot * (n.n - s.s_tot)) AS chi2
+  FROM cell c
+  JOIN tok_tot t ON c.token = t.token
+  JOIN src_tot s ON c.source = s.source
+  CROSS JOIN tot n
+),
+ranked AS (
+  SELECT source, token, a AS in_source, b AS elsewhere, chi2,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY chi2 DESC, token) AS rk
+  FROM chis
+)
+SELECT source, rk, token, in_source, elsewhere, chi2
+FROM ranked WHERE rk <= 3
+ORDER BY source, rk
+"""
+
+
+sql_query(
+    "q_chisq_keywords",
+    spark_sql=_chisq_keywords_sql(SPARK),
+    duck_sql=_chisq_keywords_sql(DUCK),
+    tables=["documents"],
+    doc="Per-source distinctive keywords by 2×2 chi-square association — "
+    "the corpus-slice fingerprint a curation pipeline uses to spot "
+    "source contamination and topic skew (the log-free stand-in for "
+    "Dunning's G² log-likelihood ratio, per the house no-ln rule). One "
+    "token explode + token×source aggregate + two broadcast marginals; "
+    "all cells exact BIGINT, (ad−bc) DOUBLE-cast before squaring, "
+    "deterministic (χ², token) tie-break for the per-source top-3.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf adherence — rank×frequency audit over the bigram vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _zipf_sql(d: Dialect) -> str:
+    """Zipf's law says rank·freq ≈ const. Over the word-bigram vocabulary
+    (~vocab² points — wide enough for a meaningful curve), emit the
+    rank·freq product at rank deciles plus its coefficient of variation:
+    CV near 0 ⇒ Zipf-like. Products are exact BIGINT (rank and freq are
+    integers); CV comes from exact moment sums through the dstddev IEEE
+    tree. No logs anywhere — the log-log slope fit is the textbook
+    presentation, but the product-constancy audit is the same physics
+    on hash-gate-safe arithmetic."""
+    tok = d.positional_token_rows("documents")
+    return f"""
+WITH toks AS ({tok}),
+bigrams AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+freq AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS f
+  FROM bigrams GROUP BY w1, w2
+),
+ranked AS (
+  SELECT f,
+         CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w1, w2) AS BIGINT) AS r
+  FROM freq
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(r * f) AS BIGINT) AS s1,
+         CAST(SUM(CAST(r * f AS DECIMAL(28,0)) * (r * f)) AS DECIMAL(38,0)) AS s2
+  FROM ranked
+)
+SELECT
+  CAST({d.idiv('(rb.r - 1) * 10', 'st.v')} AS BIGINT) AS rank_decile,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(MIN(rb.r * rb.f) AS BIGINT) AS min_rf,
+  CAST(MAX(rb.r * rb.f) AS BIGINT) AS max_rf,
+  CAST(SUM(rb.r * rb.f) AS DOUBLE) / COUNT(*) AS mean_rf,
+  SQRT((CAST(MAX(st.v) AS DOUBLE) * CAST(MAX(st.s2) AS DOUBLE)
+        - CAST(MAX(st.s1) AS DOUBLE) * CAST(MAX(st.s1) AS DOUBLE))
+       / (CAST(MAX(st.v) AS DOUBLE) * CAST(MAX(st.v) AS DOUBLE)))
+    / (CAST(MAX(st.s1) AS DOUBLE) / MAX(st.v)) AS global_cv
+FROM ranked rb CROSS JOIN stats st
+GROUP BY CAST({d.idiv('(rb.r - 1) * 10', 'st.v')} AS BIGINT)
+ORDER BY rank_decile
+"""
+
+
+sql_query(
+    "q_zipf_check",
+    spark_sql=_zipf_sql(SPARK),
+    duck_sql=_zipf_sql(DUCK),
+    tables=["documents"],
+    doc="Zipf-law adherence audit over the word-bigram vocabulary: "
+    "rank·frequency products summarized per rank decile plus the global "
+    "coefficient of variation (Zipf ⇒ r·f constant ⇒ CV≈0) — the "
+    "corpus-naturalness screen that separates organic text from "
+    "template farms and synthetic spam. Positional explode + bigram "
+    "self-join on (doc, i+1), vocab-sized rank window, exact BIGINT "
+    "products (second moment in DECIMAL(38,0) — r·f ≤ ~2^40 squares "
+    "past int64), dstddev-style IEEE tree for the CV. No logs: the "
+    "product-constancy form replaces the log-log slope fit.",
+)

@@ -89,6 +89,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_mannwhitney_u",
     "q_gk_lambda",
     "q_tv_drift",
+    "q_acf",
+    "q_anova",
+    "q_chisq_keywords",
+    "q_zipf_check",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -85,6 +85,15 @@ WHITELIST = {
     "q_gk_lambda": ({"bnlj", "single-part"}, "k1*k2 contingency + 1-row marginal CTEs"),
     # Vocab-sized gap table + 1-row totals broadcast; final scalar agg.
     "q_tv_drift": ({"bnlj", "single-part"}, "vocab-keyed agg + 1-row totals"),
+    # Calendar-bounded spine (<=2405 days) x 14 lags; 14-row LB window;
+    # 1-row moment broadcast (q_cusum_changepoint class).
+    "q_acf": ({"bnlj", "single-part"}, "calendar-day spine x 14 lags + 1-row moments"),
+    # 25-group rollup re-aggregated to one scalar row.
+    "q_anova": ({"single-part"}, "nation-grain rollup to scalar"),
+    # 1-row corpus-total broadcast into the token x source cell table.
+    "q_chisq_keywords": ({"bnlj", "single-part"}, "1-row total + vocab-keyed cells"),
+    # Vocab^2-bounded bigram rank window + 1-row global-moment broadcast.
+    "q_zipf_check": ({"bnlj", "single-part"}, "bigram-vocab rank sweep + 1-row stats"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
