@@ -572,3 +572,251 @@ sql_query(
     "past int64), dstddev-style IEEE tree for the CV. No logs: the "
     "product-constancy form replaces the log-log slope fit.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding Gram matrix — the distributed-PCA building block.
+# ---------------------------------------------------------------------------
+
+_GRAM_SCALE = 32768  # 2^15: quantization grid for exact integer products
+
+
+def _gram_sql(d: Dialect) -> str:
+    """Upper-triangle Gram matrix G[i,j] = Σ_v e_v[i]·e_v[j] over the
+    64-dim embedding corpus, on a fixed 2^-15 quantization grid so every
+    product and sum is exact BIGINT (float dot-product accumulation is
+    shuffle-order-dependent — the same reason q_dedup_embedding runs an
+    integer GEMM). This is the covariance-accumulation step of
+    distributed PCA / whitening: d(d+1)/2 = 2080 output cells regardless
+    of corpus size, one self-join on vec_id (64×64 per key), one keyed
+    aggregate. Normalized G/n emitted alongside the raw integer sum."""
+    if d.name == "spark":
+        expl = (
+            "SELECT vec_id, p.i, CAST(floor(CAST(p.x AS DOUBLE) * 32768.0 + 0.5)"
+            " AS BIGINT) AS q FROM embeddings"
+            " LATERAL VIEW posexplode(embedding) p AS i, x"
+        )
+    else:
+        expl = (
+            "SELECT vec_id, u.i - 1 AS i,"
+            " CAST(floor(CAST(u.x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT) AS q"
+            " FROM (SELECT vec_id, unnest(list_transform(embedding,"
+            " (x, i) -> {'x': x, 'i': i})) AS u FROM embeddings) s"
+        )
+    return f"""
+WITH comp AS ({expl}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT a.i, b.i AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS gram_q,
+       CAST(SUM(a.q * b.q) AS DOUBLE)
+         / (CAST(MAX(t.n) AS DOUBLE) * {_GRAM_SCALE}.0 * {_GRAM_SCALE}.0)
+         AS gram
+FROM comp a
+JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+CROSS JOIN tot t
+GROUP BY a.i, b.i
+ORDER BY a.i, b.i
+"""
+
+
+sql_query(
+    "q_gram_matrix",
+    spark_sql=_gram_sql(SPARK),
+    duck_sql=_gram_sql(DUCK),
+    tables=["embeddings"],
+    doc="Embedding Gram/covariance accumulation G[i,j] = Σ e[i]·e[j] "
+    "(upper triangle, 2080 cells for d=64) — the one-pass distributed "
+    "step behind PCA, whitening, and MRL dimension ablation: the driver "
+    "eigendecomposes the tiny G, executors never exchange more than "
+    "d(d+1)/2 partial sums. Products are exact BIGINT on a 2^-15 "
+    "quantization grid (float accumulation is shuffle-order-dependent "
+    "— the q_dedup_embedding integer-GEMM discipline). Self-join on "
+    "vec_id explodes 64×64 per key; at cluster scale the same plan "
+    "map-side-combines to one 2080-row exchange.",
+)
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test — do two quality detectors disagree symmetrically?
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_sql(d: Dialect) -> str:
+    """Paired comparison of two document-quality detectors on the SAME
+    corpus: A = low stopword ratio (quality-gate style), B = high
+    repetition (max token frequency share). McNemar ignores the cells
+    where the detectors agree and tests the disagreement split:
+    χ² = (b−c)²/(b+c) — exact integers to one final division. The
+    detector thresholds are data-relative medians-by-construction
+    (fixed rationals), so the flags themselves are deterministic."""
+    toks = d.split_tokens("text")
+    stop = d.token_filter_count("text", "'the','a','of','and','to'")
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST({stop} AS BIGINT) AS n_stop,
+         CAST({d.arr_len(toks)} AS BIGINT) AS n_tok
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok, CAST(SUM(c) AS BIGINT) AS tot
+  FROM (
+    SELECT doc_id, token, COUNT(*) AS c
+    FROM ({d.all_token_rows('documents')}) t
+    GROUP BY doc_id, token
+  ) g
+  GROUP BY doc_id
+),
+flags AS (
+  SELECT p.doc_id,
+         CASE WHEN p.n_stop * 10 < p.n_tok THEN 1 ELSE 0 END AS flag_a,
+         CASE WHEN r.max_tok * 5 > r.tot THEN 1 ELSE 0 END AS flag_b
+  FROM per_doc p JOIN rep r ON p.doc_id = r.doc_id
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN flag_a = 1 AND flag_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_flag,
+    CAST(SUM(CASE WHEN flag_a = 1 AND flag_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+    CAST(SUM(CASE WHEN flag_a = 0 AND flag_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+    CAST(SUM(CASE WHEN flag_a = 0 AND flag_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neither
+  FROM flags
+)
+SELECT both_flag, only_a, only_b, neither,
+       CASE WHEN only_a + only_b > 0
+            THEN CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+                 / CAST(only_a + only_b AS DOUBLE)
+            ELSE NULL END AS mcnemar_chi2
+FROM cells
+"""
+
+
+sql_query(
+    "q_mcnemar",
+    spark_sql=_mcnemar_sql(SPARK),
+    duck_sql=_mcnemar_sql(DUCK),
+    tables=["documents"],
+    doc="McNemar's paired test between two document-quality detectors "
+    "(low-stopword-ratio vs high-repetition) — the right comparison "
+    "when both run on the SAME documents: agreement cells carry no "
+    "information, χ² = (b−c)²/(b+c) on the disagreement split, exact "
+    "integers to one guarded division (NULL when the detectors never "
+    "disagree). Two map-side flag passes + one token-keyed aggregate; "
+    "the 2×2 cell table is one scalar row.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate comparison — did the event rate change between halves?
+# ---------------------------------------------------------------------------
+
+
+def _poisson_rate_sql(d: Dialect) -> str:
+    """Per-event-type conditional test of rate change between the first
+    and second halves of the observation window (equal exposure by
+    construction — the split point is the data midpoint): under H₀ the
+    first-half count is Binomial(c₁+c₂, ½), normal approx
+    z = (c₁−c₂)/√(c₁+c₂). Exact integers to one final sqrt; the window
+    bounds are two scalar broadcasts."""
+    ep = d.epoch_us("ts")
+    return f"""
+WITH ev AS (SELECT event_type, {ep} AS t FROM events WHERE ts IS NOT NULL),
+bounds AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM ev),
+counts AS (
+  SELECT e.event_type,
+         CAST(SUM(CASE WHEN (e.t - b.t0) * 2 <= (b.t1 - b.t0) THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN (e.t - b.t0) * 2 > (b.t1 - b.t0) THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ev e CROSS JOIN bounds b
+  GROUP BY e.event_type
+)
+SELECT event_type, c1 AS first_half, c2 AS second_half,
+       CASE WHEN c1 + c2 > 0
+            THEN CAST(c1 - c2 AS DOUBLE) / SQRT(CAST(c1 + c2 AS DOUBLE))
+            ELSE NULL END AS rate_z
+FROM counts
+ORDER BY event_type
+"""
+
+
+sql_query(
+    "q_poisson_rate",
+    spark_sql=_poisson_rate_sql(SPARK),
+    duck_sql=_poisson_rate_sql(DUCK),
+    tables=["events"],
+    doc="Per-type Poisson rate-change test between the two halves of the "
+    "observation window: conditional on the total, the first-half count "
+    "is Binomial(n,½) under H₀, z = (c₁−c₂)/√(c₁+c₂) — the simplest "
+    "honest burst/decay detector and the streaming-drift sibling of "
+    "q_ks_drift (counts, not values). Exact integer counts, one final "
+    "sqrt, guarded zero-total case; one aggregate + a 1-row bounds "
+    "broadcast.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the panel causal-inference workhorse.
+# ---------------------------------------------------------------------------
+
+
+def _did_sql(d: Dialect) -> str:
+    """2×2 DiD on event value: treatment = user parity (the persistent
+    hash-bucket assignment q_ab_welch uses), period = first/second half
+    of the window. Estimate = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post −
+    ȳ_c,pre); SE = √(Σ s²_g/n_g) over the four cells. Cell moments are
+    exact decimal sums (scale 6, the events-value convention); the
+    estimate and SE are one shared IEEE tree over the four cells'
+    moments, re-aggregated via DECIMAL-snapped terms."""
+    ep = d.epoch_us("ts")
+    var = (
+        "((CAST({n} AS DOUBLE) * {sxx} - {sx} * {sx})"
+        " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1)))"
+    )
+    cell = lambda t, p: f"MAX(CASE WHEN treat = {t} AND post = {p} THEN {{c}} END)"  # noqa: E731
+    return f"""
+WITH ev AS (
+  SELECT CAST(user_id % 2 AS INT) AS treat, value, {ep} AS t
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+bounds AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM ev),
+cells AS (
+  SELECT e.treat,
+         CASE WHEN (e.t - b.t0) * 2 > (b.t1 - b.t0) THEN 1 ELSE 0 END AS post,
+         COUNT(*) AS n,
+         {dsum('value', scale=6)} AS sx,
+         {dxsum2('value', 'value', s1=6, s2=6)} AS sxx
+  FROM ev e CROSS JOIN bounds b
+  GROUP BY e.treat, CASE WHEN (e.t - b.t0) * 2 > (b.t1 - b.t0) THEN 1 ELSE 0 END
+),
+wide AS (
+  SELECT
+    {cell(1, 1).format(c='n')} AS n_t1, {cell(1, 1).format(c='sx')} AS sx_t1, {cell(1, 1).format(c='sxx')} AS sxx_t1,
+    {cell(1, 0).format(c='n')} AS n_t0, {cell(1, 0).format(c='sx')} AS sx_t0, {cell(1, 0).format(c='sxx')} AS sxx_t0,
+    {cell(0, 1).format(c='n')} AS n_c1, {cell(0, 1).format(c='sx')} AS sx_c1, {cell(0, 1).format(c='sxx')} AS sxx_c1,
+    {cell(0, 0).format(c='n')} AS n_c0, {cell(0, 0).format(c='sx')} AS sx_c0, {cell(0, 0).format(c='sxx')} AS sxx_c0
+  FROM cells
+)
+SELECT
+  n_t1, n_t0, n_c1, n_c0,
+  sx_t1 / n_t1 - sx_t0 / n_t0 AS treated_delta,
+  sx_c1 / n_c1 - sx_c0 / n_c0 AS control_delta,
+  (sx_t1 / n_t1 - sx_t0 / n_t0) - (sx_c1 / n_c1 - sx_c0 / n_c0) AS did_estimate,
+  SQRT({var.format(n='n_t1', sx='sx_t1', sxx='sxx_t1')} / n_t1
+       + {var.format(n='n_t0', sx='sx_t0', sxx='sxx_t0')} / n_t0
+       + {var.format(n='n_c1', sx='sx_c1', sxx='sxx_c1')} / n_c1
+       + {var.format(n='n_c0', sx='sx_c0', sxx='sxx_c0')} / n_c0) AS did_se
+FROM wide
+"""
+
+
+sql_query(
+    "q_diff_in_diff",
+    spark_sql=_did_sql(SPARK),
+    duck_sql=_did_sql(DUCK),
+    tables=["events"],
+    doc="Difference-in-differences on event value: treatment = the "
+    "persistent user-parity bucket (q_ab_welch's assignment), period = "
+    "window halves; estimate, per-arm deltas, and the four-cell pooled "
+    "SE. The panel causal-inference workhorse next to q_cuped "
+    "(variance reduction) and q_ab_welch (cross-sectional test). ONE "
+    "partial-agg pass for all four cells' exact decimal moments, "
+    "pivoted to a single row, one shared IEEE tree for estimate + SE.",
+)

@@ -93,6 +93,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q_anova",
     "q_chisq_keywords",
     "q_zipf_check",
+    "q_gram_matrix",
+    "q_mcnemar",
+    "q_poisson_rate",
+    "q_diff_in_diff",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -94,6 +94,14 @@ WHITELIST = {
     "q_chisq_keywords": ({"bnlj", "single-part"}, "1-row total + vocab-keyed cells"),
     # Vocab^2-bounded bigram rank window + 1-row global-moment broadcast.
     "q_zipf_check": ({"bnlj", "single-part"}, "bigram-vocab rank sweep + 1-row stats"),
+    # d(d+1)/2 = 2080 output cells + 1-row corpus-count broadcast.
+    "q_gram_matrix": ({"bnlj", "single-part"}, "2080-cell Gram output + 1-row n"),
+    # 2x2 paired-detector cells: one scalar row.
+    "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
+    # 1-row window-bounds broadcast into the per-type aggregate.
+    "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Four-cell pivot to one scalar row + 1-row bounds broadcast.
+    "q_diff_in_diff": ({"bnlj", "single-part"}, "2x2 cells to scalar + 1-row bounds"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
