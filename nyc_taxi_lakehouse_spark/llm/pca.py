@@ -1,0 +1,145 @@
+"""Distributed PCA over the embedding corpus — Gram accumulation on
+executors, eigendecomposition on the driver, projection as a broadcast
+matrix multiply.
+
+The scale shape mirrors every production PCA (Spark MLlib's RowMatrix
+computePrincipalComponents does exactly this): the ONLY driver-side data
+is the d×d Gram/covariance (d=64 → 2080 cells, constant in corpus size)
+and the d-vector of column means; the corpus itself is touched by two
+map-side-combining aggregates plus one final broadcast projection pass.
+No per-row Python — the quantized component explode reuses the
+q_gram_matrix integer discipline, and the projection is a JVM-side
+aggregate over the exploded components joined to the broadcast
+eigenvector table.
+
+Extends the similarity stack: project → MRL-style truncation with
+near-optimal variance capture (q_mrl_truncation ablates raw prefixes;
+PCA prefixes are the optimal linear ones).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import df_query
+from ..sources.tables import load_tables
+
+_DIM = 64
+_QSCALE = 32768.0  # 2^15 — the q_gram_matrix quantization grid
+_PCA_K = 8
+
+
+def _quantized_components(emb: DataFrame) -> DataFrame:
+    """(vec_id, i, q) with q = floor(x·2^15 + 0.5) — exact integers."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * _QSCALE + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def principal_components(
+    spark: SparkSession, sf_dir: str, k: int = _PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k PCA of the embedding corpus.
+
+    Returns (eigenvalues desc [k], components [k, d] row-major, mean [d]).
+    Cluster cost: two aggregates over the corpus (means: d rows; Gram:
+    d(d+1)/2 rows — both map-side combine to constant-size exchanges),
+    then an O(d³) driver eigh on the 64×64 covariance. The bounded
+    collects ARE the algorithm (MLlib RowMatrix discipline), not a
+    driver-side loop over data.
+
+    Determinism: the Gram is exact BIGINT on the 2^-15 grid (same cells
+    q_gram_matrix emits), so the covariance fed to LAPACK is identical on
+    every run; the eigenvector sign is normalized (largest-|component|
+    coordinate made positive) to remove the ± ambiguity.
+    """
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    comp = _quantized_components(emb)
+
+    n = emb.count()
+    # d-row collect: exact integer column sums → means on the grid.
+    sums = (
+        comp.groupBy("i").agg(F.sum("q").alias("s")).orderBy("i").collect()
+    )
+    mu_q = np.zeros(_DIM, dtype=np.float64)
+    for r in sums:
+        mu_q[r["i"]] = r["s"] / n
+
+    # d(d+1)/2-row collect: exact integer Gram.
+    a, b = comp.alias("a"), comp.alias("b")
+    gram_rows = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("b.i") >= F.col("a.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+        .collect()
+    )
+    G = np.zeros((_DIM, _DIM), dtype=np.float64)
+    for r in gram_rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+
+    cov = G / n - np.outer(mu_q, mu_q)  # covariance on the quantized grid
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    evals = evals[order] / (_QSCALE * _QSCALE)  # back to input units
+    comps = evecs[:, order].T  # [k, d], rows are unit eigenvectors
+    # Sign convention: make the largest-|x| coordinate of each PC positive.
+    for row in comps:
+        pivot = np.argmax(np.abs(row))
+        if row[pivot] < 0:
+            row *= -1
+    return evals, comps, mu_q / _QSCALE
+
+
+@df_query(
+    "q_pca_project",
+    duck_sql=None,
+    tables=["embeddings"],
+    doc="Project every embedding onto the corpus's top-8 principal "
+    "components (scores = Vᵀ(x−μ)): the optimal-linear counterpart of "
+    "q_mrl_truncation's raw prefix ablation and the preprocessing step "
+    "for whitened cosine dedup. The PCs come from principal_components "
+    "(two constant-size aggregate collects + driver eigh — the MLlib "
+    "RowMatrix shape); the projection itself is JVM-only: exploded "
+    "quantized components joined to the BROADCAST 512-row eigenvector "
+    "table, one (vec_id, pc) aggregate. Rows-only (eigh is driver-side "
+    "LAPACK, not SQL-expressible); semantics pinned by "
+    "tests/test_pca.py: orthonormality, eigenvalue ordering, per-PC "
+    "score variance = eigenvalue, and parity with numpy full PCA.",
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evals, comps, mu = principal_components(spark, sf_dir, k=_PCA_K)
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    comp = _quantized_components(t["embeddings"])
+
+    pc_rows = [
+        (int(pc), int(i), float(comps[pc, i]))
+        for pc in range(_PCA_K)
+        for i in range(_DIM)
+    ]
+    pcs = spark.createDataFrame(pc_rows, "pc INT, i INT, v DOUBLE")
+    mu_dot = [float(np.dot(comps[pc], mu)) for pc in range(_PCA_K)]
+    offs = spark.createDataFrame(
+        [(int(pc), float(o)) for pc, o in enumerate(mu_dot)], "pc INT, off DOUBLE"
+    )
+    return (
+        comp.join(F.broadcast(pcs), "i")
+        .groupBy("vec_id", "pc")
+        .agg((F.sum(F.col("q") * F.col("v")) / F.lit(_QSCALE)).alias("raw"))
+        .join(F.broadcast(offs), "pc")
+        .select(
+            "vec_id",
+            "pc",
+            (F.col("raw") - F.col("off")).alias("score"),
+        )
+        .orderBy("vec_id", "pc")
+    )

@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_mcnemar",
     "q_poisson_rate",
     "q_diff_in_diff",
+    "q_pca_project",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.
@@ -307,6 +308,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import quantize  # noqa: F401
     from .llm import dedup  # noqa: F401
     from .llm import similarity  # noqa: F401
+    from .llm import pca  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .llm import curation  # noqa: F401
     from .llm import chunking  # noqa: F401
