@@ -353,3 +353,36 @@ class DuckDialect(Dialect):
 
 SPARK = Dialect()
 DUCK = DuckDialect()
+
+
+def rank2_ctes(d: Dialect, vals: str, out: str, buckets: int = 64) -> str:
+    """CTE chain computing DOUBLED midranks (rank2 = 2·avg_rank, always an
+    integer) over a per-value aggregate ``vals(v BIGINT, c BIGINT, ...)``
+    — as a parallel two-pass offset sweep, NOT a global single-partition
+    window.
+
+    Pass 1: monotone integer bucketing (v−vmin)·B ÷ (vmax−vmin+1) and
+    per-bucket totals; the bucket-offset prefix runs over ≤B rows. Pass 2:
+    the within-bucket prefix windows PARTITION BY bucket — parallel. The
+    only single-partition pieces left are the 1-row bounds and the ≤B-row
+    offset table. rank2 = 2·(#smaller) + (#equal) + 1; carry columns from
+    ``vals`` survive (k.*). Skewed value distributions only unbalance the
+    buckets, never break correctness.
+    """
+    div = d.idiv(f"(x.v - b.vmin) * {buckets}", "(b.vmax - b.vmin + 1)")
+    return f"""
+{out}_bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM {vals}),
+{out}_bk AS (
+  SELECT x.*, CAST({div} AS BIGINT) AS bkt
+  FROM {vals} x CROSS JOIN {out}_bounds b
+),
+{out}_off AS (
+  SELECT bkt, CAST(SUM(tc) OVER (ORDER BY bkt) - tc AS BIGINT) AS off
+  FROM (SELECT bkt, SUM(c) AS tc FROM {out}_bk GROUP BY bkt) g
+),
+{out} AS (
+  SELECT k.*,
+         CAST(2 * (o.off + SUM(k.c) OVER (PARTITION BY k.bkt ORDER BY k.v) - k.c)
+              + k.c + 1 AS BIGINT) AS rank2
+  FROM {out}_bk k JOIN {out}_off o ON k.bkt = o.bkt
+)"""

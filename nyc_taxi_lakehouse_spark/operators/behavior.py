@@ -1783,42 +1783,34 @@ def _spearman_sql(d: Dialect) -> str:
     EXACT by doubling (2*avg_rank = 2*(#smaller) + (#equal) + 1 — always
     an integer; correlation is affine-invariant, so the doubling cancels).
     Per-variable rank tables come from a prefix walk over the DISTINCT-
-    value aggregate (the q_auc/q_pareto_frontier shape — never a global
-    row sort), joined back value-keyed; the final rho is one exact-BIGINT
-    moment pass fed through the shared dcorr IEEE tree. The robust
-    companion to q_feature_correlation's Pearson — monotone association
-    that outliers and curvature cannot fake."""
-    from ..functions.detsql import dcorr
+    value aggregate — a PARALLEL two-pass bucketed offset sweep
+    (detsql.rank2_ctes: monotone integer bucketing, ≤64-row offset
+    prefix, within-bucket windows PARTITION BY bucket), joined back
+    value-keyed; the final rho is one exact-BIGINT moment pass fed
+    through the shared dcorr IEEE tree. The robust companion to
+    q_feature_correlation's Pearson — monotone association that
+    outliers and curvature cannot fake."""
+    from ..functions.detsql import dcorr, rank2_ctes
 
-    rank2 = (
-        "CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT)"
-    )
     return f"""
 WITH pairs AS (
   SELECT CAST(l_quantity AS BIGINT) AS x,
          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
   FROM lineitem
 ),
-xr AS (
-  SELECT v AS x, {rank2} AS rx
-  FROM (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY x) g
-),
-yr AS (
-  SELECT v AS y, {rank2} AS ry
-  FROM (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY y) g
-),
-ranked AS (
-  SELECT xr.rx, yr.ry
-  FROM pairs p JOIN xr ON p.x = xr.x JOIN yr ON p.y = yr.y
-),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cc FROM pairs GROUP BY x, y),
+xv AS (SELECT x AS v, CAST(SUM(cc) AS BIGINT) AS c FROM cells GROUP BY x),
+yv AS (SELECT y AS v, CAST(SUM(cc) AS BIGINT) AS c FROM cells GROUP BY y),
+{rank2_ctes(d, 'xv', 'xr')},
+{rank2_ctes(d, 'yv', 'yr')},
 mom AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx) AS DOUBLE) AS sx,
-         CAST(SUM(ry) AS DOUBLE) AS sy,
-         CAST(SUM(rx * ry) AS DOUBLE) AS sxy,
-         CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
-         CAST(SUM(ry * ry) AS DOUBLE) AS syy
-  FROM ranked
+  SELECT CAST(SUM(cc) AS BIGINT) AS n,
+         CAST(SUM(cc * xr.rank2) AS DOUBLE) AS sx,
+         CAST(SUM(cc * yr.rank2) AS DOUBLE) AS sy,
+         CAST(SUM(cc * (xr.rank2 * yr.rank2)) AS DOUBLE) AS sxy,
+         CAST(SUM(cc * (xr.rank2 * xr.rank2)) AS DOUBLE) AS sxx,
+         CAST(SUM(cc * (yr.rank2 * yr.rank2)) AS DOUBLE) AS syy
+  FROM cells c JOIN xr ON c.x = xr.v JOIN yr ON c.y = yr.v
 )
 SELECT n AS n_rows,
        {dcorr('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS spearman_rho
@@ -1834,9 +1826,11 @@ sql_query(
     doc="Spearman rank correlation (quantity vs price): Pearson over tie-"
     "averaged ranks with EXACT integer midranks (doubled — 2*avg_rank is "
     "always integral; affine invariance cancels the doubling). Rank "
-    "tables via a prefix walk over the distinct-value aggregate (q_auc "
-    "shape, no global row sort), value-keyed joins back, one exact-"
-    "BIGINT moment pass (sum rx*ry <= 6e5*(1.2e6)^2 < 2^63), shared "
-    "dcorr IEEE tree for the final double. The monotone-association "
-    "robust companion to q_feature_correlation's Pearson.",
+    "tables via the PARALLEL bucketed offset sweep (detsql.rank2_ctes: "
+    "64-bucket two-pass, no global single-partition window — the shape "
+    "that survives a 100x distinct-value blowup), value-keyed joins "
+    "back, one exact-BIGINT moment pass (sum rx*ry <= 6e5*(1.2e6)^2 < "
+    "2^63 at sf0.1; recenter ranks first beyond sf1), shared dcorr IEEE "
+    "tree for the final double. The monotone-association robust "
+    "companion to q_feature_correlation's Pearson.",
 )

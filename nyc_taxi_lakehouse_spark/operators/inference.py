@@ -89,15 +89,18 @@ sql_query(
 # ---------------------------------------------------------------------------
 
 
-def _mwu_sql() -> str:
+def _mwu_sql(d: Dialect) -> str:
     """U statistic for extendedprice between returnflag R and A. Midranks
     via the q_spearman doubling trick (rank2 = 2·avg_rank is always an
-    integer) over the per-VALUE aggregate: rank2 = 2·(#smaller) + (#equal)
-    + 1, a prefix walk over distinct price cents, never a row sort. The
-    doubled rank-sum 2R_R stays BIGINT (≤ n(2n+1)); U and the tie-
-    corrected normal z are one final IEEE tree: z = (2R_R − n_r(n_r+1)
-    − n_r·n_a) / (2σ), σ² = n_r·n_a/12 · (n+1 − Σ(t³−t)/(n(n−1)))."""
-    return """
+    integer) over the per-VALUE aggregate, computed by the PARALLEL
+    bucketed offset sweep (detsql.rank2_ctes) — never a global
+    single-partition window. The doubled rank-sum 2R_R stays BIGINT
+    (≤ n(2n+1)); U and the tie-corrected normal z are one final IEEE
+    tree: z = (2R_R − n_r(n_r+1) − n_r·n_a) / (2σ),
+    σ² = n_r·n_a/12 · (n+1 − Σ(t³−t)/(n(n−1)))."""
+    from ..functions.detsql import rank2_ctes
+
+    return f"""
 WITH obs AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
@@ -107,11 +110,7 @@ vals AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(grp) AS BIGINT) AS c_r
   FROM obs GROUP BY v
 ),
-ranked AS (
-  SELECT c, c_r,
-         CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT) AS rank2
-  FROM vals
-),
+{rank2_ctes(d, 'vals', 'ranked')},
 agg AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n,
          CAST(SUM(c_r) AS BIGINT) AS n_r,
@@ -136,16 +135,16 @@ FROM agg
 
 sql_query(
     "q_mannwhitney_u",
-    spark_sql=_mwu_sql(),
-    duck_sql=_mwu_sql(),
+    spark_sql=_mwu_sql(SPARK),
+    duck_sql=_mwu_sql(DUCK),
     tables=["lineitem"],
     doc="Mann-Whitney U rank-sum test (price, returned R vs accepted A): "
     "the nonparametric sibling of q_ab_welch — no normality assumption, "
     "robust to the heavy price tail. Midranks kept exact via the "
-    "doubled-rank trick over the per-value aggregate (prefix walk, no "
-    "row sort; at cluster scale the walk range-partitions into a two-"
-    "pass offset sweep), tie-corrected σ from exact Σ(t³−t), one final "
-    "IEEE tree for U and z.",
+    "doubled-rank trick over the per-value aggregate, computed by the "
+    "PARALLEL bucketed offset sweep (detsql.rank2_ctes — no global "
+    "single-partition window), tie-corrected σ from exact Σ(t³−t), one "
+    "final IEEE tree for U and z.",
 )
 
 
@@ -523,12 +522,13 @@ def _zipf_sql(d: Dialect) -> str:
     return f"""
 WITH toks AS ({tok}),
 bigrams AS (
-  SELECT a.doc_id, a.token AS w1, b.token AS w2
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  SELECT doc_id, token AS w1,
+         LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
 ),
 freq AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS f
-  FROM bigrams GROUP BY w1, w2
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY w1, w2
 ),
 ranked AS (
   SELECT f,

@@ -76,8 +76,10 @@ WHITELIST = {
     # (q_cusum_changepoint shape) + 1-row total broadcast.
     "q_runs_test": ({"bnlj", "single-part"}, "day-grain sequence + 1-row total"),
     # Rank prefix walks over the DISTINCT-value aggregates (q_auc class).
-    "q_spearman": ({"single-part"}, "rank sweep over per-value aggregate"),
-    "q_mannwhitney_u": ({"single-part"}, "rank sweep over per-value aggregate"),
+    # Bucketed rank sweep (detsql.rank2_ctes): the remaining shapes are the
+    # 1-row min/max bounds broadcast and the <=64-row bucket-offset window.
+    "q_spearman": ({"bnlj", "single-part"}, "1-row bounds + 64-row offset window"),
+    "q_mannwhitney_u": ({"bnlj", "single-part"}, "1-row bounds + 64-row offset window"),
     # Contingency-cell algebra: inequality self-join on the <=561-row cell
     # table + 1-row scalar CTE broadcasts (cell count bounded by the
     # variables' fixed cardinalities, not the corpus).
