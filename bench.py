@@ -102,6 +102,17 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_simpson_check",
     "q_hits",
+    # Round-4 continuation flagships: rank-correlation family (bucketed
+    # parallel midrank sweep), calendar ACF, TV corpus drift, integer Gram
+    # accumulation + PCA projection, per-source chi-square keywords.
+    "q_spearman",
+    "q_kendall_tau",
+    "q_mannwhitney_u",
+    "q_acf",
+    "q_tv_drift",
+    "q_gram_matrix",
+    "q_pca_project",
+    "q_chisq_keywords",
 ]
 
 
