@@ -627,3 +627,83 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("authority").alias("role"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity — how community-like is the geographic partition of the trade
+# graph? Newman's Q in fully exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _modularity_sql() -> str:
+    """Modularity Q of the nation partition on the customer–supplier trade
+    graph (same DISTINCT edge set as q_pagerank/q_hits). Everything is
+    integer until ONE final division: Q = (4m·Σ_c e_c − Σ_c d_c²)/(4m²),
+    the cleared-denominator form of Σ_c (e_c/m − (d_c/2m)²) — per-nation
+    within-edge counts e_c and degree sums d_c are plain keyed aggregates.
+    Per-nation contribution rows are emitted alongside the global Q so an
+    analyst sees WHICH geography is assortative."""
+    return """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ecomm AS (
+  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+  FROM edges e
+  JOIN customer c ON e.c = c.c_custkey
+  JOIN supplier s ON e.s = s.s_suppkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ecomm),
+within AS (
+  SELECT cn AS nk, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM ecomm WHERE cn = sn GROUP BY cn
+),
+deg AS (
+  SELECT nk, CAST(SUM(d) AS BIGINT) AS d_c
+  FROM (
+    SELECT cn AS nk, CAST(COUNT(*) AS BIGINT) AS d FROM ecomm GROUP BY cn
+    UNION ALL
+    SELECT sn AS nk, CAST(COUNT(*) AS BIGINT) AS d FROM ecomm GROUP BY sn
+  ) u
+  GROUP BY nk
+),
+per_c AS (
+  SELECT d.nk, COALESCE(w.e_c, 0) AS e_c, d.d_c
+  FROM deg d LEFT JOIN within w ON d.nk = w.nk
+),
+gtot AS (
+  SELECT CAST(SUM(e_c) AS BIGINT) AS sum_e, CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2
+  FROM per_c
+)
+SELECT
+  n.n_name AS nation,
+  p.e_c AS edges_within,
+  p.d_c AS degree_sum,
+  CAST(p.e_c AS DOUBLE) / m.m
+    - (CAST(p.d_c AS DOUBLE) / (2.0 * m.m)) * (CAST(p.d_c AS DOUBLE) / (2.0 * m.m))
+    AS contribution,
+  CAST(4 * m.m * g.sum_e - g.sum_d2 AS DOUBLE) / (4.0 * CAST(m.m AS DOUBLE) * m.m)
+    AS modularity_q
+FROM per_c p
+JOIN nation n ON p.nk = n.n_nationkey
+CROSS JOIN m CROSS JOIN gtot g
+ORDER BY nation
+"""
+
+
+sql_query(
+    "q_modularity",
+    spark_sql=_modularity_sql(),
+    duck_sql=_modularity_sql(),
+    tables=["orders", "lineitem", "customer", "supplier", "nation"],
+    doc="Newman modularity of the nation partition on the customer–"
+    "supplier trade graph — the quality score for ANY community "
+    "assignment (here: does geography explain trade structure?), the "
+    "same Q a Louvain/LPA pipeline optimizes (pairs with "
+    "q_label_propagation: run LPA, score with this). Cleared-"
+    "denominator exact form (4m·Σe_c − Σd_c²)/4m² — pure BIGINT keyed "
+    "aggregates over the DISTINCT edge set, one final division; "
+    "per-nation contribution rows plus the global Q. One edge "
+    "dedup shuffle + two broadcast dim joins + nation-grain algebra.",
+)

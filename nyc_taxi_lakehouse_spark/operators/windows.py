@@ -1200,3 +1200,62 @@ sql_query(
     "(whitelisted). The profile generalizes to the per-(zone, dow, hour) "
     "grain of q_demand_prediction unchanged.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS — 28-day local trend of daily demand (W-family extension).
+# ---------------------------------------------------------------------------
+
+
+def _rolling_regression_sql(d: Dialect) -> str:
+    """28-day rolling OLS slope/intercept of daily order count against the
+    day index. The frame sums n, Σx, Σy, Σxy, Σx² are window aggregates
+    over EXACT integers (x = day offset, y = count), so every window's
+    moment vector is exact; slope and level are the shared dregr IEEE
+    trees evaluated per row. Emitted monthly (1st-of-month rows) to keep
+    the report compact; the window itself is day-grain."""
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    w = "ROWS BETWEEN 27 PRECEDING AND CURRENT ROW"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS t, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY {day}
+),
+framed AS (
+  SELECT t, y,
+         CAST(COUNT(*)   OVER (ORDER BY t {w}) AS BIGINT) AS n,
+         CAST(SUM(t)     OVER (ORDER BY t {w}) AS BIGINT) AS sx,
+         CAST(SUM(y)     OVER (ORDER BY t {w}) AS BIGINT) AS sy,
+         CAST(SUM(t * y) OVER (ORDER BY t {w}) AS BIGINT) AS sxy,
+         CAST(SUM(t * t) OVER (ORDER BY t {w}) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT
+  t AS day_no,
+  y AS day_count,
+  n AS window_days,
+  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope_28d,
+  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n
+    AS intercept_28d
+FROM framed
+WHERE n >= 28 AND t % 28 = 0
+ORDER BY day_no
+"""
+
+
+sql_query(
+    "q_rolling_regression",
+    spark_sql=_rolling_regression_sql(SPARK),
+    duck_sql=_rolling_regression_sql(DUCK),
+    tables=["orders"],
+    doc="28-day rolling OLS trend of daily order demand (slope + level "
+    "every 28th day): the local-trend detector that catches drifts "
+    "q_acf's global statistics average away and q_cusum_changepoint's "
+    "mean-shift model misses (a slow ramp has no changepoint). Window "
+    "moment sums n/Σx/Σy/Σxy/Σx² over exact integers (day index × "
+    "count) — every frame's moment vector is exact BIGINT, slope is "
+    "one shared IEEE tree per row. Day-grain window over the "
+    "calendar-bounded daily aggregate (q_cusum class; ≤2405 rows).",
+)

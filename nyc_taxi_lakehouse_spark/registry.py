@@ -98,6 +98,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_poisson_rate",
     "q_diff_in_diff",
     "q_pca_project",
+    "q_modularity",
+    "q_rolling_regression",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -104,6 +104,10 @@ WHITELIST = {
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
     # Four-cell pivot to one scalar row + 1-row bounds broadcast.
     "q_diff_in_diff": ({"bnlj", "single-part"}, "2x2 cells to scalar + 1-row bounds"),
+    # Nation-grain algebra (25 rows) x two 1-row scalar CTEs.
+    "q_modularity": ({"bnlj", "single-part"}, "nation-grain rows + 1-row m/Q scalars"),
+    # Day-grain window over the calendar-bounded daily agg (q_cusum class).
+    "q_rolling_regression": ({"single-part"}, "calendar-day window (<=2405 rows)"),
     # Layout audit: NTILE file model IS the thing audited (production
     # clustering uses repartitionByRange — versioned.cluster); 1-row
     # min/max bounds broadcast.
