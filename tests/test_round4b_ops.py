@@ -356,3 +356,60 @@ def test_zipf_deciles_cover_and_cv(spark):
     rf = np.array([(i + 1) * f for i, (_, f) in enumerate(ranked)], dtype=np.float64)
     cv = rf.std(ddof=0) / rf.mean()
     assert abs(got.global_cv.iloc[0] - cv) < 1e-9
+
+
+def test_modularity_vs_networkx_free_reference(spark):
+    """Q vs a dict-based serial reference on the same edge set; the
+    identity Q = Σ contributions; and the degree-sum identity Σd_c = 2m."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_modularity"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("orders", "lineitem", "customer", "supplier"))
+    rows = con.execute(
+        "SELECT c.c_nationkey AS cn, s.s_nationkey AS sn"
+        " FROM (SELECT DISTINCT o.o_custkey AS cu, l.l_suppkey AS su"
+        "       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) e"
+        " JOIN customer c ON e.cu = c.c_custkey"
+        " JOIN supplier s ON e.su = s.s_suppkey"
+    ).fetchall()
+    m = len(rows)
+    e_c: dict = {}
+    d_c: dict = {}
+    for cn, sn in rows:
+        if cn == sn:
+            e_c[cn] = e_c.get(cn, 0) + 1
+        d_c[cn] = d_c.get(cn, 0) + 1
+        d_c[sn] = d_c.get(sn, 0) + 1
+    q_ref = sum(
+        e_c.get(k, 0) / m - (d_c[k] / (2 * m)) ** 2 for k in d_c
+    )
+    assert sum(d_c.values()) == 2 * m
+    assert abs(got.modularity_q.iloc[0] - q_ref) < 1e-12
+    assert abs(got.contribution.sum() - got.modularity_q.iloc[0]) < 1e-9
+    assert int(got.degree_sum.sum()) == 2 * m
+    assert -0.5 <= got.modularity_q.iloc[0] <= 1.0
+
+
+def test_rolling_regression_vs_numpy_polyfit(spark):
+    """Every emitted window's slope/intercept vs numpy lstsq on the same
+    28 days of the zero-gap daily series (windows are over OBSERVED days,
+    matching the query's ROWS frame)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_rolling_regression"].fn(spark, SF_SMOKE).toPandas()
+    assert len(got) > 0
+    con = _duck(SF_SMOKE, tables=("orders",))
+    rows = con.execute(
+        "SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)//86400 AS t, COUNT(*)"
+        " FROM orders GROUP BY t ORDER BY t"
+    ).fetchall()
+    ts = np.array([r[0] for r in rows], dtype=np.float64)
+    ys = np.array([r[1] for r in rows], dtype=np.float64)
+    idx = {int(t): i for i, t in enumerate(ts)}
+    for r in got.itertuples():
+        i = idx[int(r.day_no)]
+        x, y = ts[i - 27 : i + 1], ys[i - 27 : i + 1]
+        assert len(x) == 28 == int(r.window_days)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope_28d - slope) < 1e-9
+        assert abs(r.intercept_28d - intercept) < 1e-6
