@@ -132,6 +132,7 @@ REPLAY_BACKED = {
     "q_stream_join_outer",
     "q_stream_heavy_hitters",
     "q_stream_neardup",
+    "q_stream_scd2_enrich",
 }
 
 

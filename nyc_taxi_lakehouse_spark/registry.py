@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_pca_project",
     "q_modularity",
     "q_rolling_regression",
+    "q_stream_scd2_enrich",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -878,3 +878,146 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_doc").cast("bigint").alias("first_doc"),
         F.col("last_doc").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 enrichment — stream-static temporal join against the
+# versioned dimension (the production "enrich facts as-of event time" shape).
+# ---------------------------------------------------------------------------
+
+_TS_MAX_SENTINEL = 9_223_372_036_854_775_807
+
+
+@df_query(
+    "q_stream_scd2_enrich",
+    duck_sql=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts_us AS valid_from,
+         COALESCE(LEAD(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+         ), {_TS_MAX_SENTINEL}) AS valid_to
+  FROM ev WHERE event_type <> 'purchase'
+)
+SELECT
+  f.user_id,
+  f.event_id AS purchase_id,
+  f.ts_us AS purchase_ts_us,
+  d2.state AS state_at_purchase,
+  d2.valid_from AS state_entered_us,
+  CAST(f.ts_us - d2.valid_from AS BIGINT) AS state_age_us,
+  f.value AS purchase_value
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') f
+JOIN dim d2
+  ON f.user_id = d2.user_id
+ AND f.ts_us >= d2.valid_from
+ AND f.ts_us < d2.valid_to
+""",
+    tables=["events"],
+    doc="STREAMING SCD2 enrichment, oracle-checked end-to-end: purchase "
+    "facts arrive as a watermarked stream (CDC envelope replay) and are "
+    "enriched as-of their EVENT time against the Type-2 dimension "
+    "history by a stream-static interval-containment join — the "
+    "production 'what state was the user in when the event happened' "
+    "lookup (Type-1 overwrite dims silently answer with TODAY's state; "
+    "this is the streaming twin of q_scd2_point_in_time). The static "
+    "dim re-binds per micro-batch — exactly how a slowly-refreshed "
+    "lake dim behaves under availableNow — and the inner containment "
+    "join is stateless per batch (no stream-stream state), so the "
+    "drain is deterministic and the oracle is the identical batch "
+    "containment join. Plan: dim build = one user_id window pass; "
+    "join keys on user_id equality with the interval as a join filter "
+    "(q_range_join shape) — both sides partition on user_id at scale.",
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "scd2_enrich_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        from pyspark.sql import Window
+
+        ev = (
+            t["events"]
+            .filter(
+                F.col("event_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & (F.col("value") > 0)
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        dim = (
+            ev.filter(F.col("event_type") != "purchase")
+            .select(
+                F.col("user_id").alias("d_user_id"),
+                F.col("event_type").alias("state"),
+                F.col("ts_us").alias("valid_from"),
+                F.coalesce(
+                    F.lead("ts_us").over(w), F.lit(_TS_MAX_SENTINEL)
+                ).alias("valid_to"),
+            )
+        )
+        facts = (
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("event_time", "10 minutes")
+            .select(
+                "user_id",
+                "event_id",
+                F.unix_micros("event_time").alias("ts_us"),
+                "value",
+            )
+        )
+        joined = facts.join(
+            dim,
+            (facts.user_id == dim.d_user_id)
+            & (facts.ts_us >= dim.valid_from)
+            & (facts.ts_us < dim.valid_to),
+            "inner",
+        ).select(
+            facts.user_id.alias("user_id"),
+            facts.event_id.alias("purchase_id"),
+            facts.ts_us.alias("purchase_ts_us"),
+            F.col("state").alias("state_at_purchase"),
+            F.col("valid_from").alias("state_entered_us"),
+            (facts.ts_us - F.col("valid_from")).cast("long").alias("state_age_us"),
+            facts.value.alias("purchase_value"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("scd2-enrich pipeline did not drain within 600s")
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts_us",
+        "state_at_purchase",
+        "state_entered_us",
+        "state_age_us",
+        "purchase_value",
+    )
