@@ -1,0 +1,150 @@
+"""Commerce / market-structure analytics — concentration and price-index
+operators over the order book.
+
+Extends the reference's revenue analytics (comprehensive_analytics.py's
+zone revenue rollups) with the two questions a marketplace team asks next:
+how concentrated is supply (HHI), and how are prices moving once mix
+shifts are held fixed (unit-value index). House arithmetic discipline:
+exact integers / snapped decimals until one final division per statistic.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import sql_query
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue, by month.
+# ---------------------------------------------------------------------------
+
+
+def _hhi_sql(d: Dialect) -> str:
+    """Monthly supplier-revenue HHI = Σ_i (r_i/R)² = Σr_i²/R². Revenues
+    are rounded to EXACT integer dollars first (DECIMAL cents → round 0),
+    so Σr_i² and R² are exact (Σr_i² ≤ ~8×10¹³ at sf0.1 — inside the
+    2^53 cast-safe window; coarsen to k$ beyond sf1). One final division
+    per month; the equivalent-competitor count 1/HHI comes from the same
+    tree. Interpretation thresholds (DOJ: 0.15/0.25) emitted as a flag."""
+    month = f"CAST({d.idiv(d.epoch('l_shipdate'), '2592000')} AS BIGINT)"
+    return f"""
+WITH rev AS (
+  SELECT {month} AS month_no,
+         l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS BIGINT)
+           AS r_dollars
+  FROM lineitem
+  GROUP BY {month}, l_suppkey
+),
+agg AS (
+  SELECT month_no,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(r_dollars) AS BIGINT) AS total_r,
+         CAST(SUM(r_dollars * r_dollars) AS BIGINT) AS sum_r2
+  FROM rev
+  GROUP BY month_no
+)
+SELECT
+  month_no,
+  n_suppliers,
+  total_r AS total_revenue_dollars,
+  CAST(sum_r2 AS DOUBLE) / (CAST(total_r AS DOUBLE) * CAST(total_r AS DOUBLE))
+    AS hhi,
+  (CAST(total_r AS DOUBLE) * CAST(total_r AS DOUBLE)) / CAST(sum_r2 AS DOUBLE)
+    AS equivalent_competitors,
+  CASE
+    WHEN CAST(sum_r2 AS DOUBLE)
+         / (CAST(total_r AS DOUBLE) * CAST(total_r AS DOUBLE)) >= 0.25
+      THEN 'high'
+    WHEN CAST(sum_r2 AS DOUBLE)
+         / (CAST(total_r AS DOUBLE) * CAST(total_r AS DOUBLE)) >= 0.15
+      THEN 'moderate'
+    ELSE 'unconcentrated'
+  END AS concentration_band
+FROM agg
+ORDER BY month_no
+"""
+
+
+sql_query(
+    "q_hhi",
+    spark_sql=_hhi_sql(SPARK),
+    duck_sql=_hhi_sql(DUCK),
+    tables=["lineitem"],
+    doc="Monthly Herfindahl-Hirschman concentration of supplier revenue "
+    "(HHI, equivalent-competitor count 1/HHI, DOJ band) — the market-"
+    "structure monitor next to q_gini_concentration (customer side) and "
+    "q_skew_report (data side): the same Σshare² that predicts both "
+    "pricing power and partition skew. Exact integer-dollar revenues "
+    "(DECIMAL-cents rounding, cast-safe to sf1), two keyed aggregates, "
+    "one final division per month.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Unit-value price index — Laspeyres with base-month quantity basket.
+# ---------------------------------------------------------------------------
+
+
+def _uvi_sql(d: Dialect) -> str:
+    """Fixed-basket unit-value index per month: part p's monthly unit
+    value u_tp = revenue/quantity (the trade-statistics 'unit value' —
+    mix WITHIN a part still moves it, which is why the basket is held
+    fixed ACROSS parts). Index_t = Σ_p q0_p·u_tp / Σ_p q0_p·u_0p over
+    parts present in BOTH months. Per-part terms are EXACT BIGINT
+    milli-cents via floor integer division (q0·rev_cents·1000 DIV qty —
+    deterministic in both engines, unlike a double→DECIMAL snap whose
+    half-cent ties round differently in Spark vs DuckDB); products stay
+    ≤ ~5×10¹⁴ at sf0.1 (< 2^63), the cross-part sums are exact BIGINTs,
+    and the only IEEE ops are the two final dollar casts + one index
+    division."""
+    month = f"CAST({d.idiv(d.epoch('l_shipdate'), '2592000')} AS BIGINT)"
+    cur_mc = d.idiv("b.qty0 * p.rev_cents * 1000", "p.qty")
+    base_mc = d.idiv("b.qty0 * b.rev0 * 1000", "b.qty0")
+    return f"""
+WITH pm AS (
+  SELECT {month} AS month_no,
+         l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY {month}, l_partkey
+),
+base AS (
+  SELECT l_partkey, rev_cents AS rev0, qty AS qty0
+  FROM pm WHERE month_no = (SELECT MIN(month_no) FROM pm)
+),
+terms AS (
+  SELECT p.month_no,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CAST({cur_mc} AS BIGINT)) AS BIGINT) AS cur_mc,
+         CAST(SUM(CAST({base_mc} AS BIGINT)) AS BIGINT) AS base_mc
+  FROM pm p JOIN base b ON p.l_partkey = b.l_partkey
+  GROUP BY p.month_no
+)
+SELECT
+  month_no,
+  n_parts,
+  CAST(cur_mc AS DOUBLE) / 100000.0 AS basket_cost_dollars,
+  CAST(base_mc AS DOUBLE) / 100000.0 AS base_cost_dollars,
+  100.0 * CAST(cur_mc AS DOUBLE) / CAST(base_mc AS DOUBLE) AS unit_value_index
+FROM terms
+ORDER BY month_no
+"""
+
+
+sql_query(
+    "q_unit_value_index",
+    spark_sql=_uvi_sql(SPARK),
+    duck_sql=_uvi_sql(DUCK),
+    tables=["lineitem"],
+    doc="Fixed-basket (Laspeyres-form) unit-value price index by month: "
+    "reprice the base month's per-part quantity basket at each month's "
+    "unit values, over parts present in both — the mix-adjusted price "
+    "trend a naive revenue/quantity ratio confounds (Simpson's paradox "
+    "in time: q_simpson_check's sibling). Per-part terms DECIMAL-"
+    "snapped before the cross-part sum (order-independent), unit "
+    "values are single IEEE divisions of exact integer cents/quantity. "
+    "Two keyed aggregates + a broadcast base-month join.",
+)

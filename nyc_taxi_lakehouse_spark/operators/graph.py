@@ -707,3 +707,34 @@ sql_query(
     "per-nation contribution rows plus the global Q. One edge "
     "dedup shuffle + two broadcast dim joins + nation-grain algebra.",
 )
+
+
+def modularity_of(edges: DataFrame, labels: DataFrame) -> float:
+    """Score ANY community assignment with Newman's Q — the library half
+    of q_modularity (which fixes communities = nation): pass the LPA /
+    star-contraction output as ``labels(node, label)`` and the undirected
+    ``edges(a, b)`` list to score it. Exact integer aggregates (within-
+    community edge counts, community degree sums) collapse to three
+    scalars; Q = (4m·Σe_c − Σd_c²)/(4m²) in one driver-side division —
+    the only collected data is three BIGINTs."""
+    e = edges.select(F.col("a").alias("na"), F.col("b").alias("nb")).distinct()
+    la = labels.select(F.col("node").alias("na"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node").alias("nb"), F.col("label").alias("cb"))
+    tagged = e.join(la, "na").join(lb, "nb")
+    row = tagged.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias("sum_e"),
+    ).collect()[0]
+    m, sum_e = int(row["m"]), int(row["sum_e"])
+    if m == 0:
+        return 0.0
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).alias("sum_d2"))
+        .collect()[0]
+    )
+    sum_d2 = int(deg["sum_d2"])
+    return float(4 * m * sum_e - sum_d2) / float(4 * m * m)

@@ -101,6 +101,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_modularity",
     "q_rolling_regression",
     "q_stream_scd2_enrich",
+    "q_hhi",
+    "q_unit_value_index",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.
@@ -302,6 +304,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import modern_sql  # noqa: F401
     from .operators import zorder  # noqa: F401
     from .operators import inference  # noqa: F401
+    from .operators import commerce  # noqa: F401
     from . import catalog  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401

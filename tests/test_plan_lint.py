@@ -66,6 +66,8 @@ WHITELIST = {
     "q_lsh_calibration": ({"single-part"}, "sample-bounded vocab sort + 10 buckets"),
     # 1-row summary: 256-word filter + dim-key count scalar broadcast.
     "q_bloom_prune": ({"single-part", "bnlj"}, "scalar audit row x 1-row dim count"),
+    # 1-row MIN(month_no) scalar subquery selecting the base month.
+    "q_unit_value_index": ({"single-part"}, "MIN(month_no) base-month scalar"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.

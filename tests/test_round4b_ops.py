@@ -413,3 +413,49 @@ def test_rolling_regression_vs_numpy_polyfit(spark):
         slope, intercept = np.polyfit(x, y, 1)
         assert abs(r.slope_28d - slope) < 1e-9
         assert abs(r.intercept_28d - intercept) < 1e-6
+
+
+def test_modularity_of_composes_with_partitions(spark):
+    """The generic scorer agrees with q_modularity on the nation
+    partition, scores the one-community partition at exactly 0, and the
+    trade graph's bipartite 2-coloring at exactly -1/2 (no within-class
+    edges, two equal degree halves)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_lakehouse_spark.operators.graph import modularity_of
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_SMOKE, ["orders", "lineitem", "customer", "supplier"])
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+
+    # nation partition == q_modularity's Q
+    cust = t["customer"].select(
+        (F.col("c_custkey") * 2).alias("node"), F.col("c_nationkey").alias("label")
+    )
+    supp = t["supplier"].select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"), F.col("s_nationkey").alias("label")
+    )
+    q_nation = modularity_of(edges, cust.unionAll(supp))
+    ref = all_queries()["q_modularity"].fn(spark, SF_SMOKE).toPandas()
+    assert abs(q_nation - ref.modularity_q.iloc[0]) < 1e-12
+
+    # one community: Q == 0 exactly
+    one = nodes.select("node", F.lit(0).alias("label"))
+    assert modularity_of(edges, one) == 0.0
+
+    # bipartite coloring (customer vs supplier): e_c = 0, equal degree
+    # halves -> Q = -(1/4 + 1/4)... with d_cust = d_supp = m: Q = -1/2.
+    sides = nodes.select("node", (F.col("node") % 2).alias("label"))
+    assert abs(modularity_of(edges, sides) - (-0.5)) < 1e-12
