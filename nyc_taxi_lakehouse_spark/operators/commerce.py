@@ -148,3 +148,62 @@ sql_query(
     "values are single IEEE divisions of exact integer cents/quantity. "
     "Two keyed aggregates + a broadcast base-month join.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship lead time — fulfillment SLA percentiles by month.
+# ---------------------------------------------------------------------------
+
+
+def _lead_time_sql(d: Dialect) -> str:
+    """Integer day gap order→ship per lineitem, exact discrete percentiles
+    per order month. Gaps are exact BIGINTs (epoch floor-div 86400 twice,
+    then subtraction), so percentile_disc picks actual data values — no
+    interpolation arithmetic, nothing for IEEE to disagree on. SLA breach
+    share (>30d) is an exact conditional count ratio."""
+    o_day = f"CAST({d.idiv(d.epoch('o.o_orderdate'), '86400')} AS BIGINT)"
+    s_day = f"CAST({d.idiv(d.epoch('l.l_shipdate'), '86400')} AS BIGINT)"
+    month = f"CAST({d.idiv(d.epoch('o.o_orderdate'), '2592000')} AS BIGINT)"
+    if d.name == "spark":
+        def disc(p: str) -> str:
+            return f"percentile_disc({p}) WITHIN GROUP (ORDER BY gap_days)"
+    else:
+        def disc(p: str) -> str:
+            return f"quantile_disc(gap_days, {p})"
+    return f"""
+WITH gaps AS (
+  SELECT {month} AS month_no,
+         {s_day} - {o_day} AS gap_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+)
+SELECT
+  month_no,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST({disc('0.50')} AS BIGINT) AS p50_days,
+  CAST({disc('0.90')} AS BIGINT) AS p90_days,
+  CAST({disc('0.99')} AS BIGINT) AS p99_days,
+  CAST(MAX(gap_days) AS BIGINT) AS max_days,
+  CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_30d,
+  CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS share_over_30d
+FROM gaps
+GROUP BY month_no
+ORDER BY month_no
+"""
+
+
+sql_query(
+    "q_lead_time",
+    spark_sql=_lead_time_sql(SPARK),
+    duck_sql=_lead_time_sql(DUCK),
+    tables=["orders", "lineitem"],
+    doc="Fulfillment lead-time SLA monitor: exact p50/p90/p99/max of the "
+    "order→ship day gap per order month, plus the >30-day breach share — "
+    "the supply-chain twin of q_value_percentiles. Gaps are exact BIGINT "
+    "day counts (floor-div epochs), percentile_disc picks real data "
+    "values, breach share is an exact count ratio: nothing "
+    "interpolation-dependent crosses the hash gate. Same 100 TB "
+    "degradation path as q_value_percentiles: approx_percentile sketches "
+    "replace the grouped sort.",
+)

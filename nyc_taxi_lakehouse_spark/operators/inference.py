@@ -820,3 +820,88 @@ sql_query(
     "partial-agg pass for all four cells' exact decimal moments, "
     "pivoted to a single row, one shared IEEE tree for estimate + SE.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test — early-stopping rate monitor.
+# ---------------------------------------------------------------------------
+
+# Wald SPRT constants for H0: p=0.20 vs H1: p=0.25, alpha=beta=0.05 —
+# computed offline to full double precision and inlined as literals (ln()
+# is banned from the hash gate; a LITERAL is parsed to the identical
+# double by both engines, so s*C1 + (n-s)*C2 is a deterministic
+# two-term IEEE expression, never a runtime libm call).
+_SPRT_C1 = "0.22314355131420976"    # ln(p1/p0)
+_SPRT_C2 = "-0.06453852113757118"   # ln((1-p1)/(1-p0))
+_SPRT_LN_A = "2.9444389791664403"   # ln((1-beta)/alpha)  -> accept H1
+_SPRT_LN_B = "-2.9444389791664403"  # ln(beta/(1-alpha))  -> accept H0
+
+
+def _sprt_sql(d: Dialect) -> str:
+    """Wald's SPRT walked over the daily order stream: trial = order,
+    success = URGENT priority; after each day the cumulative log
+    likelihood ratio LLR_t = s_t·C1 + (n_t−s_t)·C2 is compared to the
+    literal ln A / ln B boundaries. All cumulative counts are exact
+    BIGINT window sums over the day-grain aggregate; LLR is one two-term
+    IEEE expression of exact ints × literal constants. decision_day
+    marks the FIRST boundary crossing (the sequential early stop)."""
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    # CAST the literals to DOUBLE: Spark parses a bare 17-digit decimal
+    # literal as DECIMAL (llr would come out DECIMAL/string), DuckDB as
+    # DOUBLE — the explicit cast pins both to the same IEEE double.
+    llr = (
+        f"(CAST(s_cum AS DOUBLE) * CAST({_SPRT_C1} AS DOUBLE)"
+        f" + CAST(n_cum - s_cum AS DOUBLE) * CAST({_SPRT_C2} AS DOUBLE))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day_no,
+         CAST(COUNT(*) AS BIGINT) AS n_day,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s_day
+  FROM orders
+  GROUP BY {day}
+),
+walk AS (
+  SELECT day_no, n_day, s_day,
+         CAST(SUM(n_day) OVER (ORDER BY day_no) AS BIGINT) AS n_cum,
+         CAST(SUM(s_day) OVER (ORDER BY day_no) AS BIGINT) AS s_cum
+  FROM daily
+),
+scored AS (
+  SELECT day_no, n_day, s_day, n_cum, s_cum,
+         {llr} AS llr,
+         CASE WHEN {llr} >= CAST({_SPRT_LN_A} AS DOUBLE) THEN 'accept_h1'
+              WHEN {llr} <= CAST({_SPRT_LN_B} AS DOUBLE) THEN 'accept_h0'
+              ELSE 'continue' END AS state
+  FROM walk
+),
+flagged AS (
+  SELECT s.*,
+         MIN(CASE WHEN state <> 'continue' THEN day_no END) OVER ()
+           AS decision_day
+  FROM scored s
+)
+SELECT
+  day_no, n_day, s_day, n_cum, s_cum, llr, state,
+  decision_day,
+  CASE WHEN day_no = decision_day THEN 1 ELSE 0 END AS is_decision_row
+FROM flagged
+ORDER BY day_no
+"""
+
+
+sql_query(
+    "q_sprt",
+    spark_sql=_sprt_sql(SPARK),
+    duck_sql=_sprt_sql(DUCK),
+    tables=["orders"],
+    doc="Wald sequential probability ratio test over the daily order "
+    "stream (H0: urgent-rate 0.20 vs H1: 0.25, alpha=beta=0.05): exact "
+    "cumulative trial/success counts, the two-term LLR against literal "
+    "ln-boundaries, and the first-crossing decision day — the "
+    "early-stopping experiment monitor next to q_ab_welch (fixed-horizon) "
+    "and q_cuped (variance reduction). The ln constants are compile-time "
+    "literals (house no-runtime-ln rule). Day-grain cumulative windows "
+    "run over the bounded day spine, same class as q_dau_wau_mau.",
+)

@@ -103,6 +103,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stream_scd2_enrich",
     "q_hhi",
     "q_unit_value_index",
+    "q_trimmed_mean",
+    "q_double_pay",
+    "q_item_cf",
+    "q_link_prediction",
+    "q_sprt",
+    "q_lead_time",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.
@@ -305,6 +311,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import zorder  # noqa: F401
     from .operators import inference  # noqa: F401
     from .operators import commerce  # noqa: F401
+    from .operators import forensics  # noqa: F401
+    from .operators import marketing  # noqa: F401
     from . import catalog  # noqa: F401
     from . import mor  # noqa: F401
     from . import pipelines  # noqa: F401

@@ -68,6 +68,9 @@ WHITELIST = {
     "q_bloom_prune": ({"single-part", "bnlj"}, "scalar audit row x 1-row dim count"),
     # 1-row MIN(month_no) scalar subquery selecting the base month.
     "q_unit_value_index": ({"single-part"}, "MIN(month_no) base-month scalar"),
+    # Day-grain cumulative LLR walk + 1-row decision-day broadcast
+    # (q_dau_wau_mau / q_runs_test class: bounded by the day spine).
+    "q_sprt": ({"single-part"}, "cumulative walk over day-grain rows"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.

@@ -1,0 +1,239 @@
+"""Behavioral tests for the round-4c operators: commerce indices,
+forensic estimators, recommendation/link-prediction, and the SPRT walk.
+
+The oracle-parity suite pins each query hash-exact against DuckDB at two
+SFs — but both engines execute the SAME SQL formula, so a formula-level
+bug would pass both. These tests pin the SEMANTICS against independent
+serial references (numpy / pure-python, different algorithms where
+possible), per the SURVEY.md §5 differential-testing strategy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import duckdb
+
+from .conftest import SF_SMOKE
+
+
+def _duck(sf_dir: str, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_trimmed_mean_vs_numpy(spark):
+    """Trim/winsorize per event type against a numpy argsort reference:
+    drop/clamp k = n//10 per tail on the (value, event_id) order."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_trimmed_mean"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = _duck(SF_SMOKE)
+    df = con.execute(
+        "SELECT event_type, value, event_id FROM events "
+        "WHERE value IS NOT NULL AND event_id IS NOT NULL"
+    ).df()
+    for et, g in df.groupby("event_type"):
+        v = g.sort_values(["value", "event_id"]).value.to_numpy()
+        n = len(v)
+        k = n // 10
+        trimmed = v[k : n - k]
+        wins = np.concatenate([[v[k]] * k, trimmed, [[v[n - k - 1]]* k][0]])
+        r = got.loc[et]
+        assert r.n == n and r.trimmed_each_side == k
+        assert abs(r.mean_raw - v.mean()) < 1e-9
+        assert abs(r.mean_trimmed - trimmed.mean()) < 1e-9
+        assert abs(r.mean_winsorized - wins.mean()) < 1e-9
+        assert r.winsor_lo == v[k] and r.winsor_hi == v[n - k - 1]
+        # robustness ordering on a right-skewed positive mix is not
+        # guaranteed, but the three must be finite and internally sane
+        assert min(r.winsor_lo, v.min()) <= r.mean_trimmed <= max(r.winsor_hi, v.max())
+
+
+def test_double_pay_vs_serial_reference(spark):
+    """Every emitted pair matches a brute serial recomputation over
+    per-payer buckets (oriented, gap ≤ 7d), deltas/flags re-derived."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_double_pay"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("orders",))
+    df = con.execute(
+        "SELECT o_orderkey AS okey, o_custkey AS ckey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, "
+        "CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day_no "
+        "FROM orders WHERE o_totalprice IS NOT NULL"
+    ).df()
+    expected = {}
+    for _, g in df.groupby("ckey"):
+        rows = sorted(g.itertuples(index=False), key=lambda r: (r.day_no, r.okey))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if b.day_no - a.day_no <= 7:
+                    expected[(a.okey, b.okey)] = abs(b.cents - a.cents)
+    assert len(got) > 0  # the screen must actually fire on this data
+    assert {
+        (r.okey_first, r.okey_second): r.cents_delta
+        for r in got.itertuples(index=False)
+    } == expected
+    assert (got.gap_days >= 0).all() and (got.gap_days <= 7).all()
+    assert ((got.exact_dup == 1) == (got.cents_delta == 0)).all()
+
+
+def test_item_cf_vs_serial_cosine(spark):
+    """Every (anchor, neighbor) cosine re-derived from raw basket sets in
+    pure python; per-anchor ranks descend by cosine with neighbor-id
+    tie-break; symmetric pairs agree."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_item_cf"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("lineitem",))
+    df = con.execute(
+        "SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem"
+    ).df()
+    baskets: dict[int, set] = {}
+    for r in df.itertuples(index=False):
+        baskets.setdefault(r.pkey, set()).add(r.okey)
+    assert len(got) > 0
+    for r in got.itertuples(index=False):
+        co = len(baskets[r.anchor] & baskets[r.neighbor])
+        assert co == r.co_orders and co >= 2
+        ref = co / math.sqrt(len(baskets[r.anchor]) * len(baskets[r.neighbor]))
+        assert abs(r.cosine - ref) < 1e-12
+        assert 0 < r.cosine <= 1.0 + 1e-12
+    for _, g in got.groupby("anchor"):
+        g = g.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        key = list(zip(-g.cosine, g.neighbor))
+        assert key == sorted(key)
+
+
+def test_link_prediction_vs_serial_ra(spark):
+    """Top-50 RA pairs vs a pure-python recomputation: same capped-degree
+    common-neighbor walk, decimal-snapped 1/deg terms, same ordering."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from nyc_taxi_lakehouse_spark.operators.marketing import _RA_DEG_CAP
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_link_prediction"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("orders", "lineitem"))
+    df = con.execute(
+        "SELECT DISTINCT o.o_custkey AS ckey, l.l_suppkey AS skey "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ).df()
+    by_cust: dict[int, list] = {}
+    for r in df.itertuples(index=False):
+        by_cust.setdefault(r.ckey, []).append(r.skey)
+    scores: dict[tuple, Decimal] = {}
+    commons: dict[tuple, int] = {}
+    q = Decimal("1e-12")
+    for _, supps in by_cust.items():
+        d = len(supps)
+        if d > _RA_DEG_CAP:
+            continue
+        term = (Decimal(1) / Decimal(d)).quantize(q, rounding=ROUND_HALF_UP)
+        supps = sorted(supps)
+        for i in range(d):
+            for j in range(i + 1, d):
+                pair = (supps[i], supps[j])
+                scores[pair] = scores.get(pair, Decimal(0)) + term
+                commons[pair] = commons.get(pair, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(got) == min(50, len(ranked)) and len(got) > 0
+    for row, (pair, sc) in zip(got.itertuples(index=False), ranked):
+        assert (row.supp_a, row.supp_b) == pair
+        assert row.common_rare == commons[pair]
+        assert abs(row.ra_score - float(sc)) < 1e-12
+
+
+def test_sprt_llr_walk_reference(spark):
+    """LLR walk re-derived in python with math.log constants; decision day
+    is the first boundary crossing; cumulative counts telescope."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_sprt"].fn(spark, SF_SMOKE).toPandas()
+    p0, p1, a, b = 0.20, 0.25, 0.05, 0.05
+    c1, c2 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    ln_a, ln_b = math.log((1 - b) / a), math.log(b / (1 - a))
+    got = got.sort_values("day_no").reset_index(drop=True)
+    assert (got.n_day.cumsum() == got.n_cum).all()
+    assert (got.s_day.cumsum() == got.s_cum).all()
+    llr_ref = got.s_cum * c1 + (got.n_cum - got.s_cum) * c2
+    assert (abs(got.llr - llr_ref) < 1e-9).all()
+    crossings = got[(llr_ref >= ln_a) | (llr_ref <= ln_b)]
+    if len(crossings):
+        first = crossings.day_no.iloc[0]
+        assert (got.decision_day == first).all()
+        state = got.set_index("day_no").loc[first, "state"]
+        assert state in ("accept_h0", "accept_h1")
+    else:
+        assert got.decision_day.isna().all()
+
+
+def test_lead_time_vs_numpy_disc_percentiles(spark):
+    """percentile_disc semantics = smallest order statistic with
+    cumulative share >= p, re-derived via numpy sort per month."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_lead_time"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("month_no")
+    )
+    con = _duck(SF_SMOKE, tables=("orders", "lineitem"))
+    df = con.execute(
+        "SELECT CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 2592000 AS m, "
+        "CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 "
+        "- CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS gap "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ).df()
+    for m, g in df.groupby("m"):
+        v = np.sort(g.gap.to_numpy())
+        n = len(v)
+        r = got.loc[m]
+        assert r.n_lines == n
+        for p, col in ((0.5, "p50_days"), (0.9, "p90_days"), (0.99, "p99_days")):
+            disc = v[int(np.ceil(p * n)) - 1]
+            assert r[col] == disc, (m, col)
+        assert r.max_days == v[-1]
+        assert r.n_over_30d == int((v > 30).sum())
+
+
+def test_hhi_and_uvi_identities(spark):
+    """HHI bounds/identities (1/n ≤ HHI ≤ 1, equivalent competitors =
+    1/HHI) plus the index's base-month fixed point (index == 100, basket
+    == base cost) and a serial HHI recomputation for one month."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    hhi = all_queries()["q_hhi"].fn(spark, SF_SMOKE).toPandas()
+    assert ((hhi.hhi >= 1.0 / hhi.n_suppliers - 1e-12) & (hhi.hhi <= 1.0)).all()
+    assert (abs(hhi.equivalent_competitors * hhi.hhi - 1.0) < 1e-9).all()
+
+    con = _duck(SF_SMOKE, tables=("lineitem",))
+    month0 = int(hhi.month_no.iloc[0])
+    rev = con.execute(
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS BIGINT) AS r "
+        "FROM lineitem "
+        "WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) // 2592000 = ? "
+        "GROUP BY l_suppkey",
+        [month0],
+    ).df().r.to_numpy()
+    ref = float((rev.astype(float) ** 2).sum() / rev.astype(float).sum() ** 2)
+    assert abs(hhi.hhi.iloc[0] - ref) < 1e-12
+
+    uvi = all_queries()["q_unit_value_index"].fn(spark, SF_SMOKE).toPandas()
+    base = uvi.sort_values("month_no").iloc[0]
+    assert base.unit_value_index == 100.0
+    assert base.basket_cost_dollars == base.base_cost_dollars
+    assert (uvi.n_parts >= 1).all()
