@@ -15,8 +15,12 @@ pair space is pruned before it exists — no O(N²) stage anywhere.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..registry import sql_query
+from ..registry import df_query, sql_query
+from ..sources.tables import load_tables
 
 
 # ---------------------------------------------------------------------------
@@ -73,9 +77,8 @@ ORDER BY anchor, rk
 """
 
 
-sql_query(
+@df_query(
     "q_item_cf",
-    spark_sql=_item_cf_sql(SPARK),
     duck_sql=_item_cf_sql(DUCK),
     tables=["lineitem"],
     doc="Item-item collaborative filtering: top-5 cosine neighbors per "
@@ -84,8 +87,50 @@ sql_query(
     "support/lift pairs. Pair generation is order-bucketed (Σ C(k,2) per "
     "order, linear in lineitems); sqrt is IEEE-correctly-rounded so the "
     "hash gate holds; the per-anchor rank window is part-partitioned "
-    "(thousands of partitions, no global sort).",
+    "(thousands of partitions, no global sort). DataFrame impl: the "
+    "(order, part) incidence is localCheckpoint'ed once and fed to the "
+    "self-join (both orientations in ONE pass via pkey != pkey), the "
+    "degree side is broadcast — 1 lineitem scan vs the naive SQL's 8 "
+    "(Spark inlines CTEs; see spark-graft conventions).",
 )
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    op = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = op.groupBy("pkey").agg(F.count("*").cast("bigint").alias("n_orders"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.pkey") != F.col("b.pkey")))
+        .groupBy(F.col("a.pkey").alias("anchor"), F.col("b.pkey").alias("neighbor"))
+        .agg(F.count("*").cast("bigint").alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    scored = (
+        pairs
+        .join(F.broadcast(deg.select(F.col("pkey").alias("anchor"),
+                                     F.col("n_orders").alias("n_a"))), "anchor")
+        .join(F.broadcast(deg.select(F.col("pkey").alias("neighbor"),
+                                     F.col("n_orders").alias("n_b"))), "neighbor")
+        .withColumn(
+            "cosine",
+            F.col("co_orders").cast("double")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.col("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("anchor", "neighbor", "co_orders", "cosine", "rk")
+        .orderBy("anchor", "rk")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -135,9 +180,8 @@ LIMIT 50
 """
 
 
-sql_query(
+@df_query(
     "q_link_prediction",
-    spark_sql=_link_pred_sql(SPARK),
     duck_sql=_link_pred_sql(DUCK),
     tables=["orders", "lineitem"],
     doc="Link prediction on the customer–supplier bipartite graph: "
@@ -147,5 +191,52 @@ sql_query(
     "quadratic cost, the same rare-neighbor pruning as PPJoin's prefix "
     "filter), top-50 pairs. The ln()-free Adamic-Adar variant per the "
     "house hash-gate rule. Customer-bucketed pair generation: output is "
-    "Σ deg² over capped customers only, bounded by cap·|edges|.",
+    "Σ deg² over capped customers only, bounded by cap·|edges|. "
+    "DataFrame impl: one shuffle to sorted per-customer supplier sets, "
+    "the C(d,2) ≤ 28 ordered pairs exploded MAP-SIDE from the array, one "
+    "pair aggregate — no self-join at all, 1 orders+lineitem scan vs the "
+    "naive SQL's 8 (Spark inlines CTEs), 1.39 s vs 2.39 s for the "
+    "checkpointed self-join form at sf0.1.",
 )
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("ckey"), F.col("l_suppkey").alias("skey"))
+        .distinct()
+    )
+    # One shuffle to per-customer supplier sets; the degree cap is a
+    # size() filter and the C(d,2) ≤ 28 ordered pairs explode MAP-SIDE
+    # from the sorted array — no rare-incidence self-join, no second
+    # shuffle before the pair aggregate. sort_array pins determinism
+    # (collect_set order is not deterministic) and yields a < b pairs.
+    rare = (
+        edges.groupBy("ckey")
+        .agg(F.sort_array(F.collect_set("skey")).alias("supps"))
+        .filter(F.size("supps") <= _RA_DEG_CAP)
+    )
+    pair_stream = rare.select(
+        F.size("supps").alias("d"),
+        F.explode(
+            F.expr(
+                "flatten(transform(supps, (x, i) -> "
+                "transform(slice(supps, i + 2, size(supps)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).select("d", "p.a", "p.b")
+    pairs = (
+        pair_stream.groupBy(F.col("a").alias("supp_a"), F.col("b").alias("supp_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_rare"),
+            F.sum((F.lit(1.0) / F.col("d")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("ra_score"),
+        )
+    )
+    return (
+        pairs.select("supp_a", "supp_b", "common_rare", "ra_score")
+        .orderBy(F.desc("ra_score"), "supp_a", "supp_b")
+        .limit(50)
+    )
