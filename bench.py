@@ -113,6 +113,17 @@ HEADLINE = [
     "q_gram_matrix",
     "q_pca_project",
     "q_chisq_keywords",
+    # Round-4 continuation, part 2: commerce indices, forensic screens,
+    # recommendation + link prediction + offline eval, sequential testing.
+    "q_hhi",
+    "q_unit_value_index",
+    "q_lead_time",
+    "q_trimmed_mean",
+    "q_double_pay",
+    "q_item_cf",
+    "q_link_prediction",
+    "q_rec_hitrate",
+    "q_sprt",
 ]
 
 

@@ -240,3 +240,176 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_score"), "supp_a", "supp_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender evaluation: hit-rate@k of CF neighbors on a temporal holdout.
+# ---------------------------------------------------------------------------
+
+
+def _rec_hitrate_sql(d: Dialect) -> str:
+    """Oracle twin of q_rec_hitrate (DuckDB evaluates the CTE chain
+    directly; the Spark side is the DataFrame pipeline below — CTE
+    inlining makes this exact SQL shape 8-scan-expensive on Spark)."""
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    return f"""
+WITH od AS (
+  SELECT o_orderkey AS okey, {day} AS day_no FROM orders
+),
+bounds AS (
+  SELECT MIN(day_no) AS lo, MAX(day_no) AS hi FROM od
+),
+split AS (
+  SELECT lo + (hi - lo) * 8 // 10 AS split_day FROM bounds
+),
+op AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS pkey, o.day_no
+  FROM lineitem l JOIN od o ON l.l_orderkey = o.okey
+),
+train AS (
+  SELECT okey, pkey FROM op, split WHERE day_no < split_day
+),
+test AS (
+  SELECT okey, pkey FROM op, split WHERE day_no >= split_day
+),
+deg AS (
+  SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY pkey
+),
+pairs AS (
+  SELECT a.pkey AS anchor, b.pkey AS neighbor,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM train a JOIN train b ON a.okey = b.okey AND a.pkey <> b.pkey
+  GROUP BY a.pkey, b.pkey
+  HAVING COUNT(*) >= 2
+),
+nbr AS (
+  SELECT anchor, neighbor,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor
+           ORDER BY CAST(p.co AS DOUBLE)
+                    / SQRT(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)) DESC,
+                    neighbor) AS rk
+  FROM pairs p
+  JOIN deg da ON p.anchor = da.pkey
+  JOIN deg db ON p.neighbor = db.pkey
+),
+test_pairs AS (
+  SELECT a.okey, a.pkey AS anchor, b.pkey AS other
+  FROM test a JOIN test b ON a.okey = b.okey AND a.pkey <> b.pkey
+),
+scored AS (
+  SELECT t.okey, t.anchor, MIN(n.rk) AS best_rank
+  FROM test_pairs t
+  LEFT JOIN (SELECT * FROM nbr WHERE rk <= 5) n
+    ON t.anchor = n.anchor AND t.other = n.neighbor
+  GROUP BY t.okey, t.anchor
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_eval,
+  CAST(SUM(CASE WHEN best_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+  CAST(SUM(CASE WHEN best_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3,
+  CAST(SUM(CASE WHEN best_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+  CAST(SUM(CASE WHEN best_rank <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS hitrate_at_1,
+  CAST(SUM(CASE WHEN best_rank <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS hitrate_at_3,
+  CAST(SUM(CASE WHEN best_rank <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS hitrate_at_5
+FROM scored
+"""
+
+
+@df_query(
+    "q_rec_hitrate",
+    duck_sql=_rec_hitrate_sql(DUCK),
+    tables=["orders", "lineitem"],
+    doc="Offline recommender evaluation: hit-rate@1/3/5 of the item-CF "
+    "cosine neighbors (trained on the first 80% of order days) against "
+    "the held-out last 20% — an eval (order, anchor-part) scores a hit "
+    "if any OTHER part in the same held-out basket appears in the "
+    "anchor's top-k trained neighbors. The temporal split is "
+    "data-relative integer day arithmetic (no leakage: neighbors never "
+    "see test baskets), the denominator includes cold-start anchors "
+    "(honest recall). DataFrame impl reuses the q_item_cf plan shape: "
+    "train incidence localCheckpoint'ed once, map-side orientation, "
+    "broadcast degree + neighbor tables; the eval join is "
+    "(anchor, other)-keyed against the ≤5-per-anchor neighbor table.",
+)
+def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    od = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day_no"),
+    )
+    lo, hi = od.agg(F.min("day_no"), F.max("day_no")).first()
+    split_day = lo + (hi - lo) * 8 // 10
+    op = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .join(od, "okey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    train = op.filter(F.col("day_no") < split_day).select("okey", "pkey")
+    test = op.filter(F.col("day_no") >= split_day).select("okey", "pkey")
+    deg = train.groupBy("pkey").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.pkey") != F.col("b.pkey")))
+        .groupBy(F.col("a.pkey").alias("anchor"), F.col("b.pkey").alias("neighbor"))
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc(
+            F.col("co").cast("double")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        F.col("neighbor"),
+    )
+    nbr = (
+        pairs
+        .join(F.broadcast(deg.select(F.col("pkey").alias("anchor"),
+                                     F.col("n").alias("n_a"))), "anchor")
+        .join(F.broadcast(deg.select(F.col("pkey").alias("neighbor"),
+                                     F.col("n").alias("n_b"))), "neighbor")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("anchor", "neighbor", "rk")
+    )
+    ta, tb = test.alias("ta"), test.alias("tb")
+    test_pairs = (
+        ta.join(tb, (F.col("ta.okey") == F.col("tb.okey"))
+                & (F.col("ta.pkey") != F.col("tb.pkey")))
+        .select(
+            F.col("ta.okey").alias("okey"),
+            F.col("ta.pkey").alias("anchor"),
+            F.col("tb.pkey").alias("other"),
+        )
+    )
+    scored = (
+        test_pairs.join(
+            F.broadcast(nbr.withColumnRenamed("neighbor", "other")),
+            ["anchor", "other"],
+            "left",
+        )
+        .groupBy("okey", "anchor")
+        .agg(F.min("rk").alias("best_rank"))
+    )
+    hit = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("best_rank") <= k, 1).otherwise(0)
+    ).cast("bigint")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        hit(1).alias("hits_at_1"),
+        hit(3).alias("hits_at_3"),
+        hit(5).alias("hits_at_5"),
+        (hit(1).cast("double") / F.count("*")).alias("hitrate_at_1"),
+        (hit(3).cast("double") / F.count("*")).alias("hitrate_at_3"),
+        (hit(5).cast("double") / F.count("*")).alias("hitrate_at_5"),
+    )

@@ -71,6 +71,8 @@ WHITELIST = {
     # Day-grain cumulative LLR walk + 1-row decision-day broadcast
     # (q_dau_wau_mau / q_runs_test class: bounded by the day spine).
     "q_sprt": ({"single-part"}, "cumulative walk over day-grain rows"),
+    # One scalar eval-summary row (hit-rate ratios over exact counts).
+    "q_rec_hitrate": ({"single-part"}, "scalar eval-summary row"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.

@@ -237,3 +237,68 @@ def test_hhi_and_uvi_identities(spark):
     assert base.unit_value_index == 100.0
     assert base.basket_cost_dollars == base.base_cost_dollars
     assert (uvi.n_parts >= 1).all()
+
+
+def test_rec_hitrate_vs_serial_eval(spark):
+    """Full serial re-evaluation: train CF neighbors on the first-80%%-of-
+    days baskets in pure python (same cosine, same tie-breaks), score the
+    holdout, and match every count; hitrates must be monotone in k."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_rec_hitrate"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    con = _duck(SF_SMOKE, tables=("orders", "lineitem"))
+    df = con.execute(
+        "SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS pkey, "
+        "CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS day_no "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).df()
+    lo, hi = df.day_no.min(), df.day_no.max()
+    split = lo + (hi - lo) * 8 // 10
+    train = df[df.day_no < split]
+    test = df[df.day_no >= split]
+
+    baskets: dict[int, set] = {}
+    for r in train.itertuples(index=False):
+        baskets.setdefault(r.pkey, set()).add(r.okey)
+    by_order: dict[int, set] = {}
+    for r in train.itertuples(index=False):
+        by_order.setdefault(r.okey, set()).add(r.pkey)
+    co: dict[tuple, int] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                co[(x, y)] = co.get((x, y), 0) + 1
+    nbrs: dict[int, list] = {}
+    for (x, y), c in co.items():
+        if c < 2:
+            continue
+        s = c / math.sqrt(len(baskets[x]) * len(baskets[y]))
+        nbrs.setdefault(x, []).append((-s, y))
+        nbrs.setdefault(y, []).append((-s, x))
+    top5 = {
+        a: [p for _, p in sorted(v)[:5]] for a, v in nbrs.items()
+    }
+    test_orders: dict[int, set] = {}
+    for r in test.itertuples(index=False):
+        test_orders.setdefault(r.okey, set()).add(r.pkey)
+    n_eval = h1 = h3 = h5 = 0
+    for _, parts in test_orders.items():
+        if len(parts) < 2:
+            continue
+        for anchor in parts:
+            n_eval += 1
+            ranked = top5.get(anchor, [])
+            best = None
+            for i, nb in enumerate(ranked):
+                if nb in parts and nb != anchor:
+                    best = i + 1
+                    break
+            if best is not None:
+                h1 += best <= 1
+                h3 += best <= 3
+                h5 += best <= 5
+    assert got.n_eval == n_eval and n_eval > 0
+    assert (got.hits_at_1, got.hits_at_3, got.hits_at_5) == (h1, h3, h5)
+    assert got.hits_at_1 <= got.hits_at_3 <= got.hits_at_5
+    assert abs(got.hitrate_at_5 - h5 / n_eval) < 1e-12
