@@ -160,3 +160,68 @@ sql_query(
     "blocking), (day, orderkey)-oriented so each incident appears once, "
     "integer cents/days throughout — nothing floating crosses the gate.",
 )
+
+
+# ---------------------------------------------------------------------------
+# XmR individuals control chart — Shewhart process monitoring.
+# ---------------------------------------------------------------------------
+
+
+def _xmr_sql(d: Dialect) -> str:
+    """Individuals + moving-range (XmR) chart over the DAILY order-count
+    series: center line = mean of x, limits = x̄ ± 2.66·mR̄ (the Shewhart
+    individuals constant d2=1.128 folded into 3/1.128 = 2.6595…, rounded
+    to the standard 2.66 used on every production chart). Counts are
+    exact integers; x̄ and mR̄ are single divisions of exact sums; each
+    limit and violation flag is the same IEEE tree in both engines.
+    LAG runs over the day-grain series (bounded by the calendar)."""
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day_no, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY {day}
+),
+mr AS (
+  SELECT day_no, x,
+         ABS(x - LAG(x) OVER (ORDER BY day_no)) AS mrange
+  FROM daily
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(mrange) AS BIGINT) AS sum_mr,
+         CAST(COUNT(mrange) AS BIGINT) AS n_mr
+  FROM mr
+)
+SELECT
+  m.day_no,
+  m.x,
+  m.mrange,
+  CAST(s.sum_x AS DOUBLE) / s.n_days AS center,
+  CAST(s.sum_x AS DOUBLE) / s.n_days
+    + 2.66 * (CAST(s.sum_mr AS DOUBLE) / s.n_mr) AS ucl,
+  CAST(s.sum_x AS DOUBLE) / s.n_days
+    - 2.66 * (CAST(s.sum_mr AS DOUBLE) / s.n_mr) AS lcl,
+  CASE WHEN m.x > CAST(s.sum_x AS DOUBLE) / s.n_days
+              + 2.66 * (CAST(s.sum_mr AS DOUBLE) / s.n_mr)
+         OR m.x < CAST(s.sum_x AS DOUBLE) / s.n_days
+              - 2.66 * (CAST(s.sum_mr AS DOUBLE) / s.n_mr)
+       THEN 1 ELSE 0 END AS out_of_control
+FROM mr m CROSS JOIN stats s
+ORDER BY m.day_no
+"""
+
+
+sql_query(
+    "q_control_chart",
+    spark_sql=_xmr_sql(SPARK),
+    duck_sql=_xmr_sql(DUCK),
+    tables=["orders"],
+    doc="Shewhart XmR individuals control chart over the daily order "
+    "count: moving ranges via LAG, center line and ±2.66·mR̄ natural "
+    "process limits, per-day out-of-control flags — the SPC monitor "
+    "that separates common-cause noise from special-cause shifts "
+    "(q_cusum_changepoint detects sustained drift; XmR flags "
+    "point excursions). Day-grain series windows (calendar-bounded), "
+    "exact integer counts, one 1-row stats broadcast.",
+)

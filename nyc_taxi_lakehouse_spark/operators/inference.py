@@ -905,3 +905,57 @@ sql_query(
     "literals (house no-runtime-ln rule). Day-grain cumulative windows "
     "run over the bounded day spine, same class as q_dau_wau_mau.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check — the experiment-validity gate.
+# ---------------------------------------------------------------------------
+
+
+def _srm_sql(d: Dialect) -> str:
+    """SRM χ² on the q_ab_welch user-parity assignment: per event_type,
+    the UNIT counts (distinct users, not events — SRM is a randomization
+    property of units) in each arm vs the expected 50/50 split. χ² =
+    (n0−E)²/E + (n1−E)²/E with E = n/2, all from exact integers; the
+    df=1 99.9% critical value 10.828 (the industry SRM alarm threshold —
+    SRM checks run at tiny α because a true SRM invalidates everything)
+    is a literal."""
+    return """
+WITH units AS (
+  SELECT DISTINCT event_type, user_id, CAST(user_id % 2 AS INT) AS variant
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+arms AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM units GROUP BY event_type
+)
+SELECT
+  event_type,
+  n0 AS users_arm0,
+  n1 AS users_arm1,
+  CAST(n0 AS DOUBLE) / (n0 + n1) AS share_arm0,
+  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) AS srm_chisq,
+  CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 10.828
+       THEN 1 ELSE 0 END AS srm_alarm
+FROM arms
+ORDER BY event_type
+"""
+
+
+sql_query(
+    "q_ab_srm",
+    spark_sql=_srm_sql(SPARK),
+    duck_sql=_srm_sql(DUCK),
+    tables=["events"],
+    doc="Sample-ratio-mismatch gate for the q_ab_welch experiment: per "
+    "event_type, distinct-UNIT counts per parity arm vs the expected "
+    "50/50, the χ² statistic ((n0−n1)²/n — the algebraic reduction of "
+    "the two-cell Pearson χ² at E=n/2), and the df=1 99.9% alarm "
+    "(10.828). An SRM alarm invalidates the experiment readout before "
+    "any effect is interpreted — the validity gate every experimentation "
+    "platform runs first. One distinct-unit agg, exact integers into a "
+    "single IEEE division.",
+)

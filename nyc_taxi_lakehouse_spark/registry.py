@@ -110,6 +110,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_sprt",
     "q_lead_time",
     "q_rec_hitrate",
+    "q_ab_srm",
+    "q_control_chart",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -73,6 +73,8 @@ WHITELIST = {
     "q_sprt": ({"single-part"}, "cumulative walk over day-grain rows"),
     # One scalar eval-summary row (hit-rate ratios over exact counts).
     "q_rec_hitrate": ({"single-part"}, "scalar eval-summary row"),
+    # Day-grain LAG series + 1-row chart-stats broadcast (q_cusum class).
+    "q_control_chart": ({"bnlj", "single-part"}, "day-grain series + 1-row stats"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.

@@ -302,3 +302,51 @@ def test_rec_hitrate_vs_serial_eval(spark):
     assert (got.hits_at_1, got.hits_at_3, got.hits_at_5) == (h1, h3, h5)
     assert got.hits_at_1 <= got.hits_at_3 <= got.hits_at_5
     assert abs(got.hitrate_at_5 - h5 / n_eval) < 1e-12
+
+
+def test_ab_srm_chisq_reference(spark):
+    """SRM χ² re-derived from raw distinct-unit counts; the (n0−n1)²/n
+    reduction must equal the textbook two-cell Pearson form."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_ab_srm"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE)
+    df = con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FILTER (user_id % 2 = 0) AS n0, "
+        "COUNT(DISTINCT user_id) FILTER (user_id % 2 = 1) AS n1 "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
+    ).df().set_index("event_type")
+    assert len(got) == len(df)
+    for r in got.itertuples(index=False):
+        n0, n1 = int(df.loc[r.event_type, "n0"]), int(df.loc[r.event_type, "n1"])
+        assert (r.users_arm0, r.users_arm1) == (n0, n1)
+        n, e = n0 + n1, (n0 + n1) / 2
+        pearson = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+        assert abs(r.srm_chisq - pearson) < 1e-9
+        assert r.srm_alarm == (1 if pearson > 10.828 else 0)
+
+
+def test_control_chart_vs_numpy(spark):
+    """XmR limits re-derived with numpy; flags must match the limits; the
+    moving-range series must equal abs(diff) of the daily counts."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_control_chart"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("day_no")
+        .reset_index(drop=True)
+    )
+    x = got.x.to_numpy(dtype=float)
+    mr = np.abs(np.diff(x))
+    assert got.mrange.iloc[0] is None or np.isnan(got.mrange.iloc[0])
+    assert (got.mrange.to_numpy(dtype=float)[1:] == mr).all()
+    center = x.mean()
+    ucl = center + 2.66 * mr.mean()
+    lcl = center - 2.66 * mr.mean()
+    assert abs(got.center.iloc[0] - center) < 1e-9
+    assert abs(got.ucl.iloc[0] - ucl) < 1e-9
+    assert abs(got.lcl.iloc[0] - lcl) < 1e-9
+    ref_flags = ((x > ucl) | (x < lcl)).astype(int)
+    assert (got.out_of_control.to_numpy() == ref_flags).all()
