@@ -207,3 +207,66 @@ sql_query(
     "degradation path as q_value_percentiles: approx_percentile sketches "
     "replace the grouped sort.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification — cumulative-revenue Pareto classes.
+# ---------------------------------------------------------------------------
+
+
+def _abc_sql(d: Dialect) -> str:
+    """Classic ABC: parts ranked by exact integer-cent revenue, class A =
+    parts covering the first 80% of cumulative revenue, B to 95%, C the
+    tail. The cumulative walk runs over the PER-PART AGGREGATE (bounded
+    by |part|, q_gini_concentration's whitelisted class — the corpus
+    never sorts globally); the (revenue DESC, partkey) order makes the
+    prefix deterministic under ties. Output: 3 class rows with part
+    counts, revenue, share — plus each class's rank boundary."""
+    return """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+walked AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_cents,
+         SUM(cents) OVER () AS tot_cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rk
+  FROM rev
+),
+classed AS (
+  SELECT rk, cents,
+         CASE WHEN cum_cents * 100 <= tot_cents * 80 THEN 'A'
+              WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM walked
+)
+SELECT
+  abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+  CAST(SUM(cents) AS DOUBLE) / CAST(MAX(x.tot) AS DOUBLE) AS revenue_share,
+  CAST(MIN(rk) AS BIGINT) AS first_rank,
+  CAST(MAX(rk) AS BIGINT) AS last_rank
+FROM classed CROSS JOIN (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev) x
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+sql_query(
+    "q_abc_analysis",
+    spark_sql=_abc_sql(SPARK),
+    duck_sql=_abc_sql(DUCK),
+    tables=["lineitem"],
+    doc="ABC inventory classification: parts ranked by exact integer-cent "
+    "revenue, class boundaries at 80%/95% cumulative share (integer "
+    "cross-multiplication — no float thresholds), per-class part counts, "
+    "revenue, share, and rank boundaries — the Pareto working-capital "
+    "split next to q_gini_concentration (inequality index) and "
+    "q_pareto_frontier (dominance). The cumulative walk runs over the "
+    "per-part aggregate, bounded by |part| not |lineitem| (whitelisted "
+    "q_gini class); ties broken by partkey for a deterministic prefix.",
+)

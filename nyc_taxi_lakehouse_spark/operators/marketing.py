@@ -413,3 +413,156 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hit(3).cast("double") / F.count("*")).alias("hitrate_at_3"),
         (hit(5).cast("double") / F.count("*")).alias("hitrate_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per month.
+# ---------------------------------------------------------------------------
+
+
+def _growth_sql(d: Dialect) -> str:
+    """Social-Capital growth accounting over monthly purchase actives:
+    per (user, month) the LAG of the user's previous active month
+    classifies new (no prior), retained (prev = m−1), resurrected
+    (prev < m−1); churned(m) = users active in m−1 whose NEXT active
+    month is not m (LEAD over the same grid — no second scan). Quick
+    ratio = (new+resurrected)/churned with a NULLIF guard. All counts
+    exact; user-partitioned windows over the per-user month grid."""
+    month = f"CAST({d.idiv(d.epoch('ts'), '2592000')} AS BIGINT)"
+    return f"""
+WITH um AS (
+  SELECT DISTINCT user_id, {month} AS m
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+walked AS (
+  SELECT user_id, m,
+         LAG(m)  OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+         LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+  FROM um
+),
+classified AS (
+  SELECT m,
+         CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN prev_m = m - 1 THEN 1 ELSE 0 END AS is_retained,
+         CASE WHEN prev_m IS NOT NULL AND prev_m < m - 1 THEN 1 ELSE 0 END
+           AS is_resurrected
+  FROM walked
+),
+churn AS (
+  SELECT m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM walked
+  WHERE next_m IS NULL OR next_m > m + 1
+  GROUP BY m + 1
+),
+actives AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(is_new) AS BIGINT) AS n_new,
+         CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+         CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected
+  FROM classified GROUP BY m
+)
+SELECT
+  a.m AS month_no,
+  a.n_active,
+  a.n_new,
+  a.n_retained,
+  a.n_resurrected,
+  COALESCE(c.n_churned, 0) AS n_churned,
+  CAST(a.n_new + a.n_resurrected AS DOUBLE)
+    / NULLIF(COALESCE(c.n_churned, 0), 0) AS quick_ratio
+FROM actives a LEFT JOIN churn c ON a.m = c.m
+ORDER BY a.m
+"""
+
+
+sql_query(
+    "q_growth_accounting",
+    spark_sql=_growth_sql(SPARK),
+    duck_sql=_growth_sql(DUCK),
+    tables=["events"],
+    doc="Monthly growth accounting of purchase actives: new / retained / "
+    "resurrected (LAG classification on the per-user month grid) and "
+    "churned (LEAD gap from the SAME grid — no second scan), with the "
+    "quick ratio (new+resurrected)/churned, NULLIF-guarded — the "
+    "four-bucket decomposition every growth review starts from, the "
+    "month-grain twin of q_dau_wau_mau and q_cohort_ltv. User-"
+    "partitioned windows, exact integer counts, one distinct-grid pass.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table — score-targeting evaluation.
+# ---------------------------------------------------------------------------
+
+
+def _decile_lift_sql(d: Dialect) -> str:
+    """Lift/gains table for 'value' as a purchase-propensity score:
+    decile cut points come from ONE percentile_disc aggregate broadcast
+    back over the scan (no global NTILE sort — the scalable form), rows
+    are assigned by CASE comparison, and per-decile purchase rates are
+    exact count ratios against the broadcast overall rate. Cumulative
+    capture walks the 10-row decile table top-down."""
+    if d.name == "spark":
+        def disc(p: str) -> str:
+            return f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    else:
+        def disc(p: str) -> str:
+            return f"quantile_disc(value, {p})"
+    cuts = ", ".join(f"{disc(f'0.{k}')} AS c{k}" for k in range(1, 10))
+    assign = (
+        "CASE "
+        + " ".join(f"WHEN value <= c{k} THEN {k}" for k in range(1, 10))
+        + " ELSE 10 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+  WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT {cuts} FROM base
+),
+binned AS (
+  SELECT {assign} AS decile, label FROM base CROSS JOIN cuts
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS positives
+  FROM binned GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(positives) AS BIGINT) AS pos_all
+  FROM per
+)
+SELECT
+  p.decile,
+  p.n,
+  p.positives,
+  CAST(p.positives AS DOUBLE) / p.n AS rate,
+  (CAST(p.positives AS DOUBLE) / p.n)
+    / (CAST(t.pos_all AS DOUBLE) / t.n_all) AS lift,
+  CAST(SUM(p.positives) OVER (ORDER BY p.decile DESC) AS DOUBLE)
+    / t.pos_all AS cum_capture_from_top
+FROM per p CROSS JOIN tot t
+ORDER BY p.decile
+"""
+
+
+sql_query(
+    "q_decile_lift",
+    spark_sql=_decile_lift_sql(SPARK),
+    duck_sql=_decile_lift_sql(DUCK),
+    tables=["events"],
+    doc="Decile lift/gains table for the value-as-propensity score: "
+    "per-decile purchase rate, lift vs the base rate, and cumulative "
+    "capture walking from the top decile — the campaign-targeting "
+    "readout next to q_auc (ranking quality) and q_ece (calibration). "
+    "Scale-correct binning: cut points from ONE percentile aggregate "
+    "broadcast over the scan (CASE assignment, map-side) — no global "
+    "NTILE sort; the cumulative window runs over 10 decile rows.",
+)

@@ -112,6 +112,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_rec_hitrate",
     "q_ab_srm",
     "q_control_chart",
+    "q_growth_accounting",
+    "q_decile_lift",
+    "q_abc_analysis",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

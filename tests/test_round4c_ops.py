@@ -350,3 +350,107 @@ def test_control_chart_vs_numpy(spark):
     assert abs(got.lcl.iloc[0] - lcl) < 1e-9
     ref_flags = ((x > ucl) | (x < lcl)).astype(int)
     assert (got.out_of_control.to_numpy() == ref_flags).all()
+
+
+def test_growth_accounting_identities(spark):
+    """Set-algebra identities on real data: new+retained+resurrected =
+    actives every month; churned(m) = actives(m-1) - retained(m) for
+    interior months; first month is all-new; serial recomputation of one
+    interior month's buckets from the raw grid."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_growth_accounting"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("month_no")
+        .reset_index(drop=True)
+    )
+    assert (got.n_new + got.n_retained + got.n_resurrected == got.n_active).all()
+    assert got.n_new.iloc[0] == got.n_active.iloc[0]
+    act = got.set_index("month_no")
+    for m in got.month_no[1:]:
+        if m - 1 in act.index:
+            assert act.loc[m, "n_churned"] == (
+                act.loc[m - 1, "n_active"] - act.loc[m, "n_retained"]
+            )
+    con = _duck(SF_SMOKE)
+    grid = con.execute(
+        "SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 2592000 AS m "
+        "FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL"
+    ).df()
+    by_user: dict[int, list] = {}
+    for r in grid.itertuples(index=False):
+        by_user.setdefault(r.user_id, []).append(r.m)
+    m_mid = int(got.month_no.iloc[len(got) // 2])
+    new = ret = res = 0
+    for months in by_user.values():
+        ms = sorted(months)
+        if m_mid not in ms:
+            continue
+        i = ms.index(m_mid)
+        if i == 0:
+            new += 1
+        elif ms[i - 1] == m_mid - 1:
+            ret += 1
+        else:
+            res += 1
+    row = act.loc[m_mid]
+    assert (row.n_new, row.n_retained, row.n_resurrected) == (new, ret, res)
+
+
+def test_decile_lift_identities(spark):
+    """Counts conserve, the lift-weighted decile average is 1 (exact
+    algebra), capture is monotone decreasing toward the low deciles, and
+    the top decile's capture matches its positives share."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_decile_lift"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    con = _duck(SF_SMOKE)
+    n_all, pos_all = con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) "
+        "FROM events WHERE value IS NOT NULL"
+    ).fetchone()
+    assert got.n.sum() == n_all and got.positives.sum() == pos_all
+    # Σ n_d * lift_d / n_all == 1 exactly in algebra
+    assert abs((got.n * got.lift).sum() / n_all - 1.0) < 1e-9
+    caps = got.sort_values("decile", ascending=False).cum_capture_from_top
+    assert (caps.diff().dropna() >= -1e-12).all()
+    assert abs(caps.iloc[-1] - 1.0) < 1e-12
+    top = got[got.decile == 10].iloc[0]
+    assert abs(caps.iloc[0] - top.positives / pos_all) < 1e-12
+
+
+def test_abc_analysis_vs_serial(spark):
+    """Class boundaries re-derived serially from the exact cent revenue
+    ranking; classes partition the parts; shares sum to 1."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_abc_analysis"].fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE, tables=("lineitem",))
+    df = con.execute(
+        "SELECT l_partkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* 100 AS BIGINT)) AS BIGINT) AS cents FROM lineitem GROUP BY l_partkey"
+    ).df()
+    rows = sorted(df.itertuples(index=False), key=lambda r: (-r.cents, r.l_partkey))
+    tot = sum(r.cents for r in rows)
+    counts = {"A": 0, "B": 0, "C": 0}
+    cents = {"A": 0, "B": 0, "C": 0}
+    cum = 0
+    for r in rows:
+        cum += r.cents
+        c = "A" if cum * 100 <= tot * 80 else ("B" if cum * 100 <= tot * 95 else "C")
+        counts[c] += 1
+        cents[c] += r.cents
+    got = got.set_index("abc_class")
+    for c in ("A", "B", "C"):
+        assert got.loc[c, "n_parts"] == counts[c]
+        assert got.loc[c, "revenue_cents"] == cents[c]
+    assert abs(got.revenue_share.sum() - 1.0) < 1e-12
+    assert got.n_parts.sum() == len(rows)
