@@ -90,15 +90,17 @@ sql_query(
     spark_sql=_trimmed_sql(SPARK),
     duck_sql=_trimmed_sql(DUCK),
     tables=["events"],
-    doc="Robust location estimates per event type: the 10% two-sided "
-    "trimmed mean (tail rows dropped) and winsorized mean (tail rows "
-    "clamped to the surviving boundary order statistics), next to the raw "
-    "mean they correct — the KPI triple that separates 'metric moved' "
-    "from 'three outliers moved it' (q_anomaly_mad's sibling on the "
-    "estimation side). One grouped rank sort (5 types), DECIMAL-snapped "
-    "exact sums, deterministic event_id tie-break. At 100 TB the grouped "
-    "sort swaps for approx_percentile clamp bounds — the same degradation "
-    "path as q_anomaly_mad.",
+    doc="COUNT-based trimmed/winsorized means per event type: exactly "
+    "k = n DIV 10 rows dropped (or clamped to the boundary order "
+    "statistics) per tail on the (value, event_id) rank order — "
+    "scipy.stats.trim_mean semantics, deterministic under ties. The "
+    "estimator differs from q_trimmed_stats (which clips at the "
+    "5%/95% percentile-VALUE band: its tail mass varies with ties and "
+    "distribution shape; this one's is exactly k rows) — together they "
+    "are the two standard robust-mean conventions. One grouped rank "
+    "sort (5 types), DECIMAL-snapped exact sums. At 100 TB the grouped "
+    "sort swaps for approx_percentile clamp bounds (q_anomaly_mad's "
+    "degradation path).",
 )
 
 

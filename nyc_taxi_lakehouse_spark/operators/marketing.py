@@ -490,79 +490,3 @@ sql_query(
     "month-grain twin of q_dau_wau_mau and q_cohort_ltv. User-"
     "partitioned windows, exact integer counts, one distinct-grid pass.",
 )
-
-
-# ---------------------------------------------------------------------------
-# Decile lift table — score-targeting evaluation.
-# ---------------------------------------------------------------------------
-
-
-def _decile_lift_sql(d: Dialect) -> str:
-    """Lift/gains table for 'value' as a purchase-propensity score:
-    decile cut points come from ONE percentile_disc aggregate broadcast
-    back over the scan (no global NTILE sort — the scalable form), rows
-    are assigned by CASE comparison, and per-decile purchase rates are
-    exact count ratios against the broadcast overall rate. Cumulative
-    capture walks the 10-row decile table top-down."""
-    if d.name == "spark":
-        def disc(p: str) -> str:
-            return f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
-    else:
-        def disc(p: str) -> str:
-            return f"quantile_disc(value, {p})"
-    cuts = ", ".join(f"{disc(f'0.{k}')} AS c{k}" for k in range(1, 10))
-    assign = (
-        "CASE "
-        + " ".join(f"WHEN value <= c{k} THEN {k}" for k in range(1, 10))
-        + " ELSE 10 END"
-    )
-    return f"""
-WITH base AS (
-  SELECT value,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-  FROM events
-  WHERE value IS NOT NULL
-),
-cuts AS (
-  SELECT {cuts} FROM base
-),
-binned AS (
-  SELECT {assign} AS decile, label FROM base CROSS JOIN cuts
-),
-per AS (
-  SELECT decile,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(label) AS BIGINT) AS positives
-  FROM binned GROUP BY decile
-),
-tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(positives) AS BIGINT) AS pos_all
-  FROM per
-)
-SELECT
-  p.decile,
-  p.n,
-  p.positives,
-  CAST(p.positives AS DOUBLE) / p.n AS rate,
-  (CAST(p.positives AS DOUBLE) / p.n)
-    / (CAST(t.pos_all AS DOUBLE) / t.n_all) AS lift,
-  CAST(SUM(p.positives) OVER (ORDER BY p.decile DESC) AS DOUBLE)
-    / t.pos_all AS cum_capture_from_top
-FROM per p CROSS JOIN tot t
-ORDER BY p.decile
-"""
-
-
-sql_query(
-    "q_decile_lift",
-    spark_sql=_decile_lift_sql(SPARK),
-    duck_sql=_decile_lift_sql(DUCK),
-    tables=["events"],
-    doc="Decile lift/gains table for the value-as-propensity score: "
-    "per-decile purchase rate, lift vs the base rate, and cumulative "
-    "capture walking from the top decile — the campaign-targeting "
-    "readout next to q_auc (ranking quality) and q_ece (calibration). "
-    "Scale-correct binning: cut points from ONE percentile aggregate "
-    "broadcast over the scan (CASE assignment, map-side) — no global "
-    "NTILE sort; the cumulative window runs over 10 decile rows.",
-)

@@ -113,7 +113,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q_ab_srm",
     "q_control_chart",
     "q_growth_accounting",
-    "q_decile_lift",
     "q_abc_analysis",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:

@@ -75,8 +75,6 @@ WHITELIST = {
     "q_rec_hitrate": ({"single-part"}, "scalar eval-summary row"),
     # Day-grain LAG series + 1-row chart-stats broadcast (q_cusum class).
     "q_control_chart": ({"bnlj", "single-part"}, "day-grain series + 1-row stats"),
-    # 1-row decile cut points + totals broadcast; 10-row cumulative walk.
-    "q_decile_lift": ({"bnlj", "single-part"}, "1-row cuts x scan + 10 decile rows"),
     # Cumulative walk over the per-part aggregate (q_gini class) + 1-row total.
     "q_abc_analysis": ({"bnlj", "single-part"}, "rank walk over per-part aggregate"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).

@@ -399,34 +399,6 @@ def test_growth_accounting_identities(spark):
     assert (row.n_new, row.n_retained, row.n_resurrected) == (new, ret, res)
 
 
-def test_decile_lift_identities(spark):
-    """Counts conserve, the lift-weighted decile average is 1 (exact
-    algebra), capture is monotone decreasing toward the low deciles, and
-    the top decile's capture matches its positives share."""
-    from nyc_taxi_lakehouse_spark.registry import all_queries
-
-    got = (
-        all_queries()["q_decile_lift"]
-        .fn(spark, SF_SMOKE)
-        .toPandas()
-        .sort_values("decile")
-        .reset_index(drop=True)
-    )
-    con = _duck(SF_SMOKE)
-    n_all, pos_all = con.execute(
-        "SELECT COUNT(*), SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) "
-        "FROM events WHERE value IS NOT NULL"
-    ).fetchone()
-    assert got.n.sum() == n_all and got.positives.sum() == pos_all
-    # Σ n_d * lift_d / n_all == 1 exactly in algebra
-    assert abs((got.n * got.lift).sum() / n_all - 1.0) < 1e-9
-    caps = got.sort_values("decile", ascending=False).cum_capture_from_top
-    assert (caps.diff().dropna() >= -1e-12).all()
-    assert abs(caps.iloc[-1] - 1.0) < 1e-12
-    top = got[got.decile == 10].iloc[0]
-    assert abs(caps.iloc[0] - top.positives / pos_all) < 1e-12
-
-
 def test_abc_analysis_vs_serial(spark):
     """Class boundaries re-derived serially from the exact cent revenue
     ranking; classes partition the parts; shares sum to 1."""
