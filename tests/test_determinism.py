@@ -59,6 +59,14 @@ CASES = [
     "q_hits",
     "q_simpson_check",
     "q_lateral_topk",
+    # round-4c additions with partition-sensitive internals:
+    #   checkpointed incidence + cosine-tie rank windows -> q_item_cf
+    #   collect_set order (pinned by sort_array) + decimal pair sums
+    #   -> q_link_prediction
+    #   rank-order trimming under value ties             -> q_trimmed_mean
+    "q_item_cf",
+    "q_link_prediction",
+    "q_trimmed_mean",
 ]
 
 
