@@ -220,3 +220,69 @@ LATERAL (
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["customer", "orders", "nation"])
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4, SQL:2016 PSM): BEGIN…END with variables + IF.
+# ---------------------------------------------------------------------------
+
+_SQL_SCRIPT = """
+BEGIN
+  DECLARE thr DOUBLE;
+  DECLARE tail_mode STRING;
+  SET thr = (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+             FROM events WHERE value IS NOT NULL);
+  IF (SELECT COUNT(*) FROM events WHERE value > thr) * 100 >=
+     (SELECT COUNT(*) FROM events WHERE value IS NOT NULL) * 5
+  THEN SET tail_mode = 'heavy_tail';
+  ELSE SET tail_mode = 'thin_tail';
+  END IF;
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_above,
+         thr AS threshold,
+         tail_mode
+  FROM events
+  WHERE value > thr
+  GROUP BY event_type, thr, tail_mode
+  ORDER BY event_type;
+END
+"""
+
+_SQL_SCRIPT_ORACLE = """
+WITH thr AS (
+  SELECT quantile_disc(value, 0.9) AS t FROM events WHERE value IS NOT NULL
+),
+mode AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM events, thr WHERE value > t) * 100 >=
+                   (SELECT COUNT(*) FROM events WHERE value IS NOT NULL) * 5
+              THEN 'heavy_tail' ELSE 'thin_tail' END AS m
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       t.t AS threshold,
+       mo.m AS tail_mode
+FROM events e CROSS JOIN thr t CROSS JOIN mode mo
+WHERE e.value > t.t
+GROUP BY e.event_type, t.t, mo.m
+ORDER BY e.event_type
+"""
+
+
+@df_query(
+    "q_sql_script",
+    duck_sql=_SQL_SCRIPT_ORACLE,
+    tables=["events"],
+    doc="Spark 4 SQL scripting (SQL/PSM, SPARK-48338): a BEGIN…END block "
+    "with DECLAREd session variables filled from scalar subqueries and "
+    "an IF/ELSE branch — the parameterized-pipeline pattern (compute a "
+    "data-driven threshold once, reuse it across statements) that "
+    "previously needed driver-side Python glue. The script's SELECT "
+    "result hash-matches a declarative CTE oracle in DuckDB, proving "
+    "the imperative surface changes nothing about the answer. Each "
+    "statement is still a full Catalyst plan — scripting composes "
+    "plans, it does not bypass the optimizer.",
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_SQL_SCRIPT)

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_control_chart",
     "q_growth_accounting",
     "q_abc_analysis",
+    "q_sql_script",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.
