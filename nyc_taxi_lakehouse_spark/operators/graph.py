@@ -738,3 +738,62 @@ def modularity_of(edges: DataFrame, labels: DataFrame) -> float:
     )
     sum_d2 = int(deg["sum_d2"])
     return float(4 * m * sum_e - sum_d2) / float(4 * m * m)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — do busy customers trade with busy suppliers?
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_sql(d: Dialect) -> str:
+    """Bipartite degree assortativity: Pearson correlation between
+    deg(customer) and deg(supplier) across the distinct edge list.
+    Degrees are exact integers, so all five moment sums are exact
+    BIGINTs (Σd ≤ |E|·maxdeg ≈ 6×10⁸ at sf0.1, Σd² ≤ 4×10¹¹ — far
+    inside 2^63) and r is one shared IEEE tree — no decimal snaps
+    needed anywhere. Negative r = busy customers spread across quiet
+    suppliers (disassortative, the usual commerce shape)."""
+    corr = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "(SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        " SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS ckey, l.l_suppkey AS skey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cd AS (SELECT ckey, CAST(COUNT(*) AS BIGINT) AS dc FROM edges GROUP BY ckey),
+sd AS (SELECT skey, CAST(COUNT(*) AS BIGINT) AS ds FROM edges GROUP BY skey),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c.dc) AS BIGINT) AS sx,
+         CAST(SUM(s.ds) AS BIGINT) AS sy,
+         CAST(SUM(c.dc * c.dc) AS BIGINT) AS sxx,
+         CAST(SUM(s.ds * s.ds) AS BIGINT) AS syy,
+         CAST(SUM(c.dc * s.ds) AS BIGINT) AS sxy
+  FROM edges e JOIN cd c ON e.ckey = c.ckey JOIN sd s ON e.skey = s.skey
+)
+SELECT
+  n AS n_edges,
+  CAST(sx AS DOUBLE) / n AS mean_cust_degree,
+  CAST(sy AS DOUBLE) / n AS mean_supp_degree,
+  {corr} AS assortativity
+FROM moments
+"""
+
+
+sql_query(
+    "q_assortativity",
+    spark_sql=_assortativity_sql(SPARK),
+    duck_sql=_assortativity_sql(DUCK),
+    tables=["orders", "lineitem"],
+    doc="Bipartite degree assortativity of the customer–supplier graph: "
+    "Pearson correlation of endpoint degrees across distinct edges — "
+    "the one-number mixing summary (negative = hubs pair with leaves) "
+    "that decides whether degree-capped candidate generation "
+    "(q_link_prediction) or hub-split salting (q_skew_report) is the "
+    "right scale move. Exact integer degree moments (no decimal snaps "
+    "— Σd² bounded far inside 2^63 at sf1), two broadcast degree "
+    "joins, one scalar row.",
+)

@@ -959,3 +959,58 @@ sql_query(
     "platform runs first. One distinct-unit agg, exact integers into a "
     "single IEEE division.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor — count-process burstiness per event type.
+# ---------------------------------------------------------------------------
+
+
+def _fano_sql(d: Dialect) -> str:
+    """Index of dispersion of the DAILY event-count series per type:
+    F = var/mean over the day grain, var from exact integer moment sums
+    (n·Σx² − (Σx)²)/(n·(n−1)) — all BIGINT until the final divisions.
+    Poisson arrivals give F≈1; F>>1 = bursty (sessions, incidents,
+    bot storms), F<1 = regular (rate-limited feeds)."""
+    day = f"CAST({d.idiv(d.epoch('ts'), '86400')} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day_no, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, {day}
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT
+  event_type,
+  n AS n_days,
+  CAST(sx AS DOUBLE) / n AS mean_per_day,
+  CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+    AS var_per_day,
+  (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+    / (CAST(sx AS DOUBLE) / n) AS fano_factor,
+  CASE WHEN (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+            > 1.5 * (CAST(sx AS DOUBLE) / n) THEN 1 ELSE 0 END AS bursty
+FROM m
+WHERE n >= 2
+ORDER BY event_type
+"""
+
+
+sql_query(
+    "q_fano_factor",
+    spark_sql=_fano_sql(SPARK),
+    duck_sql=_fano_sql(DUCK),
+    tables=["events"],
+    doc="Count-process burstiness per event type: the Fano factor "
+    "(variance-to-mean ratio of the daily arrival counts, exact "
+    "integer moments, sample variance) with a 1.5× overdispersion "
+    "flag — Poisson traffic sits at F≈1, session/incident/bot traffic "
+    "far above; the dispersion diagnostic q_poisson_rate's equal-rate "
+    "test assumes away. One day-grain aggregate then |types| rows of "
+    "algebra.",
+)

@@ -1259,3 +1259,130 @@ sql_query(
     "one shared IEEE tree per row. Day-grain window over the "
     "calendar-bounded daily aggregate (q_cusum class; ≤2405 rows).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing — coupled level+trend recursion.
+# ---------------------------------------------------------------------------
+
+
+def _holt_oracle() -> str:
+    """DuckDB oracle: the identical integer recursion as a recursive CTE
+    (// floors natively, matching the Spark fold's CASE-floor)."""
+    return """
+WITH RECURSIVE daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, x,
+         CAST((day - (SELECT MIN(day) FROM daily)) // 86400 AS BIGINT) AS i
+  FROM daily
+),
+rec(i, day, x, l, b) AS (
+  SELECT i, day, x, x AS l, CAST(0 AS BIGINT) AS b FROM idx WHERE i = 0
+  UNION ALL
+  SELECT n.i, n.day, n.x,
+         r.l + r.b
+           + CASE WHEN n.x - r.l - r.b >= 0 THEN (n.x - r.l - r.b) // 4
+                  ELSE -((-(n.x - r.l - r.b) + 3) // 4) END,
+         r.b
+           + CASE WHEN (CASE WHEN n.x - r.l - r.b >= 0
+                             THEN (n.x - r.l - r.b) // 4
+                             ELSE -((-(n.x - r.l - r.b) + 3) // 4) END) >= 0
+                  THEN (CASE WHEN n.x - r.l - r.b >= 0
+                             THEN (n.x - r.l - r.b) // 4
+                             ELSE -((-(n.x - r.l - r.b) + 3) // 4) END) // 8
+                  ELSE -((-(CASE WHEN n.x - r.l - r.b >= 0
+                                 THEN (n.x - r.l - r.b) // 4
+                                 ELSE -((-(n.x - r.l - r.b) + 3) // 4) END) + 7) // 8)
+             END
+  FROM rec r JOIN idx n ON n.i = r.i + 1
+)
+SELECT day, x AS total_cents, l AS level_cents, b AS trend_cents,
+       l + b AS forecast_next_cents,
+       x - l AS residual_cents
+FROM rec
+ORDER BY day
+"""
+
+
+@df_query(
+    "q_holt",
+    duck_sql=_holt_oracle(),
+    tables=["events"],
+    doc="Holt double exponential smoothing over daily revenue — the "
+    "COUPLED level+trend recursion (error-correction form, α=1/4, "
+    "β=1/8) that extends q_ewma_control's single-state EWMA to "
+    "trending series; emits per-day level, trend, one-step forecast "
+    "and residual, all exact BIGINT cents (dyadic smoothing constants "
+    "→ floor divisions; BOTH engines' integer division truncates "
+    "toward zero on negatives, so both sides spell floor-division "
+    "with the same sign CASE — identical arithmetic, hash-exact). Spark runs the recursion as "
+    "ONE higher-order aggregate() fold over the sorted day array "
+    "(calendar-bounded, the q_stl_decompose class — the only "
+    "full-data work is the map-side-combined day rollup); the oracle "
+    "is the same recursion as a DuckDB recursive CTE.",
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = (
+        t["events"]
+        .groupBy(F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,2)")) * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    packed = daily.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    # floor division for possibly-negative errors (Spark DIV truncates)
+    def fdiv(a: str, k: int) -> str:
+        return (
+            f"CASE WHEN ({a}) >= 0 THEN ({a}) DIV {k}"
+            f" ELSE -(((-({a})) + {k - 1}) DIV {k}) END"
+        )
+
+    err = "(x.x - acc.l - acc.b)"
+    step_l = f"acc.l + acc.b + ({fdiv(err, 4)})"
+    step_b = f"acc.b + ({fdiv(fdiv(err, 4), 8)})"
+    folded = packed.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              struct(
+                CAST(s[0].x AS BIGINT) AS l,
+                CAST(0 AS BIGINT) AS b,
+                array(struct(s[0].day AS day, s[0].x AS x,
+                             CAST(s[0].x AS BIGINT) AS l,
+                             CAST(0 AS BIGINT) AS b)) AS hist
+              ),
+              (acc, x) -> struct(
+                CAST({step_l} AS BIGINT) AS l,
+                CAST({step_b} AS BIGINT) AS b,
+                concat(acc.hist,
+                       array(struct(x.day AS day, x.x AS x,
+                                    CAST({step_l} AS BIGINT) AS l,
+                                    CAST({step_b} AS BIGINT) AS b))) AS hist
+              ),
+              acc -> acc.hist
+            ) AS hist
+            """
+        ).alias("hist")
+    )
+    return (
+        folded.select(F.explode("hist").alias("r"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.x").alias("total_cents"),
+            F.col("r.l").alias("level_cents"),
+            F.col("r.b").alias("trend_cents"),
+            (F.col("r.l") + F.col("r.b")).alias("forecast_next_cents"),
+            (F.col("r.x") - F.col("r.l")).alias("residual_cents"),
+        )
+        .orderBy("day")
+    )

@@ -115,6 +115,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_growth_accounting",
     "q_abc_analysis",
     "q_sql_script",
+    "q_holt",
+    "q_assortativity",
+    "q_fano_factor",
     # VERDICT r02 "do this" #1 names these seven as the minimum set that
     # must appear green in CORRECTNESS_r03.json (never driver-checked:
     # the r02 file capped at 50 rows). They outrank everything else.

@@ -77,6 +77,10 @@ WHITELIST = {
     "q_control_chart": ({"bnlj", "single-part"}, "day-grain series + 1-row stats"),
     # Cumulative walk over the per-part aggregate (q_gini class) + 1-row total.
     "q_abc_analysis": ({"bnlj", "single-part"}, "rank walk over per-part aggregate"),
+    # Calendar-bounded day array folded in one task (q_ewma_control class).
+    "q_holt": ({"single-part"}, "day-array fold, calendar-bounded"),
+    # Five exact integer moment sums to one scalar row.
+    "q_assortativity": ({"single-part"}, "edge-moment scalar row"),
     # 1-row doc_id bounds fanned onto the gram stream (q_drift_chisq shape).
     "q_ngram_novelty": ({"bnlj", "single-part"}, "1-row decile bounds x grams"),
     # 1-row pooled moments x the stratum-grain aggregate.

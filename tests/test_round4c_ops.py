@@ -426,3 +426,87 @@ def test_abc_analysis_vs_serial(spark):
         assert got.loc[c, "revenue_cents"] == cents[c]
     assert abs(got.revenue_share.sum() - 1.0) < 1e-12
     assert got.n_parts.sum() == len(rows)
+
+
+def test_holt_vs_python_recursion(spark):
+    """Full Holt walk re-derived in pure python (floor division on exact
+    integer cents); forecast/residual columns are algebraic identities."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_holt"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = _duck(SF_SMOKE)
+    daily = con.execute(
+        "SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS x "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    l, b = daily[0][1], 0
+    ref = [(daily[0][0], daily[0][1], l, b)]
+    for day, x in daily[1:]:
+        e = x - l - b
+        ae = e // 4  # python // floors, matching the SQL sign-CASE
+        l, b = l + b + ae, b + ae // 8
+        ref.append((day, x, l, b))
+    assert len(got) == len(ref)
+    for row, (day, x, l, b) in zip(got.itertuples(index=False), ref):
+        assert (row.day, row.total_cents, row.level_cents, row.trend_cents) == (
+            day, x, l, b,
+        )
+    assert (got.forecast_next_cents == got.level_cents + got.trend_cents).all()
+    assert (got.residual_cents == got.total_cents - got.level_cents).all()
+
+
+def test_assortativity_vs_numpy_pearson(spark):
+    """Assortativity re-derived with numpy corrcoef over the edge-endpoint
+    degree pairs; bounds check |r| <= 1."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_assortativity"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    con = _duck(SF_SMOKE, tables=("orders", "lineitem"))
+    df = con.execute(
+        "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ).df()
+    dc = df.groupby("c").size()
+    ds = df.groupby("s").size()
+    x = df.c.map(dc).to_numpy(dtype=float)
+    y = df.s.map(ds).to_numpy(dtype=float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got.n_edges == len(df)
+    assert abs(got.mean_cust_degree - x.mean()) < 1e-9
+    assert abs(got.mean_supp_degree - y.mean()) < 1e-9
+    assert abs(got.assortativity - r) < 1e-9
+    assert abs(got.assortativity) <= 1.0 + 1e-12
+
+
+def test_fano_factor_vs_numpy(spark):
+    """Fano = sample var / mean of daily counts, re-derived with numpy."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = (
+        all_queries()["q_fano_factor"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = _duck(SF_SMOKE)
+    df = con.execute(
+        "SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d, "
+        "COUNT(*) AS x FROM events GROUP BY 1, 2"
+    ).df()
+    for et, g in df.groupby("event_type"):
+        x = g.x.to_numpy(dtype=float)
+        if len(x) < 2:
+            assert et not in got.index
+            continue
+        r = got.loc[et]
+        assert r.n_days == len(x)
+        assert abs(r.mean_per_day - x.mean()) < 1e-9
+        assert abs(r.var_per_day - x.var(ddof=1)) < 1e-9
+        assert abs(r.fano_factor - x.var(ddof=1) / x.mean()) < 1e-9
