@@ -960,7 +960,10 @@ def _ewma_sql(d: Dialect) -> str:
     the genuinely stateful linear recursion that ROWS-frame windows cannot
     express (geometric weights) and that q_capped_runsum's closed form
     does not cover. floor division is spelled engine-agnostically
-    (CASE on sign), since Spark's DIV truncates while DuckDB's // floors.
+    (CASE on sign): BOTH engines' integer division truncates toward
+    zero on negatives (measured: DuckDB -9//4 = -2, not -3), so a bare
+    DIV-vs-// would agree with each other but not with the intended
+    floor semantics.
     Out-of-control flag: 5·|x − ewma| > ewma (a ±20% band)."""
     cents = "CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)"
 
