@@ -124,6 +124,16 @@ HEADLINE = [
     "q_link_prediction",
     "q_rec_hitrate",
     "q_sprt",
+    # Round-4 continuation, part 3/4: validity gates, SPC, growth ledger,
+    # ABC classes, SQL scripting, Holt smoothing, graph/process stats.
+    "q_ab_srm",
+    "q_control_chart",
+    "q_growth_accounting",
+    "q_abc_analysis",
+    "q_sql_script",
+    "q_holt",
+    "q_assortativity",
+    "q_fano_factor",
 ]
 
 
