@@ -1834,3 +1834,113 @@ sql_query(
     "tree for the final double. The monotone-association robust "
     "companion to q_feature_correlation's Pearson.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — two-group survival-curve comparison (the KM companion).
+# ---------------------------------------------------------------------------
+
+
+def _logrank_sql(d: Dialect) -> str:
+    """Two-group log-rank test on time-to-first-purchase (q_kaplan_meier's
+    exact lives table, split by whether the user's FIRST event was an
+    'error' — the ~20% entered-through-a-failure cohort; "ever errored"
+    is degenerate here because error events are so frequent that every
+    user eventually has one): per pooled death hour t, observed group-1
+    deaths d1 vs the
+    hypergeometric expectation E1_t = d·n1/n and variance
+    V_t = d·(n1/n)·(1−n1/n)·(n−d)/(n−1). Despite the name there is no
+    logarithm anywhere — the statistic is pure rational algebra. Per-row
+    e1_t / v_t are single fixed IEEE expression trees over exact integers
+    (bit-deterministic); the cumulative O1/E1/V columns are ppm-scaled
+    integer window sums of staged-idiv terms (each stage bounded, so the
+    BIGINT path holds to ~10^7 subjects; beyond that the documented swap
+    is DECIMAL(38,0) numerators). The consumer forms
+    z = (O1 − E1)/sqrt(V) from the LAST row — sqrt never enters the
+    cross-engine gate (the q_runs_test convention)."""
+    hour = f"CAST({d.epoch('ts')} AS BIGINT)"
+    # staged ppm variance term: t1 = n1·1e6/n, t2 = t1·(n−n1)/n,
+    # term = d·t2·(n−d)/(n−1) — every stage ≤ ~d·1e6·n, BIGINT-safe.
+    t1 = d.idiv("n1 * 1000000", "n")
+    t2 = d.idiv(f"{t1} * (n - n1)", "n")
+    v_term = d.idiv(f"dd * {t2} * (n - dd)", "NULLIF(n - 1, 0)")
+    e_term = d.idiv("dd * n1 * 1000000", "n")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         {d.idiv(f'MIN({hour})', '3600')} AS first_h,
+         {d.idiv(f"MIN(CASE WHEN event_type = 'purchase' THEN {hour} END)", '3600')}
+           AS conv_h,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN {hour} END)
+                   = MIN({hour}) THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id
+),
+lives AS (
+  SELECT g,
+         CASE WHEN conv_h IS NOT NULL AND conv_h - first_h <= {_KM_HORIZON_H}
+              THEN conv_h - first_h ELSE {_KM_HORIZON_H} END AS t,
+         CASE WHEN conv_h IS NOT NULL AND conv_h - first_h <= {_KM_HORIZON_H}
+              THEN 1 ELSE 0 END AS died
+  FROM per_user
+),
+grain AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN died ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 0 THEN died ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1_all,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e0_all
+  FROM lives GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d0,
+         CAST(SUM(e1_all) OVER (
+           ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n1,
+         CAST(SUM(e0_all) OVER (
+           ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n0
+  FROM grain
+),
+steps AS (
+  SELECT t, d1, d0, n1, n0,
+         d1 + d0 AS dd, n1 + n0 AS n
+  FROM risk
+  WHERE d1 + d0 > 0
+)
+SELECT t, d1, d0, n1, n0,
+       CAST(dd * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1_t,
+       CAST(dd * n1 * (n - n1) * (n - dd) AS DOUBLE)
+         / CAST(n * n * NULLIF(n - 1, 0) AS DOUBLE) AS v_t,
+       CAST(SUM(d1) OVER (
+         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_o1,
+       CAST(SUM({e_term}) OVER (
+         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_e1_ppm,
+       CAST(SUM({v_term}) OVER (
+         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_v_ppm
+FROM steps
+ORDER BY t
+"""
+
+
+sql_query(
+    "q_logrank",
+    spark_sql=_logrank_sql(SPARK),
+    duck_sql=_logrank_sql(DUCK),
+    tables=["events"],
+    doc="Two-group log-rank test on time-to-first-purchase (the inference "
+    "companion to q_kaplan_meier's curve): group = user's FIRST event "
+    "was an 'error' (the entered-through-a-failure cohort, ~20%; 'ever "
+    "errored' is degenerate here because nearly every user eventually "
+    "errors), administrative 48 h censoring, per pooled death "
+    "hour the hypergeometric E1/V terms. No logarithm anywhere despite "
+    "the name — per-row e1_t/v_t are fixed IEEE trees over exact "
+    "integers, the cumulative O1/E1/V are ppm-scaled staged-idiv window "
+    "sums (BIGINT-safe to ~1e7 subjects; DECIMAL(38,0) is the "
+    "documented swap beyond), and z = (O1−E1)/sqrt(V) is left to the "
+    "consumer so sqrt never enters the hash gate. Corpus-scale work is "
+    "ONE user-keyed aggregate; everything after runs on the ≤49-row "
+    "censoring-horizon grain.",
+)

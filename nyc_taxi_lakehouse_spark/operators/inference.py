@@ -14,8 +14,11 @@ q_collocations ships ratio-PMI and q_drift_chisq ships χ² over PSI).
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..registry import sql_query
+from ..registry import df_query, sql_query
 
 
 # ---------------------------------------------------------------------------
@@ -1014,3 +1017,161 @@ sql_query(
     "test assumes away. One day-grain aggregate then |types| rows of "
     "algebra.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two ordinal raters
+# (the multi-class companion to q_mcnemar's paired 2×2 test).
+# ---------------------------------------------------------------------------
+
+# Fixed ordinal size classes (0=short, 1=medium, 2=long), tercile-anchored
+# compile-time literals so both raters produce real off-diagonal mass.
+_KAPPA_TOK_LO, _KAPPA_TOK_HI = 40, 70
+_KAPPA_CHR_LO, _KAPPA_CHR_HI = 220, 385
+
+
+def _kappa_classes(d: Dialect) -> tuple[str, str]:
+    tok = d.token_count("text")
+    a = (
+        f"CASE WHEN {tok} < {_KAPPA_TOK_LO} THEN 0 "
+        f"WHEN {tok} > {_KAPPA_TOK_HI} THEN 2 ELSE 1 END"
+    )
+    b = (
+        f"CASE WHEN n_chars < {_KAPPA_CHR_LO} THEN 0 "
+        f"WHEN n_chars > {_KAPPA_CHR_HI} THEN 2 ELSE 1 END"
+    )
+    return a, b
+
+
+def _kappa_oracle_sql(d: Dialect) -> str:
+    """DuckDB oracle: the identical confusion/marginal/kappa algebra as one
+    CTE chain (cells is referenced 4× — fine under DuckDB materialization,
+    the multi-reference shape the Spark side avoids by checkpointing the
+    9-row cell table)."""
+    a, b = _kappa_classes(d)
+    return f"""
+WITH rated AS (
+  SELECT CAST({a} AS BIGINT) AS class_a, CAST({b} AS BIGINT) AS class_b
+  FROM documents
+),
+cells AS (
+  SELECT class_a, class_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM rated GROUP BY class_a, class_b
+),
+r AS (SELECT class_a, CAST(SUM(n_docs) AS BIGINT) AS r_tot FROM cells GROUP BY class_a),
+c AS (SELECT class_b, CAST(SUM(n_docs) AS BIGINT) AS c_tot FROM cells GROUP BY class_b),
+summary AS (
+  SELECT
+    (SELECT SUM(n_docs) FROM cells) AS n,
+    (SELECT SUM(n_docs) FROM cells WHERE class_a = class_b) AS agree,
+    (SELECT SUM(r.r_tot * c.c_tot) FROM r JOIN c ON r.class_a = c.class_b)
+      AS chance,
+    (SELECT SUM(abs(class_a - class_b) * n_docs) FROM cells) AS wdis,
+    (SELECT SUM(abs(r.class_a - c.class_b) * r.r_tot * c.c_tot)
+     FROM r CROSS JOIN c) AS wchance
+),
+out AS (
+  SELECT x.class_a, x.class_b, x.n_docs, r.r_tot AS row_total,
+         c.c_tot AS col_total,
+         CAST(s.n AS BIGINT) AS n,
+         CAST(s.agree AS BIGINT) AS n_agree,
+         CAST(s.n * s.agree - s.chance AS DOUBLE)
+           / CAST(NULLIF(s.n * s.n - s.chance, 0) AS DOUBLE) AS kappa,
+         1.0 - CAST(s.n * s.wdis AS DOUBLE)
+           / CAST(NULLIF(s.wchance, 0) AS DOUBLE) AS kappa_weighted
+  FROM cells x
+  JOIN r ON x.class_a = r.class_a
+  JOIN c ON x.class_b = c.class_b
+  CROSS JOIN summary s
+)
+SELECT * FROM out ORDER BY class_a, class_b
+"""
+
+
+@df_query(
+    "q_cohens_kappa",
+    duck_sql=_kappa_oracle_sql(DUCK),
+    tables=["documents"],
+    doc="Cohen's kappa between two ordinal document-size raters (token-"
+    "count terciles vs char-count terciles — different measurement "
+    "bases, real disagreement): full 3×3 confusion cells with "
+    "marginals, plus unweighted kappa (chance-corrected exact "
+    "agreement) and LINEAR-WEIGHTED kappa (adjacent-class near-misses "
+    "penalized |i−j|) — the annotator-consistency audit run before "
+    "consolidating noisy labels into training data, and the multi-"
+    "class companion to q_mcnemar's binary disagreement test. Both "
+    "kappas are single IEEE divisions over exact BIGINT sums. One "
+    "corpus map+aggregate produces the 9-row cell table; it is "
+    "localCheckpointed so marginals/summary never rescan the corpus "
+    "(the CTE-inlining trap the DuckDB oracle tolerates by "
+    "materializing).",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.detsql import SPARK as _S
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    a, b = _kappa_classes(_S)
+    cells = (
+        t["documents"]
+        .select(
+            F.expr(a).cast("bigint").alias("class_a"),
+            F.expr(b).cast("bigint").alias("class_b"),
+        )
+        .groupBy("class_a", "class_b")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    r = cells.groupBy("class_a").agg(F.sum("n_docs").cast("bigint").alias("r_tot"))
+    c = cells.groupBy("class_b").agg(F.sum("n_docs").cast("bigint").alias("c_tot"))
+    n = cells.agg(F.sum("n_docs")).first()[0]
+    agree = (
+        cells.filter(F.col("class_a") == F.col("class_b"))
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    ) or 0
+    chance = (
+        r.join(c, F.col("class_a") == F.col("class_b"))
+        .agg(F.sum(F.col("r_tot") * F.col("c_tot")))
+        .first()[0]
+    ) or 0
+    wdis = (
+        cells.agg(
+            F.sum(F.abs(F.col("class_a") - F.col("class_b")) * F.col("n_docs"))
+        ).first()[0]
+    ) or 0
+    wchance = (
+        r.crossJoin(c)
+        .agg(
+            F.sum(
+                F.abs(F.col("class_a") - F.col("class_b"))
+                * F.col("r_tot")
+                * F.col("c_tot")
+            )
+        )
+        .first()[0]
+    )
+    # Degenerate guards (q_ks_drift convention): a single-class corpus
+    # zeroes either denominator → NULL, matching the oracle's NULLIF.
+    kappa = (
+        float(n * agree - chance) / float(n * n - chance)
+        if n and (n * n - chance) != 0
+        else None
+    )
+    kappa_w = 1.0 - float(n * wdis) / float(wchance) if wchance else None
+    return (
+        cells.join(r, "class_a")
+        .join(c, "class_b")
+        .select(
+            "class_a",
+            "class_b",
+            "n_docs",
+            F.col("r_tot").alias("row_total"),
+            F.col("c_tot").alias("col_total"),
+            F.lit(int(n)).cast("bigint").alias("n"),
+            F.lit(int(agree)).cast("bigint").alias("n_agree"),
+            F.lit(kappa).cast("double").alias("kappa"),
+            F.lit(kappa_w).cast("double").alias("kappa_weighted"),
+        )
+        .orderBy("class_a", "class_b")
+    )

@@ -490,3 +490,205 @@ sql_query(
     "month-grain twin of q_dau_wau_mau and q_cohort_ltv. User-"
     "partitioned windows, exact integer counts, one distinct-grid pass.",
 )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the popularity recommender — graded ranking quality on the
+# temporal holdout (the ranking-aware companion to q_rec_hitrate's hitrate).
+# ---------------------------------------------------------------------------
+
+# 1e12-fixed-point DCG discounts 1/log2(i+1), i = 1..10, and their prefix
+# sums (ideal DCG for m relevant items). Compile-time literals — the same
+# source text parses to the same BIGINT in Spark and DuckDB, so log2 never
+# executes in either engine (the q_benford / q_sprt constant convention).
+_NDCG_DISC_FP = [
+    1000000000000, 630929753571, 500000000000, 430676558073, 386852807235,
+    356207187108, 333333333333, 315464876786, 301029995664, 289064826318,
+]
+_NDCG_CUM_FP = [
+    1000000000000, 1630929753571, 2130929753571, 2561606311644,
+    2948459118879, 3304666305987, 3637999639320, 3953464516106,
+    4254494511770, 4543559338088,
+]
+_NDCG_K = 10
+
+
+def _ndcg_idcg_case(m_expr: str) -> str:
+    """CASE mapping min(m, 10) basket-relevant counts to the ideal-DCG
+    prefix-sum literal (binary relevance ⇒ IDCG = sum of the first m
+    discounts)."""
+    whens = "\n    ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM_FP[:-1])
+    )
+    return (
+        f"CASE LEAST({m_expr}, {_NDCG_K})\n    {whens}\n"
+        f"    ELSE {_NDCG_CUM_FP[-1]} END"
+    )
+
+
+def _ndcg_oracle_sql(d: Dialect) -> str:
+    """DuckDB oracle for q_ndcg — the identical algebra as one CTE chain
+    (DuckDB materializes shared CTEs, so the multi-reference shape that
+    is scan-expensive under Spark's CTE inlining is fine here)."""
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    disc_case = "\n      ".join(
+        f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_NDCG_DISC_FP)
+    )
+    return f"""
+WITH od AS (
+  SELECT o_orderkey AS okey, {day} AS day_no FROM orders
+),
+bounds AS (
+  SELECT MIN(day_no) AS lo, MAX(day_no) AS hi FROM od
+),
+split AS (
+  SELECT lo + {d.idiv('(hi - lo) * 8', '10')} AS split_day FROM bounds
+),
+op AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS pkey, o.day_no
+  FROM lineitem l JOIN od o ON l.l_orderkey = o.okey
+),
+train AS (
+  SELECT okey, pkey FROM op, split WHERE day_no < split_day
+),
+test_items AS (
+  SELECT okey, pkey FROM op, split WHERE day_no >= split_day
+),
+top10 AS (
+  SELECT pkey,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pkey) AS rk
+  FROM train GROUP BY pkey
+  QUALIFY rk <= {_NDCG_K}
+),
+ranked AS (
+  SELECT pkey, rk,
+         CAST(CASE rk
+      {disc_case}
+         END AS BIGINT) AS disc_fp
+  FROM top10
+),
+baskets AS (
+  SELECT okey, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST({_ndcg_idcg_case('COUNT(*)')} AS BIGINT) AS idcg_fp
+  FROM test_items GROUP BY okey
+),
+hits AS (
+  SELECT t.okey,
+         CAST(SUM(r.disc_fp) AS BIGINT) AS dcg_fp,
+         CAST(MIN(r.rk) AS BIGINT) AS best_rank
+  FROM test_items t JOIN ranked r ON t.pkey = r.pkey
+  GROUP BY t.okey
+),
+per_basket AS (
+  SELECT b.okey, b.idcg_fp,
+         COALESCE(h.dcg_fp, 0) AS dcg_fp,
+         h.best_rank
+  FROM baskets b LEFT JOIN hits h ON b.okey = h.okey
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_baskets,
+  CAST(SUM(dcg_fp) AS BIGINT) AS sum_dcg_fp,
+  CAST(SUM(idcg_fp) AS BIGINT) AS sum_idcg_fp,
+  CAST(SUM(dcg_fp) AS DOUBLE) / CAST(SUM(idcg_fp) AS DOUBLE) AS micro_ndcg,
+  CAST({d.idiv(f"SUM({d.idiv('dcg_fp * 1000000', 'idcg_fp')})", 'COUNT(*)')}
+    AS BIGINT) AS macro_ndcg_ppm,
+  CAST(SUM(CASE WHEN best_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+  CAST(SUM(CASE WHEN best_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+  CAST(SUM(CASE WHEN best_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS hits_at_10
+FROM per_basket
+"""
+
+
+@df_query(
+    "q_ndcg",
+    duck_sql=_ndcg_oracle_sql(DUCK),
+    tables=["orders", "lineitem"],
+    doc="NDCG@10 of the global-popularity recommender on the temporal "
+    "holdout: rank = the 10 most-purchased parts of the first 80% of "
+    "order days, relevance = membership in a held-out basket, DCG "
+    "discounts 1/log2(i+1) as 1e12 fixed-point COMPILE-TIME literals "
+    "(log2 never executes — the hash gate stays bit-exact), IDCG from "
+    "the prefix-sum literal per basket size. Micro NDCG = one IEEE "
+    "division of two exact BIGINT sums; macro = ppm integer mean. The "
+    "ranking-aware companion to q_rec_hitrate (which scores CF "
+    "neighbors by hitrate; NDCG credits WHERE in the list the hit "
+    "landed). Plan: train/test from one localCheckpointed incidence "
+    "scan (CTE-inlining trap dodged), 10-row ranked list broadcast "
+    "into the holdout probe, one final scalar aggregate.",
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    od = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day_no"),
+    )
+    lo, hi = od.agg(F.min("day_no"), F.max("day_no")).first()
+    split_day = lo + (hi - lo) * 8 // 10
+    op = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .join(od, "okey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    train = op.filter(F.col("day_no") < split_day).select("okey", "pkey")
+    test_items = op.filter(F.col("day_no") >= split_day).select("okey", "pkey")
+    disc_case = "CASE rk " + " ".join(
+        f"WHEN {i + 1} THEN {v}L" for i, v in enumerate(_NDCG_DISC_FP)
+    ) + " END"
+    # limit() FIRST → TakeOrderedAndProject (distributed top-k); the
+    # row_number window then runs on 10 rows, not the full part table.
+    ranked = (
+        train.groupBy("pkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pkey"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("pkey"))),
+        )
+        .withColumn("disc_fp", F.expr(disc_case).cast("bigint"))
+        .select("pkey", "rk", "disc_fp")
+    )
+    baskets = test_items.groupBy("okey").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.expr(_ndcg_idcg_case("COUNT(*)")).cast("bigint").alias("idcg_fp"),
+    )
+    hits = (
+        test_items.join(F.broadcast(ranked), "pkey")
+        .groupBy("okey")
+        .agg(
+            F.sum("disc_fp").cast("bigint").alias("dcg_fp"),
+            F.min("rk").cast("bigint").alias("best_rank"),
+        )
+    )
+    per_basket = (
+        baskets.join(hits, "okey", "left")
+        .select(
+            "okey",
+            "idcg_fp",
+            F.coalesce(F.col("dcg_fp"), F.lit(0)).alias("dcg_fp"),
+            "best_rank",
+        )
+    )
+    return per_basket.agg(
+        F.count("*").cast("bigint").alias("n_baskets"),
+        F.sum("dcg_fp").cast("bigint").alias("sum_dcg_fp"),
+        F.sum("idcg_fp").cast("bigint").alias("sum_idcg_fp"),
+        (F.sum("dcg_fp").cast("double") / F.sum("idcg_fp").cast("double"))
+        .alias("micro_ndcg"),
+        F.expr(
+            "SUM(dcg_fp * 1000000L DIV idcg_fp) DIV COUNT(*)"
+        ).cast("bigint").alias("macro_ndcg_ppm"),
+        F.sum(F.when(F.col("best_rank") == 1, 1).otherwise(0))
+        .cast("bigint").alias("hits_at_1"),
+        F.sum(F.when(F.col("best_rank") <= 5, 1).otherwise(0))
+        .cast("bigint").alias("hits_at_5"),
+        F.sum(F.when(F.col("best_rank").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("hits_at_10"),
+    )

@@ -76,6 +76,9 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 additions (never driver-checked — first rows needed)
+    "q_ndcg",
+    "q_logrank",
+    "q_cohens_kappa",
     "q_zorder_layout",
     "q_bloom_prune",
     "q_ngram_novelty",

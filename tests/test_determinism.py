@@ -67,6 +67,13 @@ CASES = [
     "q_item_cf",
     "q_link_prediction",
     "q_trimmed_mean",
+    # round-4d additions with partition-sensitive internals:
+    #   TakeOrdered top-10 under count ties (broken by pkey) feeding
+    #   broadcast probe + fixed-point sums -> q_ndcg
+    #   suffix-sum at-risk windows over the checkpoint-free grain
+    #   -> q_logrank
+    "q_ndcg",
+    "q_logrank",
 ]
 
 

@@ -222,6 +222,13 @@ WHITELIST = {
     # Same calendar-bounded day-grain quadratic as q_theilsen + 1-row
     # S/n/ties scalars into the report row.
     "q_mann_kendall": ({"bnlj", "single-part"}, "calendar-bounded day-grain quadratic x 1-row scalars"),
+    # At-risk suffix sums + cumulative O/E/V windows over the ≤49-row
+    # censoring-horizon grain (q_kaplan_meier's boundedness class); the
+    # corpus pass is the user-keyed aggregate.
+    "q_logrank": ({"single-part"}, "O/E/V windows over horizon-hour grain"),
+    # 10-row ranked-list window (after TakeOrdered limit) + the scalar
+    # eval-summary row (q_rec_hitrate class).
+    "q_ndcg": ({"single-part"}, "10-row ranked list + scalar eval-summary row"),
 }
 
 
