@@ -1175,3 +1175,174 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_a", "class_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching — stratified ATT without a propensity model
+# (the causal companion to q_diff_in_diff / q_cuped that needs no
+# parallel-trends or covariate-linearity assumption, only common support).
+# ---------------------------------------------------------------------------
+
+
+def _cem_att_sql(d: Dialect) -> str:
+    """Coarsened-exact-matching ATT (Iacus/King/Porro): treatment = the
+    BUILDING market segment, outcome = lifetime order spend in exact
+    integer cents, strata = (nation, account-balance band) with the
+    band edges as compile-time literals (no quantile windows — the
+    coarsening is fixed, so it is reproducible and partition-free).
+    Strata missing either arm are dropped (common support); the kept
+    control outcomes are reweighted to the treated stratum counts via
+    centi-cent staged idiv (exact BIGINT; bounded by ~y0·n1·100 ≈ 1e16
+    at sf1 — DECIMAL(38,0) numerators are the documented swap beyond).
+    The single final double is one IEEE division of two exact BIGINTs."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    adj = d.idiv("y0 * n1 * 100", "n0")
+    m1 = d.idiv("y1 * 100", "n1")
+    m0 = d.idiv("y0 * 100", "n0")
+    # NOTE: the ATT numerator can be NEGATIVE (treated spend below control),
+    # and Spark DIV truncates toward zero while DuckDB // floors — so the
+    # integer column is the raw exact numerator, never an idiv of it; the
+    # per-treated ATT emits only as the one IEEE double division.
+    return f"""
+WITH cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         CAST(c_nationkey AS BIGINT) AS nation,
+         CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 2500 THEN 1
+              WHEN c_acctbal < 5000 THEN 2
+              WHEN c_acctbal < 7500 THEN 3
+              ELSE 4 END AS bal_band
+  FROM customer
+),
+spend AS (
+  SELECT o_custkey, CAST(SUM({cents}) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT c.t, c.nation, c.bal_band, COALESCE(s.cents, 0) AS cents
+  FROM cust c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+),
+strata AS (
+  SELECT nation, bal_band,
+         CAST(SUM(t) AS BIGINT) AS n1,
+         CAST(SUM(1 - t) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 1 THEN cents ELSE 0 END) AS BIGINT) AS y1,
+         CAST(SUM(CASE WHEN t = 0 THEN cents ELSE 0 END) AS BIGINT) AS y0
+  FROM joined GROUP BY nation, bal_band
+),
+matched AS (
+  SELECT nation, bal_band, n1, n0, y1, y0,
+         CAST({adj} AS BIGINT) AS adj_cc
+  FROM strata WHERE n1 > 0 AND n0 > 0
+)
+SELECT nation, bal_band,
+       n1 AS n_treated, n0 AS n_control,
+       y1 AS y_treated_cents, y0 AS y_control_cents,
+       CAST({m1} - {m0} AS BIGINT) AS stratum_diff_cc,
+       CAST(SUM(n1) OVER () AS BIGINT) AS n_treated_matched,
+       CAST(SUM(y1 * 100 - adj_cc) OVER () AS BIGINT) AS att_num_cc,
+       CAST(SUM(y1 * 100 - adj_cc) OVER () AS DOUBLE)
+         / CAST(SUM(n1) OVER () * 100 AS DOUBLE) AS att_cents
+FROM matched
+ORDER BY nation, bal_band
+"""
+
+
+sql_query(
+    "q_cem_att",
+    spark_sql=_cem_att_sql(SPARK),
+    duck_sql=_cem_att_sql(DUCK),
+    tables=["customer", "orders"],
+    doc="Coarsened-exact-matching ATT (Iacus/King/Porro) of the BUILDING "
+    "market segment on lifetime order spend: strata = (nation, fixed "
+    "account-balance band — compile-time edges, no quantile windows), "
+    "strata missing either arm dropped (common support), control "
+    "outcomes reweighted to treated counts per stratum. The model-free "
+    "causal companion to q_diff_in_diff (parallel trends) and q_cuped "
+    "(covariate linearity): CEM assumes only within-stratum "
+    "exchangeability. All arithmetic is exact integer cents with "
+    "centi-cent staged idiv (BIGINT-safe to ~sf1; DECIMAL(38,0) is the "
+    "documented swap); the single double is one IEEE division of two "
+    "exact window sums. Corpus-scale work is one customer-keyed spend "
+    "aggregate + one broadcast-size dimension join; everything after "
+    "runs on the <=125-row strata grain.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-day jackknife — nonparametric variance of the ratio estimator
+# (the leave-one-out companion to q_bootstrap_ci's percentile intervals).
+# ---------------------------------------------------------------------------
+
+
+def _jackknife_sql(d: Dialect) -> str:
+    """Delete-one-group jackknife for revenue-per-order, groups = order
+    days (the exchangeable block for a time-keyed corpus): leave-one-out
+    ratios in centi-cents via exact idiv (cc-quantized by definition —
+    both engines floor identically, so the statistic is bit-exact),
+    pseudo-value bias correction and the Tukey variance
+    (n-1)/n * SS(loo - mean) assembled from exact BIGINT sums; only the
+    final variance/bias emit as single IEEE divisions. SS is bounded by
+    |days| * max_dev^2 ~ 1e13 at sf1 (deviations shrink as 1/n, so the
+    BIGINT path widens with scale rather than tightening)."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    day = f"CAST({d.idiv(d.epoch('o_orderdate'), '86400')} AS BIGINT)"
+    full_cc = d.idiv("SUM(rev) OVER () * 100", "SUM(n) OVER ()")
+    # compound denominator parenthesized: DIV binds at * precedence, so a
+    # bare `SUM(n) OVER () - n` would parse as `(... DIV SUM(n) OVER ()) - n`.
+    loo_cc = d.idiv("(SUM(rev) OVER () - rev) * 100", "(SUM(n) OVER () - n)")
+    mean_cc = d.idiv("SUM(loo_cc) OVER ()", "COUNT(*) OVER ()")
+    return f"""
+WITH days AS (
+  SELECT {day} AS day_no,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({cents}) AS BIGINT) AS rev
+  FROM orders GROUP BY {day}
+),
+loo AS (
+  SELECT day_no, n, rev,
+         CAST({full_cc} AS BIGINT) AS full_cc,
+         CAST({loo_cc} AS BIGINT) AS loo_cc,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+  FROM days
+),
+dev AS (
+  SELECT day_no, n, rev, full_cc, loo_cc, n_days,
+         CAST({mean_cc} AS BIGINT) AS loo_mean_cc
+  FROM loo
+)
+SELECT day_no, n AS n_orders, rev AS rev_cents, full_cc, loo_cc,
+       n_days, loo_mean_cc,
+       CAST(n_days * full_cc - (n_days - 1) * loo_cc AS BIGINT)
+         AS pseudo_cc,
+       CAST(SUM((loo_cc - loo_mean_cc) * (loo_cc - loo_mean_cc)) OVER ()
+            AS BIGINT) AS ss_cc2,
+       CAST((n_days - 1)
+            * SUM((loo_cc - loo_mean_cc) * (loo_cc - loo_mean_cc)) OVER ()
+            AS DOUBLE) / CAST(n_days AS DOUBLE) AS jack_var_cc2,
+       CAST((n_days - 1) * (loo_mean_cc - full_cc) AS BIGINT) AS jack_bias_cc
+FROM dev
+ORDER BY day_no
+"""
+
+
+sql_query(
+    "q_jackknife",
+    spark_sql=_jackknife_sql(SPARK),
+    duck_sql=_jackknife_sql(DUCK),
+    tables=["orders"],
+    doc="Delete-one-day jackknife for the revenue-per-order ratio: leave-"
+    "one-out ratios, Quenouille bias estimate (n-1)*(loo_mean - full), "
+    "Tukey pseudo-values, and the jackknife variance (n-1)/n * SS — "
+    "the nonparametric uncertainty companion to q_bootstrap_ci "
+    "(resampling) for the estimator class where the bootstrap is "
+    "expensive: one corpus pass, |days| deterministic replicates, no "
+    "RNG. Leave-one-out ratios are centi-cent idiv-quantized (both "
+    "engines floor identically - bit-exact), SS/bias are exact BIGINT "
+    "algebra, and only variance emits as one IEEE division. The day "
+    "rollup is the only corpus-scale stage (map-side combined); all "
+    "windows run on the calendar-bounded day grain (q_theilsen's "
+    "boundedness class). sqrt(se) is left to the consumer per the "
+    "house no-transcendental rule.",
+)

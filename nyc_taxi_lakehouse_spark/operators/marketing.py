@@ -692,3 +692,112 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("best_rank").isNotNull(), 1).otherwise(0))
         .cast("bigint").alias("hits_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation — IPS / SNIPS estimate of a uniform target policy
+# against the logged per-activity-band behavior policy (the counterfactual
+# companion to q_rec_hitrate/q_ndcg, which score the LOGGED policy only).
+# ---------------------------------------------------------------------------
+
+
+def _ips_eval_sql(d: Dialect) -> str:
+    """Inverse-propensity-scored off-policy evaluation (Horvitz-Thompson /
+    Swaminathan-Joachims SNIPS): logged action = the event type, context
+    = the user's activity band (fixed compile-time count edges 60/70,
+    the per-user event-count terciles — events-per-user is ~66 at every
+    SF because users scale with the corpus, so the split holds at all
+    scales; no quantile windows), behavior policy mu(a|band) = the
+    empirical
+    frequency, target policy pi = uniform over the 5 actions, reward =
+    a purchase by the same user within one hour after the event
+    (microsecond event time — the ns-precision-safe encoding — with
+    event_id tiebreak, so the suffix-min window is a total order).
+    Importance weights and both estimates are ppm-scaled staged idiv
+    over exact BIGINT counts (all nonnegative, so floor == truncate
+    cross-engine); SNIPS numerator terms stay under ~n_band*1e6 per
+    cell — BIGINT-safe to ~1e9 logged events, DECIMAL(38,0) beyond."""
+    us = d.epoch_us("ts")
+    # compound denominators MUST be parenthesized: idiv emits `a DIV b`
+    # and DIV binds at * precedence, so `5 * n_ab` bare would parse as
+    # `(... DIV 5) * n_ab` in both engines.
+    w_ppm = d.idiv("n_band * 1000000", "(5 * n_ab)")
+    v_ips_ppm = d.idiv("SUM(r_ab * w_ppm) OVER ()", "SUM(n_ab) OVER ()")
+    v_snips_ppm = d.idiv(
+        "SUM(r_ab * w_ppm) OVER () * 1000000", "SUM(n_ab * w_ppm) OVER ()"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST({us} AS BIGINT) AS es_us,
+         event_id
+  FROM events
+),
+rewarded AS (
+  SELECT user_id, event_type, es_us,
+         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN es_us END)
+                OVER (PARTITION BY user_id ORDER BY es_us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              <= es_us + 3600000000 THEN 1 ELSE 0 END AS r,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
+  FROM ev
+),
+banded AS (
+  SELECT event_type AS action,
+         CASE WHEN user_n < 60 THEN 0
+              WHEN user_n < 70 THEN 1
+              ELSE 2 END AS band,
+         r
+  FROM rewarded
+),
+cells AS (
+  SELECT action, band,
+         CAST(COUNT(*) AS BIGINT) AS n_ab,
+         CAST(SUM(r) AS BIGINT) AS r_ab
+  FROM banded GROUP BY action, band
+),
+weighted AS (
+  SELECT action, band, n_ab, r_ab,
+         CAST(SUM(n_ab) OVER (PARTITION BY band) AS BIGINT) AS n_band
+  FROM cells
+),
+scored AS (
+  SELECT action, band, n_ab, r_ab, n_band,
+         CAST({w_ppm} AS BIGINT) AS w_ppm
+  FROM weighted
+)
+SELECT action, band, n_ab, r_ab, n_band, w_ppm,
+       CAST(r_ab * w_ppm AS BIGINT) AS ips_num_ppm,
+       CAST(SUM(n_ab) OVER () AS BIGINT) AS n_total,
+       CAST({v_ips_ppm} AS BIGINT) AS v_ips_ppm,
+       CAST({v_snips_ppm} AS BIGINT) AS v_snips_ppm,
+       CAST(SUM(r_ab) OVER () AS DOUBLE)
+         / CAST(SUM(n_ab) OVER () AS DOUBLE) AS v_logged
+FROM scored
+ORDER BY action, band
+"""
+
+
+sql_query(
+    "q_ips_eval",
+    spark_sql=_ips_eval_sql(SPARK),
+    duck_sql=_ips_eval_sql(DUCK),
+    tables=["events"],
+    doc="Off-policy evaluation of a uniform-random action policy against "
+    "the logged event stream via inverse propensity scoring: behavior "
+    "policy = empirical action frequency per user-activity band (fixed "
+    "compile-time band edges), target = uniform over the 5 actions, "
+    "reward = same-user purchase within 1 h after the event (suffix-min "
+    "window over microsecond event time with event_id tiebreak — total "
+    "order, partition-free). Emits per-(action, band) propensity cells, "
+    "the IPS estimate (Horvitz-Thompson), the self-normalized SNIPS "
+    "estimate (controls weight variance), and the logged-policy value "
+    "for comparison — the counterfactual 'what would uniform "
+    "exploration earn' question q_rec_hitrate/q_ndcg cannot answer. "
+    "All weights/estimates are ppm staged idiv over exact nonnegative "
+    "BIGINTs (floor == truncate cross-engine; safe to ~1e9 events, "
+    "DECIMAL(38,0) beyond); the one double is a single IEEE division. "
+    "Corpus-scale work is one user-keyed window pass (the "
+    "sessionization exchange) + one tiny cell aggregate; the <=20-row "
+    "report grain carries the single-partition windows.",
+)

@@ -74,6 +74,9 @@ CASES = [
     #   -> q_logrank
     "q_ndcg",
     "q_logrank",
+    #   user-partitioned suffix-min reward window feeding propensity
+    #   cells -> q_ips_eval
+    "q_ips_eval",
 ]
 
 

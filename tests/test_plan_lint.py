@@ -229,6 +229,15 @@ WHITELIST = {
     # 10-row ranked-list window (after TakeOrdered limit) + the scalar
     # eval-summary row (q_rec_hitrate class).
     "q_ndcg": ({"single-part"}, "10-row ranked list + scalar eval-summary row"),
+    # ATT/report windows over the <=125-row (nation, bal_band) strata
+    # grain; the corpus pass is the customer-keyed spend aggregate.
+    "q_cem_att": ({"single-part"}, "ATT windows over <=125-row strata grain"),
+    # IPS/SNIPS totals over the <=20-row (action, band) propensity-cell
+    # grain; the corpus pass is the user-partitioned reward window.
+    "q_ips_eval": ({"single-part"}, "OPE totals over <=20-row cell grain"),
+    # Leave-one-out/variance windows over the calendar-bounded day grain
+    # (q_theilsen boundedness class); corpus pass = the day rollup.
+    "q_jackknife": ({"single-part"}, "LOO windows over calendar-bounded day grain"),
 }
 
 
