@@ -1199,10 +1199,12 @@ def _cem_att_sql(d: Dialect) -> str:
     adj = d.idiv("y0 * n1 * 100", "n0")
     m1 = d.idiv("y1 * 100", "n1")
     m0 = d.idiv("y0 * 100", "n0")
-    # NOTE: the ATT numerator can be NEGATIVE (treated spend below control),
-    # and Spark DIV truncates toward zero while DuckDB // floors — so the
-    # integer column is the raw exact numerator, never an idiv of it; the
-    # per-treated ATT emits only as the one IEEE double division.
+    # NOTE: the ATT numerator can be NEGATIVE (treated spend below control).
+    # Spark DIV and DuckDB // both truncate toward zero (measured, see
+    # BASELINE.md), but python's // FLOORS — a negative idiv would diverge
+    # from every serial-reference mirror. So the integer column is the raw
+    # exact numerator, never an idiv of it; the per-treated ATT emits only
+    # as the one IEEE double division.
     return f"""
 WITH cust AS (
   SELECT c_custkey,

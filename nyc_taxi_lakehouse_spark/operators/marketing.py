@@ -714,8 +714,9 @@ def _ips_eval_sql(d: Dialect) -> str:
     (microsecond event time — the ns-precision-safe encoding — with
     event_id tiebreak, so the suffix-min window is a total order).
     Importance weights and both estimates are ppm-scaled staged idiv
-    over exact BIGINT counts (all nonnegative, so floor == truncate
-    cross-engine); SNIPS numerator terms stay under ~n_band*1e6 per
+    over exact BIGINT counts (all nonnegative, so truncation ==
+    mathematical floor and python mirrors agree); SNIPS numerator
+    terms stay under ~n_band*1e6 per
     cell — BIGINT-safe to ~1e9 logged events, DECIMAL(38,0) beyond."""
     us = d.epoch_us("ts")
     # compound denominators MUST be parenthesized: idiv emits `a DIV b`
@@ -795,7 +796,7 @@ sql_query(
     "for comparison — the counterfactual 'what would uniform "
     "exploration earn' question q_rec_hitrate/q_ndcg cannot answer. "
     "All weights/estimates are ppm staged idiv over exact nonnegative "
-    "BIGINTs (floor == truncate cross-engine; safe to ~1e9 events, "
+    "BIGINTs (nonnegative, so truncation == floor; safe to ~1e9 events, "
     "DECIMAL(38,0) beyond); the one double is a single IEEE division. "
     "Corpus-scale work is one user-keyed window pass (the "
     "sessionization exchange) + one tiny cell aggregate; the <=20-row "
