@@ -1224,3 +1224,97 @@ sql_query(
     "gram-keyed join back — all hash-partitioned on the gram hash at "
     "100 TB.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing / Chao1 unseen-vocabulary estimators — how much of the type
+# space has the corpus NOT seen yet (the forward-looking companion to
+# q_vocab_growth's backward-looking Heaps curve).
+# ---------------------------------------------------------------------------
+
+
+def _unseen_vocab_sql(d: Dialect) -> str:
+    """Count-of-counts profile N_r (how many character-8-gram TYPES occur
+    exactly r times — the shingle unit, because the synthetic word vocab
+    is ~31 types with no rare tail, while the 8-gram space has ~10k types
+    and ~2.4k hapax), capped at r <= 10 with an '11 = everything more
+    frequent' tail bucket, plus the three classical estimators built
+    from it: Good-Turing unseen probability mass P0 = N_1/N, Turing
+    coverage C = 1 - N_1/N, and the bias-corrected Chao1 richness
+    S_chao1 = S_obs + N_1*(N_1-1)/(2*(N_2+1)) (the +1 keeps it defined
+    when doubletons are absent). Every estimator is a ppm staged idiv
+    over exact nonnegative BIGINT counts — no transcendental anywhere,
+    so the cross-engine gate stays bit-exact; consumers wanting the
+    full Simple Good-Turing smooth fit the log-log regression on the
+    (r, N_r) rows this query already emits."""
+    if d.name == "spark":
+        toks = (
+            "SELECT explode(transform(sequence(1, length(text) - 7),"
+            " i -> substring(text, i, 8))) AS token"
+            " FROM documents WHERE length(text) >= 8"
+        )
+    else:
+        toks = (
+            "SELECT unnest(list_transform(range(1, length(text) - 6),"
+            " i -> substr(text, CAST(i AS INT), 8))) AS token"
+            " FROM documents WHERE length(text) >= 8"
+        )
+    # N must be the TRUE token total (n_tokens carries the uncapped
+    # per-type counts) — `r * n_types` would undercount the r=11 tail.
+    p0 = d.idiv("SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) OVER () * 1000000",
+                "SUM(n_tokens) OVER ()")
+    chao_add = d.idiv(
+        "SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) OVER () "
+        "* (SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) OVER () - 1)",
+        "(2 * (SUM(CASE WHEN r = 2 THEN n_types ELSE 0 END) OVER () + 1))",
+    )
+    return f"""
+WITH type_counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({toks}) t
+  GROUP BY token
+),
+coc AS (
+  SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS r,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM type_counts
+  GROUP BY CASE WHEN c <= 10 THEN c ELSE 11 END
+)
+SELECT r, n_types, n_tokens,
+       CAST(SUM(n_types) OVER () AS BIGINT) AS s_obs,
+       CAST(SUM(n_tokens) OVER () AS BIGINT) AS n_total,
+       CAST({p0} AS BIGINT) AS gt_unseen_ppm,
+       CAST(1000000 - {p0} AS BIGINT) AS coverage_ppm,
+       CAST(SUM(n_types) OVER () + {chao_add} AS BIGINT) AS chao1_types,
+       CAST(SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) OVER () AS BIGINT)
+         AS hapax_types,
+       CAST(SUM(CASE WHEN r = 2 THEN n_types ELSE 0 END) OVER () AS BIGINT)
+         AS dis_types
+FROM coc
+ORDER BY r
+"""
+
+
+sql_query(
+    "q_unseen_vocab",
+    spark_sql=_unseen_vocab_sql(SPARK),
+    duck_sql=_unseen_vocab_sql(DUCK),
+    tables=["documents"],
+    doc="Unseen-vocabulary estimators from the char-8-gram count-of-counts "
+    "profile: N_r rows (types occurring exactly r times, r<=10 plus a "
+    "tail bucket) with Good-Turing unseen mass P0 = N_1/N, Turing "
+    "coverage 1 - P0, and bias-corrected Chao1 richness S_obs + "
+    "N_1(N_1-1)/(2(N_2+1)) — the 'how much type space is the corpus "
+    "still missing' gate a tokenizer-training or corpus-acquisition "
+    "run checks before declaring coverage, and the forward-looking "
+    "companion to q_vocab_growth's Heaps curve (which uses word "
+    "tokens; the 8-gram unit is chosen because the synthetic word "
+    "vocab is ~31 types with no rare tail — see docstring). Everything "
+    "is exact BIGINT counts + ppm staged idiv (nonnegative, "
+    "truncation==floor); no logs — consumers wanting full Simple "
+    "Good-Turing fit the log-log regression on the emitted (r, N_r) "
+    "rows. Corpus-scale work: one shingle explode + one (gram) "
+    "aggregate (map-side combined), then an <=11-row count-of-counts "
+    "grain carries the windows.",
+)

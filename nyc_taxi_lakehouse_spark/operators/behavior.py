@@ -1944,3 +1944,126 @@ sql_query(
     "ONE user-keyed aggregate; everything after runs on the ≤49-row "
     "censoring-horizon grain.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate — Lincoln-Petersen / Chapman over
+# two disjoint observation windows (the ecology estimator, repurposed as
+# the "how many users does the platform REALLY have" audit, self-validated
+# against the known true user count).
+# ---------------------------------------------------------------------------
+
+
+def _capture_oracle_sql(d: Dialect) -> str:
+    """DuckDB oracle: identical two-window capture flags and Chapman
+    algebra as one CTE chain (per_user is referenced twice — fine under
+    DuckDB materialization; the Spark side checkpoints it instead)."""
+    es = f"CAST({d.epoch('ts')} AS BIGINT)"
+    mid = d.idiv("lo + (hi - lo)", "2")
+    chap = d.idiv("(m + 1) * (c + 1)", "(r + 1)")
+    linc = d.idiv("m * c", "NULLIF(r, 0)")
+    var_ = d.idiv(
+        "(m + 1) * (c + 1) * (m - r) * (c - r)",
+        "((r + 1) * (r + 1) * (r + 2))",
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN({es}) AS BIGINT) AS first_es,
+         CAST(MAX({es}) AS BIGINT) AS last_es
+  FROM events GROUP BY user_id
+),
+bounds AS (
+  SELECT MIN(first_es) AS lo, MAX(last_es) AS hi FROM per_user
+),
+flags AS (
+  SELECT CASE WHEN first_es < {mid} THEN 1 ELSE 0 END AS h1,
+         CASE WHEN last_es >= {mid} THEN 1 ELSE 0 END AS h2
+  FROM per_user, bounds
+),
+counts AS (
+  SELECT CAST(SUM(h1) AS BIGINT) AS m,
+         CAST(SUM(h2) AS BIGINT) AS c,
+         CAST(SUM(h1 * h2) AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM flags
+)
+SELECT m AS caught_1, c AS caught_2, r AS recaptured, true_n,
+       CAST({chap} - 1 AS BIGINT) AS chapman_n,
+       CAST({linc} AS BIGINT) AS lincoln_n,
+       CAST({var_} AS BIGINT) AS chapman_var,
+       CAST((m + 1) * (c + 1) AS DOUBLE) / CAST(r + 1 AS DOUBLE) - 1.0
+         AS chapman_d
+FROM counts
+"""
+
+
+@df_query(
+    "q_capture_recapture",
+    duck_sql=_capture_oracle_sql(DUCK),
+    tables=["events"],
+    doc="Capture-recapture population estimate: users 'captured' in the "
+    "first and second halves of the observation window (first/last "
+    "event second vs the midpoint — one user-keyed min/max aggregate "
+    "decides both flags), Chapman's bias-corrected estimator "
+    "(m+1)(c+1)/(r+1)-1 with its variance, and the raw Lincoln-"
+    "Petersen index — self-validated against the TRUE distinct-user "
+    "count the same scan already produced. The estimator a panel/reach "
+    "audit runs when the full population is NOT observable (ad reach, "
+    "crawl frontier size, dedup-pair population); here the known "
+    "true_n column exposes its bias directly. All integer-exact "
+    "(nonnegative idiv), one double as a single IEEE division. Plan: "
+    "ONE corpus-scale user-keyed aggregate, localCheckpointed so the "
+    "1-row bounds scan never rescans events; flags and the scalar "
+    "report run on the user grain and a 1-row reduction.",
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["events"])
+    # the dialect's epoch() exactly (unix_timestamp truncates sub-second,
+    # DuckDB floor(epoch) matches — both nonnegative here)
+    es = F.expr(f"CAST({SPARK.epoch('ts')} AS BIGINT)")
+    per_user = (
+        t["events"]
+        .select(F.col("user_id"), es.alias("es"))
+        .groupBy("user_id")
+        .agg(
+            F.min("es").cast("bigint").alias("first_es"),
+            F.max("es").cast("bigint").alias("last_es"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = per_user.agg(F.min("first_es"), F.max("last_es")).first()
+    mid = lo + (hi - lo) // 2
+    flags = per_user.select(
+        F.when(F.col("first_es") < mid, 1).otherwise(0).alias("h1"),
+        F.when(F.col("last_es") >= mid, 1).otherwise(0).alias("h2"),
+    )
+    counts = flags.agg(
+        F.sum("h1").cast("bigint").alias("m"),
+        F.sum("h2").cast("bigint").alias("c"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("r"),
+        F.count("*").cast("bigint").alias("true_n"),
+    )
+    return counts.select(
+        F.col("m").alias("caught_1"),
+        F.col("c").alias("caught_2"),
+        F.col("r").alias("recaptured"),
+        "true_n",
+        (F.expr("(m + 1) * (c + 1) DIV (r + 1)") - 1)
+        .cast("bigint")
+        .alias("chapman_n"),
+        F.expr("m * c DIV NULLIF(r, 0)").cast("bigint").alias("lincoln_n"),
+        F.expr(
+            "(m + 1) * (c + 1) * (m - r) * (c - r)"
+            " DIV ((r + 1) * (r + 1) * (r + 2))"
+        )
+        .cast("bigint")
+        .alias("chapman_var"),
+        (
+            ((F.col("m") + 1) * (F.col("c") + 1)).cast("double")
+            / (F.col("r") + 1).cast("double")
+            - F.lit(1.0)
+        ).alias("chapman_d"),
+    )

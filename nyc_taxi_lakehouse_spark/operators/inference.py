@@ -1348,3 +1348,109 @@ sql_query(
     "boundedness class). sqrt(se) is left to the consumer per the "
     "house no-transcendental rule.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel — stratified 2x2 association (the confounder-
+# adjusted companion to q_mcnemar/q_logrank, and the hypothesis test for
+# exactly the stratified design q_cem_att estimates).
+# ---------------------------------------------------------------------------
+
+
+def _cmh_sql(d: Dialect) -> str:
+    """CMH test of exposure (first event was an 'error' — the q_logrank
+    cohort) against conversion (first purchase within the 48 h horizon)
+    stratified by the user-activity band (the q_ips_eval terciles, the
+    confounder: heavy users both hit more errors and convert more).
+    Per-stratum 2x2 cells are exact BIGINT user counts; the
+    hypergeometric E[a_k] and Var[a_k] are ppm staged idiv with every
+    stage bounded by ~1e6*n_k (BIGINT-safe past 1e9 users/stratum), as
+    is each Mantel-Haenszel odds-ratio term a_k*d_k/n_k. The summed
+    numerator a-E can be NEGATIVE so it is never idiv'd — only summed.
+    The continuity-corrected CMH statistic and the MH common odds ratio
+    emit as single IEEE trees over the exact window sums."""
+    hour = f"CAST({d.epoch('ts')} AS BIGINT)"
+    e1 = d.idiv("n1k * 1000000", "nk")
+    t1 = d.idiv("n1k * 1000000", "nk")
+    t2 = d.idiv(f"{t1} * n0k", "nk")
+    t3 = d.idiv(f"{t2} * m1k", "NULLIF(nk - 1, 0)")
+    or_n = d.idiv("a * 1000000", "nk")
+    or_d = d.idiv("b * 1000000", "nk")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS user_n,
+         {d.idiv(f'MIN({hour})', '3600')} AS first_h,
+         {d.idiv(f"MIN(CASE WHEN event_type = 'purchase' THEN {hour} END)", '3600')}
+           AS conv_h,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN {hour} END)
+                   = MIN({hour}) THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id
+),
+labeled AS (
+  SELECT CASE WHEN user_n < 60 THEN 0
+              WHEN user_n < 70 THEN 1
+              ELSE 2 END AS band,
+         g,
+         CASE WHEN conv_h IS NOT NULL AND conv_h - first_h <= 48
+              THEN 1 ELSE 0 END AS y
+  FROM per_user
+),
+tables_k AS (
+  SELECT band,
+         CAST(SUM(g * y) AS BIGINT) AS a,
+         CAST(SUM(g * (1 - y)) AS BIGINT) AS b,
+         CAST(SUM((1 - g) * y) AS BIGINT) AS c,
+         CAST(SUM((1 - g) * (1 - y)) AS BIGINT) AS d
+  FROM labeled GROUP BY band
+),
+margins AS (
+  SELECT band, a, b, c, d,
+         a + b AS n1k, c + d AS n0k,
+         a + c AS m1k, b + d AS m0k,
+         a + b + c + d AS nk
+  FROM tables_k
+),
+terms AS (
+  SELECT band, a, b, c, d, n1k, n0k, m1k, m0k, nk,
+         CAST({e1} * m1k AS BIGINT) AS e_a_ppm,
+         CAST({t3} * m0k AS BIGINT) AS v_a_ppm,
+         CAST({or_n} * d AS BIGINT) AS or_num_ppm,
+         CAST({or_d} * c AS BIGINT) AS or_den_ppm
+  FROM margins
+)
+SELECT band, a, b, c, d, n1k, n0k, m1k, m0k, nk,
+       e_a_ppm, v_a_ppm,
+       CAST(SUM(a * 1000000 - e_a_ppm) OVER () AS BIGINT) AS sum_a_minus_e_ppm,
+       CAST(SUM(v_a_ppm) OVER () AS BIGINT) AS sum_var_ppm,
+       (abs(CAST(SUM(a * 1000000 - e_a_ppm) OVER () AS DOUBLE) / 1000000.0)
+          - 0.5) * (abs(CAST(SUM(a * 1000000 - e_a_ppm) OVER () AS DOUBLE)
+          / 1000000.0) - 0.5)
+         / (CAST(SUM(v_a_ppm) OVER () AS DOUBLE) / 1000000.0) AS cmh_stat,
+       CAST(SUM(or_num_ppm) OVER () AS DOUBLE)
+         / CAST(NULLIF(SUM(or_den_ppm) OVER (), 0) AS DOUBLE) AS or_mh
+FROM terms
+ORDER BY band
+"""
+
+
+sql_query(
+    "q_cmh",
+    spark_sql=_cmh_sql(SPARK),
+    duck_sql=_cmh_sql(DUCK),
+    tables=["events"],
+    doc="Cochran-Mantel-Haenszel stratified 2x2 test: exposure = first "
+    "event was an 'error' (the q_logrank cohort), outcome = first "
+    "purchase within the 48 h horizon, strata = the activity-band "
+    "terciles (the confounder: heavy users both error more and convert "
+    "more — exactly the lurking variable q_simpson_check hunts). Emits "
+    "the per-stratum 2x2 with margins, the hypergeometric E/Var ppm "
+    "terms, the continuity-corrected CMH statistic, and the Mantel-"
+    "Haenszel common odds ratio — the confounder-adjusted significance "
+    "companion to q_cem_att's effect ESTIMATE on a stratified design. "
+    "Cells are exact BIGINT counts; E/V/OR terms are ppm staged idiv "
+    "with every stage bounded ~1e6*n_k; the possibly-negative a-E sum "
+    "is never idiv'd; the two doubles are single IEEE trees over exact "
+    "window sums. Corpus-scale work is ONE user-keyed aggregate; the "
+    "3-row stratum grain carries everything else.",
+)

@@ -238,6 +238,15 @@ WHITELIST = {
     # Leave-one-out/variance windows over the calendar-bounded day grain
     # (q_theilsen boundedness class); corpus pass = the day rollup.
     "q_jackknife": ({"single-part"}, "LOO windows over calendar-bounded day grain"),
+    # Estimator windows over the <=11-row count-of-counts grain; corpus
+    # pass = the token-keyed type-count aggregate.
+    "q_unseen_vocab": ({"single-part"}, "windows over <=11-row count-of-counts grain"),
+    # 1-row scalar capture report (checkpointed user grain feeds it);
+    # corpus pass = the user-keyed min/max aggregate.
+    "q_capture_recapture": ({"single-part"}, "1-row scalar capture report"),
+    # CMH windows over the 3-row stratum grain (q_logrank class);
+    # corpus pass = the user-keyed aggregate.
+    "q_cmh": ({"single-part"}, "CMH windows over 3-row stratum grain"),
 }
 
 

@@ -1,0 +1,151 @@
+"""Behavioral tests for the round-4f operators: Good-Turing/Chao1 unseen
+vocabulary, capture-recapture population estimation, and the
+Cochran-Mantel-Haenszel stratified test — each pinned against an
+independent python serial reference (the parity gate shares SQL text
+across engines and cannot see formula-level bugs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from .conftest import SF_SMOKE
+
+
+def _duck(sf_dir: str, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_unseen_vocab_vs_python(spark):
+    """Serial count-of-counts over 8-grams extracted with plain python
+    slicing; estimators recomputed with float division."""
+    from collections import Counter
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_unseen_vocab"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents",))
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    cnt: Counter = Counter()
+    for txt in texts:
+        if len(txt) >= 8:
+            for i in range(len(txt) - 7):
+                cnt[txt[i : i + 8]] += 1
+    coc: Counter = Counter()
+    tok_by_r: Counter = Counter()
+    for c in cnt.values():
+        r = c if c <= 10 else 11
+        coc[r] += 1
+        tok_by_r[r] += c
+    s_obs = len(cnt)
+    n_total = sum(cnt.values())
+    n1, n2 = coc.get(1, 0), coc.get(2, 0)
+    p0 = n1 / n_total
+    chao1 = s_obs + n1 * (n1 - 1) / (2 * (n2 + 1))
+    rows = {r.r: r for r in got}
+    assert set(rows) == set(coc)
+    for r, row in rows.items():
+        assert row.n_types == coc[r]
+        assert row.n_tokens == tok_by_r[r]
+        assert row.s_obs == s_obs and row.n_total == n_total
+        assert (row.hapax_types, row.dis_types) == (n1, n2)
+        assert abs(row.gt_unseen_ppm / 1e6 - p0) < 2e-6
+        assert row.coverage_ppm == 1_000_000 - row.gt_unseen_ppm
+        assert abs(row.chao1_types - chao1) <= 1.0
+    # the tail must be non-degenerate: hapax and doubletons both present
+    assert n1 > 0 and n2 > 0 and s_obs > 100
+
+
+def test_capture_recapture_vs_python(spark):
+    """Serial two-window capture flags per user; Chapman/Lincoln algebra
+    in exact python ints (all operands nonnegative, so python's floor
+    // equals the engines' truncating DIV)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_capture_recapture"].fn(spark, SF_SMOKE).first()
+    con = _duck(SF_SMOKE)
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+    ).fetchall()
+    per_user: dict[int, list] = {}
+    for uid, es in rows:
+        s = per_user.setdefault(uid, [es, es])
+        s[0] = min(s[0], es)
+        s[1] = max(s[1], es)
+    lo = min(v[0] for v in per_user.values())
+    hi = max(v[1] for v in per_user.values())
+    mid = lo + (hi - lo) // 2
+    m = sum(1 for v in per_user.values() if v[0] < mid)
+    c = sum(1 for v in per_user.values() if v[1] >= mid)
+    r = sum(1 for v in per_user.values() if v[0] < mid and v[1] >= mid)
+    n = len(per_user)
+    assert (got.caught_1, got.caught_2, got.recaptured, got.true_n) == (m, c, r, n)
+    assert got.chapman_n == (m + 1) * (c + 1) // (r + 1) - 1
+    assert got.lincoln_n == (m * c // r if r else None)
+    assert got.chapman_var == (m + 1) * (c + 1) * (m - r) * (c - r) // (
+        (r + 1) * (r + 1) * (r + 2)
+    )
+    assert abs(got.chapman_d - ((m + 1) * (c + 1) / (r + 1) - 1)) < 1e-9
+    # the estimator must be in the right ballpark of the known truth
+    # (each user's activity spans most of the window on this data, so
+    # both captures are near-complete and Chapman lands close to n)
+    assert 0 < got.chapman_n <= 2 * n
+    assert r > 0
+
+
+def test_cmh_vs_python(spark):
+    """Serial CMH: 2x2 tables per activity band from raw event scans,
+    E/V/OR with float arithmetic; ppm columns within quantization."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_cmh"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE)
+    df = con.execute(
+        "SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es"
+        " FROM events"
+    ).df()
+    tables: dict[int, list] = {}
+    for uid, g in df.groupby("user_id"):
+        first_h = int(g.es.min()) // 3600
+        purch = g[g.event_type == "purchase"].es
+        conv_h = int(purch.min()) // 3600 if len(purch) else None
+        err = g[g.event_type == "error"].es
+        exposed = 1 if len(err) and int(err.min()) == int(g.es.min()) else 0
+        y = 1 if conv_h is not None and conv_h - first_h <= 48 else 0
+        band = 0 if len(g) < 60 else (1 if len(g) < 70 else 2)
+        t = tables.setdefault(band, [0, 0, 0, 0])  # a b c d
+        t[(1 - exposed) * 2 + (1 - y)] += 1
+    sum_ame = sum_v = orn = ord_ = 0.0
+    by_band = {r.band: r for r in got}
+    assert set(by_band) == set(tables)
+    for band, (a, b, c, d) in tables.items():
+        row = by_band[band]
+        assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+        n1, n0, m1, m0 = a + b, c + d, a + c, b + d
+        nk = n1 + n0
+        assert (row.n1k, row.n0k, row.m1k, row.m0k, row.nk) == (n1, n0, m1, m0, nk)
+        e = n1 * m1 / nk
+        v = n1 * n0 * m1 * m0 / (nk * nk * (nk - 1))
+        assert abs(row.e_a_ppm / 1e6 - e) < m1 / 1e6 + 1e-9
+        assert abs(row.v_a_ppm / 1e6 - v) < m0 / 1e6 + 1e-9
+        sum_ame += a - e
+        sum_v += v
+        orn += a * d / nk
+        ord_ += b * c / nk
+    r0 = got[0]
+    assert abs(r0.sum_a_minus_e_ppm / 1e6 - sum_ame) < 0.01
+    assert abs(r0.sum_var_ppm / 1e6 - sum_v) < 0.01
+    cmh = (abs(sum_ame) - 0.5) ** 2 / sum_v
+    assert abs(r0.cmh_stat - cmh) < 0.05
+    assert abs(r0.or_mh - orn / ord_) < 0.01
+    # the design must be non-degenerate at the MARGIN level (individual
+    # cells can be empty at the 15-user smoke SF): both exposure arms and
+    # both outcome arms populated overall, and the variance positive
+    assert sum(t[0] + t[1] for t in tables.values()) > 0  # exposed
+    assert sum(t[2] + t[3] for t in tables.values()) > 0  # unexposed
+    assert sum(t[0] + t[2] for t in tables.values()) > 0  # converted
+    assert sum(t[1] + t[3] for t in tables.values()) > 0  # not converted
+    assert sum_v > 0
