@@ -77,6 +77,9 @@ CASES = [
     #   user-partitioned suffix-min reward window feeding propensity
     #   cells -> q_ips_eval
     "q_ips_eval",
+    #   12 chained integer half-steps amplify any nondeterminism in the
+    #   cell aggregate -> q_ipf_raking
+    "q_ipf_raking",
 ]
 
 

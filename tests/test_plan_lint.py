@@ -247,6 +247,9 @@ WHITELIST = {
     # CMH windows over the 3-row stratum grain (q_logrank class);
     # corpus pass = the user-keyed aggregate.
     "q_cmh": ({"single-part"}, "CMH windows over 3-row stratum grain"),
+    # 12 unrolled IPF half-step windows over the ~100-row
+    # (lang, source) cell grid; corpus pass = the one count aggregate.
+    "q_ipf_raking": ({"single-part"}, "IPF half-steps over bounded mixture grid"),
 }
 
 

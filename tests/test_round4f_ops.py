@@ -149,3 +149,50 @@ def test_cmh_vs_python(spark):
     assert sum(t[0] + t[2] for t in tables.values()) > 0  # converted
     assert sum(t[1] + t[3] for t in tables.values()) > 0  # not converted
     assert sum_v > 0
+
+
+def test_ipf_raking_vs_python(spark):
+    """Serial IPF with float arithmetic: the query's ppb integer path must
+    track the float fixpoint within quantization, marginals must rake to
+    uniform, and total mass must be conserved."""
+    from collections import Counter
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_ipf_raking"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents",))
+    cnt = Counter(
+        dict(
+            ((la, so), c)
+            for la, so, c in con.execute(
+                "SELECT lang, source, count(*) FROM documents GROUP BY 1, 2"
+            ).fetchall()
+        )
+    )
+    n_tot = sum(cnt.values())
+    langs = sorted({la for la, _ in cnt})
+    sources = sorted({so for _, so in cnt})
+    p = {k: v / n_tot for k, v in cnt.items()}
+    for _ in range(6):
+        for axis, keys in ((0, langs), (1, sources)):
+            target = 1.0 / len(keys)
+            sums = Counter()
+            for k, v in p.items():
+                sums[k[axis]] += v
+            p = {k: v * target / sums[k[axis]] for k, v in p.items()}
+    rows = {(r.lang, r.source): r for r in got}
+    assert set(rows) == set(cnt)
+    for k, r in rows.items():
+        assert r.n == cnt[k]
+        assert r.share0_ppb == cnt[k] * 1_000_000_000 // n_tot
+        # integer path tracks the float fixpoint (quantization + the
+        # slightly different per-step normalization leave ~1e-4 slack)
+        assert abs(r.share_ppb / 1e9 - p[k]) < 2e-4
+        assert r.rake_w_ppm == r.share_ppb * 1_000_000 // r.share0_ppb
+        # raked marginals within 0.1% of uniform
+        assert abs(r.lang_gap_ppm) < 1000
+        assert abs(r.source_gap_ppm) < 1000
+    # mass conservation: shares still sum to ~1
+    assert abs(sum(r.share_ppb for r in got) - 1_000_000_000) < len(got) * 20
+    # the raking must actually DO something (non-uniform input mixture)
+    assert any(abs(r.rake_w_ppm - 1_000_000) > 50_000 for r in got)
