@@ -802,3 +802,185 @@ sql_query(
     "sessionization exchange) + one tiny cell aggregate; the <=20-row "
     "report grain carries the single-partition windows.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution — the coalition-game credit split q_attribution's
+# first/last/linear heuristics approximate (exact here: 4 channels -> 16
+# coalitions, factorial weights as /24 integer literals).
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = [(1, "click"), (2, "view"), (4, "signup"), (8, "error")]
+# 24 * s!(n-s-1)!/n! for n=4, s = |S| = 0..3  ->  6, 2, 2, 6
+def _shap_w24(s_col: str) -> str:
+    """24 * |S|!(4-|S|-1)!/4! as an integer CASE over the coalition mask."""
+    return (
+        f"CASE bit_count({s_col}) WHEN 0 THEN 6 WHEN 1 THEN 2"
+        f" WHEN 2 THEN 2 ELSE 6 END"
+    )
+
+
+def _shapley_oracle_sql(d: Dialect) -> str:
+    """DuckDB oracle: the identical coalition algebra as one CTE chain
+    (v is referenced twice in the marginal-contribution join — fine
+    under DuckDB materialization; Spark checkpoints the 16-row mask
+    table instead)."""
+    us = d.epoch_us("ts")
+    chans = " UNION ALL ".join(
+        f"SELECT {b} AS bit, '{n}' AS channel" for b, n in _SHAP_CHANNELS
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST({us} AS BIGINT) AS es_us
+  FROM events
+),
+withp AS (
+  SELECT user_id, event_type, es_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN es_us END)
+           OVER (PARTITION BY user_id) AS p_us
+  FROM ev
+),
+journeys AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'click' AND es_us < p_us
+                       THEN 1 ELSE 0 END)
+            + 2 * MAX(CASE WHEN event_type = 'view' AND es_us < p_us
+                           THEN 1 ELSE 0 END)
+            + 4 * MAX(CASE WHEN event_type = 'signup' AND es_us < p_us
+                           THEN 1 ELSE 0 END)
+            + 8 * MAX(CASE WHEN event_type = 'error' AND es_us < p_us
+                           THEN 1 ELSE 0 END) AS BIGINT) AS mask
+  FROM withp
+  WHERE p_us IS NOT NULL
+  GROUP BY user_id
+),
+conv AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv
+  FROM journeys GROUP BY mask
+),
+subsets AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS s),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+  FROM subsets s LEFT JOIN conv c ON (c.mask & s.s) = c.mask
+  GROUP BY s.s
+),
+phi AS (
+  SELECT ch.channel, ch.bit,
+         CAST(SUM(({_shap_w24('a.s')}) * (b.v - a.v)) AS BIGINT) AS phi_x24
+  FROM ({chans}) ch
+  JOIN v a ON (a.s & ch.bit) = 0
+  JOIN v b ON b.s = a.s + ch.bit
+  GROUP BY ch.channel, ch.bit
+)
+SELECT channel, phi_x24,
+       CAST(phi_x24 AS DOUBLE) / 24.0 AS phi,
+       CAST({d.idiv("phi_x24 * 1000000", "NULLIF(SUM(phi_x24) OVER (), 0)")}
+            AS BIGINT) AS share_ppm,
+       CAST((SELECT v FROM v WHERE s = 15) AS BIGINT) AS v_full,
+       CAST((SELECT v FROM v WHERE s = 0) AS BIGINT) AS v_empty
+FROM phi
+ORDER BY channel
+"""
+
+
+@df_query(
+    "q_shapley_attribution",
+    duck_sql=_shapley_oracle_sql(DUCK),
+    tables=["events"],
+    doc="Exact Shapley-value attribution over the four pre-purchase touch "
+    "channels (click/view/signup/error): per converting user the touch "
+    "COALITION seen strictly before the first purchase (microsecond "
+    "grain), coalition value v(S) = conversions reachable with "
+    "channels within S (subset-sum of exact counts), and the exact "
+    "Shapley credit per channel with the n=4 factorial weights as /24 "
+    "integer literals — phi_x24 is exact BIGINT, so efficiency "
+    "(sum phi = v(full) - v(empty), the unattributable touchless "
+    "conversions) holds EXACTLY, unlike the first/last/linear "
+    "heuristics of q_attribution this upgrades. Monotone v makes every "
+    "marginal nonneg, so the ppm share idiv is sign-safe. Corpus-scale "
+    "work: one user-partitioned first-purchase window + one user-keyed "
+    "mask aggregate; the 16-coalition/4-channel algebra is constant-"
+    "size at any corpus (the Spark side localCheckpoints the 16-row "
+    "mask table so the coalition self-join never rescans events).",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.detsql import SPARK as _S
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["events"])
+    us = F.expr(f"CAST({_S.epoch_us('ts')} AS BIGINT)")
+    from pyspark.sql.window import Window
+
+    withp = t["events"].select(
+        "user_id", "event_type", us.alias("es_us")
+    ).withColumn(
+        "p_us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("es_us"))).over(
+            Window.partitionBy("user_id")
+        ),
+    )
+    before = F.col("es_us") < F.col("p_us")
+
+    def flag(et: str) -> F.Column:
+        return F.max(
+            F.when((F.col("event_type") == et) & before, 1).otherwise(0)
+        )
+
+    conv = (
+        withp.filter(F.col("p_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                flag("click")
+                + 2 * flag("view")
+                + 4 * flag("signup")
+                + 8 * flag("error")
+            )
+            .cast("bigint")
+            .alias("mask")
+        )
+        .groupBy("mask")
+        .agg(F.count("*").cast("bigint").alias("n_conv"))
+        .localCheckpoint(eager=True)
+    )
+    subsets = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        subsets.join(
+            conv, (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    chans = spark.createDataFrame(_SHAP_CHANNELS, ["bit", "channel"]).select(
+        F.col("bit").cast("bigint").alias("bit"), "channel"
+    )
+    a = v.select(F.col("s").alias("s"), F.col("v").alias("va"))
+    b = v.select(F.col("s").alias("sb"), F.col("v").alias("vb"))
+    phi = (
+        chans.join(a, a["s"].bitwiseAND(chans["bit"]) == 0)
+        .join(b, F.col("sb") == F.col("s") + F.col("bit"))
+        .groupBy("channel", "bit")
+        .agg(
+            F.sum(F.expr(_shap_w24("s")) * (F.col("vb") - F.col("va")))
+            .cast("bigint")
+            .alias("phi_x24")
+        )
+    )
+    v_rows = {r.s: r.v for r in v.collect()}
+    w = Window.partitionBy()
+    return (
+        phi.select(
+            "channel",
+            "phi_x24",
+            (F.col("phi_x24").cast("double") / F.lit(24.0)).alias("phi"),
+            F.expr(
+                "phi_x24 * 1000000 DIV NULLIF(SUM(phi_x24) OVER (), 0)"
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.lit(int(v_rows[15])).cast("bigint").alias("v_full"),
+            F.lit(int(v_rows[0])).cast("bigint").alias("v_empty"),
+        )
+        .orderBy("channel")
+    )

@@ -250,6 +250,14 @@ WHITELIST = {
     # 12 unrolled IPF half-step windows over the ~100-row
     # (lang, source) cell grid; corpus pass = the one count aggregate.
     "q_ipf_raking": ({"single-part"}, "IPF half-steps over bounded mixture grid"),
+    # Subset-containment join (mask & s) = mask over the constant 16-row
+    # coalition lattice (non-equi -> BNLJ by construction, 16x16 max);
+    # the share window runs on 4 channel rows. Corpus pass = one
+    # user-keyed mask aggregate, checkpointed.
+    "q_shapley_attribution": (
+        {"bnlj", "single-part"},
+        "16-row coalition lattice x 4-channel report",
+    ),
 }
 
 

@@ -196,3 +196,52 @@ def test_ipf_raking_vs_python(spark):
     assert abs(sum(r.share_ppb for r in got) - 1_000_000_000) < len(got) * 20
     # the raking must actually DO something (non-uniform input mixture)
     assert any(abs(r.rake_w_ppm - 1_000_000) > 50_000 for r in got)
+
+
+def test_shapley_attribution_vs_python(spark):
+    """Serial Shapley by brute force over all 4! channel orderings — the
+    definitional average-of-marginals, fully independent of the query's
+    coalition-lattice algebra."""
+    from itertools import permutations
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.channel: r for r in
+           all_queries()["q_shapley_attribution"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE)
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts) // 1000 FROM events"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for uid, et, us in rows:
+        by_user.setdefault(uid, []).append((us, et))
+    bits = {"click": 1, "view": 2, "signup": 4, "error": 8}
+    conv: dict[int, int] = {}
+    for evs in by_user.values():
+        p = min((us for us, et in evs if et == "purchase"), default=None)
+        if p is None:
+            continue
+        mask = 0
+        for us, et in evs:
+            if us < p and et in bits:
+                mask |= bits[et]
+        conv[mask] = conv.get(mask, 0) + 1
+
+    def v(s: int) -> int:
+        return sum(c for m, c in conv.items() if (m & s) == m)
+
+    phi = {ch: 0.0 for ch in bits}
+    for perm in permutations(bits):
+        s = 0
+        for ch in perm:
+            phi[ch] += v(s | bits[ch]) - v(s)
+            s |= bits[ch]
+    for ch, bit in bits.items():
+        r = got[ch]
+        # phi_x24 is the exact 24-fold sum the permutation average makes
+        assert r.phi_x24 == round(phi[ch])
+        assert abs(r.phi - phi[ch] / 24.0) < 1e-12
+    assert got["click"].v_full == v(15) and got["click"].v_empty == v(0)
+    # efficiency: credits sum exactly to the attributable conversions
+    assert sum(r.phi_x24 for r in got.values()) == 24 * (v(15) - v(0))
+    assert v(15) > v(0) >= 0
