@@ -941,46 +941,39 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("mask")
         .agg(F.count("*").cast("bigint").alias("n_conv"))
-        .localCheckpoint(eager=True)
     )
-    subsets = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
-    v = (
-        subsets.join(
-            conv, (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")), "left"
+    # The corpus pass ends here; the coalition lattice is CONSTANT-size
+    # (16 values), so the Shapley algebra runs driver-side in exact
+    # python ints (the q_cohens_kappa scalar precedent — a 16x4 BNLJ
+    # plan over two checkpointed micro-tables measured 5-7 s of pure
+    # scheduling overhead, 15x the corpus stage). Nonnegative // here
+    # equals the engines' DIV.
+    cnt = {int(r.mask): int(r.n_conv) for r in conv.collect()}
+
+    def v(s: int) -> int:
+        return sum(c for m, c in cnt.items() if (m & s) == m)
+
+    w24 = [6, 2, 2, 6]
+    rows = []
+    for bit, channel in _SHAP_CHANNELS:
+        phi24 = sum(
+            w24[bin(s).count("1")] * (v(s | bit) - v(s))
+            for s in range(16)
+            if not s & bit
         )
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
-        .localCheckpoint(eager=True)
+        rows.append((channel, phi24))
+    total = sum(p for _, p in rows)
+    vals = ", ".join(
+        f"('{ch}', {p}, {p * 1000000 // total if total else 'NULL'},"
+        f" {v(15)}, {v(0)})"
+        for ch, p in rows
     )
-    chans = spark.createDataFrame(_SHAP_CHANNELS, ["bit", "channel"]).select(
-        F.col("bit").cast("bigint").alias("bit"), "channel"
-    )
-    a = v.select(F.col("s").alias("s"), F.col("v").alias("va"))
-    b = v.select(F.col("s").alias("sb"), F.col("v").alias("vb"))
-    phi = (
-        chans.join(a, a["s"].bitwiseAND(chans["bit"]) == 0)
-        .join(b, F.col("sb") == F.col("s") + F.col("bit"))
-        .groupBy("channel", "bit")
-        .agg(
-            F.sum(F.expr(_shap_w24("s")) * (F.col("vb") - F.col("va")))
-            .cast("bigint")
-            .alias("phi_x24")
-        )
-    )
-    v_rows = {r.s: r.v for r in v.collect()}
-    w = Window.partitionBy()
-    return (
-        phi.select(
-            "channel",
-            "phi_x24",
-            (F.col("phi_x24").cast("double") / F.lit(24.0)).alias("phi"),
-            F.expr(
-                "phi_x24 * 1000000 DIV NULLIF(SUM(phi_x24) OVER (), 0)"
-            )
-            .cast("bigint")
-            .alias("share_ppm"),
-            F.lit(int(v_rows[15])).cast("bigint").alias("v_full"),
-            F.lit(int(v_rows[0])).cast("bigint").alias("v_empty"),
-        )
-        .orderBy("channel")
+    # the one double stays an in-engine IEEE division (oracle does the same)
+    return spark.sql(
+        f"SELECT channel, CAST(phi_x24 AS BIGINT) AS phi_x24,"
+        f" CAST(phi_x24 AS DOUBLE) / 24.0 AS phi,"
+        f" CAST(share_ppm AS BIGINT) AS share_ppm,"
+        f" CAST(v_full AS BIGINT) AS v_full, CAST(v_empty AS BIGINT) AS v_empty"
+        f" FROM VALUES {vals} AS t(channel, phi_x24, share_ppm, v_full, v_empty)"
+        f" ORDER BY channel"
     )

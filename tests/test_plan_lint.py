@@ -250,13 +250,13 @@ WHITELIST = {
     # 12 unrolled IPF half-step windows over the ~100-row
     # (lang, source) cell grid; corpus pass = the one count aggregate.
     "q_ipf_raking": ({"single-part"}, "IPF half-steps over bounded mixture grid"),
-    # Subset-containment join (mask & s) = mask over the constant 16-row
-    # coalition lattice (non-equi -> BNLJ by construction, 16x16 max);
-    # the share window runs on 4 channel rows. Corpus pass = one
-    # user-keyed mask aggregate, checkpointed.
+    # Constant 16-value coalition lattice runs driver-side (the 16x4
+    # BNLJ plan measured 5-7 s of scheduling overhead); the plan is one
+    # user-keyed mask aggregate + a 4-row literal relation, but keep the
+    # bounded shapes whitelisted in case AQE re-plans the final sort.
     "q_shapley_attribution": (
         {"bnlj", "single-part"},
-        "16-row coalition lattice x 4-channel report",
+        "16-value lattice driver-side; 4-row literal report",
     ),
 }
 
