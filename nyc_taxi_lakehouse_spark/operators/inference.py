@@ -1454,3 +1454,100 @@ sql_query(
     "window sums. Corpus-scale work is ONE user-keyed aggregate; the "
     "3-row stratum grain carries everything else.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Mediation analysis — Baron-Kenny product-of-coefficients (does activity
+# drive purchases THROUGH errors, or around them?).
+# ---------------------------------------------------------------------------
+
+
+def _mediation_sql(d: Dialect) -> str:
+    """Closed-form Baron-Kenny mediation on the user grain: x = events,
+    m = error events (mediator), y = purchase events. Three OLS fits from
+    ONE moment pass — a (x->m), c (total x->y), and the two-predictor
+    y ~ x + m via the 2x2 normal equations (b = mediator effect, c' =
+    direct effect). All centered cross-products S__ are exact BIGINT
+    (n*Σxy - ΣxΣy; bounded ~n²·x̄·ȳ — safe to ~1e7 users at ~100
+    events each, DECIMAL(38,0) beyond); slopes and the determinant are
+    single IEEE trees over those exact integers (det = Sxx·Smm - Sxm²
+    would overflow as BIGINT, so it is formed in double — deterministic,
+    same tree both engines). Indirect effect ab and proportion mediated
+    ab/c follow; Sobel's z needs sqrt and is left to the consumer."""
+    dbl = "CAST(%s AS DOUBLE)"
+    sxx, sxm, sxy, smm, smy = (
+        "(n * sxx - sx * sx)",
+        "(n * sxm - sx * sm)",
+        "(n * sxy - sx * sy)",
+        "(n * smm - sm * sm)",
+        "(n * smy - sm * sy)",
+    )
+    det = f"({dbl % sxx} * {dbl % smm} - {dbl % sxm} * {dbl % sxm})"
+    a = f"({dbl % sxm} / {dbl % f'NULLIF({sxx}, 0)'})"
+    c = f"({dbl % sxy} / {dbl % f'NULLIF({sxx}, 0)'})"
+    b = (
+        f"(({dbl % smy} * {dbl % sxx} - {dbl % sxy} * {dbl % sxm})"
+        f" / NULLIF({det}, 0.0))"
+    )
+    cp = (
+        f"(({dbl % sxy} * {dbl % smm} - {dbl % smy} * {dbl % sxm})"
+        f" / NULLIF({det}, 0.0))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(m) AS BIGINT) AS sm,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * m) AS BIGINT) AS sxm,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(m * m) AS BIGINT) AS smm,
+         CAST(SUM(m * y) AS BIGINT) AS smy
+  FROM per_user
+)
+SELECT n, sx, sm, sy,
+       CAST({sxx} AS BIGINT) AS cxx,
+       CAST({sxm} AS BIGINT) AS cxm,
+       CAST({sxy} AS BIGINT) AS cxy,
+       CAST({smm} AS BIGINT) AS cmm,
+       CAST({smy} AS BIGINT) AS cmy,
+       {a} AS path_a,
+       {c} AS total_c,
+       {b} AS path_b,
+       {cp} AS direct_c_prime,
+       {a} * {b} AS indirect_ab,
+       CASE WHEN {c} <> 0.0 THEN {a} * {b} / {c} END AS prop_mediated
+FROM moments
+"""
+
+
+sql_query(
+    "q_mediation",
+    spark_sql=_mediation_sql(SPARK),
+    duck_sql=_mediation_sql(DUCK),
+    tables=["events"],
+    doc="Baron-Kenny mediation analysis on the user grain: does activity "
+    "(x = event count) drive purchasing (y) THROUGH error exposure "
+    "(m), or directly? One moment pass yields all three OLS fits in "
+    "closed form — path a (x->m), total effect c, and the two-"
+    "predictor y ~ x + m normal equations for the mediator path b and "
+    "direct effect c' — plus the indirect effect a*b and proportion "
+    "mediated. Centered cross-products are exact BIGINT (safe to ~1e7 "
+    "users; DECIMAL(38,0) beyond); slopes/determinant are single IEEE "
+    "trees over them (the det would overflow as integer, so it is "
+    "formed in double — same tree both engines). Sobel's z needs sqrt "
+    "and is left to the consumer per the house rule. The causal-"
+    "DECOMPOSITION companion to q_cem_att (effect size) and q_cmh "
+    "(significance). Corpus-scale work: ONE user-keyed aggregate, one "
+    "1-row moment reduction.",
+)

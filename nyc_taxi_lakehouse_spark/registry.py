@@ -76,6 +76,7 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 additions (never driver-checked — first rows needed)
+    "q_mediation",
     "q_shapley_attribution",
     "q_ipf_raking",
     "q_unseen_vocab",

@@ -258,6 +258,9 @@ WHITELIST = {
         {"bnlj", "single-part"},
         "16-value lattice driver-side; 4-row literal report",
     ),
+    # 1-row moment reduction + closed-form slope algebra; corpus pass =
+    # the user-keyed aggregate.
+    "q_mediation": ({"single-part"}, "1-row OLS moment reduction"),
 }
 
 

@@ -245,3 +245,47 @@ def test_shapley_attribution_vs_python(spark):
     # efficiency: credits sum exactly to the attributable conversions
     assert sum(r.phi_x24 for r in got.values()) == 24 * (v(15) - v(0))
     assert v(15) > v(0) >= 0
+
+
+def test_mediation_vs_python(spark):
+    """Serial Baron-Kenny: per-user (x, m, y) built row-by-row, all three
+    OLS fits recomputed with float normal equations, exact moment columns
+    compared as integers."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_mediation"].fn(spark, SF_SMOKE).first()
+    con = _duck(SF_SMOKE)
+    df = con.execute(
+        "SELECT user_id, event_type FROM events"
+    ).df()
+    xs, ms, ys = [], [], []
+    for _, g in df.groupby("user_id"):
+        xs.append(len(g))
+        ms.append(int((g.event_type == "error").sum()))
+        ys.append(int((g.event_type == "purchase").sum()))
+    n = len(xs)
+    sx, sm_, sy = sum(xs), sum(ms), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxm = sum(a * b for a, b in zip(xs, ms))
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    smm = sum(v * v for v in ms)
+    smy = sum(a * b for a, b in zip(ms, ys))
+    cxx, cxm, cxy = n * sxx - sx * sx, n * sxm - sx * sm_, n * sxy - sx * sy
+    cmm, cmy = n * smm - sm_ * sm_, n * smy - sm_ * sy
+    assert (got.n, got.sx, got.sm, got.sy) == (n, sx, sm_, sy)
+    assert (got.cxx, got.cxm, got.cxy, got.cmm, got.cmy) == (
+        cxx, cxm, cxy, cmm, cmy,
+    )
+    a = cxm / cxx
+    c = cxy / cxx
+    det = float(cxx) * float(cmm) - float(cxm) * float(cxm)
+    b = (cmy * cxx - cxy * cxm) / det
+    cp = (cxy * cmm - cmy * cxm) / det
+    assert abs(got.path_a - a) < 1e-12
+    assert abs(got.total_c - c) < 1e-12
+    assert abs(got.path_b - b) < 1e-9
+    assert abs(got.direct_c_prime - cp) < 1e-9
+    assert abs(got.indirect_ab - a * b) < 1e-9
+    assert abs(got.prop_mediated - a * b / c) < 1e-9
+    # decomposition identity: c = c' + a*b (exact property of OLS)
+    assert abs(got.total_c - (got.direct_c_prime + got.indirect_ab)) < 1e-9
