@@ -134,6 +134,22 @@ HEADLINE = [
     "q_holt",
     "q_assortativity",
     "q_fano_factor",
+    # Round-4 continuation, part 5/6: ranking eval, survival inference,
+    # agreement, causal matching + stratified test + mediation, off-policy
+    # eval, jackknife, vocabulary estimators, capture-recapture, IPF
+    # mixture raking, exact Shapley attribution.
+    "q_ndcg",
+    "q_logrank",
+    "q_cohens_kappa",
+    "q_cem_att",
+    "q_ips_eval",
+    "q_jackknife",
+    "q_unseen_vocab",
+    "q_capture_recapture",
+    "q_cmh",
+    "q_ipf_raking",
+    "q_shapley_attribution",
+    "q_mediation",
 ]
 
 
