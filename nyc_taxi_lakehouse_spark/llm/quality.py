@@ -158,3 +158,81 @@ def _register_kanon():
 
 
 _register_kanon()
+
+
+# ---------------------------------------------------------------------------
+# l-diversity + t-closeness — the attribute-disclosure companions to
+# q_k_anonymity's membership-disclosure audit.
+# ---------------------------------------------------------------------------
+
+
+def _ldiv_sql(d) -> str:
+    """Per quasi-identifier class (lang, source): distinct-l diversity of
+    the sensitive attribute (400-char length band) and t-closeness as the
+    total-variation distance between the class's sensitive distribution
+    and the corpus-wide one. Shares are ppm staged idiv (truncation,
+    documented); the TV sum runs over the full (class x sensitive-value)
+    grid so absent values contribute their global mass."""
+    sv = d.idiv("n_chars", "400")
+    p_c = d.idiv("(COALESCE(ce.c, 0) * 1000000)", "gr.n")
+    p_g = d.idiv("(gr.gc * 1000000)", "t.gn")
+    return f"""
+WITH rows_s AS (
+  SELECT lang, source, CAST({sv} AS BIGINT) AS sv FROM documents
+),
+cells AS (
+  SELECT lang, source, sv, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rows_s GROUP BY lang, source, sv
+),
+class AS (
+  SELECT lang, source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct
+  FROM cells GROUP BY lang, source
+),
+gdist AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY sv),
+gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM gdist),
+grid AS (
+  SELECT cl.lang, cl.source, cl.n, cl.l_distinct, g.sv, g.gc
+  FROM class cl CROSS JOIN gdist g
+),
+tv AS (
+  SELECT gr.lang, gr.source, gr.n, gr.l_distinct,
+         CAST(SUM(ABS({p_c} - {p_g})) AS BIGINT) AS sum_abs_ppm
+  FROM grid gr
+  LEFT JOIN cells ce
+    ON ce.lang = gr.lang AND ce.source = gr.source AND ce.sv = gr.sv
+  CROSS JOIN gtot t
+  GROUP BY gr.lang, gr.source, gr.n, gr.l_distinct
+)
+SELECT lang, source, n, l_distinct,
+       CAST({d.idiv('sum_abs_ppm', '2')} AS BIGINT) AS t_closeness_ppm,
+       CAST(MIN(l_distinct) OVER () AS BIGINT) AS min_l
+FROM tv
+ORDER BY lang, source
+"""
+
+
+def _register_ldiv():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_l_diversity",
+        spark_sql=_ldiv_sql(SPARK),
+        duck_sql=_ldiv_sql(DUCK),
+        tables=["documents"],
+        doc="l-diversity + t-closeness audit per quasi-identifier class "
+        "(lang, source) with the 400-char length band as the sensitive "
+        "attribute: distinct-l per class (attribute-disclosure risk — a "
+        "k-anonymous class with one sensitive value still leaks) and "
+        "t-closeness as the exact total-variation distance in ppm between "
+        "class and corpus sensitive distributions, summed over the full "
+        "value grid so absent values contribute their global mass. The "
+        "attribute-disclosure companions to q_k_anonymity. One cell-keyed "
+        "corpus aggregate; the class x value grid (bounded by "
+        "|langs|x|sources|x|bands|) carries everything else.",
+    )
+
+
+_register_ldiv()

@@ -2067,3 +2067,73 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("chapman_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential association rules — first-occurrence ordering between types.
+# ---------------------------------------------------------------------------
+
+
+def _seq_rules_sql(d) -> str:
+    """Sequential association rules over per-user FIRST occurrences:
+    support(a->b) = users whose first a strictly precedes their first b
+    (microsecond grain; simultaneous firsts are dropped — documented tie
+    rule), confidence = support / users-with-a, lift = support * n /
+    (n_a * n_b) against the independence baseline. The ORDERED upgrade
+    of q_market_basket's symmetric co-occurrence and the pairwise
+    summary of q_markov_transitions' step-level chain."""
+    us = d.epoch_us("ts")
+    return f"""
+WITH firsts AS (
+  SELECT user_id, event_type, MIN({us}) AS t0
+  FROM events GROUP BY user_id, event_type
+),
+marg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM firsts GROUP BY event_type
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_u FROM firsts),
+pairs AS (
+  SELECT a.event_type AS a_type, b.event_type AS b_type,
+         CAST(COUNT(*) AS BIGINT) AS sup
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id
+   AND a.event_type <> b.event_type
+   AND a.t0 < b.t0
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.a_type, p.b_type, p.sup,
+       ma.n_t AS n_a, mb.n_t AS n_b, t.n_u,
+       CAST({d.idiv('(p.sup * 1000000)', 'ma.n_t')} AS BIGINT) AS conf_ppm,
+       CAST({d.idiv('(p.sup * t.n_u * 1000000)', '(ma.n_t * mb.n_t)')}
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN marg ma ON ma.event_type = p.a_type
+JOIN marg mb ON mb.event_type = p.b_type
+CROSS JOIN tot t
+ORDER BY p.a_type, p.b_type
+"""
+
+
+def _register_seq_rules():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_seq_rules",
+        spark_sql=_seq_rules_sql(SPARK),
+        duck_sql=_seq_rules_sql(DUCK),
+        tables=["events"],
+        doc="Sequential association rules (a BEFORE b) over per-user first "
+        "occurrences: support / confidence / lift per ordered event-type "
+        "pair — the temporal-order upgrade of q_market_basket (symmetric "
+        "co-occurrence) and the summary view of q_markov_transitions "
+        "(step-level). Exact counts with ppm staged idiv (sup*n_u*1e6 is "
+        "BIGINT-safe to ~2e6 users; DECIMAL(38,0) beyond). Corpus-scale "
+        "work: one (user, type)-keyed aggregate and a user-partitioned "
+        "self-join on the <=|types|-per-user firsts table; the rule grid "
+        "(<=20 rows) carries the marginals joins.",
+    )
+
+
+_register_seq_rules()

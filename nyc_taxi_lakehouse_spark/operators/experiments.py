@@ -1,0 +1,192 @@
+"""Experimentation-platform operators, part 2 — randomization inference and
+experiment sizing.
+
+Completes the experimentation suite (q_ab_welch fixed-horizon test, q_ab_srm
+validity gate, q_sprt sequential monitor, q_cuped variance reduction,
+q_permutation_test adds the assumption-free significance readout, q_power_mde
+the before-you-launch sizing readout). House discipline: exact integer /
+decimal moments until one final shared IEEE tree; no erf/ln anywhere; the
+Monte-Carlo randomization is hash-derived (md5 per (user, replicate)) so the
+whole distribution is deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect, dsum, dxsum2
+from ..registry import sql_query
+
+_R = 128  # randomization replicates
+
+
+def _perm_sql(d: Dialect) -> str:
+    """Hash-randomized approximate permutation test for the error-first
+    cohort effect on per-user purchase counts (the q_cmh exposure/outcome
+    pair, tested without any distributional assumption). Replicate b
+    relabels each user by u = md5(user:b) mod 1e6 < p1_ppm — iid
+    relabeling at the OBSERVED treated fraction (the unconditional
+    randomization-test variant: group sizes vary binomially around n1,
+    documented; degenerate all-one-arm replicates count as extreme —
+    conservative). The |T_r| >= |T_obs| comparison is EXACT integer
+    cross-multiplication — |s1r*n0r - s0r*n1r|*(n1*n0) vs
+    |s1*n0 - s0*n1|*(n1r*n0r) — so the p-value involves no floats at
+    all. BIGINT bound: s*n*(n*n) — safe to ~30k users at ~10 purchases
+    each; DECIMAL(38,0) is the documented swap beyond."""
+    us = d.epoch_us("ts")
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    if d.name == "spark":
+        reps = f"SELECT explode(sequence(0, {_R - 1})) AS b"
+    else:
+        reps = f"SELECT unnest(generate_series(0, {_R - 1})) AS b"
+    u = d.md5_int32(
+        f"concat(CAST(p.user_id AS {s}), chr(58), CAST(r.b AS {s}))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN {us} END)
+                   = MIN({us}) THEN 1 ELSE 0 END AS g,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n0,
+         CAST(SUM(g * y) AS BIGINT) AS s1,
+         CAST(SUM((1 - g) * y) AS BIGINT) AS s0
+  FROM per_user
+),
+reps AS ({reps}),
+relabeled AS (
+  SELECT r.b,
+         CASE WHEN ({u} % 1000000)
+                   < {d.idiv("(o.n1 * 1000000)", "o.n")}
+              THEN 1 ELSE 0 END AS gr,
+         p.y
+  FROM per_user p CROSS JOIN reps r CROSS JOIN obs o
+),
+rep_stats AS (
+  SELECT b,
+         CAST(SUM(gr) AS BIGINT) AS n1r,
+         CAST(COUNT(*) - SUM(gr) AS BIGINT) AS n0r,
+         CAST(SUM(gr * y) AS BIGINT) AS s1r,
+         CAST(SUM((1 - gr) * y) AS BIGINT) AS s0r
+  FROM relabeled GROUP BY b
+),
+flags AS (
+  SELECT CASE
+           WHEN r.n1r = 0 OR r.n0r = 0 THEN 1
+           WHEN ABS(r.s1r * r.n0r - r.s0r * r.n1r) * (o.n1 * o.n0)
+                >= ABS(o.s1 * o.n0 - o.s0 * o.n1) * (r.n1r * r.n0r)
+           THEN 1 ELSE 0 END AS extreme
+  FROM rep_stats r CROSS JOIN obs o
+)
+SELECT o.n AS n_users, o.n1, o.n0, o.s1, o.s0,
+       CAST(o.s1 AS DOUBLE) / CAST(NULLIF(o.n1, 0) AS DOUBLE)
+         - CAST(o.s0 AS DOUBLE) / CAST(NULLIF(o.n0, 0) AS DOUBLE) AS t_obs,
+       CAST({_R} AS BIGINT) AS n_replicates,
+       CAST(SUM(f.extreme) AS BIGINT) AS n_extreme,
+       CAST({d.idiv(f"((1 + SUM(f.extreme)) * 1000000)", str(_R + 1))}
+            AS BIGINT) AS p_ppm
+FROM flags f CROSS JOIN obs o
+GROUP BY o.n, o.n1, o.n0, o.s1, o.s0
+"""
+
+
+sql_query(
+    "q_permutation_test",
+    spark_sql=_perm_sql(SPARK),
+    duck_sql=_perm_sql(DUCK),
+    tables=["events"],
+    doc="Hash-randomized permutation test (128 deterministic replicates) "
+    "for the error-first cohort's effect on per-user purchase counts — "
+    "the assumption-free significance companion to q_ab_welch (normal "
+    "theory) and q_mannwhitney_u (rank). Relabeling is md5-derived per "
+    "(user, replicate) at the observed treated fraction, so the whole "
+    "Monte-Carlo distribution is reproducible and oracle-checkable; the "
+    "|T_r| >= |T_obs| comparison is exact integer cross-multiplication — "
+    "the p-value never touches a float. Corpus-scale work: one user-keyed "
+    "aggregate, then a 128x map-only fanout of the USER GRAIN (not the "
+    "event grain) with map-side partial aggregation down to 128 rows. "
+    "BIGINT-safe to ~3e4 users; DECIMAL(38,0) swap documented.",
+)
+
+
+# Two-sided alpha=0.05, power=0.80 normal quantiles; their sum and its
+# square are precomputed in Python so both engines see identical literals
+# (POWER() is not guaranteed identically rounded; x*x with a literal is).
+_ZA = 1.959963984540054
+_ZB = 0.8416212335729143
+_ZS = repr(_ZA + _ZB)
+_ZS2 = repr((_ZA + _ZB) * (_ZA + _ZB))
+
+
+def _power_sql() -> str:
+    """Experiment sizing readout per event_type on the q_ab_welch
+    assignment: per-arm n / mean / unbiased variance from exact decimal
+    moment sums, the minimum detectable effect at the CURRENT sample
+    size (alpha=.05 two-sided, power=.80), the relative MDE vs the
+    control mean, and the required per-arm n to detect a 1% relative
+    lift. All normal quantiles are compile-time literals; every ratio
+    is one shared IEEE tree over exact moments."""
+    var = (
+        "((CAST({n} AS DOUBLE) * {sxx} - {sx} * {sx})"
+        " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1)))"
+    )
+    va = var.format(n="n_a", sx="sx_a", sxx="sxx_a")
+    vb = var.format(n="n_b", sx="sx_b", sxx="sxx_b")
+    mean_a = "(sx_a / CAST(n_a AS DOUBLE))"
+    mde = f"({_ZS} * SQRT({va} / CAST(n_a AS DOUBLE) + {vb} / CAST(n_b AS DOUBLE)))"
+    return f"""
+WITH sums AS (
+  SELECT
+    event_type,
+    CAST(user_id % 2 AS INT) AS variant,
+    COUNT(*) AS n,
+    {dsum('value', scale=6)} AS sx,
+    {dxsum2('value', 'value', s1=6, s2=6)} AS sxx
+  FROM events
+  GROUP BY event_type, CAST(user_id % 2 AS INT)
+),
+ab AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM sums a JOIN sums b
+    ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+  WHERE a.n >= 2 AND b.n >= 2
+)
+SELECT
+  event_type,
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  {mean_a} AS mean_a,
+  sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+  {va} AS var_a,
+  {vb} AS var_b,
+  {mde} AS mde_abs,
+  {mde} / NULLIF({mean_a}, 0.0) AS mde_rel,
+  CAST(CEIL({_ZS2} * ({va} + {vb})
+            / NULLIF(0.0001 * {mean_a} * {mean_a}, 0.0)) AS BIGINT)
+    AS n_per_arm_for_1pct
+FROM ab
+"""
+
+
+sql_query(
+    "q_power_mde",
+    spark_sql=_power_sql(),
+    duck_sql=_power_sql(),
+    tables=["events"],
+    doc="Experiment power / sizing readout per event_type on the "
+    "q_ab_welch user-parity assignment: minimum detectable effect at the "
+    "current n (alpha=.05 two-sided, power=.80), relative MDE vs the "
+    "control mean, and the required per-arm n for a 1% relative lift. "
+    "Normal quantiles and their squared sum are compile-time literals "
+    "(POWER() rounding is not engine-pinned; a literal is); variances "
+    "come from the dsum/dxsum2 exact decimal moment discipline, so the "
+    "final columns are single shared IEEE trees. ONE event-type-keyed "
+    "aggregate at corpus scale; the arm join runs on the 10-row "
+    "(type, variant) grain.",
+)

@@ -1,0 +1,188 @@
+"""Spatial operators — grid-blocked geometric joins and spatial statistics.
+
+The reference's zone analytics join trips to taxi-zone dimension rows by zone
+id (comprehensive_analytics.py zone rollups); the GEOMETRIC side of that
+problem — "which points are near each other" without a precomputed zone id —
+is what a lakehouse needs the moment coordinates arrive raw. The scale
+pattern is grid-cell blocking (the planar cousin of geohash bucketing):
+assign each point to a square cell whose edge is >= the query radius, join
+only the 3x3 cell neighborhood, refine with the exact distance predicate.
+The pair space never materializes; the join is a plain equi-join Catalyst
+can shuffle or broadcast.
+
+The testdata carries no geo columns, so both queries derive DETERMINISTIC
+synthetic planar coordinates from the integer keys via odd multiplicative
+hashes mod 2^16 (bijective, engine-identical integer algebra — no RNG, no
+engine hash builtins). Every intermediate is exact BIGINT; the only doubles
+are final single-division report columns.
+"""
+
+from __future__ import annotations
+
+from ..functions.detsql import DUCK, SPARK, Dialect
+from ..registry import sql_query
+
+# Odd multiplicative-hash constants (Knuth / xxhash primes — all odd, hence
+# bijective mod 2^16). Distinct per axis and per table so customer and
+# supplier layouts are uncorrelated.
+_MX_C, _MY_C = 2654435761, 2246822519
+_MX_S, _MY_S = 3266489917, 668265263
+_SPACE = 65536  # coordinate range per axis
+_CELL = 2048  # grid cell edge; 32x32 grid, CELL > radius so 3x3 covers it
+_GRID = _SPACE // _CELL  # 32
+_R2 = 2000 * 2000  # radius 2000 < CELL
+
+
+def _offsets(d: Dialect) -> str:
+    """9-row (dx, dy) neighbor-offset table."""
+    if d.name == "spark":
+        one = "SELECT explode(sequence(-1, 1))"
+    else:
+        one = "SELECT unnest(generate_series(-1, 1))"
+    return (
+        f"SELECT a.dx, b.dy FROM ({one} AS dx) a CROSS JOIN ({one} AS dy) b"
+    )
+
+
+def _spatial_join_sql(d: Dialect) -> str:
+    """All customer-supplier pairs within radius 2000 in the synthetic
+    65536^2 plane, found by grid blocking: suppliers register in their
+    own cell plus the 8 neighbors (9x fanout of the SMALL side only),
+    customers join on their single home cell, and the exact integer
+    dist^2 <= r^2 refine runs per candidate. Emits the 20 nearest pairs
+    (total ordered: dist2, custkey, suppkey) plus the full within-radius
+    pair count as a window-free 1-row cross join."""
+    cx = d.idiv("c.x", str(_CELL))
+    cy = d.idiv("c.y", str(_CELL))
+    sx = d.idiv("s.x", str(_CELL))
+    sy = d.idiv("s.y", str(_CELL))
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS ck,
+         CAST((c_custkey * {_MX_C}) % {_SPACE} AS BIGINT) AS x,
+         CAST((c_custkey * {_MY_C}) % {_SPACE} AS BIGINT) AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS sk,
+         CAST((s_suppkey * {_MX_S}) % {_SPACE} AS BIGINT) AS x,
+         CAST((s_suppkey * {_MY_S}) % {_SPACE} AS BIGINT) AS y
+  FROM supplier
+),
+offsets AS ({_offsets(d)}),
+supp_cells AS (
+  SELECT s.sk, s.x, s.y,
+         {sx} + o.dx AS cx,
+         {sy} + o.dy AS cy
+  FROM supp s CROSS JOIN offsets o
+  WHERE {sx} + o.dx BETWEEN 0 AND {_GRID - 1}
+    AND {sy} + o.dy BETWEEN 0 AND {_GRID - 1}
+),
+pairs AS (
+  SELECT c.ck, s.sk,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM cust c JOIN supp_cells s ON {cx} = s.cx AND {cy} = s.cy
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= {_R2}
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT p.ck AS custkey, p.sk AS suppkey,
+       CAST(p.dist2 AS BIGINT) AS dist2, t.n_pairs
+FROM pairs p CROSS JOIN total t
+ORDER BY p.dist2, p.ck, p.sk
+LIMIT 20
+"""
+
+
+sql_query(
+    "q_spatial_join",
+    spark_sql=_spatial_join_sql(SPARK),
+    duck_sql=_spatial_join_sql(DUCK),
+    tables=["customer", "supplier"],
+    doc="Grid-blocked spatial radius join: customer-supplier pairs within "
+    "r=2000 in a synthetic 65536^2 plane (deterministic odd-multiplier "
+    "hash coordinates — the testdata has no geo columns, documented). The "
+    "geohash-bucketing scale pattern: the SMALL side registers in its "
+    "3x3 cell neighborhood (9x fanout of suppliers only), the big side "
+    "joins on its single home cell, and the exact integer dist^2 refine "
+    "prunes candidates — the O(N*M) pair space never materializes and "
+    "the join is a broadcastable equi-join. Emits the 20 nearest pairs "
+    "(TakeOrderedAndProject — no global sort) with the within-radius "
+    "count from a 1-row cross join. All-integer algebra; BIGINT-safe to "
+    "~1e9 keys.",
+)
+
+
+def _morans_i_sql(d: Dialect) -> str:
+    """Global Moran's I of the customer count field over the fixed 32x32
+    grid with rook adjacency. Centering is made exact by scaling: with
+    z_i = n_cells*c_i - total (integer), I = (n/W)*(sum_adj z_i z_j)/
+    (sum z_i^2) — the 1024^2 scale factor cancels, so every term is
+    exact BIGINT and only the final I is a double."""
+    if d.name == "spark":
+        spine = "SELECT explode(sequence(0, 31)) AS v"
+    else:
+        spine = "SELECT unnest(generate_series(0, 31)) AS v"
+    cellx = d.idiv(f"((c_custkey * {_MX_C}) % {_SPACE})", str(_CELL))
+    celly = d.idiv(f"((c_custkey * {_MY_C}) % {_SPACE})", str(_CELL))
+    n_cells = _GRID * _GRID
+    return f"""
+WITH spine AS ({spine}),
+grid AS (SELECT a.v AS cx, b.v AS cy FROM spine a CROSS JOIN spine b),
+cnt AS (
+  SELECT CAST({cellx} AS BIGINT) AS cx,
+         CAST({celly} AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY {cellx}, {celly}
+),
+cells AS (
+  SELECT g.cx, g.cy, COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+  FROM grid g LEFT JOIN cnt c ON c.cx = g.cx AND c.cy = g.cy
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pts FROM cells),
+z AS (
+  SELECT cx, cy, {n_cells} * c - (SELECT n_pts FROM tot) AS z FROM cells
+),
+edges AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON b.cx = a.cx AND b.cy = a.cy + 1
+),
+num AS (
+  SELECT CAST(2 * SUM(za * zb) AS BIGINT) AS num,
+         CAST(2 * COUNT(*) AS BIGINT) AS w
+  FROM edges
+),
+den AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT
+  CAST({n_cells} AS BIGINT) AS n_cells,
+  t.n_pts,
+  n.w,
+  n.num,
+  d.den,
+  (CAST({n_cells} AS DOUBLE) / CAST(n.w AS DOUBLE))
+    * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)) AS morans_i,
+  -1.0 / CAST({n_cells} - 1 AS DOUBLE) AS expected_i
+FROM num n CROSS JOIN den d CROSS JOIN tot t
+"""
+
+
+sql_query(
+    "q_morans_i",
+    spark_sql=_morans_i_sql(SPARK),
+    duck_sql=_morans_i_sql(DUCK),
+    tables=["customer"],
+    doc="Global Moran's I spatial autocorrelation of the customer density "
+    "field on the fixed 32x32 grid (rook adjacency, binary weights). The "
+    "mean-centering that usually forces doubles is made exact by scaling: "
+    "z_i = 1024*c_i - total is integer and the 1024^2 factor cancels in "
+    "I = (n/W)*(sum_adj z_i z_j)/(sum z_i^2), so numerator, denominator, "
+    "and W are exact BIGINT and only the final ratio is a double (one "
+    "shared IEEE tree). Under the hash-uniform synthetic layout the "
+    "statistic validates the CSR null (I ~ E[I] = -1/1023) — the test "
+    "asserts exactly that. Corpus-scale work is ONE cell-keyed count "
+    "aggregate; the grid spine, adjacency self-joins, and moment sums "
+    "all run on the constant 1024-cell grain. BIGINT-safe to ~3e6 "
+    "points/cell (z^2 < 2^63/4096).",
+)

@@ -1389,3 +1389,98 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting per part.
+# ---------------------------------------------------------------------------
+
+# Exact-rational EWMA weights for alpha = 1/4 over the last 8 demand
+# occurrences: w_j = 3^j * 4^(7-j) (unnormalized, common denominator 4^8);
+# most recent occurrence first. All integers, so the weighted sums are
+# exact BIGINT and both engines agree bit-for-bit.
+_CROSTON_W = [16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187]
+_CROSTON_WSUM = sum(_CROSTON_W)  # 58975
+
+
+def _croston_sql(d) -> str:
+    """Croston's intermittent-demand forecast per part: the classic
+    decomposition into demand SIZE (EWMA over nonzero-demand days) and
+    inter-demand INTERVAL (EWMA over the gaps between those days), with
+    forecast rate = size / interval. The two EWMAs use exact-rational
+    truncated weights (alpha=1/4, last 8 occurrences, w_j = 3^j*4^(7-j)
+    over the common denominator 4^8) so every smoothed value is an exact
+    integer ratio — emitted in ppm via staged idiv — and the one double
+    (the rate) is a single IEEE division of two exact BIGINTs. Parts
+    need >= 9 demand days so all 8 recent occurrences carry a defined
+    gap (the truncation boundary, documented)."""
+    if d.name == "spark":
+        daynum = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+    else:
+        daynum = (
+            "CAST(date_diff('day', DATE '1992-01-01',"
+            " CAST(o_orderdate AS DATE)) AS BIGINT)"
+        )
+    w = "CASE rn " + " ".join(
+        f"WHEN {j + 1} THEN {wj}" for j, wj in enumerate(_CROSTON_W)
+    ) + " END"
+    return f"""
+WITH demand AS (
+  SELECT l_partkey AS pk, {daynum} AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, {daynum}
+),
+seq AS (
+  SELECT pk, day, qty,
+         day - LAG(day) OVER (PARTITION BY pk ORDER BY day) AS gap,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY day DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY pk) AS n_days
+  FROM demand
+),
+recent AS (
+  SELECT pk, qty, gap, rn, n_days FROM seq WHERE rn <= 8 AND n_days >= 9
+),
+agg AS (
+  SELECT pk,
+         CAST(MAX(n_days) AS BIGINT) AS n_demand_days,
+         CAST(SUM(({w}) * qty) AS BIGINT) AS z_num,
+         CAST(SUM(({w}) * gap) AS BIGINT) AS p_num
+  FROM recent GROUP BY pk
+)
+SELECT pk AS partkey,
+       n_demand_days,
+       CAST({d.idiv('(z_num * 1000000)', str(_CROSTON_WSUM))} AS BIGINT)
+         AS size_ewma_ppm,
+       CAST({d.idiv('(p_num * 1000000)', str(_CROSTON_WSUM))} AS BIGINT)
+         AS interval_ewma_ppm,
+       CAST(z_num AS DOUBLE) / CAST(p_num AS DOUBLE) AS croston_rate
+FROM agg
+ORDER BY pk
+"""
+
+
+def _register_croston():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_croston",
+        spark_sql=_croston_sql(SPARK),
+        duck_sql=_croston_sql(DUCK),
+        tables=["lineitem", "orders"],
+        doc="Croston's intermittent-demand forecast per part (size EWMA / "
+        "interval EWMA over the nonzero-demand days) — the demand-planning "
+        "answer for sparse series where q_holt's level+trend smoothing is "
+        "wrong (zeros are structure, not signal). Both EWMAs use exact-"
+        "rational truncated weights (alpha=1/4, last 8 occurrences, "
+        "3^j*4^(7-j)/4^8), so smoothed values are exact integer ratios in "
+        "ppm and only the final rate is one IEEE division. Corpus-scale "
+        "plan: the orderkey-partitioned lineitem-orders join, one "
+        "(part, day) aggregate, per-part windows (PARTITIONED — no global "
+        "sort), and a per-part 8-row weighted sum. Scales with parts, not "
+        "days.",
+    )
+
+
+_register_croston()

@@ -75,6 +75,14 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-7 additions (never driver-checked — first rows needed)
+    "q_spatial_join",
+    "q_morans_i",
+    "q_croston",
+    "q_permutation_test",
+    "q_power_mde",
+    "q_seq_rules",
+    "q_l_diversity",
     # round-4 additions (never driver-checked — first rows needed)
     "q_mediation",
     "q_shapley_attribution",
@@ -331,6 +339,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import modern_sql  # noqa: F401
     from .operators import zorder  # noqa: F401
     from .operators import inference  # noqa: F401
+    from .operators import spatial  # noqa: F401
+    from .operators import experiments  # noqa: F401
     from .operators import commerce  # noqa: F401
     from .operators import forensics  # noqa: F401
     from .operators import marketing  # noqa: F401

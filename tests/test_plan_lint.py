@@ -117,6 +117,20 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # 1-row pair-count scalar fanned onto the blocked candidate pairs
+    # (top-20 itself is TakeOrderedAndProject — no global sort).
+    "q_spatial_join": ({"bnlj", "single-part"}, "1-row pair-count x pairs; top-k take"),
+    # Fixed 1024-cell grid algebra: 32-row spine cross join, grid
+    # adjacency self-joins, 1-row moment scalars.
+    "q_morans_i": ({"bnlj", "single-part"}, "constant 1024-cell grid + 1-row moments"),
+    # 1-row observed-stats broadcast x user grain; constant 128-row
+    # replicate fanout; 128-row randomization-distribution aggregate.
+    "q_permutation_test": ({"bnlj", "single-part"}, "1-row obs x users; 128-row reps"),
+    # 1-row user-count broadcast into the <=|types|^2 rule grid.
+    "q_seq_rules": ({"bnlj", "single-part"}, "1-row n_u x <=20-row rule grid"),
+    # class x sensitive-value grid (bounded by fixed attribute
+    # cardinalities) + 1-row corpus total + min-l window over <=|classes|.
+    "q_l_diversity": ({"bnlj", "single-part"}, "bounded class x band grid + 1-row total"),
     # Four-cell pivot to one scalar row + 1-row bounds broadcast.
     "q_diff_in_diff": ({"bnlj", "single-part"}, "2x2 cells to scalar + 1-row bounds"),
     # Nation-grain algebra (25 rows) x two 1-row scalar CTEs.

@@ -1,0 +1,279 @@
+"""Behavioral tests for the round-4g operators: grid-blocked spatial join,
+Moran's I, Croston intermittent demand, the hash-randomized permutation
+test, power/MDE sizing, sequential rules, and l-diversity/t-closeness —
+each pinned against an independent python serial reference (the parity
+gate shares SQL text across engines and cannot see formula-level bugs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+
+from .conftest import SF_SMOKE
+
+
+def _duck(sf_dir: str, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _coords(key: int, mx: int, my: int) -> tuple[int, int]:
+    return (key * mx) % 65536, (key * my) % 65536
+
+
+def test_spatial_join_vs_bruteforce(spark):
+    """The grid-blocked radius join must equal the O(N*M) brute force on
+    the same hash coordinates — blocking is an optimization, never a
+    semantics change (cell edge 2048 > radius 2000, so the 3x3
+    neighborhood provably covers every within-radius pair)."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _MX_C, _MX_S, _MY_C, _MY_S, _R2,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_spatial_join"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("customer", "supplier"))
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    supps = [r[0] for r in con.execute("SELECT s_suppkey FROM supplier").fetchall()]
+    pairs = []
+    for ck in custs:
+        cx, cy = _coords(ck, _MX_C, _MY_C)
+        for sk in supps:
+            sx, sy = _coords(sk, _MX_S, _MY_S)
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+            if d2 <= _R2:
+                pairs.append((d2, ck, sk))
+    pairs.sort()
+    assert len(got) == min(20, len(pairs)) and len(pairs) > 0
+    for row, (d2, ck, sk) in zip(got, pairs[:20]):
+        assert (row.custkey, row.suppkey, row.dist2) == (ck, sk, d2)
+        assert row.n_pairs == len(pairs)
+
+
+def test_morans_i_vs_python(spark):
+    """Moran's I recomputed serially in floats from the cell counts; under
+    the hash-uniform layout it must sit near the CSR expectation
+    E[I] = -1/(n-1)."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import _MX_C, _MY_C
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_morans_i"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("customer",))
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    c = Counter()
+    for ck in custs:
+        x, y = _coords(ck, _MX_C, _MY_C)
+        c[(x // 2048, y // 2048)] += 1
+    n = 32 * 32
+    mean = len(custs) / n
+    num = w = 0.0
+    for cx in range(32):
+        for cy in range(32):
+            zi = c.get((cx, cy), 0) - mean
+            for nx, ny in ((cx + 1, cy), (cx, cy + 1)):
+                if nx < 32 and ny < 32:
+                    num += 2 * zi * (c.get((nx, ny), 0) - mean)
+                    w += 2
+    den = sum((c.get((cx, cy), 0) - mean) ** 2 for cx in range(32) for cy in range(32))
+    i_ref = (n / w) * num / den
+    assert row.n_cells == n and row.w == int(w)
+    assert row.n_pts == len(custs)
+    assert abs(row.morans_i - i_ref) < 1e-9
+    assert abs(row.expected_i - (-1 / (n - 1))) < 1e-15
+    # CSR validation: hash-uniform layout shows no real autocorrelation
+    assert abs(row.morans_i - row.expected_i) < 0.1
+
+
+def test_croston_vs_python(spark):
+    """Croston recomputed serially: per part, the last 8 demand days'
+    sizes and gaps under the exact 3^j*4^(7-j) weight ladder."""
+    from nyc_taxi_lakehouse_spark.operators.windows import (
+        _CROSTON_W, _CROSTON_WSUM,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.partkey: r for r in all_queries()["q_croston"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("lineitem", "orders"))
+    rows = con.execute(
+        """
+        SELECT l_partkey,
+               date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)),
+               SUM(CAST(l_quantity AS BIGINT))
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_part = defaultdict(list)
+    for pk, day, qty in rows:
+        by_part[pk].append((day, qty))
+    checked = 0
+    for pk, series in by_part.items():
+        if len(series) < 9:
+            assert pk not in got
+            continue
+        days = [d for d, _ in series]
+        gaps = {days[i]: days[i] - days[i - 1] for i in range(1, len(days))}
+        recent = series[-8:][::-1]  # most recent first
+        z_num = sum(w * q for w, (_, q) in zip(_CROSTON_W, recent))
+        p_num = sum(w * gaps[d] for w, (d, _) in zip(_CROSTON_W, recent))
+        r = got[pk]
+        assert r.n_demand_days == len(series)
+        assert r.size_ewma_ppm == z_num * 1_000_000 // _CROSTON_WSUM
+        assert r.interval_ewma_ppm == p_num * 1_000_000 // _CROSTON_WSUM
+        assert abs(r.croston_rate - z_num / p_num) < 1e-12
+        checked += 1
+    assert checked > 50
+
+
+def _md5_int32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_permutation_test_vs_python(spark):
+    """The whole randomization distribution recomputed serially from the
+    same md5-derived relabeling — p-value, extreme count, and observed
+    statistic must match exactly."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_permutation_test"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    per_user = con.execute(
+        """
+        SELECT user_id,
+               CASE WHEN MIN(CASE WHEN event_type = 'error'
+                             THEN epoch_ns(ts) END) = MIN(epoch_ns(ts))
+                    THEN 1 ELSE 0 END,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    n = len(per_user)
+    n1 = sum(g for _, g, _ in per_user)
+    n0 = n - n1
+    s1 = sum(y for _, g, y in per_user if g)
+    s0 = sum(y for _, g, y in per_user if not g)
+    assert (row.n_users, row.n1, row.n0, row.s1, row.s0) == (n, n1, n0, s1, s0)
+    p1_ppm = n1 * 1_000_000 // n
+    obs_cross = abs(s1 * n0 - s0 * n1)
+    extreme = 0
+    for b in range(128):
+        n1r = s1r = s0r = 0
+        for uid, _, y in per_user:
+            if _md5_int32(f"{uid}:{b}") % 1_000_000 < p1_ppm:
+                n1r += 1
+                s1r += y
+            else:
+                s0r += y
+        n0r = n - n1r
+        if n1r == 0 or n0r == 0:
+            extreme += 1
+        elif abs(s1r * n0r - s0r * n1r) * (n1 * n0) >= obs_cross * (n1r * n0r):
+            extreme += 1
+    assert row.n_extreme == extreme
+    assert row.p_ppm == (1 + extreme) * 1_000_000 // 129
+    assert abs(row.t_obs - (s1 / n1 - s0 / n0)) < 1e-12
+    # the test must be non-degenerate: both cohorts populated
+    assert n1 >= 5 and n0 >= 5
+
+
+def test_power_mde_vs_python(spark):
+    """MDE / required-n recomputed with numpy-free float arithmetic from
+    decimal-snapped values (scale 6, matching dsum)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.event_type: r for r in all_queries()["q_power_mde"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("events",))
+    rows = con.execute(
+        "SELECT event_type, user_id % 2, value FROM events"
+    ).fetchall()
+    groups = defaultdict(list)
+    for et, v, val in rows:
+        groups[(et, v)].append(round(val * 1_000_000) / 1_000_000)
+    import math
+
+    zs = 1.959963984540054 + 0.8416212335729143
+    for et, r in got.items():
+        a, b = groups[(et, 0)], groups[(et, 1)]
+        va = (len(a) * sum(x * x for x in a) - sum(a) ** 2) / (len(a) * (len(a) - 1))
+        vb = (len(b) * sum(x * x for x in b) - sum(b) ** 2) / (len(b) * (len(b) - 1))
+        mean_a = sum(a) / len(a)
+        mde = zs * math.sqrt(va / len(a) + vb / len(b))
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.var_a - va) < 1e-6 * abs(va)
+        assert abs(r.mde_abs - mde) < 1e-7 * mde
+        assert abs(r.mde_rel - mde / mean_a) < 1e-7
+        n_req = math.ceil(zs * zs * (va + vb) / (0.0001 * mean_a * mean_a))
+        assert abs(r.n_per_arm_for_1pct - n_req) <= 1
+    assert len(got) == 5
+
+
+def test_seq_rules_vs_python(spark):
+    """Support/confidence/lift recomputed from per-user first-occurrence
+    maps; the rule table must cover every ordered pair with support."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {(r.a_type, r.b_type): r for r in all_queries()["q_seq_rules"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("events",))
+    rows = con.execute(
+        "SELECT user_id, event_type, MIN(epoch_ns(ts) // 1000)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    firsts = defaultdict(dict)
+    for uid, et, t0 in rows:
+        firsts[uid][et] = t0
+    n_u = len(firsts)
+    marg = Counter()
+    sup = Counter()
+    for uid, m in firsts.items():
+        for et in m:
+            marg[et] += 1
+        for a, ta in m.items():
+            for b, tb in m.items():
+                if a != b and ta < tb:
+                    sup[(a, b)] += 1
+    assert set(got) == {k for k, v in sup.items() if v > 0}
+    for (a, b), r in got.items():
+        assert r.sup == sup[(a, b)]
+        assert (r.n_a, r.n_b, r.n_u) == (marg[a], marg[b], n_u)
+        assert r.conf_ppm == sup[(a, b)] * 1_000_000 // marg[a]
+        assert r.lift_ppm == sup[(a, b)] * n_u * 1_000_000 // (marg[a] * marg[b])
+    # ordering is informative: purchases follow views more than precede them
+    assert len(got) == 20
+
+
+def test_l_diversity_vs_python(spark):
+    """l and TV distance recomputed from raw (lang, source, band) counts."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {(r.lang, r.source): r for r in all_queries()["q_l_diversity"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("documents",))
+    rows = con.execute(
+        "SELECT lang, source, n_chars // 400, COUNT(*)"
+        " FROM documents GROUP BY 1, 2, 3"
+    ).fetchall()
+    cells = {(la, so, sv): c for la, so, sv, c in rows}
+    gdist = Counter()
+    for (la, so, sv), c in cells.items():
+        gdist[sv] += c
+    gn = sum(gdist.values())
+    classes = defaultdict(lambda: [0, 0])  # n, l
+    for (la, so, sv), c in cells.items():
+        classes[(la, so)][0] += c
+        classes[(la, so)][1] += 1
+    min_l = min(l for _, l in classes.values())
+    assert set(got) == set(classes)
+    for key, (cn, cl) in classes.items():
+        r = got[key]
+        assert (r.n, r.l_distinct, r.min_l) == (cn, cl, min_l)
+        tv = sum(
+            abs(cells.get((key[0], key[1], sv), 0) * 1_000_000 // cn
+                - gc * 1_000_000 // gn)
+            for sv, gc in gdist.items()
+        ) // 2
+        assert r.t_closeness_ppm == tv
+    assert min_l >= 1 and len(got) > 10
