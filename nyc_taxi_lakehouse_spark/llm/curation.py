@@ -973,3 +973,63 @@ sql_query(
     "aggregate; all half-steps run on the ~100-row grid (whitelisted "
     "bounded single-part).",
 )
+
+
+# --- Compaction / OPTIMIZE planner (size-sorted sequential bin packing) ----
+
+
+def _compaction_sql(d: Dialect) -> str:
+    """OPTIMIZE-style compaction plan over the file manifest: treat each
+    (lang, source) partition's byte volume as one input file, sort by
+    size descending, and assign output bins by cumulative-quota fill
+    (bin = running-total-before DIV target) — the SQL-native greedy
+    packer (next-fit-decreasing: a bin may overshoot target by at most
+    one file's tail, never undershoot below target while files remain).
+    The target is data-relative (ceil(total/5)) so the plan is
+    scale-free. Emits per-file bin assignments with fill diagnostics
+    plus the ideal lower bound ceil(total/target)."""
+    return f"""
+WITH files AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT CAST(SUM(bytes) AS BIGINT) AS total,
+         CAST({d.idiv('(SUM(bytes) + 4)', '5')} AS BIGINT) AS target
+  FROM files
+),
+ordered AS (
+  SELECT f.lang, f.source, f.bytes, t.target, t.total,
+         CAST(COALESCE(SUM(f.bytes) OVER (
+           ORDER BY f.bytes DESC, f.lang, f.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS fill_before
+  FROM files f CROSS JOIN tot t
+)
+SELECT lang, source, bytes,
+       CAST({d.idiv('fill_before', 'target')} AS BIGINT) AS bin,
+       fill_before,
+       target,
+       CAST({d.idiv('(total + target - 1)', 'target')} AS BIGINT)
+         AS ideal_bins
+FROM ordered
+ORDER BY bin, bytes DESC, lang, source
+"""
+
+
+sql_query(
+    "q_compaction_plan",
+    spark_sql=_compaction_sql(SPARK),
+    duck_sql=_compaction_sql(DUCK),
+    tables=["documents"],
+    doc="Small-file compaction (OPTIMIZE) planner: size-desc sequential "
+    "bin packing of the per-(lang, source) manifest into data-relative "
+    "target-size output bins via one cumulative window — per-file bin "
+    "assignment, fill-before diagnostics, and the ideal bin lower bound. "
+    "The write-side companion to q_shard_manifest (which plans READ "
+    "shards): run after incremental appends fragment a partition. All "
+    "integer; the packing walk is a window over the FILE MANIFEST grain "
+    "(bounded: files per table partition, not corpus rows) — in "
+    "production the window is additionally PARTITION BY table-partition, "
+    "making the plan embarrassingly parallel.",
+)

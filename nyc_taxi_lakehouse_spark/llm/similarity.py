@@ -954,3 +954,104 @@ sql_query(
     "probe set stays an evaluation sample, so cost is O(|corpus| × "
     "probes × dims) with no pair materialization beyond the aggregate.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy audit — mean pairwise cosine WITHOUT pair joins.
+# ---------------------------------------------------------------------------
+
+
+def _aniso_sql(d) -> str:
+    """Corpus anisotropy (Ethayarajh 2019): the mean pairwise cosine over
+    ALL n(n-1) vector pairs, computed in one pass via the sum-vector
+    identity sum_{u!=v} <u,v> = ||S||^2 - sum_v ||v||^2 with S = sum of
+    unit vectors — the pair space NEVER materializes. Each vector is
+    normalized in double (sqrt and division are correctly-rounded IEEE,
+    identical cross-engine) then quantized to a 1e-4 integer grid, so
+    the per-dim sums, their squares, and the self-norm total are exact
+    integers (squares in DECIMAL(38,0) — S_i^2 crosses int64 past ~1e5
+    vectors) and the final cosine is one shared IEEE tree."""
+    q2 = "CAST(floor(CAST(x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT)"
+    if d.name == "spark":
+        norm2 = (
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + {q2} * {q2})"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, p.i, CAST(floor(CAST(p.x AS DOUBLE)"
+            " * 32768.0 + 0.5) AS BIGINT) AS q FROM base"
+            " LATERAL VIEW posexplode(embedding) p AS i, x"
+        )
+    else:
+        norm2 = (
+            "CAST(list_sum(list_transform(embedding,"
+            f" x -> {q2} * {q2})) AS BIGINT)"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, u.i - 1 AS i,"
+            " CAST(floor(CAST(u.x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT) AS q"
+            " FROM (SELECT vec_id, norm2_q, unnest(list_transform(embedding,"
+            " (x, i) -> {'x': x, 'i': i})) AS u FROM base) s"
+        )
+    # unit-normalize on the quantized-integer norm, then re-quantize to 1e4
+    nq = (
+        "CAST(floor(CAST(q AS DOUBLE) * 10000.0"
+        " / SQRT(CAST(norm2_q AS DOUBLE)) + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm2} AS norm2_q FROM embeddings
+),
+comp AS ({expl}),
+unit AS (SELECT vec_id, i, {nq} AS nq FROM comp),
+dims AS (
+  SELECT i, CAST(SUM(nq) AS BIGINT) AS s_i FROM unit GROUP BY i
+),
+sums AS (
+  SELECT CAST(SUM(CAST(s_i AS DECIMAL(38,0)) * s_i) AS DECIMAL(38,0))
+           AS s_norm2
+  FROM dims
+),
+self_tot AS (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+         CAST(SUM(nq * nq) AS BIGINT) AS self_norm2
+  FROM unit
+)
+SELECT t.n,
+       CAST((SELECT COUNT(*) FROM dims) AS BIGINT) AS dims,
+       CAST(s.s_norm2 AS DOUBLE) AS sum_vec_norm2,
+       t.self_norm2,
+       (CAST(s.s_norm2 AS DOUBLE) - CAST(t.self_norm2 AS DOUBLE))
+         / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0) * 100000000.0)
+         AS mean_pairwise_cos,
+       CAST(s.s_norm2 AS DOUBLE)
+         / (CAST(t.n AS DOUBLE) * CAST(t.self_norm2 AS DOUBLE))
+         AS mean_dir_share
+FROM self_tot t CROSS JOIN sums s
+"""
+
+
+def _register_aniso():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_embedding_anisotropy",
+        spark_sql=_aniso_sql(SPARK),
+        duck_sql=_aniso_sql(DUCK),
+        tables=["embeddings"],
+        doc="Embedding anisotropy audit: the mean pairwise cosine over all "
+        "n(n-1) pairs via the sum-vector identity ||S||^2 - sum||v||^2 — "
+        "ONE corpus pass, a 64-row per-dim aggregate, and zero pair "
+        "joins (the O(n^2) form never exists at any scale); plus the "
+        "mean-direction share ||S||^2/(n*sum||v||^2) (1/n = isotropic, "
+        "1 = collapsed). The representation-collapse screen run before "
+        "trusting cosine retrieval (q_similarity_*) or SemDeDup "
+        "thresholds on a new embedding model. Unit-normalization is "
+        "correctly-rounded IEEE per component then re-quantized to a "
+        "1e-4 grid, so both engines aggregate identical integers; "
+        "squares ride DECIMAL(38,0).",
+    )
+
+
+_register_aniso()

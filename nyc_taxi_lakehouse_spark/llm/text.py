@@ -1318,3 +1318,91 @@ sql_query(
     "aggregate (map-side combined), then an <=11-row count-of-counts "
     "grain carries the windows.",
 )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction — degree/frequency word scores over
+# stopword-delimited candidate phrases.
+# ---------------------------------------------------------------------------
+
+
+def _rake_sql(d) -> str:
+    """RAKE (Rose et al. 2010) at corpus scope: candidate phrases are the
+    maximal stopword-free token runs (the _EN_STOPS list delimits),
+    word score = degree/frequency where degree(w) = sum of phrase
+    lengths over w's occurrences, phrase score = sum of its words'
+    scores. Scores are exact rationals in ppm (degree*1e6 idiv freq,
+    summed per phrase); identical phrase text gets identical score by
+    construction, so the corpus-level top-20 is well-defined with the
+    (score desc, phrase) total order."""
+    toks = d.positional_token_rows("documents")
+    if d.name == "spark":
+        phrase = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pw.i, pw.token))), x -> x.token))"
+        )
+    else:
+        phrase = "string_agg(pw.token, ' ' ORDER BY pw.i)"
+    stop = f"token IN ({_EN_STOPS})"
+    return f"""
+WITH toks AS ({toks}),
+segged AS (
+  SELECT doc_id, i, token,
+         CAST(SUM(CASE WHEN {stop} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS seg,
+         CASE WHEN {stop} THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+phrase_words AS (
+  SELECT doc_id, seg, i, token,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, seg) AS BIGINT) AS plen
+  FROM segged WHERE is_stop = 0
+),
+word_stats AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM phrase_words GROUP BY token
+),
+phrases AS (
+  SELECT pw.doc_id, pw.seg,
+         {phrase} AS phrase,
+         CAST(SUM({d.idiv('(ws.degree * 1000000)', 'ws.freq')}) AS BIGINT)
+           AS score_ppm
+  FROM phrase_words pw JOIN word_stats ws ON ws.token = pw.token
+  GROUP BY pw.doc_id, pw.seg
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_ppm) AS BIGINT) AS score_ppm
+FROM phrases
+GROUP BY phrase
+ORDER BY score_ppm DESC, phrase
+LIMIT 20
+"""
+
+
+def _register_rake():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_rake_keyphrases",
+        spark_sql=_rake_sql(SPARK),
+        duck_sql=_rake_sql(DUCK),
+        tables=["documents"],
+        doc="RAKE keyphrase extraction at corpus scope: stopword-delimited "
+        "candidate phrases scored by the sum of their words' "
+        "degree/frequency ratios — the classic unsupervised keyword "
+        "extractor, the phrase-level companion to q_tfidf (single-token "
+        "salience) and q_collocations (bigram association). Scores are "
+        "exact ppm rationals (identical phrase text -> identical score, "
+        "so the top-20 under (score desc, phrase) is total-ordered). "
+        "Corpus-scale plan: doc-partitioned segment windows, one "
+        "token-keyed stats aggregate joined back vocab-side, one "
+        "phrase-keyed aggregate, TakeOrdered top-20 — no global sort, "
+        "no vocabulary dictionary.",
+    )
+
+
+_register_rake()

@@ -2137,3 +2137,84 @@ def _register_seq_rules():
 
 
 _register_seq_rules()
+
+
+# ---------------------------------------------------------------------------
+# Brier-score Murphy decomposition — the quadratic-loss calibration audit.
+# ---------------------------------------------------------------------------
+
+
+def _brier_sql(d: Dialect) -> str:
+    """Murphy decomposition of the Brier score for the binned forecast
+    (the q_ece score/label/binning exactly): with forecasts collapsed to
+    their bin-mean confidence, Brier = REL - RES + UNC holds as an
+    identity. REL_b = n_b(conf_b - acc_b)^2, RES_b = n_b(acc_b - base)^2,
+    UNC = base(1 - base). Counts and cent-sums are exact BIGINT; every
+    emitted term is one shared IEEE tree over them."""
+    base = "(CAST(t.pos AS DOUBLE) / t.n)"
+    conf = (
+        "((CAST(p.s_sum AS DOUBLE) / p.n_b - p.lo)"
+        " / NULLIF(CAST(p.hi - p.lo AS DOUBLE), 0.0))"
+    )
+    acc = "(CAST(p.pos_b AS DOUBLE) / p.n_b)"
+    return f"""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+rng AS (
+  SELECT CAST(MIN(s_cents) AS BIGINT) AS lo, CAST(MAX(s_cents) AS BIGINT) AS hi
+  FROM scored
+),
+binned AS (
+  SELECT LEAST(COALESCE({d.idiv('(s_cents - r.lo) * 10', '(r.hi - r.lo)')},
+               0), 9) AS bin,
+         s_cents, y, r.lo, r.hi
+  FROM scored CROSS JOIN rng r
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS pos_b,
+         CAST(SUM(s_cents) AS BIGINT) AS s_sum,
+         CAST(MAX(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(pos_b) AS BIGINT) AS pos
+  FROM per_bin
+)
+SELECT CAST(p.bin AS INT) AS bin,
+       p.n_b,
+       p.pos_b,
+       {conf} AS confidence,
+       {acc} AS accuracy,
+       ({conf} - {acc}) * ({conf} - {acc}) * p.n_b / t.n AS rel_contrib,
+       ({acc} - {base}) * ({acc} - {base}) * p.n_b / t.n AS res_contrib,
+       {base} * (1.0 - {base}) AS uncertainty,
+       {base} AS base_rate
+FROM per_bin p CROSS JOIN tot t
+ORDER BY bin
+"""
+
+
+def _register_brier():
+    sql_query(
+        "q_brier_decomp",
+        spark_sql=_brier_sql(SPARK),
+        duck_sql=_brier_sql(DUCK),
+        tables=["events"],
+        doc="Murphy decomposition of the Brier score on the q_ece "
+        "reliability table (same score, label, and integer decile "
+        "binning): per-bin reliability and resolution contributions plus "
+        "the uncertainty term, satisfying Brier = REL - RES + UNC for "
+        "the binned forecast — the quadratic-loss companion to q_ece's "
+        "L1 readout (REL penalizes miscalibration, RES rewards "
+        "discrimination; the serial test checks the identity itself). "
+        "One keyed aggregate at corpus scale; 10-row bin algebra with "
+        "two 1-row broadcasts after.",
+    )
+
+
+_register_brier()

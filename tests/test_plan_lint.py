@@ -117,6 +117,13 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # q_ece shape: 1-row min/max bounds broadcast + 10-row bin algebra.
+    "q_brier_decomp": ({"bnlj", "single-part"}, "1-row bounds + 10-row bin algebra"),
+    # 64-row per-dim sums to 1-row moment scalars (sum-vector identity).
+    "q_embedding_anisotropy": ({"bnlj", "single-part"}, "64-dim sums to 1-row scalars"),
+    # Packing walk over the FILE-MANIFEST grain (bounded: files per table
+    # partition) + 1-row total/target broadcast.
+    "q_compaction_plan": ({"bnlj", "single-part"}, "manifest-grain cumsum + 1-row target"),
     # 1-row pair-count scalar fanned onto the blocked candidate pairs
     # (top-20 itself is TakeOrderedAndProject — no global sort).
     "q_spatial_join": ({"bnlj", "single-part"}, "1-row pair-count x pairs; top-k take"),

@@ -277,3 +277,138 @@ def test_l_diversity_vs_python(spark):
         ) // 2
         assert r.t_closeness_ppm == tv
     assert min_l >= 1 and len(got) > 10
+
+
+def test_rake_vs_python(spark):
+    """Full serial RAKE: stopword segmentation, degree/freq word scores,
+    ppm phrase scores — the top-20 must match exactly."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_rake_keyphrases"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents",))
+    texts = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    stops = {"the", "a", "of", "and", "to"}
+    phrases = []
+    for _, txt in texts:
+        run = []
+        for tok in txt.split(" "):
+            if tok in stops:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            phrases.append(run)
+    freq = Counter()
+    degree = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    scored = Counter()
+    occ = Counter()
+    for p in phrases:
+        text = " ".join(p)
+        scored[text] = sum(degree[w] * 1_000_000 // freq[w] for w in p)
+        occ[text] += 1
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.phrase, r.score_ppm, r.n_occurrences) for r in got] == [
+        (ph, sc, occ[ph]) for ph, sc in top
+    ]
+
+
+def test_brier_decomposition_identity(spark):
+    """REL - RES + UNC must equal the Brier score of the binned forecast,
+    recomputed serially (the identity Murphy's decomposition promises)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_brier_decomp"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT CAST(round(value * 100) AS BIGINT),"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        " FROM events WHERE value IS NOT NULL"
+    ).fetchall()
+    lo = min(s for s, _ in raw)
+    hi = max(s for s, _ in raw)
+    bins = defaultdict(list)
+    for s, y in raw:
+        b = min((s - lo) * 10 // (hi - lo), 9)
+        bins[b].append((s, y))
+    n = len(raw)
+    base = sum(y for _, y in raw) / n
+    rel = res = brier = 0.0
+    for b, items in bins.items():
+        nb = len(items)
+        conf = (sum(s for s, _ in items) / nb - lo) / (hi - lo)
+        acc = sum(y for _, y in items) / nb
+        rel += nb * (conf - acc) ** 2 / n
+        res += nb * (acc - base) ** 2 / n
+        brier += sum((conf - y) ** 2 for _, y in items) / n
+    got_rel = sum(r.rel_contrib for r in rows)
+    got_res = sum(r.res_contrib for r in rows)
+    unc = rows[0].uncertainty
+    assert abs(got_rel - rel) < 1e-9
+    assert abs(got_res - res) < 1e-9
+    assert abs(unc - base * (1 - base)) < 1e-12
+    # Murphy identity for the binned forecast
+    assert abs((got_rel - got_res + unc) - brier) < 1e-9
+    for r in rows:
+        nb = len(bins[r.bin])
+        assert r.n_b == nb and r.pos_b == sum(y for _, y in bins[r.bin])
+
+
+def test_embedding_anisotropy_vs_bruteforce(spark):
+    """The sum-vector identity vs the literal O(n^2) pairwise mean over
+    the same quantized unit vectors."""
+    import numpy as np
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_embedding_anisotropy"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("embeddings",))
+    vecs = [r[0] for r in con.execute("SELECT embedding FROM embeddings ORDER BY vec_id").fetchall()]
+    q = np.floor(np.array(vecs, dtype=np.float64) * 32768.0 + 0.5)
+    norm = np.sqrt((q * q).sum(axis=1))
+    nq = np.floor(q * 10000.0 / norm[:, None] + 0.5)
+    n = len(vecs)
+    g = nq @ nq.T
+    brute = (g.sum() - np.trace(g)) / (n * (n - 1) * 1e8)
+    assert row.n == n and row.dims == len(vecs[0])
+    assert abs(row.mean_pairwise_cos - brute) < 1e-12
+    s = nq.sum(axis=0)
+    assert row.sum_vec_norm2 == (s * s).sum()
+    assert row.self_norm2 == int((nq * nq).sum())
+    share = (s * s).sum() / (n * (nq * nq).sum())
+    assert abs(row.mean_dir_share - share) < 1e-12
+    # sanity: unit-ish self norms and a bounded cosine
+    assert abs(row.self_norm2 / n - 1e8) < 1e6
+    assert -1.0 <= row.mean_pairwise_cos <= 1.0
+
+
+def test_compaction_plan_properties(spark):
+    """Serial next-fit-decreasing replay plus the packing invariants: bins
+    are consecutive from 0, every bin except possibly the last reaches
+    the target once closed, and no file is lost."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents",))
+    files = con.execute(
+        "SELECT lang, source, SUM(n_chars) FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    total = sum(b for _, _, b in files)
+    target = (total + 4) // 5
+    order = sorted(files, key=lambda f: (-f[2], f[0], f[1]))
+    fill = 0
+    expect = []
+    for la, so, b in order:
+        expect.append((la, so, b, fill // target, fill))
+        fill += b
+    got = sorted(rows, key=lambda r: (-r.bytes, r.lang, r.source))
+    assert [(r.lang, r.source, r.bytes, r.bin, r.fill_before) for r in got] == expect
+    assert all(r.target == target and r.ideal_bins == (total + target - 1) // target for r in rows)
+    bins = sorted({r.bin for r in rows})
+    assert bins == list(range(len(bins)))
+    assert sum(r.bytes for r in rows) == total
