@@ -150,6 +150,14 @@ HEADLINE = [
     "q_ipf_raking",
     "q_shapley_attribution",
     "q_mediation",
+    # round-4 part-7/8 flagships: grid-blocked spatial join, hash-
+    # randomized permutation inference, intermittent-demand forecasting,
+    # corpus keyphrases, pair-join-free anisotropy.
+    "q_spatial_join",
+    "q_permutation_test",
+    "q_croston",
+    "q_rake_keyphrases",
+    "q_embedding_anisotropy",
 ]
 
 
