@@ -2218,3 +2218,66 @@ def _register_brier():
 
 
 _register_brier()
+
+
+# ---------------------------------------------------------------------------
+# Top user-journey paths — the ordered-prefix rollup of the event stream.
+# ---------------------------------------------------------------------------
+
+
+def _top_paths_sql(d: Dialect) -> str:
+    """Each user's first five events (total order: microsecond timestamp,
+    event_id tiebreak) joined into a '>'-delimited path string, then the
+    top-20 paths by user count with exact ppm share — the journey-
+    analysis rollup behind funnel discovery (q_funnel assumes a path;
+    this finds which paths exist)."""
+    us = d.epoch_us("ts")
+    if d.name == "spark":
+        path = (
+            "concat_ws('>', transform(array_sort(collect_list("
+            "struct(rn, event_type))), x -> x.event_type))"
+        )
+    else:
+        path = "string_agg(event_type, '>' ORDER BY rn)"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY {us}, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, {path} AS path
+  FROM ordered WHERE rn <= 5 GROUP BY user_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u FROM paths)
+SELECT p.path,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST({d.idiv('(COUNT(*) * 1000000)', 'MAX(t.n_u)')} AS BIGINT)
+         AS share_ppm
+FROM paths p CROSS JOIN tot t
+GROUP BY p.path
+ORDER BY n_users DESC, p.path
+LIMIT 20
+"""
+
+
+def _register_top_paths():
+    sql_query(
+        "q_top_paths",
+        spark_sql=_top_paths_sql(SPARK),
+        duck_sql=_top_paths_sql(DUCK),
+        tables=["events"],
+        doc="Top-20 five-step user-journey paths with exact ppm share: "
+        "per-user ordered prefix (microsecond + event_id total order) "
+        "joined to a path string, path-keyed count, TakeOrdered top-20 — "
+        "the discovery complement to q_funnel (which scores a KNOWN "
+        "path) and q_markov_transitions (single steps). Corpus-scale "
+        "plan: one user-partitioned window (rank<=5 pushes below the "
+        "shuffle as WindowGroupLimit), one user-keyed ordered agg, one "
+        "path-keyed count (path space bounded by |types|^5), no global "
+        "sort.",
+    )
+
+
+_register_top_paths()

@@ -190,3 +190,118 @@ sql_query(
     "aggregate at corpus scale; the arm join runs on the 10-row "
     "(type, variant) grain.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-outcome randomization p-values.
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA_PPM = 50000  # alpha = 0.05
+
+
+def _fdr_sql(d: Dialect) -> str:
+    """One randomization (the q_permutation_test relabeling, md5 per
+    (user, replicate)) tested against FIVE outcomes — the per-user count
+    of each event_type — then Benjamini-Hochberg step-up at alpha=.05
+    over the m=5 exact ppm p-values (the shared relabeling makes the
+    p-values positively dependent, where BH remains valid — PRDS).
+    Every p-value and the step-up comparison p_(k) <= k*alpha/m are
+    exact integer arithmetic: p_ppm * m <= k * alpha_ppm."""
+    us = d.epoch_us("ts")
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    if d.name == "spark":
+        reps = f"SELECT explode(sequence(0, {_R - 1})) AS b"
+    else:
+        reps = f"SELECT unnest(generate_series(0, {_R - 1})) AS b"
+    u = d.md5_int32(f"concat(CAST(pu.user_id AS {s}), chr(58), CAST(r.b AS {s}))")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN {us} END)
+                   = MIN({us}) THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id, event_type
+),
+types AS (SELECT DISTINCT event_type FROM events),
+outcome AS (
+  SELECT pu.user_id, pu.g, ty.event_type, COALESCE(c.y, 0) AS y
+  FROM per_user pu CROSS JOIN types ty
+  LEFT JOIN counts c
+    ON c.user_id = pu.user_id AND c.event_type = ty.event_type
+),
+obs AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n0,
+         CAST(SUM(g * y) AS BIGINT) AS s1,
+         CAST(SUM((1 - g) * y) AS BIGINT) AS s0
+  FROM outcome GROUP BY event_type
+),
+reps AS ({reps}),
+relabel AS (
+  SELECT pu.user_id, r.b,
+         CASE WHEN ({u} % 1000000)
+                   < (SELECT {d.idiv('(MIN(n1) * 1000000)', 'MIN(n)')} FROM obs)
+              THEN 1 ELSE 0 END AS gr
+  FROM per_user pu CROSS JOIN reps r
+),
+rep_stats AS (
+  SELECT o.event_type, rl.b,
+         CAST(SUM(rl.gr) AS BIGINT) AS n1r,
+         CAST(COUNT(*) - SUM(rl.gr) AS BIGINT) AS n0r,
+         CAST(SUM(rl.gr * o.y) AS BIGINT) AS s1r,
+         CAST(SUM((1 - rl.gr) * o.y) AS BIGINT) AS s0r
+  FROM outcome o JOIN relabel rl ON rl.user_id = o.user_id
+  GROUP BY o.event_type, rl.b
+),
+pvals AS (
+  SELECT o.event_type,
+         CAST(SUM(CASE
+           WHEN r.n1r = 0 OR r.n0r = 0 THEN 1
+           WHEN ABS(r.s1r * r.n0r - r.s0r * r.n1r) * (o.n1 * o.n0)
+                >= ABS(o.s1 * o.n0 - o.s0 * o.n1) * (r.n1r * r.n0r)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM rep_stats r JOIN obs o ON o.event_type = r.event_type
+  GROUP BY o.event_type
+),
+ranked AS (
+  SELECT event_type, n_extreme,
+         CAST({d.idiv(f"((1 + n_extreme) * 1000000)", str(_R + 1))}
+              AS BIGINT) AS p_ppm,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY {d.idiv(f"((1 + n_extreme) * 1000000)", str(_R + 1))},
+                    event_type) AS BIGINT) AS k,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pvals
+)
+SELECT event_type, n_extreme, p_ppm, k,
+       CAST({d.idiv(f'(k * {_BH_ALPHA_PPM})', 'm')} AS BIGINT)
+         AS bh_threshold_ppm,
+       CASE WHEN k <= MAX(CASE WHEN p_ppm * m <= k * {_BH_ALPHA_PPM}
+                               THEN k ELSE 0 END) OVER ()
+            THEN 1 ELSE 0 END AS rejected
+FROM ranked
+ORDER BY k
+"""
+
+
+sql_query(
+    "q_fdr_bh",
+    spark_sql=_fdr_sql(SPARK),
+    duck_sql=_fdr_sql(DUCK),
+    tables=["events"],
+    doc="Benjamini-Hochberg FDR step-up (alpha=.05) over the five "
+    "per-event-type randomization p-values from ONE shared q_permutation_"
+    "test relabeling (PRDS dependence, where BH is valid) — the "
+    "multiple-testing guardrail an experimentation platform applies "
+    "before reading a metric dashboard. p-values and the step-up "
+    "comparisons are exact integer arithmetic end to end (p_ppm*m <= "
+    "k*alpha_ppm); no float ever decides a rejection. Corpus-scale work: "
+    "two user-keyed aggregates and one 128x user-grain fanout joined to "
+    "the 5-outcome grid, map-side-combined to 640 replicate rows; the "
+    "BH walk runs on 5 rows.",
+)

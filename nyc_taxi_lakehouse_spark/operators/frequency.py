@@ -356,3 +356,100 @@ def _register_kmv():
 
 
 _register_kmv()
+
+
+# ---------------------------------------------------------------------------
+# From-scratch HyperLogLog — the register algebra made oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # p = 8 bucket bits, 24-bit rank domain
+# alpha_256 = 0.7213 / (1 + 1.079/256), precomputed so both engines see
+# the identical literal (cast: DuckDB types bare decimals as DECIMAL and
+# overflows the product; Spark types them DOUBLE already).
+_HLL_ALPHA = "CAST(0.7182725932495458 AS DOUBLE)"
+
+
+def _hll_impl_sql(d) -> str:
+    """HyperLogLog distinct-user estimate built from first principles in
+    portable SQL: h = md5-derived 32-bit hash, bucket = top 8 bits,
+    rank = leading-zero position of the 24-bit suffix (a 24-arm integer
+    CASE ladder — no log2), registers = MAX(rank) per bucket including
+    empties via the 256-row spine. The harmonic denominator is kept as
+    the EXACT integer sum_b 2^(25 - M_b) (every term is a dyadic
+    integer), so the whole sketch state is integer-exact and only the
+    final alpha*m^2/denominator is a double. The raw estimate and the
+    zero-register count are emitted (the small-range linear-counting
+    correction needs ln and is left to the consumer, documented);
+    the exact distinct count rides the same scan for the error audit."""
+    h = d.md5_int32(d.to_str("user_id"))
+    rank = "CASE " + " ".join(
+        f"WHEN rest >= {1 << (24 - r)} THEN {r}" for r in range(1, 25)
+    ) + " ELSE 25 END"
+    if d.name == "spark":
+        spine = "SELECT explode(sequence(0, 255)) AS bucket"
+        pow2 = "shiftleft(CAST(1 AS BIGINT), 25 - m0)"
+    else:
+        spine = "SELECT unnest(generate_series(0, 255)) AS bucket"
+        pow2 = "(CAST(1 AS BIGINT) << (25 - m0))"
+    return f"""
+WITH hashed AS (
+  SELECT CAST({d.idiv('h', '16777216')} AS BIGINT) AS bucket,
+         CAST(h % 16777216 AS BIGINT) AS rest,
+         h
+  FROM (SELECT {h} AS h FROM events) s
+),
+regs AS (
+  SELECT bucket, CAST(MAX({rank}) AS BIGINT) AS m
+  FROM hashed GROUP BY bucket
+),
+spine AS ({spine}),
+full_regs AS (
+  SELECT sp.bucket, COALESCE(r.m, CAST(0 AS BIGINT)) AS m0
+  FROM spine sp LEFT JOIN regs r ON r.bucket = sp.bucket
+),
+sketch AS (
+  SELECT CAST(SUM({pow2}) AS BIGINT) AS inv_sum_scaled,
+         CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM full_regs
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       s.n_zero_registers,
+       s.inv_sum_scaled,
+       {_HLL_ALPHA} * {_HLL_M}.0 * {_HLL_M}.0 * 33554432.0
+         / CAST(s.inv_sum_scaled AS DOUBLE) AS est_hll,
+       e.n_exact,
+       ({_HLL_ALPHA} * {_HLL_M}.0 * {_HLL_M}.0 * 33554432.0
+         / CAST(s.inv_sum_scaled AS DOUBLE) - CAST(e.n_exact AS DOUBLE))
+         / CAST(e.n_exact AS DOUBLE) AS rel_err
+FROM sketch s CROSS JOIN exact e
+"""
+
+
+def _register_hll_impl():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_hll_impl",
+        spark_sql=_hll_impl_sql(SPARK),
+        duck_sql=_hll_impl_sql(DUCK),
+        tables=["events"],
+        doc="From-scratch HyperLogLog (p=8, m=256) over distinct users, "
+        "made fully deterministic and oracle-checkable: md5-derived "
+        "32-bit hashes, a 24-arm integer CASE ladder for the "
+        "leading-zero rank (no log2), MAX-per-bucket registers with "
+        "empties from the 256-row spine, and the harmonic denominator "
+        "held as the exact integer sum of dyadic terms 2^(25-M_b) — the "
+        "estimate is the only double. The glass-box twin of "
+        "q_unique_users_approx (Spark's built-in HLL++, rows-only by "
+        "nature): same register algebra the built-in executes, but "
+        "hash-gate-verifiable. Registers are MAX algebra, so the sketch "
+        "is mergeable and the plan is one map + a 256-group aggregate.",
+    )
+
+
+_register_hll_impl()

@@ -75,6 +75,10 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-9 additions (never driver-checked — first rows needed)
+    "q_fdr_bh",
+    "q_hll_impl",
+    "q_top_paths",
     # round-4 part-8 additions (never driver-checked — first rows needed)
     "q_rake_keyphrases",
     "q_brier_decomp",

@@ -117,6 +117,13 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # 1-row treated-fraction scalar x user grain; constant 128-row
+    # replicate fanout; 5-row BH walk.
+    "q_fdr_bh": ({"bnlj", "single-part"}, "1-row fraction x users; 5-row BH walk"),
+    # Constant 256-register spine + 1-row sketch/exact scalars.
+    "q_hll_impl": ({"bnlj", "single-part"}, "256-register spine + 1-row scalars"),
+    # 1-row user-count scalar x the <=|types|^5-bounded path table.
+    "q_top_paths": ({"bnlj", "single-part"}, "1-row n_u x bounded path table"),
     # q_ece shape: 1-row min/max bounds broadcast + 10-row bin algebra.
     "q_brier_decomp": ({"bnlj", "single-part"}, "1-row bounds + 10-row bin algebra"),
     # 64-row per-dim sums to 1-row moment scalars (sum-vector identity).

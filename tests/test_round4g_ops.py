@@ -412,3 +412,130 @@ def test_compaction_plan_properties(spark):
     bins = sorted({r.bin for r in rows})
     assert bins == list(range(len(bins)))
     assert sum(r.bytes for r in rows) == total
+
+
+def test_hll_impl_vs_python(spark):
+    """Full serial HLL replay: same md5 hashes, bucket/rank split,
+    register maxes, and exact dyadic harmonic sum — plus the accuracy
+    contract (|rel err| within 4 standard errors of the m=256 sketch)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_hll_impl"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    users = [r[0] for r in con.execute("SELECT user_id FROM events").fetchall()]
+    regs = [0] * 256
+    for u in users:
+        h = _md5_int32(str(u))
+        bucket, rest = h // 16777216, h % 16777216
+        rank = 25 if rest == 0 else 24 - rest.bit_length() + 1
+        regs[bucket] = max(regs[bucket], rank)
+    inv_sum = sum(1 << (25 - m) for m in regs)
+    alpha = 0.7182725932495458
+    est = alpha * 256.0 * 256.0 * 33554432.0 / inv_sum
+    n_exact = len(set(users))
+    assert row.inv_sum_scaled == inv_sum
+    assert row.n_zero_registers == sum(1 for m in regs if m == 0)
+    assert abs(row.est_hll - est) < 1e-9 * est
+    assert row.n_exact == n_exact
+    # accuracy contract, applied the way the docstring prescribes: in the
+    # small range (raw est < 2.5m with zero registers) the CONSUMER applies
+    # linear counting m*ln(m/V) from the emitted n_zero_registers (ln is
+    # banned in-query for hash determinism); outside it the raw estimate
+    # stands. 1.04/sqrt(256) ~ 6.5% standard error; allow ~4 sigma.
+    import math
+
+    if row.n_zero_registers > 0 and row.est_hll < 2.5 * 256:
+        corrected = 256.0 * math.log(256.0 / row.n_zero_registers)
+    else:
+        corrected = row.est_hll
+    assert abs(corrected - n_exact) / n_exact < 0.26
+
+
+def test_fdr_bh_vs_python(spark):
+    """Per-type randomization p-values replayed serially from the same
+    md5 relabeling, then the BH step-up walk — rejections must match."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.event_type: r for r in all_queries()["q_fdr_bh"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        """
+        SELECT user_id, event_type, COUNT(*),
+               MIN(CASE WHEN event_type = 'error'
+                   THEN epoch_ns(ts) END) IS NOT NULL
+               AND MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END)
+                   = MIN(MIN(epoch_ns(ts))) OVER (PARTITION BY user_id)
+        FROM events GROUP BY user_id, event_type
+        """
+    ).fetchall()
+    users = sorted({u for u, _, _, _ in raw})
+    types = sorted({t for _, t, _, _ in raw})
+    cnt = {(u, t): c for u, t, c, _ in raw}
+    gmap = {}
+    for u, t, c, gflag in raw:
+        gmap[u] = gmap.get(u, False) or gflag
+    n = len(users)
+    n1 = sum(gmap[u] for u in users)
+    n0 = n - n1
+    p1_ppm = n1 * 1_000_000 // n
+    labels = {
+        (u, b): _md5_int32(f"{u}:{b}") % 1_000_000 < p1_ppm
+        for u in users for b in range(128)
+    }
+    pvals = {}
+    for t in types:
+        y = {u: cnt.get((u, t), 0) for u in users}
+        s1 = sum(y[u] for u in users if gmap[u])
+        s0 = sum(y[u] for u in users if not gmap[u])
+        obs_cross = abs(s1 * n0 - s0 * n1)
+        extreme = 0
+        for b in range(128):
+            n1r = s1r = s0r = 0
+            for u in users:
+                if labels[(u, b)]:
+                    n1r += 1
+                    s1r += y[u]
+                else:
+                    s0r += y[u]
+            n0r = n - n1r
+            if n1r == 0 or n0r == 0 or (
+                abs(s1r * n0r - s0r * n1r) * (n1 * n0)
+                >= obs_cross * (n1r * n0r)
+            ):
+                extreme += 1
+        pvals[t] = ((1 + extreme) * 1_000_000 // 129, extreme)
+    order = sorted(types, key=lambda t: (pvals[t][0], t))
+    m = len(types)
+    k_max = 0
+    for k, t in enumerate(order, 1):
+        if pvals[t][0] * m <= k * 50000:
+            k_max = k
+    for k, t in enumerate(order, 1):
+        r = got[t]
+        assert (r.p_ppm, r.n_extreme) == pvals[t]
+        assert r.k == k
+        assert r.bh_threshold_ppm == k * 50000 // m
+        assert r.rejected == (1 if k <= k_max else 0)
+
+
+def test_top_paths_vs_python(spark):
+    """Path strings and shares replayed from the (ts, event_id) total
+    order."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_top_paths"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events"
+        " ORDER BY user_id, epoch_ns(ts) // 1000, event_id"
+    ).fetchall()
+    seqs = defaultdict(list)
+    for u, t in rows:
+        if len(seqs[u]) < 5:
+            seqs[u].append(t)
+    n_u = len(seqs)
+    paths = Counter(">".join(s) for s in seqs.values())
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.path, r.n_users, r.share_ppm) for r in got] == [
+        (p, c, c * 1_000_000 // n_u) for p, c in top
+    ]
