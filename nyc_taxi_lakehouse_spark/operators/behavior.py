@@ -2281,3 +2281,68 @@ def _register_top_paths():
 
 
 _register_top_paths()
+
+
+# ---------------------------------------------------------------------------
+# Average precision — the PR-curve companion to q_auc's ROC rank-sum.
+# ---------------------------------------------------------------------------
+
+
+def _ap_sql(d: Dialect) -> str:
+    """Average precision of `value` as a purchase score, exact over the
+    achievable thresholds: a score-based ranker can only cut BETWEEN
+    distinct scores, so AP = sum_g (pos_g/n_pos) * precision(prefix
+    through g) over score groups in descending order — every term an
+    exact rational. Staged at 1e9 (pos_g*cum_pos*1e9 idiv cum_c, then
+    idiv n_pos*1000 to ppm): BIGINT-safe to ~1e9 events/group products
+    ~2e16."""
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+grp AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, c, pos,
+         CAST(SUM(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum_c,
+         CAST(SUM(pos) OVER (ORDER BY s DESC) AS BIGINT) AS cum_pos
+  FROM grp
+),
+terms AS (
+  SELECT
+    CAST(SUM(pos) AS BIGINT) AS n_pos,
+    CAST(SUM(c - pos) AS BIGINT) AS n_neg,
+    CAST(SUM({d.idiv('(pos * cum_pos * 1000000000)', 'cum_c')}) AS BIGINT)
+      AS ap_scaled
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CAST({d.idiv('ap_scaled', '(n_pos * 1000)')} AS BIGINT) AS ap_ppm,
+       CAST({d.idiv('(n_pos * 1000000)', '(n_pos + n_neg)')} AS BIGINT)
+         AS prevalence_ppm
+FROM terms
+"""
+
+
+def _register_ap():
+    sql_query(
+        "q_average_precision",
+        spark_sql=_ap_sql(SPARK),
+        duck_sql=_ap_sql(DUCK),
+        tables=["events"],
+        doc="Exact average precision (area under the step PR curve at the "
+        "ACHIEVABLE thresholds — a score ranker can only cut between "
+        "distinct scores) of `value` predicting purchases, with the "
+        "prevalence baseline AP converges to for a random ranker — the "
+        "imbalance-aware companion to q_auc (prevalence-invariant ROC). "
+        "Same per-score-group skeleton as q_auc: one keyed aggregate, a "
+        "group-grain cumulative window, staged-idiv exact rationals; no "
+        "pairwise anything.",
+    )
+
+
+_register_ap()

@@ -270,3 +270,80 @@ sql_query(
     "per-part aggregate, bounded by |part| not |lineitem| (whitelisted "
     "q_gini class); ties broken by partkey for a deterministic prefix.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Arc price elasticity — demand response between two pricing periods.
+# ---------------------------------------------------------------------------
+
+
+def _elasticity_sql(d) -> str:
+    """Arc (midpoint) price elasticity of demand per part between the
+    first and second halves of the order calendar: with per-period
+    quantity q and revenue r (exact cents), the midpoint formula
+    ((q_b-q_a)/(q_b+q_a)) / ((p_b-p_a)/(p_b+p_a)) with p = r/q clears
+    its inner denominators exactly — elasticity = [(q_b-q_a)*(r_b*q_a +
+    r_a*q_b)] / [(q_b+q_a)*(r_b*q_a - r_a*q_b)] — so numerator and
+    denominator are exact BIGINTs (safe to ~1e14 cent*qty products,
+    ~sf1; DECIMAL(38,0) beyond) and the ratio is ONE double division.
+    The elastic/inelastic class is decided by |num| vs |den| in exact
+    integers — no float ever classifies."""
+    return f"""
+WITH lines AS (
+  SELECT l_partkey AS pk,
+         CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END
+           AS period,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per AS (
+  SELECT pk, period,
+         CAST(SUM(qty) AS BIGINT) AS q,
+         CAST(SUM(cents) AS BIGINT) AS r
+  FROM lines GROUP BY pk, period
+),
+both_p AS (
+  SELECT a.pk,
+         a.q AS q_a, a.r AS r_a, b.q AS q_b, b.r AS r_b,
+         (b.q - a.q) * (b.r * a.q + a.r * b.q) AS num,
+         (b.q + a.q) * (b.r * a.q - a.r * b.q) AS den
+  FROM per a JOIN per b
+    ON a.pk = b.pk AND a.period = 'a' AND b.period = 'b'
+)
+SELECT pk AS partkey, q_a, q_b, r_a, r_b,
+       CAST(num AS BIGINT) AS num,
+       CAST(den AS BIGINT) AS den,
+       CAST(num AS DOUBLE) / CAST(NULLIF(den, 0) AS DOUBLE) AS elasticity,
+       CASE WHEN den = 0 THEN 'undefined'
+            WHEN ABS(num) > ABS(den) THEN 'elastic'
+            WHEN ABS(num) = ABS(den) THEN 'unit'
+            ELSE 'inelastic' END AS demand_class
+FROM both_p
+ORDER BY pk
+"""
+
+
+def _register_elasticity():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_price_elasticity",
+        spark_sql=_elasticity_sql(SPARK),
+        duck_sql=_elasticity_sql(DUCK),
+        tables=["lineitem", "orders"],
+        doc="Arc price elasticity of demand per part between the two "
+        "halves of the order calendar (midpoint formula on exact integer "
+        "quantity and revenue-cent sums — clearing the p = r/q inner "
+        "denominators keeps numerator and denominator exact BIGINT, the "
+        "ratio is one double division, and the elastic/unit/inelastic "
+        "class is decided by |num| vs |den| in exact integers). The "
+        "demand-response companion to q_unit_value_index (price level) "
+        "and q_hhi (market structure). Corpus-scale work: the orderkey-"
+        "partitioned join + one (part, period) aggregate; the period "
+        "pivot is a part-keyed self-join of the aggregate.",
+    )
+
+
+_register_elasticity()

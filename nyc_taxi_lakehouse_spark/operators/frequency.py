@@ -453,3 +453,82 @@ def _register_hll_impl():
 
 
 _register_hll_impl()
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — self-join-size estimation.
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16
+
+
+def _ams_sql(d) -> str:
+    """Second frequency moment F2 = sum_u c_u^2 of the user activity
+    distribution (the exact size of the user self-join — what a join
+    optimizer wants before picking a strategy), estimated by the classic
+    AMS sketch: k=16 deterministic +/-1 projections (md5(user:j) parity),
+    sketch_j = sum_u c_u * sign_j(u), estimate_j = sketch_j^2, combined
+    by the exact integer mean. The exact F2 rides the same scan for the
+    error audit. Everything integer; BIGINT-safe to ~3e9 events per
+    sketch (sketch^2 < 2^63)."""
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    if d.name == "spark":
+        spine = f"SELECT explode(sequence(0, {_AMS_K - 1})) AS j"
+    else:
+        spine = f"SELECT unnest(generate_series(0, {_AMS_K - 1})) AS j"
+    sign = (
+        "CASE WHEN "
+        + d.md5_int32(f"concat(CAST(u.user_id AS {s}), chr(58), CAST(p.j AS {s}))")
+        + " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts),
+proj AS ({spine}),
+sketches AS (
+  SELECT p.j, CAST(SUM(u.c * ({sign})) AS BIGINT) AS sk
+  FROM counts u CROSS JOIN proj p
+  GROUP BY p.j
+),
+est AS (
+  SELECT CAST(SUM(sk * sk) AS BIGINT) AS sq_sum,
+         CAST(MIN(sk * sk) AS BIGINT) AS est_min,
+         CAST(MAX(sk * sk) AS BIGINT) AS est_max
+  FROM sketches
+)
+SELECT CAST({_AMS_K} AS BIGINT) AS k,
+       e.f2_exact,
+       CAST({d.idiv('s.sq_sum', str(_AMS_K))} AS BIGINT) AS f2_est,
+       s.est_min, s.est_max,
+       (CAST({d.idiv('s.sq_sum', str(_AMS_K))} AS DOUBLE)
+         - CAST(e.f2_exact AS DOUBLE)) / CAST(e.f2_exact AS DOUBLE)
+         AS rel_err
+FROM est s CROSS JOIN exact e
+"""
+
+
+def _register_ams():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_ams_f2",
+        spark_sql=_ams_sql(SPARK),
+        duck_sql=_ams_sql(DUCK),
+        tables=["events"],
+        doc="AMS F2 sketch: the second frequency moment (exact self-join "
+        "size) of per-user activity estimated from 16 deterministic "
+        "md5-parity +/-1 projections — the one-pass, mergeable answer a "
+        "join planner consults before choosing a strategy on a skewed "
+        "key; exact F2 rides the same scan for the error audit. "
+        "Completes the sketch family (q_countmin_freq point frequencies, "
+        "q_kmv_distinct cardinality algebra, q_hll_impl registers). "
+        "Corpus-scale work: one user-keyed count, one 16x constant "
+        "fanout map-side-combined to 16 sketch rows; all integer.",
+    )
+
+
+_register_ams()

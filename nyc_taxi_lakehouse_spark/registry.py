@@ -75,6 +75,10 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-10 additions (never driver-checked — first rows needed)
+    "q_average_precision",
+    "q_ams_f2",
+    "q_price_elasticity",
     # round-4 part-9 additions (never driver-checked — first rows needed)
     "q_fdr_bh",
     "q_hll_impl",

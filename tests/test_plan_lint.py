@@ -117,6 +117,10 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Threshold sweep over the per-score aggregate (q_auc class).
+    "q_average_precision": ({"single-part"}, "sweep over per-score aggregate"),
+    # Constant 16-projection fanout of the user grain; 1-row scalars.
+    "q_ams_f2": ({"bnlj", "single-part"}, "16-projection fanout + 1-row scalars"),
     # 1-row treated-fraction scalar x user grain; constant 128-row
     # replicate fanout; 5-row BH walk.
     "q_fdr_bh": ({"bnlj", "single-part"}, "1-row fraction x users; 5-row BH walk"),

@@ -539,3 +539,103 @@ def test_top_paths_vs_python(spark):
     assert [(r.path, r.n_users, r.share_ppm) for r in got] == [
         (p, c, c * 1_000_000 // n_u) for p, c in top
     ]
+
+
+def test_average_precision_vs_python(spark):
+    """AP replayed serially over descending score groups, plus the
+    staged-idiv scaling."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_average_precision"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT CAST(round(value * 100) AS BIGINT),"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END FROM events"
+    ).fetchall()
+    groups = defaultdict(lambda: [0, 0])
+    for s, y in raw:
+        groups[s][0] += 1
+        groups[s][1] += y
+    n_pos = sum(p for _, p in groups.values())
+    n_neg = sum(c - p for c, p in groups.values())
+    cum_c = cum_pos = 0
+    ap_scaled = 0
+    for s in sorted(groups, reverse=True):
+        c, p = groups[s]
+        cum_c += c
+        cum_pos += p
+        ap_scaled += p * cum_pos * 1_000_000_000 // cum_c
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert row.ap_ppm == ap_scaled // (n_pos * 1000)
+    assert row.prevalence_ppm == n_pos * 1_000_000 // (n_pos + n_neg)
+    # AP must beat prevalence iff the score actually ranks (sanity only:
+    # direction is data-dependent, but both must be valid probabilities)
+    assert 0 <= row.ap_ppm <= 1_000_000
+
+
+def test_ams_f2_vs_python(spark):
+    """All 16 projections replayed from the same md5 parities; the mean
+    estimator must land within the AMS variance envelope."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_ams_f2"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    counts = dict(
+        con.execute("SELECT user_id, COUNT(*) FROM events GROUP BY 1").fetchall()
+    )
+    f2 = sum(c * c for c in counts.values())
+    sketches = []
+    for j in range(16):
+        sk = sum(
+            c * (1 if _md5_int32(f"{u}:{j}") % 2 == 0 else -1)
+            for u, c in counts.items()
+        )
+        sketches.append(sk)
+    sq = [s * s for s in sketches]
+    assert row.f2_exact == f2
+    assert row.f2_est == sum(sq) // 16
+    assert row.est_min == min(sq) and row.est_max == max(sq)
+    # Var(mean of 16) <= 2*F2^2/16 -> sd <= 0.354*F2; allow 4 sigma
+    assert abs(row.rel_err) < 1.42
+
+
+def test_price_elasticity_vs_python(spark):
+    """Midpoint-formula replay per part with exact integer clearing."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.partkey: r for r in all_queries()["q_price_elasticity"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("lineitem", "orders"))
+    raw = con.execute(
+        """
+        SELECT l_partkey,
+               CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END,
+               SUM(CAST(l_quantity AS BIGINT)),
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    per = {(pk, p): (q, r) for pk, p, q, r in raw}
+    parts = {pk for pk, _ in per}
+    n_checked = 0
+    for pk in parts:
+        if (pk, "a") not in per or (pk, "b") not in per:
+            assert pk not in got
+            continue
+        q_a, r_a = per[(pk, "a")]
+        q_b, r_b = per[(pk, "b")]
+        num = (q_b - q_a) * (r_b * q_a + r_a * q_b)
+        den = (q_b + q_a) * (r_b * q_a - r_a * q_b)
+        row = got[pk]
+        assert (row.num, row.den) == (num, den)
+        if den != 0:
+            assert abs(row.elasticity - num / den) < 1e-12 * max(1.0, abs(num / den))
+        cls = (
+            "undefined" if den == 0
+            else "elastic" if abs(num) > abs(den)
+            else "unit" if abs(num) == abs(den)
+            else "inelastic"
+        )
+        assert row.demand_class == cls
+        n_checked += 1
+    assert n_checked > 100
