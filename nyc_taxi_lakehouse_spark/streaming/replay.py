@@ -1021,3 +1021,82 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_age_us",
         "purchase_value",
     )
+
+
+def run_user_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithState API surface: the per-user lifetime
+    event-type profile (streaming/stateful.py UserTypeProfileProcessor)
+    drained over the CDC envelope replay on the RocksDB state store.
+    TYPED composite state — a ValueState lifetime counter plus a MapState
+    of per-type counts (point-updated in RocksDB; applyInPandasWithState's
+    single-tuple state rewrites whole). Counters are exact integers, so
+    the final per-user profile (max n_events emission — monotone) equals
+    the batch GROUP BY including the per-type breakdown.
+
+    NOT in the query registry: transformWithStateInPandas drives its
+    state server over a protobuf channel and this sandbox has no
+    `google.protobuf` (and pip installs are off) — the same hard
+    environment boundary as the Kafka broker (S4, cdc.py:80). The
+    processor's state algebra is pinned engine-free by
+    tests/test_streaming.py::test_tws_processor_state_algebra, and this
+    E2E path runs (and is oracle-compared in the test) wherever protobuf
+    exists."""
+    from .stateful import running_type_profile_tws
+
+    t = load_tables(spark, sf_dir, ["events"])
+    key = _replay_key(sf_dir)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        write_envelopes(t["events"], env_dir)
+
+    run_dir = os.path.join(_REPLAY_ROOT, key, "tws_pipeline")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            parsed = parse_cdc(
+                file_replay_source(spark, env_dir, max_files_per_trigger=None)
+            )
+            prof = running_type_profile_tws(parsed)
+            q = (
+                prof.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("tws pipeline did not drain within 600s")
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+        with open(marker, "w"):
+            pass
+    emitted = spark.read.parquet(sink)
+    # Final profile per user = the emission with the highest n_events
+    # (monotone across micro-batches; single-batch drains emit one row).
+    w = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+            F.max("n_click").alias("n_click"),
+            F.max("n_view").alias("n_view"),
+            F.max("n_purchase").alias("n_purchase"),
+            F.max("n_error").alias("n_error"),
+            F.max("n_signup").alias("n_signup"),
+        )
+    )
+    return w

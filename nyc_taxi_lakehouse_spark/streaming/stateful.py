@@ -266,3 +266,83 @@ def rocksdb_state_conf() -> dict[str, str]:
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
             "true",
     }
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ----------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+        StructField("n_click", LongType()),
+        StructField("n_view", LongType()),
+        StructField("n_purchase", LongType()),
+        StructField("n_error", LongType()),
+        StructField("n_signup", LongType()),
+    ]
+)
+
+_TWS_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+class UserTypeProfileProcessor(StatefulProcessor):
+    """Per-user lifetime event-type profile on the NEW transformWithState
+    API (Spark 4): a ValueState holds the lifetime count, a MapState holds
+    the per-type counts — the typed composite state that
+    applyInPandasWithState's single-tuple state cannot express
+    incrementally (its tuple is rewritten whole; MapState updates only
+    the touched keys in RocksDB). Emits one refreshed profile row per
+    active user per micro-batch; all counters are exact integers, so the
+    final profile hash-matches a batch GROUP BY oracle."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n_events", "n BIGINT")
+        self._types = handle.getMapState(
+            "type_counts", "event_type STRING", "cnt BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._types.getValue((t,))[0]
+                    if self._types.containsKey((t,))
+                    else 0
+                )
+                self._types.updateValue((t,), (prev + int(c),))
+        self._n.update((n,))
+        counts = {
+            t: (self._types.getValue((t,))[0] if self._types.containsKey((t,)) else 0)
+            for t in _TWS_TYPES
+        }
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_types": [sum(1 for c in counts.values() if c > 0)],
+                **{f"n_{t}": [counts[t]] for t in _TWS_TYPES},
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_type_profile_tws(parsed: DataFrame) -> DataFrame:
+    """parsed: the parse_cdc output stream. transformWithStateInPandas
+    requires the RocksDB state store (caller sets the session conf)."""
+    return parsed.groupBy("user_id").transformWithStateInPandas(
+        UserTypeProfileProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
