@@ -1055,3 +1055,148 @@ def _register_aniso():
 
 
 _register_aniso()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of keyword and vector rankings.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TERMS = ("spark", "merge", "vector")
+
+
+def _rrf_sql(d) -> str:
+    """Hybrid search: the BM25-rational keyword ranking (q_bm25's
+    transcendental-free scoring over a fixed 3-term query) fused with the
+    cosine ranking against a fixed probe vector (vec_id 0) by reciprocal
+    rank fusion, RRF(d) = sum_r 1/(k + rank_r(d)) with k=60 — emitted as
+    the exact integer sum of idiv(1e6, 60+rank) terms, so fusion scores
+    and their ordering never touch a float. Vector side uses the
+    q_embedding_anisotropy unit-quantization (exact BIGINT dots);
+    keyword side snaps contributions to DECIMAL(28,6). Docs matching no
+    query term contribute only their vector term (FULL OUTER fusion)."""
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    toks = d.split_tokens("text")
+    q2 = "CAST(floor(CAST(x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT)"
+    if d.name == "spark":
+        qtoks = f"filter({toks}, x -> x IN ({terms}))"
+        gen = "explode(qtoks)"
+        norm2 = (
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + {q2} * {q2})"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, p.i, CAST(floor(CAST(p.x AS DOUBLE)"
+            " * 32768.0 + 0.5) AS BIGINT) AS q FROM vbase"
+            " LATERAL VIEW posexplode(embedding) p AS i, x"
+        )
+    else:
+        qtoks = f"list_filter({toks}, x -> x IN ({terms}))"
+        gen = "unnest(qtoks)"
+        norm2 = (
+            "CAST(list_sum(list_transform(embedding,"
+            f" x -> {q2} * {q2})) AS BIGINT)"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, u.i - 1 AS i,"
+            " CAST(floor(CAST(u.x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT) AS q"
+            " FROM (SELECT vec_id, norm2_q, unnest(list_transform(embedding,"
+            " (x, i) -> {'x': x, 'i': i})) AS u FROM vbase) s"
+        )
+    nq = (
+        "CAST(floor(CAST(q AS DOUBLE) * 10000.0"
+        " / SQRT(CAST(norm2_q AS DOUBLE)) + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({d.arr_len(toks)} AS BIGINT) AS dl,
+         {qtoks} AS qtoks
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, {gen} AS token FROM base) t
+  GROUP BY doc_id, dl, token
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(
+           GREATEST((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5),
+                    0.000001)
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25
+                          + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                    * CAST(s.n_docs AS DOUBLE)
+                                    / CAST(s.total_tokens AS DOUBLE)))))
+         AS DECIMAL(28,6)) AS c
+  FROM tf
+  JOIN df ON tf.token = df.token
+  CROSS JOIN stats s
+),
+kw AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS BIGINT)
+           AS rk
+  FROM contrib GROUP BY doc_id
+),
+vbase AS (SELECT vec_id, embedding, {norm2} AS norm2_q FROM embeddings),
+comp AS ({expl}),
+unit AS (SELECT vec_id, i, {nq} AS nq FROM comp),
+probe AS (SELECT i, nq AS nqp FROM unit WHERE vec_id = 0),
+dots AS (
+  SELECT u.vec_id, CAST(SUM(u.nq * p.nqp) AS BIGINT) AS dot
+  FROM unit u JOIN probe p ON p.i = u.i
+  GROUP BY u.vec_id
+),
+vr AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rv
+  FROM dots
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id, k.rk, v.rv,
+         CAST(COALESCE({d.idiv('1000000', f'({_RRF_K} + k.rk)')}, 0)
+              + COALESCE({d.idiv('1000000', f'({_RRF_K} + v.rv)')}, 0)
+              AS BIGINT) AS rrf_ppm
+  FROM kw k FULL OUTER JOIN vr v ON v.vec_id = k.doc_id
+)
+SELECT doc_id, rk AS kw_rank, rv AS vec_rank, rrf_ppm
+FROM fused
+ORDER BY rrf_ppm DESC, doc_id
+LIMIT 20
+"""
+
+
+def _register_rrf():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_hybrid_rrf",
+        spark_sql=_rrf_sql(SPARK),
+        duck_sql=_rrf_sql(DUCK),
+        tables=["documents", "embeddings"],
+        doc="Hybrid retrieval via reciprocal-rank fusion (k=60): the "
+        "BM25-rational keyword ranking over a fixed 3-term query fused "
+        "with the exact-integer quantized-cosine ranking against a fixed "
+        "probe vector, RRF scores as exact integer idiv sums — no float "
+        "ever orders the fused list. The hybrid-search pattern every "
+        "modern retrieval stack runs (sparse + dense, fused rank-side so "
+        "the two scores need no calibration). Corpus-scale caveat is "
+        "documented: production fuses per-query CANDIDATE lists (top-k "
+        "from each retriever, k-bounded ranks); the full-corpus ranking "
+        "here is the oracle-checkable form of the same algebra.",
+    )
+
+
+_register_rrf()

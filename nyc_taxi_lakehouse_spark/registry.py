@@ -76,6 +76,7 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 part-10 additions (never driver-checked — first rows needed)
+    "q_hybrid_rrf",
     "q_average_precision",
     "q_ams_f2",
     "q_price_elasticity",

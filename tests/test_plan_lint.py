@@ -117,6 +117,10 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Retriever rank windows over per-doc aggregates + 1-row corpus stats
+    # + 64-row probe broadcast; production fuses k-bounded candidate
+    # lists (docstring), the full-corpus ranking is the oracle form.
+    "q_hybrid_rrf": ({"bnlj", "single-part"}, "doc-grain rank sweeps + 1-row stats"),
     # Threshold sweep over the per-score aggregate (q_auc class).
     "q_average_precision": ({"single-part"}, "sweep over per-score aggregate"),
     # Constant 16-projection fanout of the user grain; 1-row scalars.

@@ -639,3 +639,74 @@ def test_price_elasticity_vs_python(spark):
         assert row.demand_class == cls
         n_checked += 1
     assert n_checked > 100
+
+
+def test_hybrid_rrf_vs_python(spark):
+    """Both retriever rankings and the fused RRF list replayed serially:
+    BM25-rational keyword scores (decimal-snapped like the SQL), exact
+    quantized-cosine dots, exact idiv fusion."""
+    import numpy as np
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_hybrid_rrf"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents", "embeddings"))
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    terms = ("spark", "merge", "vector")
+    toks = {d: t.split(" ") for d, t in docs}
+    n_docs = len(docs)
+    total_tokens = sum(len(v) for v in toks.values())
+    df = Counter()
+    tf = {}
+    for d_id, tl in toks.items():
+        c = Counter(w for w in tl if w in terms)
+        if c:
+            tf[d_id] = c
+            for w in c:
+                df[w] += 1
+    kw_score = {}
+    for d_id, c in tf.items():
+        dl = len(toks[d_id])
+        s = 0
+        for w, f in c.items():
+            idf = max((n_docs - df[w] + 0.5) / (df[w] + 0.5), 1e-6)
+            contrib = idf * (f * 2.2) / (
+                f + 1.2 * (0.25 + 0.75 * (dl * n_docs / total_tokens))
+            )
+            s += round(contrib * 1_000_000)  # DECIMAL(28,6) snap
+        kw_score[d_id] = s
+    kw_rank = {
+        d_id: i + 1
+        for i, (d_id, _) in enumerate(
+            sorted(kw_score.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    vecs = dict(con.execute("SELECT vec_id, embedding FROM embeddings").fetchall())
+    ids = sorted(vecs)
+    q = np.floor(np.array([vecs[i] for i in ids], dtype=np.float64) * 32768.0 + 0.5)
+    norm = np.sqrt((q * q).sum(axis=1))
+    nq = np.floor(q * 10000.0 / norm[:, None] + 0.5)
+    probe = nq[ids.index(0)]
+    dots = {i: int(v) for i, v in zip(ids, nq @ probe)}
+    vec_rank = {
+        i: r + 1
+        for r, (i, _) in enumerate(
+            sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    fused = {}
+    for d_id in set(kw_rank) | set(vec_rank):
+        s = 0
+        if d_id in kw_rank:
+            s += 1_000_000 // (60 + kw_rank[d_id])
+        if d_id in vec_rank:
+            s += 1_000_000 // (60 + vec_rank[d_id])
+        fused[d_id] = s
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.doc_id, r.rrf_ppm) for r in got] == top
+    for r in got:
+        assert r.kw_rank == kw_rank.get(r.doc_id)
+        assert r.vec_rank == vec_rank.get(r.doc_id)
+    # the fusion is genuinely hybrid: top-20 must mix both signals
+    assert any(r.kw_rank is not None and r.kw_rank <= 20 for r in got)
+    assert any(r.vec_rank is not None and r.vec_rank <= 20 for r in got)
