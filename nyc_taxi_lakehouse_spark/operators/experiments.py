@@ -305,3 +305,93 @@ sql_query(
     "the 5-outcome grid, map-side-combined to 640 replicate rows; the "
     "BH walk runs on 5 rows.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve — incremental-impact evaluation of a targeting score.
+# ---------------------------------------------------------------------------
+
+
+def _qini_sql(d: Dialect) -> str:
+    """Qini curve over activity-ranked user deciles: treatment = the
+    q_ab_welch parity assignment, outcome = converted (any purchase),
+    targeting score = event count. Decile k's Qini value is the
+    incremental conversions had the control arm been treated at the
+    treated rate: g(k) = Yt(k) - Yc(k)*Nt(k)/Nc(k) — held as the exact
+    integer Yt*Nc - Yc*Nt over the common denominator Nc, with the
+    random-targeting diagonal line_k = g(10)*cum_n/n on the same
+    denominator algebra. The Qini coefficient (sum of per-decile curve
+    minus diagonal) is one IEEE tree over exact integers."""
+    us = d.epoch_us("ts")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS g,
+         CAST(COUNT(*) AS BIGINT) AS s,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > 0 THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT g, y,
+         CAST(NTILE(10) OVER (ORDER BY s DESC, user_id) AS BIGINT) AS decile
+  FROM per_user
+),
+per_decile AS (
+  SELECT decile,
+         CAST(SUM(g) AS BIGINT) AS nt,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS nc,
+         CAST(SUM(g * y) AS BIGINT) AS yt,
+         CAST(SUM((1 - g) * y) AS BIGINT) AS yc
+  FROM ranked GROUP BY decile
+),
+cum AS (
+  SELECT decile, nt, nc, yt, yc,
+         CAST(SUM(nt) OVER (ORDER BY decile) AS BIGINT) AS cnt_t,
+         CAST(SUM(nc) OVER (ORDER BY decile) AS BIGINT) AS cnt_c,
+         CAST(SUM(yt) OVER (ORDER BY decile) AS BIGINT) AS cy_t,
+         CAST(SUM(yc) OVER (ORDER BY decile) AS BIGINT) AS cy_c,
+         CAST(SUM(nt + nc) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(nt + nc) OVER () AS BIGINT) AS n,
+         CAST(SUM(yt) OVER () AS BIGINT) AS ty_t,
+         CAST(SUM(yc) OVER () AS BIGINT) AS ty_c,
+         CAST(SUM(nt) OVER () AS BIGINT) AS tn_t,
+         CAST(SUM(nc) OVER () AS BIGINT) AS tn_c
+  FROM per_decile
+)
+SELECT decile, nt, nc, yt, yc,
+       CAST(cy_t * cnt_c - cy_c * cnt_t AS BIGINT) AS qini_num,
+       cnt_c AS qini_den,
+       CAST(cy_t * cnt_c - cy_c * cnt_t AS DOUBLE)
+         / CAST(NULLIF(cnt_c, 0) AS DOUBLE) AS qini_k,
+       CAST(ty_t * tn_c - ty_c * tn_t AS DOUBLE)
+         / CAST(NULLIF(tn_c, 0) AS DOUBLE)
+         * CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE) AS diagonal_k,
+       CAST(SUM(
+         CAST(cy_t * cnt_c - cy_c * cnt_t AS DOUBLE)
+           / CAST(NULLIF(cnt_c, 0) AS DOUBLE)
+         - CAST(ty_t * tn_c - ty_c * tn_t AS DOUBLE)
+           / CAST(NULLIF(tn_c, 0) AS DOUBLE)
+           * CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE)
+       ) OVER () AS DOUBLE) AS qini_coefficient
+FROM cum
+ORDER BY decile
+"""
+
+
+sql_query(
+    "q_qini_uplift",
+    spark_sql=_qini_sql(SPARK),
+    duck_sql=_qini_sql(DUCK),
+    tables=["events"],
+    doc="Qini uplift curve over activity-ranked user deciles (treatment = "
+    "the q_ab_welch parity assignment, outcome = converted): per-decile "
+    "incremental conversions g(k) = Yt - Yc*Nt/Nc held as exact integer "
+    "numerator/denominator, the random-targeting diagonal, and the Qini "
+    "coefficient — the uplift-model evaluation standard, completing the "
+    "targeting-eval family next to q_gains_chart (response lift, not "
+    "INCREMENTAL lift) and q_auc/q_average_precision (classification). "
+    "Corpus-scale work is one user-keyed aggregate; the NTILE runs over "
+    "the user-grain aggregate (q_user_deciles boundedness class) and "
+    "every curve column lives on 10 decile rows.",
+)

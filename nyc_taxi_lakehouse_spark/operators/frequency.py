@@ -532,3 +532,115 @@ def _register_ams():
 
 
 _register_ams()
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram — exponent/mantissa-bucketed quantile sketch, pure integer.
+# ---------------------------------------------------------------------------
+
+_HDR_SUB_BITS = 3  # 8 sub-buckets per octave -> <= 12.5% relative error
+
+
+def _hdr_bucket_case(d) -> str:
+    """Generated bucket-id CASE ladder: one arm per exponent, each with
+    compile-time constants; the sub-bucket division uses the dialect's
+    integer division (operands nonnegative, trunc == floor)."""
+    arms = []
+    for e in range(1, 28):
+        hi = 1 << e
+        if e <= _HDR_SUB_BITS + 1:
+            arms.append(f"WHEN v < {hi} THEN {e * 8}")
+        else:
+            unit = 1 << (e - 1 - _HDR_SUB_BITS)
+            sub = d.idiv(f"(v - {1 << (e - 1)})", str(unit))
+            arms.append(f"WHEN v < {hi} THEN {e * 8} + CAST({sub} AS BIGINT)")
+    return "CASE " + " ".join(arms) + " ELSE -1 END"
+
+
+def _hdr_bounds_cases() -> tuple[str, str]:
+    """CASE ladders (keyed on the exponent ed) for the bucket lower bound
+    base and the sub-bucket width — integer constants per arm."""
+    lo_arms, w_arms = [], []
+    for e in range(1, 28):
+        lo_arms.append(f"WHEN {e} THEN {1 << (e - 1)}")
+        if e <= _HDR_SUB_BITS + 1:
+            w_arms.append(f"WHEN {e} THEN {1 << (e - 1)}")
+        else:
+            w_arms.append(f"WHEN {e} THEN {1 << (e - 1 - _HDR_SUB_BITS)}")
+    return "CASE ed " + " ".join(lo_arms) + " END", \
+           "CASE ed " + " ".join(w_arms) + " END"
+
+
+def _hdr_sql(d) -> str:
+    """HDR-histogram quantile sketch over order totals in cents: bucket =
+    (exponent, top-3-mantissa-bits) — a pure-integer CASE ladder, no
+    log() — giving <= 2^-3 relative bucket width above 16 cents. The
+    bucket table is mergeable by plain addition and bounded at 8*27
+    cells regardless of corpus size. p50/p95/p99 membership flags are
+    decided by exact integer rank comparisons."""
+    bucket = _hdr_bucket_case(d)
+    lo, width = _hdr_bounds_cases()
+    r50 = d.idiv("(50 * n + 99)", "100")
+    r95 = d.idiv("(95 * n + 99)", "100")
+    r99 = d.idiv("(99 * n + 99)", "100")
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+bucketed AS (
+  SELECT {bucket} AS b FROM cents WHERE v >= 1
+),
+per_bucket AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bucketed GROUP BY b
+),
+cum AS (
+  SELECT b, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM per_bucket
+),
+shaped AS (
+  SELECT b, cnt, cum, n,
+         CAST({d.idiv('b', '8')} AS BIGINT) AS ed,
+         CAST(b % 8 AS BIGINT) AS sub
+  FROM cum
+)
+SELECT b AS bucket_id, ed AS exponent, sub,
+       CAST(({lo}) + sub * ({width}) AS BIGINT) AS lo,
+       CAST(({lo}) + (sub + 1) * ({width}) - 1 AS BIGINT) AS hi,
+       cnt, cum, n,
+       CASE WHEN cum - cnt < {r50} AND {r50} <= cum THEN 1 ELSE 0 END
+         AS holds_p50,
+       CASE WHEN cum - cnt < {r95} AND {r95} <= cum THEN 1 ELSE 0 END
+         AS holds_p95,
+       CASE WHEN cum - cnt < {r99} AND {r99} <= cum THEN 1 ELSE 0 END
+         AS holds_p99
+FROM shaped
+ORDER BY b
+"""
+
+
+def _register_hdr():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_hdr_histogram",
+        spark_sql=_hdr_sql(SPARK),
+        duck_sql=_hdr_sql(DUCK),
+        tables=["orders"],
+        doc="HDR-histogram quantile sketch over order totals (cents): "
+        "buckets keyed by (exponent, top-3 mantissa bits) via a generated "
+        "integer CASE ladder — no log() — bounding relative bucket width "
+        "at 2^-3 above 16 cents; the bucket table merges by plain "
+        "addition and is <=216 cells at ANY corpus size (the "
+        "latency-SLO sketch pattern: p50/p95/p99 from mergeable integer "
+        "state). Emits exact bucket bounds, counts, cumulative counts, "
+        "and quantile-membership flags decided by exact integer ranks; "
+        "the <=12.5%-relative-error quantile contract is pinned against "
+        "true quantiles in pytest. One corpus map + one bounded-key "
+        "aggregate; the cumulative window runs on <=216 bucket rows.",
+    )
+
+
+_register_hdr()

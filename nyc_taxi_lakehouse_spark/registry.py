@@ -75,6 +75,9 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-11 additions (never driver-checked — first rows needed)
+    "q_hdr_histogram",
+    "q_qini_uplift",
     # round-4 part-10 additions (never driver-checked — first rows needed)
     "q_hybrid_rrf",
     "q_average_precision",

@@ -117,6 +117,11 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Cumulative window over the <=216-cell bucket table.
+    "q_hdr_histogram": ({"single-part"}, "<=216-bucket sketch cumsum"),
+    # NTILE over the per-user aggregate (q_user_deciles class) + 10-row
+    # decile curve windows.
+    "q_qini_uplift": ({"single-part"}, "NTILE over user-grain agg + 10 rows"),
     # Retriever rank windows over per-doc aggregates + 1-row corpus stats
     # + 64-row probe broadcast; production fuses k-bounded candidate
     # lists (docstring), the full-corpus ranking is the oracle form.

@@ -710,3 +710,106 @@ def test_hybrid_rrf_vs_python(spark):
     # the fusion is genuinely hybrid: top-20 must mix both signals
     assert any(r.kw_rank is not None and r.kw_rank <= 20 for r in got)
     assert any(r.vec_rank is not None and r.vec_rank <= 20 for r in got)
+
+
+def test_hdr_histogram_vs_python(spark):
+    """Full serial HDR replay (bucket ids, bounds, cum) plus the quantile
+    accuracy contract: the flagged bucket's midpoint must be within the
+    2^-3 relative bucket width of the true quantile."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_hdr_histogram"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("orders",))
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders"
+        ).fetchall()
+        if v >= 1
+    )
+
+    def bucket(v):
+        e = v.bit_length()
+        if e <= 4:
+            return e * 8
+        return e * 8 + (v - (1 << (e - 1))) // (1 << (e - 4))
+
+    exp = Counter(bucket(v) for v in vals)
+    got = {r.bucket_id: r for r in rows}
+    assert set(got) == set(exp)
+    cum = 0
+    n = len(vals)
+    for b in sorted(exp):
+        cum += exp[b]
+        r = got[b]
+        assert (r.cnt, r.cum, r.n) == (exp[b], cum, n)
+        e = b // 8
+        sub = b % 8
+        unit = (1 << (e - 1 - 3)) if e > 4 else (1 << (e - 1))
+        lo = (1 << (e - 1)) + sub * unit
+        assert (r.lo, r.hi) == (lo, lo + unit - 1)
+    for q, flag in ((50, "holds_p50"), (95, "holds_p95"), (99, "holds_p99")):
+        rank = (q * n + 99) // 100
+        true_q = vals[rank - 1]
+        holders = [r for r in rows if getattr(r, flag) == 1]
+        assert len(holders) == 1
+        h = holders[0]
+        assert h.lo <= true_q <= h.hi
+        mid = (h.lo + h.hi) // 2
+        assert abs(mid - true_q) / true_q <= 0.125
+
+
+def test_qini_uplift_vs_python(spark):
+    """Qini numerators, diagonal, and coefficient replayed from a serial
+    NTILE over the same (score desc, user_id) order."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_qini_uplift"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    per_user = con.execute(
+        """
+        SELECT user_id, user_id % 2, COUNT(*),
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) > 0 THEN 1 ELSE 0 END
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    order = sorted(per_user, key=lambda r: (-r[2], r[0]))
+    n = len(order)
+    # NTILE(10): first n%10 tiles get ceil(n/10)
+    base, extra = divmod(n, 10)
+    tiles = []
+    idx = 0
+    for t in range(1, 11):
+        size = base + (1 if t <= extra else 0)
+        tiles.append(order[idx : idx + size])
+        idx += size
+    cnt_t = cnt_c = cy_t = cy_c = cum_n = 0
+    tn_t = sum(g for _, g, _, _ in per_user)
+    tn_c = n - tn_t
+    ty_t = sum(y for _, g, _, y in per_user if g)
+    ty_c = sum(y for _, g, _, y in per_user if not g)
+    final = (ty_t * tn_c - ty_c * tn_t) / tn_c
+    coeff = 0.0
+    got = {r.decile: r for r in rows}
+    for t, tile in enumerate(tiles, 1):
+        nt = sum(g for _, g, _, _ in tile)
+        nc = len(tile) - nt
+        yt = sum(y for _, g, _, y in tile if g)
+        yc = sum(y for _, g, _, y in tile if not g)
+        cnt_t += nt
+        cnt_c += nc
+        cy_t += yt
+        cy_c += yc
+        cum_n += len(tile)
+        r = got[t]
+        assert (r.nt, r.nc, r.yt, r.yc) == (nt, nc, yt, yc)
+        assert r.qini_num == cy_t * cnt_c - cy_c * cnt_t
+        assert r.qini_den == cnt_c
+        qk = (cy_t * cnt_c - cy_c * cnt_t) / cnt_c
+        dk = final * cum_n / n
+        assert abs(r.qini_k - qk) < 1e-9
+        assert abs(r.diagonal_k - dk) < 1e-9
+        coeff += qk - dk
+    for r in rows:
+        assert abs(r.qini_coefficient - coeff) < 1e-9
