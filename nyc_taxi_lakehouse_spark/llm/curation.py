@@ -1033,3 +1033,93 @@ sql_query(
     "production the window is additionally PARTITION BY table-partition, "
     "making the plan embarrassingly parallel.",
 )
+
+
+# --- Fuzzy decontamination (near-duplicate train->eval leakage) ------------
+
+
+def _decontam_fuzzy_sql(d: Dialect) -> str:
+    """Near-duplicate decontamination across the q_train_split boundary:
+    for every VAL/TEST document, the best-matching TRAIN document by
+    word-4-gram Jaccard (distinct md5-hashed shingles, bipartite join on
+    shingle identity — the eval side is 4% of the corpus and broadcasts)
+    and a contaminated flag at J >= 0.5. The FUZZY companion to
+    q_contamination's exact-overlap gate: paraphrased or lightly-edited
+    eval leakage that exact n-gram matching misses. Jaccard is exact
+    ppm (shared / (na + nb - shared) idiv)."""
+    s = "STRING" if d.name == "spark" else "VARCHAR"
+    bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
+    toks = d.split_tokens("text")
+    if d.name == "spark":
+        grams = (
+            f"array_distinct(transform(sequence(0, size({toks}) - 4),"
+            f" j -> {d.md5_int32(f'concat_ws(chr(32), slice({toks}, j + 1, 4))')}))"
+        )
+        gen = "explode(grams)"
+    else:
+        grams = (
+            f"list_distinct(list_transform(generate_series(0, len({toks}) - 4),"
+            f" j -> {d.md5_int32(f'array_to_string(list_slice({toks}, j + 1, j + 4), chr(32))')}))"
+        )
+        gen = "unnest(grams)"
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < 960 THEN 'train' ELSE 'eval' END AS split,
+         {grams} AS grams
+  FROM documents
+  WHERE {d.arr_len(toks)} >= 4
+),
+shingle AS (
+  SELECT doc_id, split, {gen} AS g FROM tagged
+),
+sizes AS (
+  SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM shingle GROUP BY doc_id, split
+),
+shared AS (
+  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM shingle e JOIN shingle t
+    ON e.g = t.g AND e.split = 'eval' AND t.split = 'train'
+  GROUP BY e.doc_id, t.doc_id
+),
+scored AS (
+  SELECT s.eval_doc, s.train_doc, s.shared,
+         se.n_g AS eval_grams, st.n_g AS train_grams,
+         CAST({d.idiv('(s.shared * 1000000)',
+                      '(se.n_g + st.n_g - s.shared)')} AS BIGINT)
+           AS jaccard_ppm
+  FROM shared s
+  JOIN sizes se ON se.doc_id = s.eval_doc
+  JOIN sizes st ON st.doc_id = s.train_doc
+),
+best AS (
+  SELECT eval_doc, train_doc, shared, eval_grams, train_grams, jaccard_ppm,
+         ROW_NUMBER() OVER (PARTITION BY eval_doc
+                            ORDER BY jaccard_ppm DESC, train_doc) AS rk
+  FROM scored
+)
+SELECT eval_doc, train_doc AS best_train_doc, shared, eval_grams,
+       train_grams, jaccard_ppm,
+       CASE WHEN jaccard_ppm >= 500000 THEN 1 ELSE 0 END AS contaminated
+FROM best WHERE rk = 1
+ORDER BY eval_doc
+"""
+
+
+sql_query(
+    "q_decontam_fuzzy",
+    spark_sql=_decontam_fuzzy_sql(SPARK),
+    duck_sql=_decontam_fuzzy_sql(DUCK),
+    tables=["documents"],
+    doc="Fuzzy (near-duplicate) decontamination across the q_train_split "
+    "boundary: per VAL/TEST document the best-matching TRAIN document by "
+    "distinct word-4-gram Jaccard (exact ppm) with a contaminated flag "
+    "at J >= 0.5 — catches the paraphrased/edited eval leakage "
+    "q_contamination's exact-overlap gate misses (the GPT-3 13-gram "
+    "lesson applied fuzzily). Bipartite shingle join: the eval side is "
+    "4% of the corpus and broadcasts; at 100 TB add the stop-shingle df "
+    "cap exactly as q_dedup_chargram documents. One explode + one "
+    "(eval, train)-keyed count + an eval-partitioned top-1 window.",
+)

@@ -1200,3 +1200,91 @@ def _register_rrf():
 
 
 _register_rrf()
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette — clustering-quality audit without pair joins.
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_sql(d) -> str:
+    """Centroid-based (simplified) silhouette over the k=16 seed
+    centroids: per vector, exact integer squared Euclidean distances to
+    every centroid (the same quantized component grid as q_kmeans_step),
+    a = distance to the nearest centroid (its assignment), b = to the
+    second nearest, s = (b - a)/max(a, b) on correctly-rounded sqrt
+    distances, snapped to ppm BEFORE aggregation so per-cell means are
+    exact integer sums (double SUMs are shuffle-order-dependent — the
+    house rule). The O(n^2) full silhouette never exists: n*k distances,
+    one corpus pass."""
+    comp = _components_sql(d, "true")
+    return f"""
+WITH comp AS ({comp}),
+cent_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}) s
+),
+ccomp AS (
+  SELECT ci.cell, c.i, c.q AS cv
+  FROM cent_ids ci JOIN comp c ON c.vec_id = ci.vec_id
+),
+d2 AS (
+  SELECT c.vec_id, cc.cell,
+         CAST(SUM((c.q - cc.cv) * (c.q - cc.cv)) AS BIGINT) AS dist2
+  FROM comp c JOIN ccomp cc ON c.i = cc.i
+  GROUP BY c.vec_id, cc.cell
+),
+ranked AS (
+  SELECT vec_id, cell, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cell) AS rk
+  FROM d2
+),
+ab AS (
+  SELECT a.vec_id, a.cell AS assigned,
+         SQRT(CAST(a.dist2 AS DOUBLE)) AS da,
+         SQRT(CAST(b.dist2 AS DOUBLE)) AS db
+  FROM ranked a JOIN ranked b
+    ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+),
+sil AS (
+  SELECT vec_id, assigned,
+         CAST(floor((db - da) / GREATEST(da, db) * 1000000.0 + 0.5)
+              AS BIGINT) AS s_ppm
+  FROM ab WHERE GREATEST(da, db) > 0.0
+)
+SELECT assigned AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST({d.idiv('SUM(s_ppm)', 'COUNT(*)')} AS BIGINT) AS mean_sil_ppm,
+       CAST(MIN(s_ppm) AS BIGINT) AS min_sil_ppm,
+       CAST(MAX(s_ppm) AS BIGINT) AS max_sil_ppm,
+       CAST({d.idiv('SUM(SUM(s_ppm)) OVER ()', 'SUM(COUNT(*)) OVER ()')}
+            AS BIGINT) AS global_mean_sil_ppm
+FROM sil
+GROUP BY assigned
+ORDER BY assigned
+"""
+
+
+def _register_silhouette():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_silhouette",
+        spark_sql=_silhouette_sql(SPARK),
+        duck_sql=_silhouette_sql(DUCK),
+        tables=["embeddings"],
+        doc="Simplified (centroid-based) silhouette for the k=16 seed "
+        "clustering: per vector the exact integer squared distances to "
+        "all centroids, a = nearest (assignment), b = runner-up, "
+        "s = (b-a)/max(a,b) snapped to ppm before aggregation so "
+        "per-cell and global means are exact integer sums — the "
+        "clustering-quality audit run before trusting IVF cells or "
+        "SemDeDup buckets, at n*k distance cost (the O(n^2) full "
+        "silhouette never materializes). One corpus pass + a vec-keyed "
+        "rank over k=16 rows per vector.",
+    )
+
+
+_register_silhouette()

@@ -76,6 +76,8 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 part-11 additions (never driver-checked — first rows needed)
+    "q_silhouette",
+    "q_decontam_fuzzy",
     "q_hdr_histogram",
     "q_qini_uplift",
     # round-4 part-10 additions (never driver-checked — first rows needed)

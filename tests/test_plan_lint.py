@@ -117,6 +117,9 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # k=16 centroid seed window + 16-cell global-mean window (the
+    # q_kmeans_step centroid-bootstrap class); corpus stage is keyed.
+    "q_silhouette": ({"single-part"}, "k=16 seed rank + 16-cell report windows"),
     # Cumulative window over the <=216-cell bucket table.
     "q_hdr_histogram": ({"single-part"}, "<=216-bucket sketch cumsum"),
     # NTILE over the per-user aggregate (q_user_deciles class) + 10-row

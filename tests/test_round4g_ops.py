@@ -813,3 +813,92 @@ def test_qini_uplift_vs_python(spark):
         coeff += qk - dk
     for r in rows:
         assert abs(r.qini_coefficient - coeff) < 1e-9
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (both engines' semantics)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_silhouette_vs_python(spark):
+    """Distances, assignment, ppm snap, and per-cell means replayed with
+    numpy; plus the simplified-silhouette range contract."""
+    import numpy as np
+
+    from nyc_taxi_lakehouse_spark.llm.similarity import _KMEANS_K, _QSCALE
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_silhouette"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("embeddings",))
+    vecs = dict(con.execute("SELECT vec_id, embedding FROM embeddings").fetchall())
+    ids = sorted(vecs)
+    raw = np.array([vecs[i] for i in ids], dtype=np.float64) * float(_QSCALE)
+    q = np.sign(raw) * np.floor(np.abs(raw) + 0.5)  # HALF_UP like SQL round()
+    cents = q[:_KMEANS_K]
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).astype(np.int64)
+    order = np.argsort(d2, axis=1, kind="stable")
+    a_cell = order[:, 0]
+    da = np.sqrt(d2[np.arange(len(ids)), order[:, 0]].astype(np.float64))
+    db = np.sqrt(d2[np.arange(len(ids)), order[:, 1]].astype(np.float64))
+    keep = np.maximum(da, db) > 0
+    s_ppm = np.floor((db - da) / np.maximum(da, db) * 1e6 + 0.5).astype(np.int64)
+    got = {r.cell: r for r in rows}
+    tot_s = tot_n = 0
+    for cell in sorted(set(a_cell[keep])):
+        mask = keep & (a_cell == cell)
+        n = int(mask.sum())
+        ssum = int(s_ppm[mask].sum())
+        r = got[cell]
+        assert r.n_members == n
+        assert r.mean_sil_ppm == _trunc_div(ssum, n)
+        assert r.min_sil_ppm == int(s_ppm[mask].min())
+        assert r.max_sil_ppm == int(s_ppm[mask].max())
+        tot_s += ssum
+        tot_n += n
+    for r in rows:
+        assert -1_000_000 <= r.min_sil_ppm <= r.max_sil_ppm <= 1_000_000
+        assert r.global_mean_sil_ppm == _trunc_div(tot_s, tot_n)
+    assert sum(r.n_members for r in rows) == len([k for k in keep if k])
+
+
+def test_decontam_fuzzy_vs_python(spark):
+    """Best-match Jaccard per eval doc replayed from raw 4-gram sets."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.eval_doc: r for r in all_queries()["q_decontam_fuzzy"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("documents",))
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    grams = {}
+    split = {}
+    for d_id, txt in docs:
+        toks = txt.split(" ")
+        if len(toks) < 4:
+            continue
+        g = {
+            _md5_int32(" ".join(toks[j : j + 4]))
+            for j in range(len(toks) - 3)
+        }
+        grams[d_id] = g
+        split[d_id] = "train" if (d_id * 2654435761 + 104729) % 1000 < 960 else "eval"
+    evals = [d for d, s in split.items() if s == "eval"]
+    trains = [d for d, s in split.items() if s == "train"]
+    for e in evals:
+        best = None
+        for t in trains:
+            sh = len(grams[e] & grams[t])
+            if sh == 0:
+                continue
+            j = sh * 1_000_000 // (len(grams[e]) + len(grams[t]) - sh)
+            cand = (-j, t, sh)
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            assert e not in got
+            continue
+        j, t, sh = -best[0], best[1], best[2]
+        r = got[e]
+        assert (r.best_train_doc, r.shared, r.jaccard_ppm) == (t, sh, j)
+        assert (r.eval_grams, r.train_grams) == (len(grams[e]), len(grams[t]))
+        assert r.contaminated == (1 if j >= 500_000 else 0)
+    assert len(got) > 5
