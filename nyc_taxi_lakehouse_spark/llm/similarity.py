@@ -1288,3 +1288,101 @@ def _register_silhouette():
 
 
 _register_silhouette()
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive training pairs below the dup band.
+# ---------------------------------------------------------------------------
+
+_HN_PROBES = 10
+_HN_LO = 300000  # cosine ppm band: similar enough to be hard...
+_HN_HI = 850000  # ...but below the near-duplicate threshold
+
+
+def _hard_negatives_sql(d) -> str:
+    """Contrastive hard negatives for the first 10 anchor vectors: the
+    top-3 corpus vectors by cosine WITHIN the band [0.30, 0.85] —
+    similar enough to be informative, below the near-dup/positive
+    threshold (SemDeDup's band complement). Cosines are exact integer
+    dots on the q_embedding_anisotropy unit-quantized grid, so band
+    membership and ranking are integer-decided. The full-corpus
+    candidate set is the oracle-checkable form; production restricts
+    candidates to the anchor's IVF cell neighborhood exactly as
+    q_similarity_ivf documents."""
+    q2 = "CAST(floor(CAST(x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT)"
+    if d.name == "spark":
+        norm2 = (
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + {q2} * {q2})"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, p.i, CAST(floor(CAST(p.x AS DOUBLE)"
+            " * 32768.0 + 0.5) AS BIGINT) AS q FROM vbase"
+            " LATERAL VIEW posexplode(embedding) p AS i, x"
+        )
+    else:
+        norm2 = (
+            "CAST(list_sum(list_transform(embedding,"
+            f" x -> {q2} * {q2})) AS BIGINT)"
+        )
+        expl = (
+            "SELECT vec_id, norm2_q, u.i - 1 AS i,"
+            " CAST(floor(CAST(u.x AS DOUBLE) * 32768.0 + 0.5) AS BIGINT) AS q"
+            " FROM (SELECT vec_id, norm2_q, unnest(list_transform(embedding,"
+            " (x, i) -> {'x': x, 'i': i})) AS u FROM vbase) s"
+        )
+    nq = (
+        "CAST(floor(CAST(q AS DOUBLE) * 10000.0"
+        " / SQRT(CAST(norm2_q AS DOUBLE)) + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH vbase AS (SELECT vec_id, embedding, {norm2} AS norm2_q FROM embeddings),
+comp AS ({expl}),
+unit AS (SELECT vec_id, i, {nq} AS nq FROM comp),
+anchors AS (SELECT vec_id AS a_id, i, nq AS aq FROM unit
+            WHERE vec_id < {_HN_PROBES}),
+dots AS (
+  SELECT a.a_id, u.vec_id AS cand,
+         CAST(SUM(a.aq * u.nq) AS BIGINT) AS dot_scaled
+  FROM unit u JOIN anchors a ON a.i = u.i AND u.vec_id <> a.a_id
+  GROUP BY a.a_id, u.vec_id
+),
+banded AS (
+  SELECT a_id, cand, dot_scaled,
+         ROW_NUMBER() OVER (PARTITION BY a_id
+                            ORDER BY dot_scaled DESC, cand) AS rk
+  FROM dots
+  WHERE dot_scaled >= {_HN_LO} * 100 AND dot_scaled <= {_HN_HI} * 100
+)
+SELECT a_id AS anchor, cand AS hard_negative, rk,
+       dot_scaled,
+       CAST({d.idiv('dot_scaled', '100')} AS BIGINT) AS cosine_ppm
+FROM banded WHERE rk <= 3
+ORDER BY a_id, rk
+"""
+
+
+def _register_hard_negatives():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_hard_negatives",
+        spark_sql=_hard_negatives_sql(SPARK),
+        duck_sql=_hard_negatives_sql(DUCK),
+        tables=["embeddings"],
+        doc="Contrastive hard-negative mining: per anchor (first 10 "
+        "vectors) the top-3 corpus vectors by cosine INSIDE the band "
+        "[0.30, 0.85] — informative negatives below the near-dup/"
+        "positive threshold, the pair-construction step of contrastive "
+        "embedding training (SimCSE/DPR-style) and the band complement "
+        "of q_semdedup. Cosines are exact integer dots on the unit-"
+        "quantized grid, so band membership and ranking are integer-"
+        "decided; ranking windows are ANCHOR-partitioned (scale with "
+        "probes, not corpus). Production bounds candidates to IVF cell "
+        "neighborhoods (q_similarity_ivf); the full-corpus form here is "
+        "the oracle anchor.",
+    )
+
+
+_register_hard_negatives()

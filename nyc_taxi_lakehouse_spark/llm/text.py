@@ -1406,3 +1406,74 @@ def _register_rake():
 
 
 _register_rake()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — per-language token-budget economics.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql(d) -> str:
+    """Per-language tokenizer fertility: BPE-proxy tokens per word,
+    characters per token, and each language's share of the corpus token
+    budget vs its share of documents — the multilingual-curation readout
+    that decides whether a language is being over-charged by the
+    tokenizer (fertility >> 1 means its text costs more context window
+    per word). All counts exact BIGINT; ratios ppm staged idiv."""
+    bpe = d.arr_len(d.regex_tokens("text", _BPE_PAT))
+    ws = d.token_count("text")
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST({ws} AS BIGINT) AS words,
+         CAST({bpe} AS BIGINT) AS toks
+  FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS chars,
+         CAST(SUM(words) AS BIGINT) AS words,
+         CAST(SUM(toks) AS BIGINT) AS toks
+  FROM per_doc GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         CAST(SUM(toks) AS BIGINT) AS t_toks
+  FROM per_lang
+)
+SELECT p.lang, p.n_docs, p.chars, p.words, p.toks,
+       CAST({d.idiv('(p.toks * 1000000)', 'p.words')} AS BIGINT)
+         AS fertility_ppm,
+       CAST({d.idiv('(p.chars * 1000000)', 'p.toks')} AS BIGINT)
+         AS chars_per_token_ppm,
+       CAST({d.idiv('(p.toks * 1000000)', 't.t_toks')} AS BIGINT)
+         AS token_share_ppm,
+       CAST({d.idiv('(p.n_docs * 1000000)', 't.t_docs')} AS BIGINT)
+         AS doc_share_ppm
+FROM per_lang p CROSS JOIN tot t
+ORDER BY p.lang
+"""
+
+
+def _register_fertility():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_tokenizer_fertility",
+        spark_sql=_fertility_sql(SPARK),
+        duck_sql=_fertility_sql(DUCK),
+        tables=["documents"],
+        doc="Per-language tokenizer fertility audit: BPE-proxy tokens per "
+        "word, chars per token, and token-budget share vs document share "
+        "— the multilingual curation readout for whether a language is "
+        "over-charged by the tokenizer (the q_token_bpe run classes "
+        "aggregated to the language grain and priced against the corpus "
+        "token budget). One map + one |langs|-group aggregate; all "
+        "counts exact, ratios ppm staged idiv.",
+    )
+
+
+_register_fertility()

@@ -347,3 +347,96 @@ def _register_elasticity():
 
 
 _register_elasticity()
+
+
+# ---------------------------------------------------------------------------
+# Price / volume / mix bridge — period-over-period revenue decomposition.
+# ---------------------------------------------------------------------------
+
+
+def _pvm_sql(d) -> str:
+    """Revenue-change bridge per brand between the two calendar halves:
+    delta R decomposed into PRICE (q_b * (p_b - p_a)), PURE VOLUME
+    (r_a * (Q_b - Q_a)/Q_a, the brand's base revenue scaled by total-
+    market growth) and MIX (the residual volume effect from share
+    shift), with p = r/q unit values. Every effect is formed as an
+    exact-integer numerator over an exact denominator (clearing the
+    p = r/q and Q_b/Q_a fractions), so the three effects sum to the
+    exact delta — the identity the serial test asserts. The FP&A bridge
+    behind 'how much of the revenue move was pricing vs demand vs
+    portfolio shift', completing q_unit_value_index (price level) and
+    q_price_elasticity (demand response)."""
+    return f"""
+WITH lines AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN o.o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END
+           AS period,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+per AS (
+  SELECT brand, period,
+         CAST(SUM(qty) AS BIGINT) AS q,
+         CAST(SUM(cents) AS BIGINT) AS r
+  FROM lines GROUP BY brand, period
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN period = 'a' THEN q ELSE 0 END) AS BIGINT) AS tq_a,
+         CAST(SUM(CASE WHEN period = 'b' THEN q ELSE 0 END) AS BIGINT) AS tq_b
+  FROM per
+),
+wide AS (
+  SELECT a.brand,
+         a.q AS q_a, a.r AS r_a, b.q AS q_b, b.r AS r_b,
+         t.tq_a, t.tq_b
+  FROM per a
+  JOIN per b ON a.brand = b.brand AND a.period = 'a' AND b.period = 'b'
+  CROSS JOIN tot t
+)
+SELECT brand, q_a, q_b, r_a, r_b, tq_a, tq_b,
+       CAST(r_b - r_a AS BIGINT) AS delta_cents,
+       -- price effect: q_b*(p_b - p_a) = (r_b*q_a - r_a*q_b)/q_a
+       CAST(r_b * q_a - r_a * q_b AS BIGINT) AS price_num,
+       CAST((CAST(r_b * q_a - r_a * q_b AS DOUBLE))
+         / CAST(q_a AS DOUBLE) AS DOUBLE) AS price_eff_cents,
+       -- pure volume: r_a*(tq_b - tq_a)/tq_a
+       CAST(r_a * (tq_b - tq_a) AS BIGINT) AS volume_num,
+       CAST(CAST(r_a * (tq_b - tq_a) AS DOUBLE)
+         / CAST(tq_a AS DOUBLE) AS DOUBLE) AS volume_eff_cents,
+       -- mix: p_a*(q_b - q_a*tq_b/tq_a) = r_a*(q_b*tq_a - q_a*tq_b)/(q_a*tq_a)
+       CAST(r_a * (q_b * tq_a - q_a * tq_b) AS BIGINT) AS mix_num,
+       CAST(CAST(r_a AS DOUBLE) * CAST(q_b * tq_a - q_a * tq_b AS DOUBLE)
+         / (CAST(q_a AS DOUBLE) * CAST(tq_a AS DOUBLE)) AS DOUBLE)
+         AS mix_eff_cents
+FROM wide
+ORDER BY brand
+"""
+
+
+def _register_pvm():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_price_volume_mix",
+        spark_sql=_pvm_sql(SPARK),
+        duck_sql=_pvm_sql(DUCK),
+        tables=["lineitem", "orders", "part"],
+        doc="Price/volume/mix revenue bridge per brand between calendar "
+        "halves: delta revenue decomposed into price (q_b*(p_b-p_a)), "
+        "pure volume (base revenue x total-market growth), and mix "
+        "(share-shift residual), each formed as an exact integer "
+        "numerator over an exact denominator so the three effects sum "
+        "EXACTLY to the delta (identity asserted in the serial test). "
+        "The FP&A waterfall behind pricing-vs-demand attribution, "
+        "completing q_unit_value_index and q_price_elasticity. Plan: "
+        "the orderkey join + a broadcast part-dimension join, one "
+        "(brand, period) aggregate; the 25-brand bridge algebra is "
+        "corpus-size-independent.",
+    )
+
+
+_register_pvm()

@@ -75,6 +75,10 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-13 additions (never driver-checked — first rows needed)
+    "q_price_volume_mix",
+    "q_hard_negatives",
+    "q_tokenizer_fertility",
     # round-4 part-11 additions (never driver-checked — first rows needed)
     "q_silhouette",
     "q_decontam_fuzzy",

@@ -117,6 +117,10 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # 1-row period-totals pivot broadcast into the 25-brand bridge.
+    "q_price_volume_mix": ({"bnlj", "single-part"}, "1-row totals x 25-brand bridge"),
+    # 1-row corpus-budget totals x the |langs| report grain.
+    "q_tokenizer_fertility": ({"bnlj", "single-part"}, "1-row totals x |langs| rows"),
     # k=16 centroid seed window + 16-cell global-mean window (the
     # q_kmeans_step centroid-bootstrap class); corpus stage is keyed.
     "q_silhouette": ({"single-part"}, "k=16 seed rank + 16-cell report windows"),

@@ -902,3 +902,102 @@ def test_decontam_fuzzy_vs_python(spark):
         assert (r.eval_grams, r.train_grams) == (len(grams[e]), len(grams[t]))
         assert r.contaminated == (1 if j >= 500_000 else 0)
     assert len(got) > 5
+
+
+def test_price_volume_mix_identity(spark):
+    """The bridge identity: price + pure-volume + mix effects must sum to
+    the exact revenue delta per brand (rational algebra, so the double
+    check is at 1e-6 cents), plus a full serial replay of the terms."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_price_volume_mix"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("lineitem", "orders", "part"))
+    raw = con.execute(
+        """
+        SELECT p.p_brand,
+               CASE WHEN o.o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END,
+               SUM(CAST(l.l_quantity AS BIGINT)),
+               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    per = {(b, p): (q, r) for b, p, q, r in raw}
+    tq = {p: sum(q for (b, pp), (q, _) in per.items() if pp == p) for p in ("a", "b")}
+    checked = 0
+    for r in rows:
+        q_a, r_a = per[(r.brand, "a")]
+        q_b, r_b = per[(r.brand, "b")]
+        assert (r.q_a, r.q_b, r.r_a, r.r_b) == (q_a, q_b, r_a, r_b)
+        assert (r.tq_a, r.tq_b) == (tq["a"], tq["b"])
+        assert r.delta_cents == r_b - r_a
+        assert r.price_num == r_b * q_a - r_a * q_b
+        assert r.volume_num == r_a * (tq["b"] - tq["a"])
+        assert r.mix_num == r_a * (q_b * tq["a"] - q_a * tq["b"])
+        total = r.price_eff_cents + r.volume_eff_cents + r.mix_eff_cents
+        assert abs(total - r.delta_cents) < 1e-5 * max(1.0, abs(r.delta_cents))
+        checked += 1
+    assert checked >= 20
+
+
+def test_hard_negatives_vs_bruteforce(spark):
+    """Band membership, ranking, and exclusions replayed with numpy over
+    the full candidate set."""
+    import numpy as np
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = [(r.anchor, r.rk, r.hard_negative, r.dot_scaled) for r in
+           all_queries()["q_hard_negatives"].fn(spark, SF_SMOKE).collect()]
+    con = _duck(SF_SMOKE, ("embeddings",))
+    vecs = dict(con.execute("SELECT vec_id, embedding FROM embeddings").fetchall())
+    ids = sorted(vecs)
+    q = np.floor(np.array([vecs[i] for i in ids], dtype=np.float64) * 32768.0 + 0.5)
+    norm = np.sqrt((q * q).sum(axis=1))
+    nq = np.floor(q * 10000.0 / norm[:, None] + 0.5)
+    g = (nq @ nq.T).astype(np.int64)
+    exp = []
+    for a in range(10):
+        cands = []
+        for j, vid in enumerate(ids):
+            if vid == a:
+                continue
+            dot = int(g[ids.index(a), j])
+            if 300000 * 100 <= dot <= 850000 * 100:
+                cands.append((-dot, vid))
+        cands.sort()
+        for rk, (nd, vid) in enumerate(cands[:3], 1):
+            exp.append((a, rk, vid, -nd))
+    assert got == exp
+    # the band is non-trivially populated
+    assert len(exp) > 10
+
+
+def test_tokenizer_fertility_vs_python(spark):
+    """Per-language counts and ppm ratios replayed with python regex."""
+    import re
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.lang: r for r in all_queries()["q_tokenizer_fertility"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("documents",))
+    docs = con.execute("SELECT lang, text FROM documents").fetchall()
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+")
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, chars, words, toks
+    for lang, txt in docs:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(txt)
+        a[2] += len(re.split(" +", txt))
+        a[3] += len(pat.findall(txt))
+    t_docs = sum(a[0] for a in agg.values())
+    t_toks = sum(a[3] for a in agg.values())
+    assert set(got) == set(agg)
+    for lang, (nd, ch, wo, tk) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.chars, r.words, r.toks) == (nd, ch, wo, tk)
+        assert r.fertility_ppm == tk * 1_000_000 // wo
+        assert r.chars_per_token_ppm == ch * 1_000_000 // tk
+        assert r.token_share_ppm == tk * 1_000_000 // t_toks
+        assert r.doc_share_ppm == nd * 1_000_000 // t_docs
