@@ -158,6 +158,12 @@ HEADLINE = [
     "q_croston",
     "q_rake_keyphrases",
     "q_embedding_anisotropy",
+    # round-4 part-11/13 flagships: mergeable quantile sketch, hybrid
+    # retrieval fusion, fuzzy decontamination, revenue bridge.
+    "q_hdr_histogram",
+    "q_hybrid_rrf",
+    "q_decontam_fuzzy",
+    "q_price_volume_mix",
 ]
 
 

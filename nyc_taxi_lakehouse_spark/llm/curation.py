@@ -1047,31 +1047,34 @@ def _decontam_fuzzy_sql(d: Dialect) -> str:
     q_contamination's exact-overlap gate: paraphrased or lightly-edited
     eval leakage that exact n-gram matching misses. Jaccard is exact
     ppm (shared / (na + nb - shared) idiv)."""
-    s = "STRING" if d.name == "spark" else "VARCHAR"
     bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
-    toks = d.split_tokens("text")
-    if d.name == "spark":
-        grams = (
-            f"array_distinct(transform(sequence(0, size({toks}) - 4),"
-            f" j -> {d.md5_int32(f'concat_ws(chr(32), slice({toks}, j + 1, 4))')}))"
-        )
-        gen = "explode(grams)"
-    else:
-        grams = (
-            f"list_distinct(list_transform(generate_series(0, len({toks}) - 4),"
-            f" j -> {d.md5_int32(f'array_to_string(list_slice({toks}, j + 1, j + 4), chr(32))')}))"
-        )
-        gen = "unnest(grams)"
+    # Grams are assembled RELATIONALLY (positional token rows + three
+    # LEADs over the doc-partitioned position window) instead of an
+    # array lambda: two earlier drafts measured 8-20 s at sf0.1 because
+    # Spark's CollapseProject inlines the tokenized-array alias into the
+    # lambda, re-running split() per element — O(T^2) per doc (the same
+    # CTE-inlining trap llm/ppjoin.py:24-35 dodges with localCheckpoint;
+    # a SQL-string query dodges it by never binding the array at all).
+    # LEAD evaluates the explode output once; the gram hash is one md5
+    # per token position.
+    gram = d.md5_int32(
+        "concat_ws(chr(32), token, t1, t2, t3)"
+    )
     return f"""
-WITH tagged AS (
+WITH toks_pos AS ({d.positional_token_rows('documents')}),
+gram_rows AS (
   SELECT doc_id,
-         CASE WHEN {bucket} < 960 THEN 'train' ELSE 'eval' END AS split,
-         {grams} AS grams
-  FROM documents
-  WHERE {d.arr_len(toks)} >= 4
+         token,
+         LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+         LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+         LEAD(token, 3) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+  FROM toks_pos
 ),
 shingle AS (
-  SELECT doc_id, split, {gen} AS g FROM tagged
+  SELECT DISTINCT doc_id,
+         CASE WHEN {bucket} < 960 THEN 'train' ELSE 'eval' END AS split,
+         {gram} AS g
+  FROM gram_rows WHERE t3 IS NOT NULL
 ),
 sizes AS (
   SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_g
