@@ -233,16 +233,32 @@ _BROADCAST_EVAL_MAX_DOCS = 100_000
 
 
 def _grams_of(side: DataFrame, n: int = _NGRAM) -> DataFrame:
-    """Per-document DISTINCT word n-grams — array_distinct inside the row
-    (map-side, no dedup shuffle), then explode."""
-    gram_list = F.expr(
-        f"array_distinct(transform(sequence(1, size(t) - {n - 1}),"
-        f" i -> array_join(slice(t, i, {n}), ' ')))"
+    """Per-document DISTINCT word n-grams, assembled RELATIONALLY
+    (posexplode + n-1 LEADs over the doc-partitioned position window).
+    The previous array-lambda form (`transform(seq, i -> slice(t, i, n))`
+    with t = split(text)) re-tokenized per lambda element under Spark's
+    CollapseProject — O(T^2) per document; the q_decontam_fuzzy lesson,
+    measured 12x in BASELINE.md. The per-doc dedup moves from a map-side
+    array_distinct to a (doc, gram) DISTINCT that partial-aggregates
+    map-side after the window's doc_id exchange."""
+    from pyspark.sql import Window
+
+    toked = side.select(
+        "doc_id", F.posexplode(F.split("text", " +")).alias("i", "tok")
     )
-    toked = side.select("doc_id", F.split("text", " +").alias("t")).filter(
-        F.size("t") >= n
+    w = Window.partitionBy("doc_id").orderBy("i")
+    tail = F.lead("tok", n - 1).over(w)
+    gram_cols = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    return (
+        toked.select(
+            "doc_id",
+            F.concat_ws(" ", *gram_cols).alias("gram"),
+            tail.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
     )
-    return toked.select("doc_id", F.explode(gram_list).alias("gram"))
 
 
 def contamination_report(
