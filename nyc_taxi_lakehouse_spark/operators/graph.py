@@ -797,3 +797,160 @@ sql_query(
     "— Σd² bounded far inside 2^63 at sf1), two broadcast degree "
     "joins, one scalar row.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Effective diameter — multi-source BFS distance distribution (ANF-lite).
+# ---------------------------------------------------------------------------
+
+_ED_SOURCES = 8
+_ED_ROUNDS = 6
+
+
+def _eff_diameter_oracle(rounds: int = _ED_ROUNDS) -> str:
+    """(source, node) reach sets unrolled per round; the histogram and
+    the 90th-percentile (effective-diameter) flag fall out of exact
+    integer cumulative counts."""
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+seeds AS (
+  SELECT src AS source FROM (
+    SELECT DISTINCT src FROM edges WHERE src % 2 = 0
+  ) g ORDER BY src LIMIT {_ED_SOURCES}
+),
+r0 AS (SELECT source, source AS node FROM seeds)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT source, node FROM r{i - 1}
+  UNION
+  SELECT p.source, e.dst AS node
+  FROM edges e JOIN r{i - 1} p ON e.src = p.node
+)"""
+        )
+    layers = " UNION ALL ".join(
+        f"SELECT source, node, {i} AS h FROM r{i}" for i in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, dist AS (
+  SELECT source, node, CAST(MIN(h) AS BIGINT) AS hop
+  FROM ({layers}) all_layers
+  GROUP BY source, node
+),
+hist AS (
+  SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM dist GROUP BY hop
+),
+cum AS (
+  SELECT hop, n_pairs,
+         CAST(SUM(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum,
+         CAST(SUM(n_pairs) OVER () AS BIGINT) AS total,
+         CAST(SUM(hop * n_pairs) OVER () AS BIGINT) AS hop_sum
+  FROM hist
+)
+SELECT hop, n_pairs, cum, total,
+       CAST((n_pairs * 1000000) // total AS BIGINT) AS share_ppm,
+       CASE WHEN cum * 10 >= total * 9
+             AND (cum - n_pairs) * 10 < total * 9 THEN 1 ELSE 0 END
+         AS is_effective_diameter,
+       CAST((hop_sum * 1000000) // total AS BIGINT) AS mean_dist_ppm
+FROM cum
+ORDER BY hop
+"""
+    )
+
+
+@df_query(
+    "q_effective_diameter",
+    duck_sql=_eff_diameter_oracle(),
+    tables=["orders", "lineitem", "customer"],
+    doc="Effective diameter (ANF-lite): multi-source BFS from the 8 "
+    "lowest-id trading customers over the symmetric trade graph, exact "
+    "(source, node) hop distances to round 6, the distance histogram "
+    "with exact ppm shares, the mean distance, and the 90th-percentile "
+    "flag (the effective-diameter convention) decided by integer "
+    "cumulative-count comparisons. The distance-DISTRIBUTION capstone "
+    "of the iterative graph family (q_bfs_hops reports reachability "
+    "from ONE cohort; this samples sources the way ANF/HyperANF does, "
+    "with exact sets at 8 sources standing in for their sketched "
+    "union). Frontier-optimized like q_bfs_hops: per-round work is "
+    "O(frontier-adjacent edges) per source, frontiers localCheckpointed "
+    "(O(1) lineage), anti-join on the accumulated (source, node) set.",
+)
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "customer"])
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select("src")
+        .where(F.col("src") % 2 == 0)
+        .distinct()
+        .orderBy("src")
+        .limit(_ED_SOURCES)
+        .select(F.col("src").alias("source"))
+    )
+    dist = seeds.select("source", F.col("source").alias("node")).withColumn(
+        "hop", F.lit(0)
+    ).localCheckpoint()
+    frontier = dist
+    for i in range(1, _ED_ROUNDS + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select("source", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neighbors.join(
+            dist.select("source", "node"), ["source", "node"], "left_anti"
+        ).withColumn("hop", F.lit(i))
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    hist = dist.groupBy("hop").agg(F.count("*").alias("n_pairs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hop")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        F.col("hop").cast("bigint").alias("hop"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("bigint").alias("cum"),
+        F.sum("n_pairs").over(wall).cast("bigint").alias("total"),
+        F.sum(F.col("hop") * F.col("n_pairs")).over(wall).cast("bigint").alias("hop_sum"),
+    )
+    return cum.select(
+        "hop",
+        "n_pairs",
+        "cum",
+        "total",
+        F.expr("CAST((n_pairs * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "CASE WHEN cum * 10 >= total * 9"
+            " AND (cum - n_pairs) * 10 < total * 9 THEN 1 ELSE 0 END"
+        ).alias("is_effective_diameter"),
+        F.expr("CAST((hop_sum * 1000000) DIV total AS BIGINT)").alias("mean_dist_ppm"),
+    ).orderBy("hop")

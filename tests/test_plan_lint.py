@@ -117,6 +117,10 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Histogram windows over the <=7-hop distance table + the 8-source
+    # seed pick (ORDER BY ... LIMIT 8 is a TakeOrdered, but the cum
+    # window runs on hop grain).
+    "q_effective_diameter": ({"single-part"}, "<=7-hop histogram windows"),
     # 1-row period-totals pivot broadcast into the 25-brand bridge.
     "q_price_volume_mix": ({"bnlj", "single-part"}, "1-row totals x 25-brand bridge"),
     # 1-row corpus-budget totals x the |langs| report grain.

@@ -1001,3 +1001,57 @@ def test_tokenizer_fertility_vs_python(spark):
         assert r.chars_per_token_ppm == ch * 1_000_000 // tk
         assert r.token_share_ppm == tk * 1_000_000 // t_toks
         assert r.doc_share_ppm == nd * 1_000_000 // t_docs
+
+
+def test_effective_diameter_vs_python(spark):
+    """Full serial multi-source BFS replay plus the 90th-percentile flag
+    semantics."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_effective_diameter"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("orders", "lineitem"))
+    pairs = con.execute(
+        """
+        SELECT DISTINCT o.o_custkey * 2, l.l_suppkey * 2 + 1
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    sources = sorted(n for n in adj if n % 2 == 0)[:8]
+    dist = Counter()
+    for s in sources:
+        seen = {s: 0}
+        frontier = [s]
+        for h in range(1, 7):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        seen[v] = h
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        for h in seen.values():
+            dist[h] += 1
+    total = sum(dist.values())
+    hop_sum = sum(h * c for h, c in dist.items())
+    got = {r.hop: r for r in rows}
+    assert set(got) == set(dist)
+    cum = 0
+    flagged = []
+    for h in sorted(dist):
+        prev = cum
+        cum += dist[h]
+        r = got[h]
+        assert (r.n_pairs, r.cum, r.total) == (dist[h], cum, total)
+        assert r.share_ppm == dist[h] * 1_000_000 // total
+        expect_flag = 1 if cum * 10 >= total * 9 and prev * 10 < total * 9 else 0
+        assert r.is_effective_diameter == expect_flag
+        if expect_flag:
+            flagged.append(h)
+        assert r.mean_dist_ppm == hop_sum * 1_000_000 // total
+    assert len(flagged) == 1  # exactly one hop carries the 90th percentile
