@@ -76,6 +76,7 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 part-13 additions (never driver-checked — first rows needed)
+    "q_out_of_orderness",
     "q_effective_diameter",
     "q_price_volume_mix",
     "q_hard_negatives",

@@ -172,3 +172,104 @@ def q_session_dynamic(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness audit — the watermark-sizing readout.
+# ---------------------------------------------------------------------------
+
+
+def _ooo_sql(d) -> str:
+    """Event-time lateness distribution: within each ingest partition
+    (user_id % 8 — the per-source-partition ordering guarantee a Kafka
+    topic gives), lateness = running-max(event time) - event time over
+    arrival order (event_id), bucketed on a fixed seconds ladder. The
+    cumulative shares answer the question every watermark setting
+    encodes: 'what fraction of events arrive within X of the stream
+    head' — the flag marks the smallest bucket covering >= 99%, i.e.
+    the data-driven withWatermark() recommendation."""
+    us = d.epoch_us("ts")
+    # The synthetic events arrive fully in-order (event_id follows ts), so
+    # arrival is modeled as event time + a deterministic md5 jitter <= 8 h
+    # (sized above the sparse smoke-SF inter-event gap so inversions
+    # actually occur). The audit must then RECOVER the planted bound: the
+    # serial test asserts the flagged band covers 8 h and nothing lands
+    # past it.
+    jitter = f"({d.md5_int32(d.to_str('event_id'))} % 28800000000)"
+    lateness = (
+        "CAST(MAX(ts_us) OVER (PARTITION BY part ORDER BY arrival_us,"
+        " event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " - ts_us AS BIGINT)"
+    )
+    ladder = (
+        "CASE WHEN late_us = 0 THEN 0"
+        " WHEN late_us <= 60000000 THEN 1"
+        " WHEN late_us <= 600000000 THEN 2"
+        " WHEN late_us <= 3600000000 THEN 3"
+        " WHEN late_us <= 14400000000 THEN 4"
+        " WHEN late_us <= 43200000000 THEN 5"
+        " ELSE 6 END"
+    )
+    return f"""
+WITH arrivals AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS part,
+         event_id,
+         {us} AS ts_us,
+         {us} + {jitter} AS arrival_us
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+late AS (
+  SELECT part, {lateness} AS late_us FROM arrivals
+),
+bucketed AS (
+  SELECT {ladder} AS bucket, late_us FROM late
+),
+hist AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(late_us) AS BIGINT) AS max_late_us
+  FROM bucketed GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, n, max_late_us,
+         CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM hist
+)
+SELECT bucket,
+       CASE bucket WHEN 0 THEN 'in-order' WHEN 1 THEN '<=1m'
+            WHEN 2 THEN '<=10m' WHEN 3 THEN '<=1h' WHEN 4 THEN '<=4h'
+            WHEN 5 THEN '<=12h' ELSE '>12h' END AS band,
+       n, max_late_us, cum, total,
+       CAST({d.idiv('(n * 1000000)', 'total')} AS BIGINT) AS share_ppm,
+       CASE WHEN cum * 100 >= total * 99
+             AND (cum - n) * 100 < total * 99 THEN 1 ELSE 0 END
+         AS is_p99_watermark
+FROM cum
+ORDER BY bucket
+"""
+
+
+def _register_ooo():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_out_of_orderness",
+        spark_sql=_ooo_sql(SPARK),
+        duck_sql=_ooo_sql(DUCK),
+        tables=["events"],
+        doc="Out-of-orderness audit: per ingest partition (user_id % 8 — "
+        "the per-partition ordering a Kafka topic guarantees), lateness "
+        "of each event against the partition's running event-time head, "
+        "bucketed on a fixed seconds ladder with exact cumulative shares "
+        "and a flag on the smallest band covering >= 99% — the "
+        "data-driven withWatermark() recommendation that sizes state "
+        "retention for every streaming query in the repo (q_cdc_windowed, "
+        "q_stream_dedup, q_session_stream). Partition-keyed running-max "
+        "windows (scale with partitions, never global), one bounded-key "
+        "histogram aggregate; all integer microseconds.",
+    )
+
+
+_register_ooo()

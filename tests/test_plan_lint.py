@@ -117,6 +117,9 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Cumulative window over the 7-band lateness histogram (the corpus
+    # stage is the partition-keyed running-max window).
+    "q_out_of_orderness": ({"single-part"}, "7-band histogram cumsum"),
     # Histogram windows over the <=7-hop distance table + the 8-source
     # seed pick (ORDER BY ... LIMIT 8 is a TakeOrdered, but the cum
     # window runs on hop grain).

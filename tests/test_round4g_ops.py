@@ -1055,3 +1055,55 @@ def test_effective_diameter_vs_python(spark):
             flagged.append(h)
         assert r.mean_dist_ppm == hop_sum * 1_000_000 // total
     assert len(flagged) == 1  # exactly one hop carries the 90th percentile
+
+
+def test_out_of_orderness_vs_python(spark):
+    """Lateness replay under the planted 8 h jitter: per ingest partition,
+    running-max lateness over (arrival, event_id) order, band histogram,
+    and the planted-bound recovery contract (nothing past 8 h; the p99
+    flag covers the jitter regime)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_out_of_orderness"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT user_id % 8, event_id, epoch_ns(ts) // 1000 FROM events"
+        " WHERE ts IS NOT NULL AND event_id IS NOT NULL"
+    ).fetchall()
+    by_part = defaultdict(list)
+    for part, eid, ts_us in raw:
+        arrival = ts_us + _md5_int32(str(eid)) % 28_800_000_000
+        by_part[part].append((arrival, eid, ts_us))
+    bands = Counter()
+    max_late = Counter()
+    edges = [0, 60, 600, 3600, 14400, 43200]
+    for part, evs in by_part.items():
+        evs.sort()
+        head = None
+        for _, _, ts_us in evs:
+            head = ts_us if head is None else max(head, ts_us)
+            late = head - ts_us
+            b = 0 if late == 0 else next(
+                (i for i, e in enumerate(edges[1:], 1) if late <= e * 1_000_000), 6
+            )
+            bands[b] += 1
+            max_late[b] = max(max_late[b], late)
+    total = sum(bands.values())
+    got = {r.bucket: r for r in rows}
+    assert set(got) == set(bands)
+    cum = 0
+    for b in sorted(bands):
+        prev = cum
+        cum += bands[b]
+        r = got[b]
+        assert (r.n, r.cum, r.total) == (bands[b], cum, total)
+        assert r.max_late_us == max_late[b]
+        assert r.share_ppm == bands[b] * 1_000_000 // total
+        assert r.is_p99_watermark == (
+            1 if cum * 100 >= total * 99 and prev * 100 < total * 99 else 0
+        )
+    # planted-bound recovery: jitter < 8 h, so no lateness past the 12 h band
+    assert all(r.max_late_us < 28_800_000_000 for r in rows)
+    assert sum(r.is_p99_watermark for r in rows) == 1
+    # the audit is non-degenerate: late events exist
+    assert total > bands[0] > 0
