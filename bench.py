@@ -164,6 +164,9 @@ HEADLINE = [
     "q_hybrid_rrf",
     "q_decontam_fuzzy",
     "q_price_volume_mix",
+    # part-14/15 flagships: iterative ANF-lite BFS, watermark audit.
+    "q_effective_diameter",
+    "q_out_of_orderness",
 ]
 
 
