@@ -2346,3 +2346,82 @@ def _register_ap():
 
 
 _register_ap()
+
+
+# ---------------------------------------------------------------------------
+# State-run encoding — gaps-and-islands temporal coalescing of the
+# per-user event-type timeline.
+# ---------------------------------------------------------------------------
+
+
+def _state_runs_sql(d: Dialect) -> str:
+    """Run-length encoding of each user's event-type timeline (the
+    SQL:2011 temporal-coalescing pattern): a LAG change flag over the
+    (ts, event_id) total order, a cumulative island id, then per-island
+    extents — summarized per event_type as run counts, mean run length
+    in events, longest run, and mean run DURATION (exact microsecond
+    sums; runs of one event have zero duration). The coalescing step
+    every SCD2 history compaction and session-state analysis runs; the
+    run-length view of what q_markov_transitions sees as self-loop
+    probability."""
+    us = d.epoch_us("ts")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, {us} AS ts_us,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY {us}, event_id) AS prev_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(SUM(chg) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_type
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, event_type,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS run_dur_us
+  FROM islands GROUP BY user_id, island, event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       CAST({d.idiv('(SUM(run_len) * 1000000)', 'COUNT(*)')} AS BIGINT)
+         AS mean_run_len_ppm,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST(SUM(run_dur_us) AS BIGINT) AS total_run_dur_us,
+       CAST({d.idiv('SUM(run_dur_us)', 'COUNT(*)')} AS BIGINT)
+         AS mean_run_dur_us
+FROM runs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _register_state_runs():
+    sql_query(
+        "q_state_runs",
+        spark_sql=_state_runs_sql(SPARK),
+        duck_sql=_state_runs_sql(DUCK),
+        tables=["events"],
+        doc="Gaps-and-islands run-length encoding of per-user event-type "
+        "timelines (the SQL:2011 temporal-coalescing pattern: LAG change "
+        "flag -> cumulative island id -> per-island extents), summarized "
+        "per type as run counts, mean/max run length, and exact "
+        "microsecond run durations — the history-compaction step of SCD2 "
+        "maintenance and the run-length dual of q_markov_transitions' "
+        "self-loop probabilities. All windows are USER-partitioned "
+        "(never global); two keyed aggregates after.",
+    )
+
+
+_register_state_runs()

@@ -395,3 +395,96 @@ sql_query(
     "the user-grain aggregate (q_user_deciles boundedness class) and "
     "every curve column lives on 10 decile rows.",
 )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 factorial interaction — does the treatment effect depend on cohort?
+# ---------------------------------------------------------------------------
+
+
+def _interaction_sql(d: Dialect) -> str:
+    """2x2 factorial readout: factor A = the q_ab_welch parity assignment,
+    factor B = the error-first cohort (q_cmh's exposure), outcome =
+    per-user purchase count. Emits the four cell means and the
+    interaction contrast (m11 - m10) - (m01 - m00) with its z statistic
+    from the four cell variances — the 'does the experiment effect
+    differ by cohort' question a segment-level dashboard answers with
+    eyeballs and this answers with algebra. Cell moments are exact
+    BIGINTs; means/variances/z are one shared IEEE tree (the q_ab_welch
+    discipline); the 4-row cell table carries window-computed contrast
+    columns."""
+    us = d.epoch_us("ts")
+
+    def mean(c: str) -> str:
+        return f"(CAST(sy{c} AS DOUBLE) / n{c})"
+
+    def var_over_n(c: str) -> str:
+        return (
+            f"((CAST(n{c} AS DOUBLE) * syy{c} - CAST(sy{c} AS DOUBLE) * sy{c})"
+            f" / (CAST(n{c} AS DOUBLE) * (CAST(n{c} AS DOUBLE) - 1))"
+            f" / CAST(n{c} AS DOUBLE))"
+        )
+
+    # The contrast is a FIXED IEEE tree over the pivoted 1-row cell stats —
+    # an aggregated SUM over DOUBLE cell terms is shuffle/engine-order-
+    # dependent (the first draft hash-mismatched on exactly that).
+    inter = f"(({mean('11')} - {mean('10')}) - ({mean('01')} - {mean('00')}))"
+    se = (
+        f"SQRT((({var_over_n('11')} + {var_over_n('10')})"
+        f" + {var_over_n('01')}) + {var_over_n('00')})"
+    )
+    cell = (
+        "CAST(SUM(CASE WHEN a = {a} AND b = {b} THEN {x} ELSE 0 END)"
+        " AS BIGINT) AS {x}{a}{b}"
+    )
+    pivots = ",\n         ".join(
+        cell.format(a=a, b=b, x=x)
+        for a in (0, 1)
+        for b in (0, 1)
+        for x in ("n", "sy", "syy")
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS a,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN {us} END)
+                   = MIN({us}) THEN 1 ELSE 0 END AS b,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT a, b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY a, b
+),
+pivoted AS (
+  SELECT {pivots}
+  FROM cells
+)
+SELECT n00, n01, n10, n11, sy00, sy01, sy10, sy11,
+       {mean('00')} AS mean00,
+       {mean('01')} AS mean01,
+       {mean('10')} AS mean10,
+       {mean('11')} AS mean11,
+       {inter} AS interaction,
+       {inter} / {se} AS interaction_z
+FROM pivoted
+"""
+
+
+sql_query(
+    "q_ab_interaction",
+    spark_sql=_interaction_sql(SPARK),
+    duck_sql=_interaction_sql(DUCK),
+    tables=["events"],
+    doc="2x2 factorial interaction: parity assignment x error-first "
+    "cohort on per-user purchase counts — the four cell means/variances "
+    "from exact integer moments and the interaction contrast "
+    "(m11-m10)-(m01-m00) with its z from the pooled cell variances, the "
+    "'does the effect differ by segment' answer that upgrades eyeballing "
+    "q_ab_welch by cohort. One user-keyed aggregate; all contrast "
+    "algebra on the 4-row cell table.",
+)

@@ -117,6 +117,8 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # 4-cell factorial pivot to one scalar row (q_mcnemar class).
+    "q_ab_interaction": ({"single-part"}, "2x2 cell pivot to scalar row"),
     # Cumulative window over the 7-band lateness histogram (the corpus
     # stage is the partition-keyed running-max window).
     "q_out_of_orderness": ({"single-part"}, "7-band histogram cumsum"),

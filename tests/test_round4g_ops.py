@@ -1107,3 +1107,78 @@ def test_out_of_orderness_vs_python(spark):
     assert sum(r.is_p99_watermark for r in rows) == 1
     # the audit is non-degenerate: late events exist
     assert total > bands[0] > 0
+
+
+def test_ab_interaction_vs_python(spark):
+    """Cell moments and the interaction contrast/z replayed serially."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_ab_interaction"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        """
+        SELECT user_id % 2,
+               CASE WHEN MIN(CASE WHEN event_type = 'error'
+                             THEN epoch_ns(ts) END) = MIN(epoch_ns(ts))
+                    THEN 1 ELSE 0 END,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0])
+    for a, b, y in raw:
+        c = cells[(a, b)]
+        c[0] += 1
+        c[1] += y
+        c[2] += y * y
+    import math
+
+    m = {}
+    von = {}
+    for (a, b), (n, sy, syy) in cells.items():
+        assert getattr(row, f"n{a}{b}") == n
+        assert getattr(row, f"sy{a}{b}") == sy
+        m[(a, b)] = sy / n
+        von[(a, b)] = (n * syy - sy * sy) / (n * (n - 1)) / n
+        assert abs(getattr(row, f"mean{a}{b}") - m[(a, b)]) < 1e-12
+    inter = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    z = inter / math.sqrt(sum(von.values()))
+    assert abs(row.interaction - inter) < 1e-10
+    assert abs(row.interaction_z - z) < 1e-10
+    assert all(n >= 2 for n, _, _ in cells.values())
+
+
+def test_state_runs_vs_python(spark):
+    """Run-length encoding replayed from the (ts, event_id) total order."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.event_type: r for r in all_queries()["q_state_runs"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts) // 1000 FROM events"
+        " ORDER BY user_id, epoch_ns(ts) // 1000, event_id"
+    ).fetchall()
+    runs = defaultdict(list)  # type -> [(len, dur_us)]
+    cur_u = cur_t = None
+    cur = []
+    def flush():
+        if cur:
+            runs[cur_t].append((len(cur), max(cur) - min(cur)))
+    for u, t, ts in raw:
+        if u != cur_u or t != cur_t:
+            flush()
+            cur_u, cur_t, cur = u, t, []
+        cur.append(ts)
+    flush()
+    assert set(got) == set(runs)
+    for t, rl in runs.items():
+        r = got[t]
+        n_runs = len(rl)
+        n_events = sum(l for l, _ in rl)
+        dur = sum(d for _, d in rl)
+        assert (r.n_runs, r.n_events) == (n_runs, n_events)
+        assert r.mean_run_len_ppm == n_events * 1_000_000 // n_runs
+        assert r.max_run_len == max(l for l, _ in rl)
+        assert (r.total_run_dur_us, r.mean_run_dur_us) == (dur, dur // n_runs)
+    # runs genuinely coalesce: some multi-event runs exist
+    assert any(r.max_run_len > 1 for r in got.values())
