@@ -1182,3 +1182,33 @@ def test_state_runs_vs_python(spark):
         assert (r.total_run_dur_us, r.mean_run_dur_us) == (dur, dur // n_runs)
     # runs genuinely coalesce: some multi-event runs exist
     assert any(r.max_run_len > 1 for r in got.values())
+
+
+def test_maxsim_vs_bruteforce(spark):
+    """MaxSim replayed with numpy over all subvector pairs for every
+    candidate, including the unit quantization and integer ordering."""
+    import numpy as np
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = [(r.doc_vec, r.maxsim_scaled) for r in
+           all_queries()["q_maxsim_retrieval"].fn(spark, SF_SMOKE).collect()]
+    con = _duck(SF_SMOKE, ("embeddings",))
+    vecs = dict(con.execute("SELECT vec_id, embedding FROM embeddings").fetchall())
+    ids = sorted(vecs)
+    raw = np.array([vecs[i] for i in ids], dtype=np.float64) * 32768.0
+    q = np.floor(raw + 0.5)  # the SQL quantizer is floor(x + 0.5), signed
+    # subvector split: (vec, sub, dim)
+    q = q.reshape(len(ids), 8, 8)
+    norms = np.sqrt((q * q).sum(axis=2))
+    nq = np.floor(q * 10000.0 / norms[:, :, None] + 0.5)
+    probe = nq[ids.index(0)]  # 8 x 8
+    scores = {}
+    for idx, vid in enumerate(ids):
+        if vid == 0:
+            continue
+        dots = (probe @ nq[idx].T).astype(np.int64)  # psub x dsub
+        scores[vid] = int(dots.max(axis=1).sum())
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == exp
+    assert len(exp) == 20 and all(s > 0 for _, s in exp)
