@@ -1477,3 +1477,95 @@ def _register_fertility():
 
 
 _register_fertility()
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs with deterministic negative sampling.
+# ---------------------------------------------------------------------------
+
+_SG_TOP = 30
+
+
+def _skipgram_sql(d) -> str:
+    """Word2vec-style training-data generation: (center, context) pairs at
+    offsets +-1/+-2 assembled relationally (LEAD/LAG over the doc-
+    partitioned position window — the CollapseProject-safe form), pair
+    counts over the corpus, and TWO deterministic hash negatives per
+    surviving pair drawn from the frequency-ranked vocabulary (md5 of
+    (center, context, k) mod |vocab| joined back to the rank table —
+    reproducible negative sampling, no RNG state). Emits the top-30
+    pairs by count: the artifact an embedding-training job consumes."""
+    toks = d.positional_token_rows("documents")
+    neg = "{h} % v.n_vocab"
+    h1 = neg.format(
+        h=d.md5_int32("concat(center, ':', context, ':1')")
+    )
+    h2 = neg.format(
+        h=d.md5_int32("concat(center, ':', context, ':2')")
+    )
+    return f"""
+WITH toks AS ({toks}),
+ctx AS (
+  SELECT doc_id, token AS center, i,
+         LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY i) AS cm2,
+         LAG(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS cm1,
+         LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS cp1,
+         LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY i) AS cp2
+  FROM toks
+),
+pairs AS (
+  SELECT center, cm2 AS context FROM ctx WHERE cm2 IS NOT NULL
+  UNION ALL SELECT center, cm1 FROM ctx WHERE cm1 IS NOT NULL
+  UNION ALL SELECT center, cp1 FROM ctx WHERE cp1 IS NOT NULL
+  UNION ALL SELECT center, cp2 FROM ctx WHERE cp2 IS NOT NULL
+),
+pair_counts AS (
+  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY center, context
+),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) - 1
+              AS BIGINT) AS vid
+  FROM toks GROUP BY token
+),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM vocab),
+top_pairs AS (
+  SELECT center, context, n
+  FROM pair_counts
+  ORDER BY n DESC, center, context
+  LIMIT {_SG_TOP}
+)
+SELECT p.center, p.context, p.n,
+       v1.token AS neg1,
+       v2.token AS neg2
+FROM top_pairs p
+CROSS JOIN vsize v
+JOIN vocab v1 ON v1.vid = {h1}
+JOIN vocab v2 ON v2.vid = {h2}
+ORDER BY p.n DESC, p.center, p.context
+"""
+
+
+def _register_skipgram():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_skipgram_pairs",
+        spark_sql=_skipgram_sql(SPARK),
+        duck_sql=_skipgram_sql(DUCK),
+        tables=["documents"],
+        doc="Skip-gram training-pair generation (word2vec window +-2) with "
+        "deterministic negative sampling: (center, context) pairs "
+        "assembled with LEAD/LAG over doc-partitioned position windows "
+        "(the CollapseProject-safe relational form), corpus pair counts, "
+        "and two md5-derived negatives per top pair drawn from the "
+        "frequency-ranked vocabulary — reproducible embedding-training "
+        "data with no RNG state. One positional explode, one pair-keyed "
+        "aggregate, a vocab-sized rank (oracle-anchor dictionary, same "
+        "caveat as q_dedup_minhash), TakeOrdered top-30.",
+    )
+
+
+_register_skipgram()

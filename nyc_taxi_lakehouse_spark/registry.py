@@ -76,6 +76,7 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 part-16 additions (never driver-checked — first rows needed)
+    "q_skipgram_pairs",
     "q_maxsim_retrieval",
     "q_ab_interaction",
     "q_state_runs",

@@ -117,6 +117,9 @@ WHITELIST = {
     "q_mcnemar": ({"single-part"}, "2x2 contingency scalar"),
     # 1-row window-bounds broadcast into the per-type aggregate.
     "q_poisson_rate": ({"bnlj", "single-part"}, "1-row bounds + |types| rows"),
+    # Vocab dictionary rank (oracle-anchor, q_dedup_minhash class) +
+    # 1-row vocab-size broadcast into the 30-row top-pair table.
+    "q_skipgram_pairs": ({"bnlj", "single-part"}, "vocab rank anchor + 1-row size x 30"),
     # 4-cell factorial pivot to one scalar row (q_mcnemar class).
     "q_ab_interaction": ({"single-part"}, "2x2 cell pivot to scalar row"),
     # Cumulative window over the 7-band lateness histogram (the corpus

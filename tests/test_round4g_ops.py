@@ -1212,3 +1212,33 @@ def test_maxsim_vs_bruteforce(spark):
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == exp
     assert len(exp) == 20 and all(s > 0 for _, s in exp)
+
+
+def test_skipgram_pairs_vs_python(spark):
+    """Window pairs, counts, vocabulary rank, and hash negatives all
+    replayed serially."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = all_queries()["q_skipgram_pairs"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("documents",))
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    pair = Counter()
+    vocab_freq = Counter()
+    for _, txt in docs:
+        toks = txt.split(" ")
+        vocab_freq.update(toks)
+        for i, c in enumerate(toks):
+            for off in (-2, -1, 1, 2):
+                j = i + off
+                if 0 <= j < len(toks):
+                    pair[(c, toks[j])] += 1
+    vocab = [
+        t for t, _ in sorted(vocab_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    n_vocab = len(vocab)
+    top = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert len(got) == 30
+    for r, ((c, x), n) in zip(got, top):
+        assert (r.center, r.context, r.n) == (c, x, n)
+        assert r.neg1 == vocab[_md5_int32(f"{c}:{x}:1") % n_vocab]
+        assert r.neg2 == vocab[_md5_int32(f"{c}:{x}:2") % n_vocab]
