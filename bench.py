@@ -167,6 +167,10 @@ HEADLINE = [
     # part-14/15 flagships: iterative ANF-lite BFS, watermark audit.
     "q_effective_diameter",
     "q_out_of_orderness",
+    # part-16/18 flagships: late-interaction retrieval, skip-gram
+    # training pairs.
+    "q_maxsim_retrieval",
+    "q_skipgram_pairs",
 ]
 
 
