@@ -286,3 +286,57 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["events"])
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(_SQL_SCRIPT)
+
+
+# ---------------------------------------------------------------------------
+# Modern aggregate surfaces: GROUP BY ALL + named WINDOW + FILTER clause.
+# ---------------------------------------------------------------------------
+
+
+def _modern_agg_sql() -> str:
+    """Three modern-SQL aggregate surfaces in one real report, same text
+    in both engines: GROUP BY ALL (keys inferred from the projection),
+    the standard FILTER (WHERE ...) aggregate clause, and a named WINDOW
+    definition shared by two window functions. The report itself is the
+    order-status yearly mart: revenue, open-order share, and
+    year-over-year rank movement per status."""
+    return """
+WITH yearly AS (
+  SELECT
+    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+    o_orderstatus AS status,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS BIGINT)
+      AS n_urgent,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority LIKE '5-%') AS BIGINT)
+      AS n_low
+  FROM orders
+  GROUP BY ALL
+)
+SELECT order_year, status, n_orders, revenue, n_urgent, n_low,
+       CAST(RANK() OVER w AS BIGINT) AS revenue_rank_in_year,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS revenue_pos_in_year
+FROM yearly
+WINDOW w AS (PARTITION BY order_year ORDER BY revenue DESC, status)
+ORDER BY order_year, revenue_rank_in_year, status
+"""
+
+
+@df_query(
+    "q_modern_agg",
+    duck_sql=_modern_agg_sql(),
+    tables=["orders"],
+    doc="Modern aggregate surfaces exercised as one real report (same SQL "
+    "text both engines): GROUP BY ALL (projection-inferred keys), the "
+    "SQL-standard FILTER (WHERE ...) aggregate clause, and a named "
+    "WINDOW definition shared by two ranking functions — the yearly "
+    "order-status mart with urgent/low-priority splits and in-year "
+    "revenue ranks. One grouped aggregate; the rank windows run on the "
+    "|years| x |statuses| grain.",
+)
+def q_modern_agg(spark, sf_dir):
+    from ..sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(_modern_agg_sql())

@@ -75,6 +75,9 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-19 additions (never driver-checked — first rows needed)
+    "q_modern_agg",
+    "q_spatial_knn",
     # round-4 part-16 additions (never driver-checked — first rows needed)
     "q_skipgram_pairs",
     "q_maxsim_retrieval",

@@ -163,6 +163,9 @@ WHITELIST = {
     # Packing walk over the FILE-MANIFEST grain (bounded: files per table
     # partition) + 1-row total/target broadcast.
     "q_compaction_plan": ({"bnlj", "single-part"}, "manifest-grain cumsum + 1-row target"),
+    # Constant 9-row neighbor-offset grid fanned onto the SMALL side
+    # (q_rendezvous_shards class); ranking windows are probe-partitioned.
+    "q_spatial_knn": ({"bnlj"}, "9-row offset grid x supplier side"),
     # 1-row pair-count scalar fanned onto the blocked candidate pairs
     # (top-20 itself is TakeOrderedAndProject — no global sort).
     "q_spatial_join": ({"bnlj", "single-part"}, "1-row pair-count x pairs; top-k take"),

@@ -1242,3 +1242,69 @@ def test_skipgram_pairs_vs_python(spark):
         assert (r.center, r.context, r.n) == (c, x, n)
         assert r.neg1 == vocab[_md5_int32(f"{c}:{x}:1") % n_vocab]
         assert r.neg2 == vocab[_md5_int32(f"{c}:{x}:2") % n_vocab]
+
+
+def test_spatial_knn_vs_bruteforce(spark):
+    """Radius-bounded kNN vs the brute force restricted to the same 3x3
+    neighborhood, plus the documented boundary: every emitted neighbor
+    must also be a TRUE global top-3 neighbor whenever it lies strictly
+    inside the cell-guaranteed radius."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _CELL, _MX_C, _MX_S, _MY_C, _MY_S,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = defaultdict(list)
+    for r in all_queries()["q_spatial_knn"].fn(spark, SF_SMOKE).collect():
+        got[r.custkey].append((r.rk, r.suppkey, r.dist2))
+    con = _duck(SF_SMOKE, ("customer", "supplier"))
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    supps = [r[0] for r in con.execute("SELECT s_suppkey FROM supplier").fetchall()]
+    scoords = {sk: _coords(sk, _MX_S, _MY_S) for sk in supps}
+    n_checked = 0
+    for ck in custs:
+        cx, cy = _coords(ck, _MX_C, _MY_C)
+        cell = (cx // _CELL, cy // _CELL)
+        cands = []
+        for sk, (sx, sy) in scoords.items():
+            scell = (sx // _CELL, sy // _CELL)
+            if abs(scell[0] - cell[0]) <= 1 and abs(scell[1] - cell[1]) <= 1:
+                d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+                cands.append((d2, sk))
+        cands.sort()
+        exp = [(i + 1, sk, d2) for i, (d2, sk) in enumerate(cands[:3])]
+        assert got.get(ck, []) == exp
+        if exp:
+            n_checked += 1
+    assert n_checked > 3
+
+
+def test_modern_agg_vs_python(spark):
+    """GROUP BY ALL / FILTER / named-WINDOW report replayed serially."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_modern_agg"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("orders",))
+    raw = con.execute(
+        "SELECT EXTRACT(YEAR FROM o_orderdate), o_orderstatus,"
+        " o_orderpriority, CAST(o_totalprice AS DECIMAL(28,2)) FROM orders"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for y, s, p, tp in raw:
+        a = agg[(int(y), s)]
+        a[0] += 1
+        a[1] += tp
+        a[2] += p.startswith("1-")
+        a[3] += p.startswith("5-")
+    got = {(r.order_year, r.status): r for r in rows}
+    assert set(got) == set(agg)
+    by_year = defaultdict(list)
+    for (y, s), (n, rev, u, lo) in agg.items():
+        r = got[(y, s)]
+        assert (r.n_orders, r.n_urgent, r.n_low) == (n, u, lo)
+        assert abs(r.revenue - float(rev)) < 1e-6
+        by_year[y].append((-float(rev), s))
+    for y, lst in by_year.items():
+        lst.sort()
+        for pos, (_, s) in enumerate(lst, 1):
+            assert got[(y, s)].revenue_pos_in_year == pos
