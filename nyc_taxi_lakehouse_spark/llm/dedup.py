@@ -1786,3 +1786,111 @@ sql_query(
     "DP runs once per already-blocked candidate, embarrassingly "
     "parallel, texts joined in by doc id.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection — WHICH copy a dedup pipeline keeps.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle_sql(d: Dialect) -> str:
+    """Same recursive-CTE transitive closure as _cluster_oracle_sql, then
+    the keep decision: canonical = the longest document per component
+    (doc_id ascending on ties) — the 'keep the most complete copy'
+    policy, instead of q_dedup_clusters' min-id convention."""
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    return f"""
+WITH RECURSIVE tok AS ({tok}),
+doc_size AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a
+  JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_inter p
+  JOIN doc_size sa ON p.doc_a = sa.doc_id
+  JOIN doc_size sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, dst AS reached FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reached = e.src
+),
+labels AS (
+  SELECT d.doc_id, d.n_chars,
+         LEAST(d.doc_id, COALESCE(MIN(r.reached), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc_id
+  GROUP BY d.doc_id, d.n_chars
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM labels
+)
+SELECT doc_id, cluster_id, cluster_size, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_canonical,
+       CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS action
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@df_query(
+    "q_dedup_canonical",
+    duck_sql=_canonical_oracle_sql(DUCK),
+    tables=["documents"],
+    doc="Quality-aware canonical selection over the Jaccard >= 0.8 "
+    "near-dup components: per cluster KEEP the longest document (doc_id "
+    "ascending on ties), DROP the rest — the keep-the-most-complete-copy "
+    "policy a production dedup applies, upgrading q_dedup_clusters' "
+    "min-id convention into an explicit keep/drop action table over the "
+    "whole corpus. Spark side reuses the iterative min-label CC "
+    "(localCheckpoint per round) and a cluster-partitioned rank window; "
+    "the oracle recomputes the identical fixpoint by recursive-CTE "
+    "transitive closure plus the same rank.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_jaccard_sql(SPARK)).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges, t["documents"].select("doc_id"))
+    sized = labels.join(
+        t["documents"].select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        "n_chars",
+        F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias("is_canonical"),
+        F.when(F.row_number().over(wr) == 1, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("action"),
+    )

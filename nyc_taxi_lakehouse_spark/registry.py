@@ -76,6 +76,7 @@ def df_query(
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 part-19 additions (never driver-checked — first rows needed)
+    "q_dedup_canonical",
     "q_modern_agg",
     "q_spatial_knn",
     # round-4 part-16 additions (never driver-checked — first rows needed)

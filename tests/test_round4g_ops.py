@@ -1308,3 +1308,50 @@ def test_modern_agg_vs_python(spark):
         lst.sort()
         for pos, (_, s) in enumerate(lst, 1):
             assert got[(y, s)].revenue_pos_in_year == pos
+
+
+def test_dedup_canonical_vs_python(spark):
+    """Keep/drop policy replayed over a serial union-find of the Jaccard
+    >= 0.8 pair graph: the canonical is always the longest member."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.doc_id: r for r in all_queries()["q_dedup_canonical"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("documents",))
+    docs = con.execute("SELECT doc_id, lang, source, text, n_chars FROM documents").fetchall()
+    toksets = {d: (la, so, set(t.split(" "))) for d, la, so, t, _ in docs}
+    nchars = {d: n for d, _, _, _, n in docs}
+    parent = {d: d for d in toksets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(toksets)
+    for i, a in enumerate(ids):
+        la, sa, ta = toksets[a]
+        for b in ids[i + 1:]:
+            lb, sb, tb = toksets[b]
+            if (la, sa) != (lb, sb):
+                continue
+            inter = len(ta & tb)
+            if inter and inter / (len(ta) + len(tb) - inter) >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(list)
+    for d in ids:
+        clusters[find(d)].append(d)
+    n_multi = 0
+    for root, members in clusters.items():
+        canon = min(members, key=lambda d: (-nchars[d], d))
+        for d in members:
+            r = got[d]
+            assert r.cluster_id == min(members)
+            assert r.cluster_size == len(members)
+            assert r.is_canonical == (1 if d == canon else 0)
+            assert r.action == ("keep" if d == canon else "drop")
+        if len(members) > 1:
+            n_multi += 1
+    assert n_multi > 3  # the policy is non-trivially exercised
