@@ -22,6 +22,7 @@ through the oracle gate:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import df_query
 from ..sources.tables import load_tables
@@ -340,3 +341,106 @@ def q_modern_agg(spark, sf_dir):
 
     load_tables(spark, sf_dir, ["orders"])
     return spark.sql(_modern_agg_sql())
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax — the composable |> query form.
+# ---------------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> EXTEND CAST(l_extendedprice AS DECIMAL(28,2)) AS price_d,
+          CAST(l_quantity AS BIGINT) AS qty
+|> AGGREGATE
+     CAST(COUNT(*) AS BIGINT) AS count_order,
+     CAST(SUM(qty) AS BIGINT) AS sum_qty,
+     CAST(SUM(price_d) AS DOUBLE) AS sum_base_price,
+     CAST(SUM(price_d * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+       AS sum_disc_price
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@df_query(
+    "q_sql_pipe",
+    duck_sql=_PIPE_ORACLE,
+    tables=["lineitem"],
+    doc="Spark 4 SQL pipe syntax (|>): the flagship pricing rollup "
+    "written as a FROM ... |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY "
+    "|> ORDER BY pipeline — the composable query form Spark 4 adds — "
+    "hash-checked against the equivalent ANSI form in DuckDB (which has "
+    "no pipe syntax; the oracle IS the desugaring). Note pipe AGGREGATE "
+    "emits GROUP BY keys after the aggregates — column order differs "
+    "from the ANSI form but the driver compares by sorted column name. "
+    "Same exact-decimal aggregate discipline as q_pricing_rollup.",
+)
+def q_sql_pipe(spark, sf_dir):
+    from ..sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF — the modern scalar-UDF escape hatch.
+# ---------------------------------------------------------------------------
+
+
+def _digit_root_py(x):
+    # digital root via the exact casting-out-nines identity
+    x = int(x)
+    return 0 if x == 0 else 1 + (x - 1) % 9
+
+
+@df_query(
+    "q_arrow_udf",
+    duck_sql="""
+SELECT CAST(CASE WHEN o_orderkey = 0 THEN 0
+            ELSE 1 + (o_orderkey - 1) % 9 END AS BIGINT) AS digit_root,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+    tables=["orders"],
+    doc="Arrow-optimized Python scalar UDF (Spark 4 useArrow=True — "
+    "vectorized Arrow transfer instead of pickled rows): the digital "
+    "root of the order key, grouped and counted, oracle-checked against "
+    "the closed-form casting-out-nines identity in pure SQL. An API-"
+    "surface proof like q_udtf_shingles/q_synth_source — documented "
+    "never-hot-path (every production operator in this repo stays "
+    "JVM-side; this pins that WHEN a Python scalar UDF is unavoidable, "
+    "the Arrow form is the sanctioned one and its results are exactly "
+    "reproducible).",
+)
+def q_arrow_udf(spark, sf_dir):
+    from pyspark.sql.functions import udf
+
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    droot = udf(_digit_root_py, "bigint", useArrow=True)
+    return (
+        t["orders"]
+        .select(droot("o_orderkey").alias("digit_root"))
+        .groupBy("digit_root")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("digit_root")
+    )

