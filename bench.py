@@ -171,6 +171,10 @@ HEADLINE = [
     # training pairs.
     "q_maxsim_retrieval",
     "q_skipgram_pairs",
+    # part-19/21 flagships: quality-aware dedup canonicalization, the
+    # Spark 4 pipe-syntax rollup.
+    "q_dedup_canonical",
+    "q_sql_pipe",
 ]
 
 
