@@ -232,33 +232,35 @@ GROUP BY tr.doc_id, ev.doc_id
 _BROADCAST_EVAL_MAX_DOCS = 100_000
 
 
-def _grams_of(side: DataFrame, n: int = _NGRAM) -> DataFrame:
-    """Per-document DISTINCT word n-grams, assembled RELATIONALLY
-    (posexplode + n-1 LEADs over the doc-partitioned position window).
-    The previous array-lambda form (`transform(seq, i -> slice(t, i, n))`
-    with t = split(text)) re-tokenized per lambda element under Spark's
-    CollapseProject — O(T^2) per document; the q_decontam_fuzzy lesson,
-    measured 12x in BASELINE.md. The per-doc dedup moves from a map-side
-    array_distinct to a (doc, gram) DISTINCT that partial-aggregates
-    map-side after the window's doc_id exchange."""
-    from pyspark.sql import Window
+def _shifted_zip_grams(n: int) -> str:
+    """Map-side O(T) n-gram array: n SHIFTED SLICES of the tokenization
+    combined with a zip_with tree. Each slice/split is a COLLECTION
+    argument (evaluated once per row); only scalar lambdas run per
+    element — this dodges Spark's CollapseProject inlining trap, where
+    an index lambda over an aliased array re-tokenizes per element
+    (O(T^2) per doc, measured 12x in BASELINE.md), WITHOUT trading it
+    for a doc_id shuffle (the interim LEAD-window form broke
+    q_contamination's pinned one-exchange plan)."""
+    toks = "split(text, ' +')"
+    shifts = [f"slice({toks}, {k + 1}, size({toks}) - {n - 1})" for k in range(n)]
 
-    toked = side.select(
-        "doc_id", F.posexplode(F.split("text", " +")).alias("i", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    tail = F.lead("tok", n - 1).over(w)
-    gram_cols = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    return (
-        toked.select(
-            "doc_id",
-            F.concat_ws(" ", *gram_cols).alias("gram"),
-            tail.alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "gram")
-        .distinct()
-    )
+    def tree(parts: list[str]) -> str:
+        if len(parts) == 1:
+            return parts[0]
+        mid = len(parts) // 2
+        left, right = tree(parts[:mid]), tree(parts[mid:])
+        return f"zip_with({left}, {right}, (a, b) -> concat(a, ' ', b))"
+
+    return f"array_distinct({tree(shifts)})"
+
+
+def _grams_of(side: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """Per-document DISTINCT word n-grams — map-side shifted-slice
+    zip_with assembly (array_distinct inside the row, no dedup shuffle,
+    no per-element re-tokenization; see _shifted_zip_grams)."""
+    return side.filter(
+        F.size(F.split("text", " +")) >= n
+    ).select("doc_id", F.explode(F.expr(_shifted_zip_grams(n))).alias("gram"))
 
 
 def contamination_report(
@@ -1064,33 +1066,33 @@ def _decontam_fuzzy_sql(d: Dialect) -> str:
     eval leakage that exact n-gram matching misses. Jaccard is exact
     ppm (shared / (na + nb - shared) idiv)."""
     bucket = f"((doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000)"
-    # Grams are assembled RELATIONALLY (positional token rows + three
-    # LEADs over the doc-partitioned position window) instead of an
-    # array lambda: two earlier drafts measured 8-20 s at sf0.1 because
-    # Spark's CollapseProject inlines the tokenized-array alias into the
-    # lambda, re-running split() per element — O(T^2) per doc (the same
-    # CTE-inlining trap llm/ppjoin.py:24-35 dodges with localCheckpoint;
-    # a SQL-string query dodges it by never binding the array at all).
-    # LEAD evaluates the explode output once; the gram hash is one md5
-    # per token position.
-    gram = d.md5_int32(
-        "concat_ws(chr(32), token, t1, t2, t3)"
-    )
+    # Gram assembly is the map-side shifted-slice zip_with tree on the
+    # Spark side (_shifted_zip_grams — collection args evaluate once per
+    # row, dodging the CollapseProject O(T^2) inlining trap WITHOUT a
+    # token-row shuffle; two earlier drafts measured 8-20 s at sf0.1).
+    # DuckDB materializes per-row values, so its index lambda is already
+    # O(T); the two dialects use different FORMS of the same gram set and
+    # the hash gate proves them equal.
+    if d.name == "spark":
+        gen = f"explode({_shifted_zip_grams(4)})"
+    else:
+        toks = d.split_tokens("text")
+        gen = (
+            f"unnest(list_distinct(list_transform("
+            f"generate_series(1, len({toks}) - 3),"
+            f" i -> array_to_string({toks}[i:i+3], ' '))))"
+        )
+    gram = d.md5_int32("gram")
     return f"""
-WITH toks_pos AS ({d.positional_token_rows('documents')}),
-gram_rows AS (
-  SELECT doc_id,
-         token,
-         LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
-         LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
-         LEAD(token, 3) OVER (PARTITION BY doc_id ORDER BY i) AS t3
-  FROM toks_pos
+WITH gram_rows AS (
+  SELECT doc_id, {gen} AS gram
+  FROM documents WHERE {d.arr_len(d.split_tokens('text'))} >= 4
 ),
 shingle AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          CASE WHEN {bucket} < 960 THEN 'train' ELSE 'eval' END AS split,
          {gram} AS g
-  FROM gram_rows WHERE t3 IS NOT NULL
+  FROM gram_rows
 ),
 sizes AS (
   SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_g
