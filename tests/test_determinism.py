@@ -80,6 +80,23 @@ CASES = [
     #   12 chained integer half-steps amplify any nondeterminism in the
     #   cell aggregate -> q_ipf_raking
     "q_ipf_raking",
+    # round-4 parts 7-21 additions with partition-sensitive internals:
+    #   top-20 under dist2 ties + 1-row count broadcast -> q_spatial_join
+    #   two global rank windows fused rank-side         -> q_hybrid_rrf
+    #   128-replicate relabel aggregation               -> q_permutation_test
+    #   per-vec rank under exact-dot ties               -> q_maxsim_retrieval
+    #   iterative CC + quality rank under n_chars ties  -> q_dedup_canonical
+    #   iterative multi-source frontier bookkeeping     -> q_effective_diameter
+    #   ordered path assembly + TakeOrdered under ties  -> q_top_paths
+    #   ordered phrase assembly + score-tie top-20      -> q_rake_keyphrases
+    "q_spatial_join",
+    "q_hybrid_rrf",
+    "q_permutation_test",
+    "q_maxsim_retrieval",
+    "q_dedup_canonical",
+    "q_effective_diameter",
+    "q_top_paths",
+    "q_rake_keyphrases",
 ]
 
 
