@@ -1473,3 +1473,83 @@ def _register_quantile_norm():
 
 
 _register_quantile_norm()
+
+
+# ---------------------------------------------------------------------------
+# Boxplot table — exact per-group five-number summaries with Tukey fences.
+# ---------------------------------------------------------------------------
+
+
+def _boxplot_sql(d) -> str:
+    """Per-nation boxplot of customer account balances (cents): exact
+    rank-based order statistics (q1/median/q3 at ceil(q*n) — the
+    discrete lower-quantile convention, no interpolation so every value
+    is a real data point and integer-exact), Tukey 1.5*IQR fences, and
+    outlier counts — the distribution summary a BI layer draws, with
+    fence comparisons done in exact integers (4*value vs 4*fence
+    clears the /4 from 1.5*IQR = 6*IQR/4)."""
+    return f"""
+WITH vals AS (
+  SELECT c_nationkey AS nation,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+),
+ranked AS (
+  SELECT nation, v,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM vals
+),
+qs AS (
+  SELECT nation,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(v) AS BIGINT) AS lo,
+         CAST(MAX(v) AS BIGINT) AS hi,
+         CAST(MAX(CASE WHEN rk = {d.idiv('(n + 3)', '4')} THEN v END)
+              AS BIGINT) AS q1,
+         CAST(MAX(CASE WHEN rk = {d.idiv('(n + 1)', '2')} THEN v END)
+              AS BIGINT) AS median,
+         CAST(MAX(CASE WHEN rk = {d.idiv('(3 * n + 1)', '4')} THEN v END)
+              AS BIGINT) AS q3
+  FROM ranked GROUP BY nation
+),
+fenced AS (
+  SELECT q.*,
+         -- 4*fence keeps 1.5*IQR integral: lo_fence4 = 4*q1 - 6*(q3-q1)
+         4 * q.q1 - 6 * (q.q3 - q.q1) AS lo_fence4,
+         4 * q.q3 + 6 * (q.q3 - q.q1) AS hi_fence4
+  FROM qs q
+)
+SELECT f.nation, f.n, f.lo, f.q1, f.median, f.q3, f.hi,
+       CAST(f.q3 - f.q1 AS BIGINT) AS iqr,
+       CAST(SUM(CASE WHEN 4 * v.v < f.lo_fence4
+                       OR 4 * v.v > f.hi_fence4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM fenced f JOIN vals v ON v.nation = f.nation
+GROUP BY f.nation, f.n, f.lo, f.q1, f.median, f.q3, f.hi,
+         f.lo_fence4, f.hi_fence4
+ORDER BY f.nation
+"""
+
+
+def _register_boxplot():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_boxplot_table",
+        spark_sql=_boxplot_sql(SPARK),
+        duck_sql=_boxplot_sql(DUCK),
+        tables=["customer"],
+        doc="Per-nation boxplot table over account balances: exact "
+        "rank-based five-number summary (discrete lower-quantile "
+        "convention — every statistic is a real data value, integer-"
+        "exact), IQR, Tukey 1.5*IQR fences with comparisons cleared to "
+        "integers (4v vs 4q1-6*IQR), and outlier counts — the BI "
+        "distribution summary, exact where approx_percentile is not. "
+        "Per-nation rank windows are GROUP-partitioned (scale with the "
+        "largest group, never global); one re-join for the fence count.",
+    )
+
+
+_register_boxplot()

@@ -1484,3 +1484,85 @@ def _register_croston():
 
 
 _register_croston()
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal indices — the multiplicative dow/hour profile.
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_index_sql(d) -> str:
+    """Classical multiplicative seasonal indices for the event stream on
+    two grains: day-of-week and hour-of-day. Index = grain mean rate /
+    overall mean rate, computed as exact count ratios cleared of their
+    denominators — index_ppm = (n_g * n_slots * 1e6) idiv (n_total *
+    slots_g) where slots_g counts how many calendar slots of that grain
+    exist in the observation window (so a month that contains five
+    Mondays doesn't inflate Monday). The deseasonalization lookup
+    q_seasonal_anomaly consumes implicitly, emitted as the explicit
+    profile table."""
+    us = d.epoch_us("ts")
+    day = d.idiv(f"({us})", "86400000000")
+    dow = f"(({day}) % 7)"
+    hour = d.idiv(f"(({us}) % 86400000000)", "3600000000")
+    return f"""
+WITH ev AS (
+  SELECT CAST({dow} AS BIGINT) AS dow,
+         CAST({hour} AS BIGINT) AS hod,
+         CAST({day} AS BIGINT) AS day
+  FROM events
+),
+bounds AS (
+  SELECT CAST(MIN(day) AS BIGINT) AS d0, CAST(MAX(day) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM ev
+),
+dow_counts AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY dow
+),
+dow_slots AS (
+  -- number of calendar days of each dow inside [d0, d1]
+  SELECT dow, n,
+         CAST({d.idiv('(b.d1 - b.d0 + 7 - ((dow - b.d0 % 7 + 7) % 7))', '7')}
+              AS BIGINT) AS slots,
+         b.n_total, b.d1 - b.d0 + 1 AS n_days
+  FROM dow_counts CROSS JOIN bounds b
+),
+hod_counts AS (
+  SELECT hod, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY hod
+)
+SELECT 'dow' AS grain, dow AS slot, n,
+       CAST({d.idiv('(n * n_days * 1000000)', '(n_total * slots)')} AS BIGINT)
+         AS index_ppm
+FROM dow_slots
+UNION ALL
+SELECT 'hour' AS grain, h.hod AS slot, h.n,
+       CAST({d.idiv('(h.n * 24 * 1000000)', 'b.n_total')} AS BIGINT)
+         AS index_ppm
+FROM hod_counts h CROSS JOIN bounds b
+ORDER BY grain, slot
+"""
+
+
+def _register_seasonal_index():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_seasonal_index",
+        spark_sql=_seasonal_index_sql(SPARK),
+        duck_sql=_seasonal_index_sql(DUCK),
+        tables=["events"],
+        doc="Classical multiplicative seasonal indices (dow + hour-of-day "
+        "profile of event rates): index = grain rate / overall rate as "
+        "exact cleared count ratios in ppm, with the dow denominators "
+        "counting actual calendar slots in the window (five-Monday "
+        "months don't inflate Monday) — the explicit profile table "
+        "behind q_seasonal_anomaly's implicit baseline and the seasonal "
+        "half of classical decomposition (q_stl_decompose's moving-"
+        "average form being the other). Two bounded-key aggregates and "
+        "a 1-row bounds broadcast.",
+    )
+
+
+_register_seasonal_index()

@@ -1386,3 +1386,70 @@ def test_arrow_udf_vs_python(spark):
     exp = Counter(0 if k == 0 else 1 + (k - 1) % 9 for k in keys)
     assert got == dict(exp)
     assert set(got) == set(range(1, 10)) or 0 in got
+
+
+def test_boxplot_vs_python(spark):
+    """Five-number summaries, fences, and outlier counts replayed with
+    the exact ceil-rank convention."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.nation: r for r in all_queries()["q_boxplot_table"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("customer",))
+    raw = con.execute(
+        "SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer"
+    ).fetchall()
+    groups = defaultdict(list)
+    for nat, v in raw:
+        groups[nat].append(v)
+    assert set(got) == set(groups)
+    for nat, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[(n + 3) // 4 - 1]
+        med = vs[(n + 1) // 2 - 1]
+        q3 = vs[(3 * n + 1) // 4 - 1]
+        iqr = q3 - q1
+        lo_f4, hi_f4 = 4 * q1 - 6 * iqr, 4 * q3 + 6 * iqr
+        out = sum(1 for v in vs if 4 * v < lo_f4 or 4 * v > hi_f4)
+        r = got[nat]
+        assert (r.n, r.lo, r.q1, r.median, r.q3, r.hi) == (
+            n, vs[0], q1, med, q3, vs[-1]
+        )
+        assert (r.iqr, r.n_outliers) == (iqr, out)
+    # quartile ordering sanity on every group
+    assert all(r.lo <= r.q1 <= r.median <= r.q3 <= r.hi for r in got.values())
+
+
+def test_seasonal_index_vs_python(spark):
+    """Calendar-slot-corrected dow indices and plain hour indices replayed
+    serially; indices must average to ~1 under their weights."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_seasonal_index"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT (epoch_ns(ts) // 1000) // 86400000000,"
+        " ((epoch_ns(ts) // 1000) % 86400000000) // 3600000000"
+        " FROM events"
+    ).fetchall()
+    days = [d for d, _ in raw]
+    d0, d1 = min(days), max(days)
+    n_total = len(raw)
+    n_days = d1 - d0 + 1
+    dow_n = Counter(d % 7 for d, _ in raw)
+    hod_n = Counter(h for _, h in raw)
+    got = {(r.grain, r.slot): r for r in rows}
+    for dow, n in dow_n.items():
+        slots = (d1 - d0 + 7 - ((dow - d0 % 7 + 7) % 7)) // 7
+        r = got[("dow", dow)]
+        assert r.n == n
+        assert r.index_ppm == n * n_days * 1_000_000 // (n_total * slots)
+    for h, n in hod_n.items():
+        r = got[("hour", h)]
+        assert r.n == n
+        assert r.index_ppm == n * 24 * 1_000_000 // n_total
+    # weighted mean of indices ~ 1e6 (multiplicative profile property)
+    hour_rows = [r for r in rows if r.grain == "hour"]
+    mean_idx = sum(r.index_ppm * r.n for r in hour_rows) / sum(r.n for r in hour_rows)
+    assert abs(mean_idx - 1_000_000) < 120_000
