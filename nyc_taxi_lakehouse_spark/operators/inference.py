@@ -1551,3 +1551,138 @@ sql_query(
     "(significance). Corpus-scale work: ONE user-keyed aggregate, one "
     "1-row moment reduction.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample QQ table — the distribution-comparison readout behind KS.
+# ---------------------------------------------------------------------------
+
+
+def _qq_sql(d: Dialect) -> str:
+    """Two-sample QQ table: exact ventile order statistics (ceil-rank
+    convention, every value a real data point) of event values in the
+    first vs second half of the observation window — the per-quantile
+    view that says WHERE the distributions diverge, where q_ks_drift's
+    single D statistic only says THAT they do. All integer cents; the
+    per-quantile gap is emitted raw and in ppm of the first-half
+    value."""
+    us = d.epoch_us("ts")
+    return f"""
+WITH bounds AS (
+  SELECT CAST({d.idiv(f'(MIN({us}) + MAX({us}))', '2')} AS BIGINT) AS mid
+  FROM events WHERE value IS NOT NULL
+),
+halves AS (
+  SELECT CASE WHEN {us} < b.mid THEN 0 ELSE 1 END AS half,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events CROSS JOIN bounds b
+  WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT half, v,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY half) AS n
+  FROM halves
+),
+spine AS ({"SELECT explode(sequence(1, 19)) AS q"
+           if d.name == "spark"
+           else "SELECT unnest(generate_series(1, 19)) AS q"}),
+qs AS (
+  SELECT s.q, r.half, CAST(MAX(r.v) AS BIGINT) AS v
+  FROM spine s
+  JOIN ranked r ON r.rk = CAST({d.idiv('(s.q * r.n + 19)', '20')} AS BIGINT)
+  GROUP BY s.q, r.half
+)
+SELECT a.q AS ventile,
+       a.v AS v_first_half,
+       b.v AS v_second_half,
+       CAST(b.v - a.v AS BIGINT) AS gap_cents,
+       CAST({d.idiv('((b.v - a.v) * 1000000)', 'NULLIF(a.v, 0)')} AS BIGINT)
+         AS gap_ppm
+FROM qs a JOIN qs b ON a.q = b.q AND a.half = 0 AND b.half = 1
+ORDER BY a.q
+"""
+
+
+sql_query(
+    "q_qq_table",
+    spark_sql=_qq_sql(SPARK),
+    duck_sql=_qq_sql(DUCK),
+    tables=["events"],
+    doc="Two-sample QQ table: exact ventile order statistics (ceil-rank, "
+    "integer cents) of event values in the first vs second half of the "
+    "window, with raw and ppm per-quantile gaps — the WHERE-do-they-"
+    "diverge companion to q_ks_drift's single D statistic and the "
+    "tail-aware upgrade of mean-based drift checks. Half-partitioned "
+    "rank windows (two groups — bounded), a 19-row ventile spine join, "
+    "all integer until the report.",
+)
+
+
+# ---------------------------------------------------------------------------
+# In-engine batch inference — scoring a fixed hashed-feature linear model.
+# ---------------------------------------------------------------------------
+
+# A frozen 16-bucket hashed-bigram linear model (fastText-style bag of
+# hashed n-grams): weights in fixed-point millionths, chosen once and
+# committed — the point is the SCORING pattern, not the model.
+_LM_WEIGHTS = [
+    137000, -52000, 310000, -184000, 96000, 221000, -305000, 41000,
+    -77000, 158000, -240000, 12000, 199000, -118000, 65000, -26000,
+]
+_LM_BIAS = 250000
+
+
+def _linear_scorer_sql(d: Dialect) -> str:
+    """Batch inference in the engine: score every document with a FROZEN
+    hashed-bigram linear model — feature = md5(bigram) % 16, score =
+    bias + sum over bigram occurrences of w[bucket], weights as
+    fixed-point millionth literals, decision = sign. The fastText-style
+    serving pattern (model distilled to hashed-feature weights and
+    pushed INTO the scan) — entirely integer, so scores hash-match and
+    the decision boundary is exact. The sigmoid is monotone and
+    omitted; consumers threshold the raw margin."""
+    tok = d.positional_token_rows("documents")
+    w_case = "CASE bucket " + " ".join(
+        f"WHEN {i} THEN {w}" for i, w in enumerate(_LM_WEIGHTS)
+    ) + " END"
+    return f"""
+WITH toks AS ({tok}),
+bigrams AS (
+  SELECT doc_id,
+         concat(token, ' ',
+                LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY i)) AS bg
+  FROM toks
+),
+feats AS (
+  SELECT doc_id,
+         CAST({d.md5_int32('bg')} % 16 AS BIGINT) AS bucket
+  FROM bigrams WHERE bg IS NOT NULL AND bg NOT LIKE '% '
+),
+scored AS (
+  SELECT doc_id,
+         CAST({_LM_BIAS} + SUM({w_case}) AS BIGINT) AS margin_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_feats
+  FROM feats GROUP BY doc_id
+)
+SELECT doc_id, n_feats, margin_micro,
+       CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS label
+FROM scored
+ORDER BY doc_id
+"""
+
+
+sql_query(
+    "q_linear_scorer",
+    spark_sql=_linear_scorer_sql(SPARK),
+    duck_sql=_linear_scorer_sql(DUCK),
+    tables=["documents"],
+    doc="In-engine batch inference: every document scored by a frozen "
+    "hashed-bigram linear model (fastText-style — feature = md5(bigram) "
+    "mod 16, fixed-point millionth weights as literals, margin = bias + "
+    "sum of bucket weights, decision = sign) — the model-distilled-to-"
+    "SQL serving pattern that turns inference into one scan + one keyed "
+    "aggregate, no UDF, no model server. Entirely integer, so margins "
+    "hash-match and the decision boundary is exact; the LEAD bigram "
+    "assembly is the CollapseProject-safe relational form.",
+)

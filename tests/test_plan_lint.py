@@ -120,6 +120,9 @@ WHITELIST = {
     # Vocab dictionary rank (oracle-anchor, q_dedup_minhash class) +
     # 1-row vocab-size broadcast into the 30-row top-pair table.
     "q_skipgram_pairs": ({"bnlj", "single-part"}, "vocab rank anchor + 1-row size x 30"),
+    # 1-row window-midpoint broadcast + TWO-group (half) rank windows +
+    # 19-row ventile spine join.
+    "q_qq_table": ({"bnlj", "single-part"}, "1-row mid x corpus; 2-group ranks"),
     # 1-row day-bounds broadcast into the 7-dow + 24-hour profile rows.
     "q_seasonal_index": ({"bnlj", "single-part"}, "1-row bounds x 31 profile rows"),
     # 4-cell factorial pivot to one scalar row (q_mcnemar class).

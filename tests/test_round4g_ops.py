@@ -1453,3 +1453,62 @@ def test_seasonal_index_vs_python(spark):
     hour_rows = [r for r in rows if r.grain == "hour"]
     mean_idx = sum(r.index_ppm * r.n for r in hour_rows) / sum(r.n for r in hour_rows)
     assert abs(mean_idx - 1_000_000) < 120_000
+
+
+def test_qq_table_vs_python(spark):
+    """Ventile order statistics per half replayed with the exact
+    ceil-rank convention."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    rows = all_queries()["q_qq_table"].fn(spark, SF_SMOKE).collect()
+    con = _duck(SF_SMOKE, ("events",))
+    raw = con.execute(
+        "SELECT epoch_ns(ts) // 1000, CAST(round(value * 100) AS BIGINT)"
+        " FROM events WHERE value IS NOT NULL"
+    ).fetchall()
+    mid = (min(t for t, _ in raw) + max(t for t, _ in raw)) // 2
+    halves = {0: sorted(v for t, v in raw if t < mid),
+              1: sorted(v for t, v in raw if t >= mid)}
+    got = {r.ventile: r for r in rows}
+    assert set(got) == set(range(1, 20))
+    for q in range(1, 20):
+        a = halves[0][(q * len(halves[0]) + 19) // 20 - 1]
+        b = halves[1][(q * len(halves[1]) + 19) // 20 - 1]
+        r = got[q]
+        assert (r.v_first_half, r.v_second_half, r.gap_cents) == (a, b, b - a)
+        if a != 0:
+            assert r.gap_ppm == _trunc_div((b - a) * 1_000_000, a)
+    # ventiles are monotone within each half
+    vs = [got[q] for q in range(1, 20)]
+    assert all(x.v_first_half <= y.v_first_half for x, y in zip(vs, vs[1:]))
+
+
+def test_linear_scorer_vs_python(spark):
+    """Margins replayed from a serial bag-of-hashed-bigrams scorer."""
+    from nyc_taxi_lakehouse_spark.operators.inference import (
+        _LM_BIAS,
+        _LM_WEIGHTS,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.doc_id: r for r in all_queries()["q_linear_scorer"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("documents",))
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    n_pos = 0
+    for d_id, txt in docs:
+        toks = txt.split(" ")
+        margin = _LM_BIAS
+        n = 0
+        for a, b in zip(toks, toks[1:]):
+            bucket = _md5_int32(f"{a} {b}") % 16
+            margin += _LM_WEIGHTS[bucket]
+            n += 1
+        if n == 0:
+            assert d_id not in got
+            continue
+        r = got[d_id]
+        assert (r.n_feats, r.margin_micro) == (n, margin)
+        assert r.label == (1 if margin >= 0 else 0)
+        n_pos += r.label
+    # the frozen model is non-degenerate on this corpus: both classes occur
+    assert 0 < n_pos < len(got)
