@@ -175,6 +175,9 @@ HEADLINE = [
     # Spark 4 pipe-syntax rollup.
     "q_dedup_canonical",
     "q_sql_pipe",
+    # part-22/23 flagships: in-engine batch inference, two-sample QQ.
+    "q_linear_scorer",
+    "q_qq_table",
 ]
 
 
