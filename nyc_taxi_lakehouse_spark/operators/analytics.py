@@ -1553,3 +1553,64 @@ def _register_boxplot():
 
 
 _register_boxplot()
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode — the missing classic aggregate, tie rule explicit.
+# ---------------------------------------------------------------------------
+
+
+def _mode_sql(d) -> str:
+    """Per-nation modal order priority of customers' orders: exact counts,
+    mode = max count with the LEXICALLY SMALLEST value on ties (the
+    deterministic tie rule engines disagree on — DuckDB's mode() picks
+    arbitrarily, Spark 4's mode() takes any; spelling the rank out makes
+    both agree), plus the mode's share in ppm and the runner-up."""
+    return f"""
+WITH counts AS (
+  SELECT c.c_nationkey AS nation, o.o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_orderpriority
+),
+ranked AS (
+  SELECT nation, prio, n,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY n DESC, prio) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY nation) AS BIGINT) AS total
+  FROM counts
+)
+SELECT a.nation,
+       a.prio AS mode_priority,
+       a.n AS mode_n,
+       a.total,
+       CAST({d.idiv('(a.n * 1000000)', 'a.total')} AS BIGINT)
+         AS mode_share_ppm,
+       b.prio AS runner_up,
+       b.n AS runner_up_n
+FROM ranked a LEFT JOIN ranked b ON b.nation = a.nation AND b.rk = 2
+WHERE a.rk = 1
+ORDER BY a.nation
+"""
+
+
+def _register_mode():
+    from ..functions.detsql import DUCK, SPARK
+    from ..registry import sql_query
+
+    sql_query(
+        "q_mode_stats",
+        spark_sql=_mode_sql(SPARK),
+        duck_sql=_mode_sql(DUCK),
+        tables=["orders", "customer"],
+        doc="Exact per-nation modal order priority with an EXPLICIT tie "
+        "rule (max count, lexically smallest value — built-in mode() is "
+        "tie-arbitrary in both engines, so the rank is spelled out), the "
+        "mode's ppm share, and the runner-up — the categorical summary "
+        "statistic missing from the classic aggregate family. One keyed "
+        "count + nation-partitioned rank windows (bounded by |nations| x "
+        "|priorities|).",
+    )
+
+
+_register_mode()

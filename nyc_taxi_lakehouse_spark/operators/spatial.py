@@ -255,3 +255,77 @@ sql_query(
     "(ring expansion is the documented completion, same boundary the "
     "serial test pins). All-integer algebra.",
 )
+
+
+def _mutual_nn_sql(d: Dialect) -> str:
+    """Reciprocal (mutual) nearest neighbors between customers and
+    suppliers on the grid: A's nearest supplier within its 3x3 cell
+    neighborhood AND that supplier's nearest customer is A — the
+    stable-pair seed of agglomerative clustering and high-precision
+    entity matching. Both directions reuse the same candidate set;
+    radius-bounded like q_spatial_knn (documented)."""
+    cx = d.idiv("c.x", str(_CELL))
+    cy = d.idiv("c.y", str(_CELL))
+    sx = d.idiv("s.x", str(_CELL))
+    sy = d.idiv("s.y", str(_CELL))
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS ck,
+         CAST((c_custkey * {_MX_C}) % {_SPACE} AS BIGINT) AS x,
+         CAST((c_custkey * {_MY_C}) % {_SPACE} AS BIGINT) AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS sk,
+         CAST((s_suppkey * {_MX_S}) % {_SPACE} AS BIGINT) AS x,
+         CAST((s_suppkey * {_MY_S}) % {_SPACE} AS BIGINT) AS y
+  FROM supplier
+),
+offsets AS ({_offsets(d)}),
+supp_cells AS (
+  SELECT s.sk, s.x, s.y,
+         {sx} + o.dx AS cx,
+         {sy} + o.dy AS cy
+  FROM supp s CROSS JOIN offsets o
+  WHERE {sx} + o.dx BETWEEN 0 AND {_GRID - 1}
+    AND {sy} + o.dy BETWEEN 0 AND {_GRID - 1}
+),
+cand AS (
+  SELECT c.ck, s.sk,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM cust c JOIN supp_cells s ON {cx} = s.cx AND {cy} = s.cy
+),
+c_best AS (
+  SELECT ck, sk, dist2 FROM (
+    SELECT ck, sk, dist2,
+           ROW_NUMBER() OVER (PARTITION BY ck ORDER BY dist2, sk) AS rk
+    FROM cand
+  ) r WHERE rk = 1
+),
+s_best AS (
+  SELECT ck, sk FROM (
+    SELECT ck, sk,
+           ROW_NUMBER() OVER (PARTITION BY sk ORDER BY dist2, ck) AS rk
+    FROM cand
+  ) r WHERE rk = 1
+)
+SELECT c.ck AS custkey, c.sk AS suppkey, CAST(c.dist2 AS BIGINT) AS dist2
+FROM c_best c JOIN s_best s ON s.ck = c.ck AND s.sk = c.sk
+ORDER BY c.ck
+"""
+
+
+sql_query(
+    "q_mutual_nn",
+    spark_sql=_mutual_nn_sql(SPARK),
+    duck_sql=_mutual_nn_sql(DUCK),
+    tables=["customer", "supplier"],
+    doc="Reciprocal nearest-neighbor pairs between customers and "
+    "suppliers on the q_spatial_join grid: customer's nearest supplier "
+    "whose own nearest customer is that customer — the mutual-NN "
+    "stable pairs that seed agglomerative clustering and high-precision "
+    "entity matching (a match both sides agree on needs no threshold). "
+    "One candidate set, two direction-partitioned rank windows "
+    "(WindowGroupLimit both ways), an equi-join of the two argmins; "
+    "radius-bounded like q_spatial_knn, all-integer.",
+)

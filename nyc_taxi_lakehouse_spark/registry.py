@@ -75,6 +75,9 @@ def df_query(
 # land inside that cap; everything else follows in registration order and is
 # covered by the local mirror suite (tests/test_oracle_parity.py) at two SFs.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 part-24 additions (never driver-checked — first rows needed)
+    "q_mode_stats",
+    "q_mutual_nn",
     # round-4 part-23 additions (never driver-checked — first rows needed)
     "q_qq_table",
     "q_linear_scorer",

@@ -168,6 +168,9 @@ WHITELIST = {
     # Packing walk over the FILE-MANIFEST grain (bounded: files per table
     # partition) + 1-row total/target broadcast.
     "q_compaction_plan": ({"bnlj", "single-part"}, "manifest-grain cumsum + 1-row target"),
+    # Same 9-row offset fanout as q_spatial_knn; both argmins are
+    # direction-partitioned WindowGroupLimits.
+    "q_mutual_nn": ({"bnlj"}, "9-row offset grid x supplier side"),
     # Constant 9-row neighbor-offset grid fanned onto the SMALL side
     # (q_rendezvous_shards class); ranking windows are probe-partitioned.
     "q_spatial_knn": ({"bnlj"}, "9-row offset grid x supplier side"),

@@ -1512,3 +1512,66 @@ def test_linear_scorer_vs_python(spark):
         n_pos += r.label
     # the frozen model is non-degenerate on this corpus: both classes occur
     assert 0 < n_pos < len(got)
+
+
+def test_mode_stats_vs_python(spark):
+    """Modal priority per nation with the explicit tie rule replayed."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {r.nation: r for r in all_queries()["q_mode_stats"].fn(spark, SF_SMOKE).collect()}
+    con = _duck(SF_SMOKE, ("orders", "customer"))
+    raw = con.execute(
+        "SELECT c.c_nationkey, o.o_orderpriority, COUNT(*)"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    per_nation = defaultdict(list)
+    for nat, prio, n in raw:
+        per_nation[nat].append((-n, prio, n))
+    assert set(got) == set(per_nation)
+    for nat, lst in per_nation.items():
+        lst.sort()
+        total = sum(n for _, _, n in lst)
+        r = got[nat]
+        assert (r.mode_priority, r.mode_n, r.total) == (lst[0][1], lst[0][2], total)
+        assert r.mode_share_ppm == lst[0][2] * 1_000_000 // total
+        if len(lst) > 1:
+            assert (r.runner_up, r.runner_up_n) == (lst[1][1], lst[1][2])
+        else:
+            assert r.runner_up is None
+
+
+def test_mutual_nn_vs_python(spark):
+    """Mutual-NN pairs replayed from the grid candidate set; every pair
+    must be a two-sided argmin."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _CELL, _MX_C, _MX_S, _MY_C, _MY_S,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = [(r.custkey, r.suppkey, r.dist2) for r in
+           all_queries()["q_mutual_nn"].fn(spark, SF_SMOKE).collect()]
+    con = _duck(SF_SMOKE, ("customer", "supplier"))
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    supps = [r[0] for r in con.execute("SELECT s_suppkey FROM supplier").fetchall()]
+    ccoords = {ck: _coords(ck, _MX_C, _MY_C) for ck in custs}
+    scoords = {sk: _coords(sk, _MX_S, _MY_S) for sk in supps}
+    cand = []
+    for ck, (cx, cy) in ccoords.items():
+        cc = (cx // _CELL, cy // _CELL)
+        for sk, (sx, sy) in scoords.items():
+            sc = (sx // _CELL, sy // _CELL)
+            if abs(sc[0] - cc[0]) <= 1 and abs(sc[1] - cc[1]) <= 1:
+                cand.append(((cx - sx) ** 2 + (cy - sy) ** 2, ck, sk))
+    c_best = {}
+    s_best = {}
+    for d2, ck, sk in sorted(cand):
+        if ck not in c_best:
+            c_best[ck] = (sk, d2)
+        if sk not in s_best:
+            s_best[sk] = ck
+    exp = sorted(
+        (ck, sk, d2) for ck, (sk, d2) in c_best.items()
+        if s_best.get(sk) == ck
+    )
+    assert got == exp and len(exp) > 3
