@@ -1509,7 +1509,7 @@ qs AS (
               AS BIGINT) AS q1,
          CAST(MAX(CASE WHEN rk = {d.idiv('(n + 1)', '2')} THEN v END)
               AS BIGINT) AS median,
-         CAST(MAX(CASE WHEN rk = {d.idiv('(3 * n + 1)', '4')} THEN v END)
+         CAST(MAX(CASE WHEN rk = {d.idiv('(3 * n + 3)', '4')} THEN v END)
               AS BIGINT) AS q3
   FROM ranked GROUP BY nation
 ),

@@ -358,23 +358,30 @@ cum AS (
          CAST(SUM(nt) OVER () AS BIGINT) AS tn_t,
          CAST(SUM(nc) OVER () AS BIGINT) AS tn_c
   FROM per_decile
-)
-SELECT decile, nt, nc, yt, yc,
-       CAST(cy_t * cnt_c - cy_c * cnt_t AS BIGINT) AS qini_num,
-       cnt_c AS qini_den,
-       CAST(cy_t * cnt_c - cy_c * cnt_t AS DOUBLE)
-         / CAST(NULLIF(cnt_c, 0) AS DOUBLE) AS qini_k,
-       CAST(ty_t * tn_c - ty_c * tn_t AS DOUBLE)
-         / CAST(NULLIF(tn_c, 0) AS DOUBLE)
-         * CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE) AS diagonal_k,
-       CAST(SUM(
+),
+curve AS (
+  SELECT decile, nt, nc, yt, yc,
+         CAST(cy_t * cnt_c - cy_c * cnt_t AS BIGINT) AS qini_num,
+         cnt_c AS qini_den,
          CAST(cy_t * cnt_c - cy_c * cnt_t AS DOUBLE)
-           / CAST(NULLIF(cnt_c, 0) AS DOUBLE)
-         - CAST(ty_t * tn_c - ty_c * tn_t AS DOUBLE)
+           / CAST(NULLIF(cnt_c, 0) AS DOUBLE) AS qini_k,
+         CAST(ty_t * tn_c - ty_c * tn_t AS DOUBLE)
            / CAST(NULLIF(tn_c, 0) AS DOUBLE)
-           * CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE)
-       ) OVER () AS DOUBLE) AS qini_coefficient
-FROM cum
+           * CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE) AS diagonal_k
+  FROM cum
+)
+SELECT decile, nt, nc, yt, yc, qini_num, qini_den, qini_k, diagonal_k,
+       -- Qini coefficient as a FIXED IEEE tree: the 10 per-decile terms
+       -- (each a deterministic double from exact integers) are pivoted by
+       -- decile and added left-to-right in decile order. A SUM() OVER ()
+       -- of doubles would be shuffle-order-dependent (the q_ab_interaction
+       -- cross-engine-mismatch precedent); this form is bit-stable.
+       ({' + '.join(
+           'COALESCE(MAX(CASE WHEN decile = %d THEN qini_k - diagonal_k '
+           'END) OVER (), CAST(0 AS DOUBLE))' % k
+           for k in range(1, 11)
+       )}) AS qini_coefficient
+FROM curve
 ORDER BY decile
 """
 

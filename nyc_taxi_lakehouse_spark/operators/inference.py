@@ -1665,10 +1665,17 @@ scored AS (
          CAST(COUNT(*) AS BIGINT) AS n_feats
   FROM feats GROUP BY doc_id
 )
-SELECT doc_id, n_feats, margin_micro,
-       CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS label
-FROM scored
-ORDER BY doc_id
+-- LEFT JOIN back to documents: a doc with < 2 tokens emits no bigram
+-- features, so it has no feats row — it still gets the bias-only margin
+-- (the model's intercept IS its score), keeping the 'score EVERY
+-- document' contract instead of silently dropping featureless docs.
+SELECT dd.doc_id,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s.margin_micro, {_LM_BIAS}) AS BIGINT) AS margin_micro,
+       CASE WHEN COALESCE(s.margin_micro, {_LM_BIAS}) >= 0 THEN 1 ELSE 0 END
+         AS label
+FROM documents dd LEFT JOIN scored s ON s.doc_id = dd.doc_id
+ORDER BY dd.doc_id
 """
 
 

@@ -1500,20 +1500,26 @@ def _seasonal_index_sql(d) -> str:
     exist in the observation window (so a month that contains five
     Mondays doesn't inflate Monday). The deseasonalization lookup
     q_seasonal_anomaly consumes implicitly, emitted as the explicit
-    profile table."""
+    profile table. BOTH grains are calendar-slot-corrected: dow
+    denominators count whole calendar days of that weekday in [d0, d1],
+    and hour-of-day denominators count whole clock hours of that
+    hour-of-day in [h0, h1] (the window's hour-index bounds) — so a
+    window that is not a whole number of days doesn't bias the hours it
+    covers an extra time."""
     us = d.epoch_us("ts")
     day = d.idiv(f"({us})", "86400000000")
     dow = f"(({day}) % 7)"
-    hour = d.idiv(f"(({us}) % 86400000000)", "3600000000")
+    hidx = d.idiv(f"({us})", "3600000000")
     return f"""
 WITH ev AS (
   SELECT CAST({dow} AS BIGINT) AS dow,
-         CAST({hour} AS BIGINT) AS hod,
+         CAST({hidx} AS BIGINT) AS hidx,
          CAST({day} AS BIGINT) AS day
   FROM events
 ),
 bounds AS (
   SELECT CAST(MIN(day) AS BIGINT) AS d0, CAST(MAX(day) AS BIGINT) AS d1,
+         CAST(MIN(hidx) AS BIGINT) AS h0, CAST(MAX(hidx) AS BIGINT) AS h1,
          CAST(COUNT(*) AS BIGINT) AS n_total
   FROM ev
 ),
@@ -1529,17 +1535,30 @@ dow_slots AS (
   FROM dow_counts CROSS JOIN bounds b
 ),
 hod_counts AS (
-  SELECT hod, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY hod
+  SELECT CAST(hidx % 24 AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY hidx % 24
+),
+hod_slots AS (
+  -- number of whole clock hours of each hour-of-day inside [h0, h1]
+  -- (same counting identity as dow_slots with period 24 over hour
+  -- indices — correct even when the window is not a whole number of
+  -- days)
+  SELECT hod, n,
+         CAST({d.idiv('(b.h1 - b.h0 + 24 - ((hod - b.h0 % 24 + 24) % 24))',
+                      '24')} AS BIGINT) AS slots,
+         b.n_total, b.h1 - b.h0 + 1 AS n_hours
+  FROM hod_counts CROSS JOIN bounds b
 )
 SELECT 'dow' AS grain, dow AS slot, n,
        CAST({d.idiv('(n * n_days * 1000000)', '(n_total * slots)')} AS BIGINT)
          AS index_ppm
 FROM dow_slots
 UNION ALL
-SELECT 'hour' AS grain, h.hod AS slot, h.n,
-       CAST({d.idiv('(h.n * 24 * 1000000)', 'b.n_total')} AS BIGINT)
+SELECT 'hour' AS grain, hod AS slot, n,
+       CAST({d.idiv('(n * n_hours * 1000000)', '(n_total * slots)')} AS BIGINT)
          AS index_ppm
-FROM hod_counts h CROSS JOIN bounds b
+FROM hod_slots
 ORDER BY grain, slot
 """
 
@@ -1555,9 +1574,11 @@ def _register_seasonal_index():
         tables=["events"],
         doc="Classical multiplicative seasonal indices (dow + hour-of-day "
         "profile of event rates): index = grain rate / overall rate as "
-        "exact cleared count ratios in ppm, with the dow denominators "
-        "counting actual calendar slots in the window (five-Monday "
-        "months don't inflate Monday) — the explicit profile table "
+        "exact cleared count ratios in ppm, with BOTH grains' "
+        "denominators counting actual calendar slots in the window "
+        "(five-Monday months don't inflate Monday; a window that isn't "
+        "a whole number of days doesn't inflate the hours it covers an "
+        "extra time) — the explicit profile table "
         "behind q_seasonal_anomaly's implicit baseline and the seasonal "
         "half of classical decomposition (q_stl_decompose's moving-"
         "average form being the other). Two bounded-key aggregates and "

@@ -190,12 +190,19 @@ def _ooo_sql(d) -> str:
     the data-driven withWatermark() recommendation."""
     us = d.epoch_us("ts")
     # The synthetic events arrive fully in-order (event_id follows ts), so
-    # arrival is modeled as event time + a deterministic md5 jitter <= 8 h
+    # arrival is modeled as event time + a deterministic md5 jitter < 8 h
     # (sized above the sparse smoke-SF inter-event gap so inversions
-    # actually occur). The audit must then RECOVER the planted bound: the
-    # serial test asserts the flagged band covers 8 h and nothing lands
-    # past it.
-    jitter = f"({d.md5_int32(d.to_str('event_id'))} % 28800000000)"
+    # actually occur). md5_int32 is uniform over [0, 2^32), so the hash is
+    # SCALED into the 8 h range — jitter = hash * (28.8e9 / 2^32) µs,
+    # computed exactly as hash * 7031250 // 2^20 (28.8e9 = 7031250 * 2^12;
+    # max product 4294967295 * 7031250 ≈ 3.0e16 stays inside BIGINT). A
+    # plain `% 28.8e9` would be a no-op (hash < 2^32 µs ≈ 71.6 min) and
+    # the planted 8 h regime would never exist. The audit must RECOVER the
+    # planted bound: the serial test asserts lateness actually reaches the
+    # multi-hour bands and nothing lands past 8 h.
+    jitter = d.idiv(
+        f"({d.md5_int32(d.to_str('event_id'))} * 7031250)", "1048576"
+    )
     lateness = (
         "CAST(MAX(ts_us) OVER (PARTITION BY part ORDER BY arrival_us,"
         " event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"

@@ -8,6 +8,7 @@ gate shares SQL text across engines and cannot see formula-level bugs).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections import Counter, defaultdict
 
 import duckdb
@@ -1072,7 +1073,8 @@ def test_out_of_orderness_vs_python(spark):
     ).fetchall()
     by_part = defaultdict(list)
     for part, eid, ts_us in raw:
-        arrival = ts_us + _md5_int32(str(eid)) % 28_800_000_000
+        # hash scaled into [0, 8h) µs — mirrors the query's exact formula
+        arrival = ts_us + _md5_int32(str(eid)) * 7_031_250 // 1_048_576
         by_part[part].append((arrival, eid, ts_us))
     bands = Counter()
     max_late = Counter()
@@ -1102,9 +1104,15 @@ def test_out_of_orderness_vs_python(spark):
         assert r.is_p99_watermark == (
             1 if cum * 100 >= total * 99 and prev * 100 < total * 99 else 0
         )
-    # planted-bound recovery: jitter < 8 h, so no lateness past the 12 h band
+    # planted-bound recovery: jitter < 8 h, so no lateness past 8 h …
     assert all(r.max_late_us < 28_800_000_000 for r in rows)
-    assert sum(r.is_p99_watermark for r in rows) == 1
+    # … and the multi-hour regime is actually exercised (a mis-scaled
+    # jitter — e.g. the old `% 28.8e9` no-op, < 72 min — fails here):
+    # lateness reaches past 4 h into the <=12 h band, and the p99 flag
+    # sits on that band, the smallest one covering the planted bound.
+    assert max(r.max_late_us for r in rows) > 14_400_000_000
+    flagged = [r.bucket for r in rows if r.is_p99_watermark]
+    assert flagged == [5]
     # the audit is non-degenerate: late events exist
     assert total > bands[0] > 0
 
@@ -1406,9 +1414,11 @@ def test_boxplot_vs_python(spark):
     for nat, vs in groups.items():
         vs.sort()
         n = len(vs)
-        q1 = vs[(n + 3) // 4 - 1]
-        med = vs[(n + 1) // 2 - 1]
-        q3 = vs[(3 * n + 1) // 4 - 1]
+        # ceil-rank convention, computed INDEPENDENTLY of the SQL's idiv
+        # form so a rank-formula slip there cannot be mirrored here
+        q1 = vs[math.ceil(n / 4) - 1]
+        med = vs[math.ceil(n / 2) - 1]
+        q3 = vs[math.ceil(3 * n / 4) - 1]
         iqr = q3 - q1
         lo_f4, hi_f4 = 4 * q1 - 6 * iqr, 4 * q3 + 6 * iqr
         out = sum(1 for v in vs if 4 * v < lo_f4 or 4 * v > hi_f4)
@@ -1430,15 +1440,17 @@ def test_seasonal_index_vs_python(spark):
     con = _duck(SF_SMOKE, ("events",))
     raw = con.execute(
         "SELECT (epoch_ns(ts) // 1000) // 86400000000,"
-        " ((epoch_ns(ts) // 1000) % 86400000000) // 3600000000"
+        " (epoch_ns(ts) // 1000) // 3600000000"
         " FROM events"
     ).fetchall()
     days = [d for d, _ in raw]
     d0, d1 = min(days), max(days)
+    h0, h1 = min(h for _, h in raw), max(h for _, h in raw)
     n_total = len(raw)
     n_days = d1 - d0 + 1
+    n_hours = h1 - h0 + 1
     dow_n = Counter(d % 7 for d, _ in raw)
-    hod_n = Counter(h for _, h in raw)
+    hod_n = Counter(h % 24 for _, h in raw)
     got = {(r.grain, r.slot): r for r in rows}
     for dow, n in dow_n.items():
         slots = (d1 - d0 + 7 - ((dow - d0 % 7 + 7) % 7)) // 7
@@ -1446,9 +1458,12 @@ def test_seasonal_index_vs_python(spark):
         assert r.n == n
         assert r.index_ppm == n * n_days * 1_000_000 // (n_total * slots)
     for h, n in hod_n.items():
+        # hour-of-day slots counted over HOUR indices [h0, h1] — the
+        # calendar correction the dow grain gets, applied to hours
+        slots = (h1 - h0 + 24 - ((h - h0 % 24 + 24) % 24)) // 24
         r = got[("hour", h)]
         assert r.n == n
-        assert r.index_ppm == n * 24 * 1_000_000 // n_total
+        assert r.index_ppm == n * n_hours * 1_000_000 // (n_total * slots)
     # weighted mean of indices ~ 1e6 (multiplicative profile property)
     hour_rows = [r for r in rows if r.grain == "hour"]
     mean_idx = sum(r.index_ppm * r.n for r in hour_rows) / sum(r.n for r in hour_rows)
@@ -1503,13 +1518,13 @@ def test_linear_scorer_vs_python(spark):
             bucket = _md5_int32(f"{a} {b}") % 16
             margin += _LM_WEIGHTS[bucket]
             n += 1
-        if n == 0:
-            assert d_id not in got
-            continue
+        # every document is scored: a featureless doc (< 2 tokens emits
+        # no bigrams) gets the bias-only margin, not a silent drop
         r = got[d_id]
         assert (r.n_feats, r.margin_micro) == (n, margin)
         assert r.label == (1 if margin >= 0 else 0)
         n_pos += r.label
+    assert set(got) == {d_id for d_id, _ in docs}
     # the frozen model is non-degenerate on this corpus: both classes occur
     assert 0 < n_pos < len(got)
 
