@@ -1,11 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line LAST on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {<frozen-13 core>: sec}, "core13": sec,
+"sf": ..., "n_queries": N, "loadavg": [...]}.
+
+Output protocol (round-5 fix; BENCH_r04.json arrived "parsed": null
+because the 110-entry per-query map overflowed the driver's tail
+capture): the FULL per-query map is written to BENCH_full.json in the
+repo root (committed, machine-readable), and the final stdout line keeps
+only the frozen-13 core — the cross-round-comparable set — so it stays
+well under any tail window. Nothing is printed to stdout after it.
 
 Timing counts actions only (df.count() per query after a warm-up of the
 session); Spark session startup is excluded, matching BASELINE.md's plan.
+Per-query number = median of 3 runs (run 1 pays parquet-footer /
+broadcast first-touch, so the median is a warm run robust to one-off
+host stalls — round-5 change from best-of-2, per VERDICT r04 #6: host
+throughput drift polluted the round-over-round trend line; the best-of-3
+is also recorded in BENCH_full.json, and 1/5/15-min load averages are
+captured before and after the suite).
 """
 
 from __future__ import annotations
@@ -201,8 +215,14 @@ REPLAY_BACKED = {
 }
 
 
+# The frozen 13-query core: unchanged since round 1, the
+# cross-round-comparable trend line (BASELINE.md tracks it per round).
+CORE13 = HEADLINE[:13]
+
+
 def main() -> None:
     sel = os.environ.get("BENCH_QUERIES", "")
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     specs = all_queries()
     if sel == "all":
         names = sorted(specs)
@@ -211,46 +231,85 @@ def main() -> None:
     else:
         names = [n for n in HEADLINE if n in specs]
 
+    load_before = list(os.getloadavg())
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("WARN")
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not first-touch overheads.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Best-of-2 per query: run 1 pays parquet-footer / broadcast first-touch,
-    # run 2 measures the query. Reported number = min (standard bench
-    # practice; BASELINE.md compares DuckDB the same way — warm OS cache).
     timings: dict[str, float] = {}
+    bests: dict[str, float] = {}
     first_drain: dict[str, float] = {}
     for name in names:
         fn = specs[name].fn
-        best, first, n = float("inf"), 0.0, 0
-        for run in range(2):
+        samples, n = [], 0
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
-            dt = time.perf_counter() - t0
-            if run == 0:
-                first = dt
-            best = min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        samples_sorted = sorted(samples)
+        timings[name] = round(samples_sorted[len(samples_sorted) // 2], 4)
+        bests[name] = round(samples_sorted[0], 4)
         if name in REPLAY_BACKED:
-            first_drain[name] = round(first, 4)
+            # Run 1 executes the real watermarked drain; later runs read
+            # the per-process memoized sink (see REPLAY_BACKED note). The
+            # drain time is reported separately; the per-query number is
+            # the median of the warm (memoized-read) runs only — a median
+            # that included the drain would misstate the steady-state read.
+            first_drain[name] = round(samples[0], 4)
+            warm = sorted(samples[1:]) or samples
+            timings[name] = round(warm[(len(warm) - 1) // 2], 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_after = list(os.getloadavg())
+    full = {
         "metric": "suite_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "best_of_runs": bests,
+        "runs_per_query": runs,
+        "core13": round(sum(timings[n] for n in CORE13 if n in timings), 4),
+        "sf": sf_val,
         "nproc": os.cpu_count(),
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "loadavg_after": [round(v, 2) for v in load_after],
     }
     if first_drain:
-        out["first_drain"] = first_drain
-    print(json.dumps(out))
+        full["first_drain"] = first_drain
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # read-only checkout: the stdout line still lands
+        print(f"# BENCH_full.json not written: {e}", file=sys.stderr)
+
+    # Compact final line — the driver's machine-readable record. Keep it
+    # short: only the frozen-13 core in "queries" (full map is in
+    # BENCH_full.json), and print it LAST with nothing after it.
+    compact = {
+        "metric": "suite_wall_clock",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {n: timings[n] for n in CORE13 if n in timings},
+        "core13": full["core13"],
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "nproc": os.cpu_count(),
+        "runs_per_query": runs,
+        "loadavg": full["loadavg_after"],
+        "full_map": "BENCH_full.json",
+    }
+    if first_drain:
+        compact["first_drain"] = first_drain
     spark.stop()
+    print(json.dumps(compact))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
