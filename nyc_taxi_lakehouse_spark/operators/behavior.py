@@ -1818,22 +1818,106 @@ FROM mom
 """
 
 
-sql_query(
+def _rank2_df(vals: DataFrame, buckets: int = 64) -> DataFrame:
+    """DataFrame twin of detsql.rank2_ctes over ``vals(v, c)``: DOUBLED
+    midranks (rank2 = 2·avg_rank, always integral) via the same parallel
+    two-pass bucketed offset sweep — monotone integer bucketing, a ≤B-row
+    bucket-offset prefix (the only single-partition piece), within-bucket
+    prefix windows PARTITION BY bucket. Exists so iterative/DataFrame
+    callers can materialize the per-value aggregate ONCE (Spark inlines
+    SQL CTEs, so the rank2_ctes text re-runs its input per reference)."""
+    from pyspark.sql.window import Window
+
+    bounds = vals.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    bk = vals.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.expr(f"CAST((v - vmin) * {buckets} DIV (vmax - vmin + 1) AS BIGINT)"),
+    )
+    off = (
+        bk.groupBy("bkt")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn(
+            "off",
+            (F.sum("tc").over(Window.orderBy("bkt")) - F.col("tc")).cast("bigint"),
+        )
+        .select("bkt", "off")
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bk.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "rank2",
+            (
+                2 * (F.col("off") + F.sum("c").over(wb) - F.col("c"))
+                + F.col("c")
+                + 1
+            ).cast("bigint"),
+        )
+        .select("v", "rank2")
+    )
+
+
+@df_query(
     "q_spearman",
-    spark_sql=_spearman_sql(SPARK),
     duck_sql=_spearman_sql(DUCK),
     tables=["lineitem"],
     doc="Spearman rank correlation (quantity vs price): Pearson over tie-"
     "averaged ranks with EXACT integer midranks (doubled — 2*avg_rank is "
     "always integral; affine invariance cancels the doubling). Rank "
-    "tables via the PARALLEL bucketed offset sweep (detsql.rank2_ctes: "
-    "64-bucket two-pass, no global single-partition window — the shape "
-    "that survives a 100x distinct-value blowup), value-keyed joins "
-    "back, one exact-BIGINT moment pass (sum rx*ry <= 6e5*(1.2e6)^2 < "
-    "2^63 at sf0.1; recenter ranks first beyond sf1), shared dcorr IEEE "
-    "tree for the final double. The monotone-association robust "
-    "companion to q_feature_correlation's Pearson.",
+    "tables via the PARALLEL bucketed offset sweep (_rank2_df, the "
+    "DataFrame twin of detsql.rank2_ctes: 64-bucket two-pass, no global "
+    "single-partition window over data — the shape that survives a 100x "
+    "distinct-value blowup), each per-value aggregate localCheckpoint'ed "
+    "ONCE and broadcast (the prior shared-SQL form re-ran the 600k-key "
+    "groupBys per CTE reference under Spark's CTE inlining — 2.9 s; this "
+    "form is one lineitem scan + two broadcast joins + one scalar moment "
+    "pass), exact-BIGINT moments (sum rx*ry <= 6e5*(1.2e6)^2 < 2^63 at "
+    "sf0.1; recenter ranks first beyond sf1), shared dcorr IEEE tree for "
+    "the final double. The monotone-association robust companion to "
+    "q_feature_correlation's Pearson.",
 )
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.detsql import dcorr
+    from ..sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    pairs = t["lineitem"].select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .alias("y"),
+    )
+    xv = (
+        pairs.groupBy(F.col("x").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    yv = (
+        pairs.groupBy(F.col("y").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    xr = _rank2_df(xv).select(F.col("v").alias("x"), F.col("rank2").alias("rx"))
+    yr = _rank2_df(yv).select(F.col("v").alias("y"), F.col("rank2").alias("ry"))
+    mom = (
+        pairs.join(F.broadcast(xr), "x")
+        .join(F.broadcast(yr), "y")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("rx").cast("double").alias("sx"),
+            F.sum("ry").cast("double").alias("sy"),
+            F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+            F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        )
+    )
+    return mom.selectExpr(
+        "n AS n_rows",
+        dcorr("n", "sx", "sy", "sxy", "sxx", "syy") + " AS spearman_rho",
+    )
 
 
 # ---------------------------------------------------------------------------
