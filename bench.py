@@ -192,6 +192,9 @@ HEADLINE = [
     # part-22/23 flagships: in-engine batch inference, two-sample QQ.
     "q_linear_scorer",
     "q_qq_table",
+    # round-5 flagship: exact kNN via grid blocking + geometric ring
+    # expansion (oracle = brute-force cross product).
+    "q_spatial_knn_exact",
 ]
 
 

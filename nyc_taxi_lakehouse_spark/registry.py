@@ -365,6 +365,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q_unique_users_approx",
     "q_hll_rollup",
     "q_cdc_windowed",
+    # round-5 additions — deliberately LAST among the never-checked pool:
+    # VERDICT r04 #1 caps additions so the 142-query driver-verification
+    # backlog drains first (the rotation puts never-checked names first
+    # in _DRIVER_PRIORITY order; appending here keeps the r1-r4 backlog
+    # ahead of anything new).
+    "q_spatial_knn_exact",
 ]
 
 
