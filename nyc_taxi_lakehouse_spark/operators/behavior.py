@@ -1819,11 +1819,12 @@ FROM mom
 
 
 def _rank2_df(vals: DataFrame, buckets: int = 64) -> DataFrame:
-    """DataFrame twin of detsql.rank2_ctes over ``vals(v, c)``: DOUBLED
-    midranks (rank2 = 2·avg_rank, always integral) via the same parallel
-    two-pass bucketed offset sweep — monotone integer bucketing, a ≤B-row
-    bucket-offset prefix (the only single-partition piece), within-bucket
-    prefix windows PARTITION BY bucket. Exists so iterative/DataFrame
+    """DataFrame twin of detsql.rank2_ctes over ``vals(v, c, ...)``:
+    DOUBLED midranks (rank2 = 2·avg_rank, always integral) via the same
+    parallel two-pass bucketed offset sweep — monotone integer bucketing,
+    a ≤B-row bucket-offset prefix (the only single-partition piece),
+    within-bucket prefix windows PARTITION BY bucket. Carry columns
+    survive (the rank2_ctes k.* contract). Exists so iterative/DataFrame
     callers can materialize the per-value aggregate ONCE (Spark inlines
     SQL CTEs, so the rank2_ctes text re-runs its input per reference)."""
     from pyspark.sql.window import Window
@@ -1857,7 +1858,7 @@ def _rank2_df(vals: DataFrame, buckets: int = 64) -> DataFrame:
                 + 1
             ).cast("bigint"),
         )
-        .select("v", "rank2")
+        .drop("vmin", "vmax", "bkt", "off")
     )
 
 
@@ -1871,14 +1872,20 @@ def _rank2_df(vals: DataFrame, buckets: int = 64) -> DataFrame:
     "tables via the PARALLEL bucketed offset sweep (_rank2_df, the "
     "DataFrame twin of detsql.rank2_ctes: 64-bucket two-pass, no global "
     "single-partition window over data — the shape that survives a 100x "
-    "distinct-value blowup), each per-value aggregate localCheckpoint'ed "
-    "ONCE and broadcast (the prior shared-SQL form re-ran the 600k-key "
-    "groupBys per CTE reference under Spark's CTE inlining — 2.9 s; this "
-    "form is one lineitem scan + two broadcast joins + one scalar moment "
-    "pass), exact-BIGINT moments (sum rx*ry <= 6e5*(1.2e6)^2 < 2^63 at "
-    "sf0.1; recenter ranks first beyond sf1), shared dcorr IEEE tree for "
-    "the final double. The monotone-association robust companion to "
-    "q_feature_correlation's Pearson.",
+    "distinct-value blowup). The moment pass never rejoins ranks to "
+    "rows: x-moments come from the ~50-row quantity aggregate alone "
+    "(sum_rows rx^p = sum_x c_x*rx^p), and the single groupBy(y) — the "
+    "one unavoidable 520k-key shuffle — carries u_y = sum of rx over "
+    "that y (rx via a tiny broadcast), so sxy = sum_y ry*u_y and the "
+    "y-moments read the same ranked aggregate (the prior shared-SQL "
+    "form re-ran the 600k-key groupBys per CTE reference under Spark's "
+    "CTE inlining, 2.9 s; the broadcast-rank-tables form still shipped "
+    "a 520k-row table, 2.1 s; this form is one scan, one wide shuffle, "
+    "zero big broadcasts). Exact-BIGINT moments (sum ry*u_y bounded by "
+    "the same 6e5*(1.2e6)^2 < 2^63 at sf0.1; recenter ranks first "
+    "beyond sf1), shared dcorr IEEE tree for the final double. The "
+    "monotone-association robust companion to q_feature_correlation's "
+    "Pearson.",
 )
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.detsql import dcorr
@@ -1895,25 +1902,67 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
-    yv = (
-        pairs.groupBy(F.col("y").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+    xr = _rank2_df(xv).select(
+        F.col("v").alias("x"), "c", F.col("rank2").alias("rx")
     )
-    xr = _rank2_df(xv).select(F.col("v").alias("x"), F.col("rank2").alias("rx"))
-    yr = _rank2_df(yv).select(F.col("v").alias("y"), F.col("rank2").alias("ry"))
-    mom = (
-        pairs.join(F.broadcast(xr), "x")
-        .join(F.broadcast(yr), "y")
+    # y-side rank sweep with its input referenced exactly ONCE, so no
+    # checkpoint is needed: the bucket bounds are a 2-scalar driver fetch
+    # (the q_rec_hitrate lo/hi idiom) and the bucket-offset prefix is
+    # computed MAP-SIDE from the raw scan (row counts per bucket equal
+    # the per-value counts summed, so the 64-row offset table never
+    # touches the wide aggregate). The one wide shuffle (groupBy y,
+    # carrying c and u_y = sum of rx) flows straight into the
+    # bucket-partitioned prefix window.
+    from pyspark.sql.window import Window
+
+    buckets = 64
+    vmin, vmax = pairs.agg(F.min("y"), F.max("y")).first()
+    bkt_of = lambda col: f"CAST(({col} - {vmin}) * {buckets} DIV ({vmax} - {vmin} + 1) AS BIGINT)"  # noqa: E731
+    off = (
+        pairs.groupBy(F.expr(bkt_of("y")).alias("bkt"))
+        .agg(F.sum(F.lit(1)).cast("bigint").alias("tc"))
+        .withColumn(
+            "off",
+            (F.sum("tc").over(Window.orderBy("bkt")) - F.col("tc")).cast("bigint"),
+        )
+        .select("bkt", "off")
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yr = (
+        pairs.join(F.broadcast(xr.select("x", "rx")), "x")
+        .groupBy(F.col("y").alias("v"))
         .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum("rx").cast("double").alias("sx"),
-            F.sum("ry").cast("double").alias("sy"),
-            F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
-            F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
-            F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+            F.count("*").cast("bigint").alias("c"),
+            F.sum("rx").cast("bigint").alias("u"),
+        )
+        .withColumn("bkt", F.expr(bkt_of("v")))
+        .join(F.broadcast(off), "bkt")
+        .withColumn(
+            "rank2",
+            (
+                2 * (F.col("off") + F.sum("c").over(wb) - F.col("c"))
+                + F.col("c")
+                + 1
+            ).cast("bigint"),
         )
     )
+    xmom = xr.agg(
+        F.sum(F.col("c") * F.col("rx")).cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+    )
+    ymom = yr.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("rank2")).cast("double").alias("sy"),
+        F.sum(F.col("c") * F.col("rank2") * F.col("rank2"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("u") * F.col("rank2")).cast("double").alias("sxy"),
+    )
+    mom = ymom.crossJoin(F.broadcast(xmom))
     return mom.selectExpr(
         "n AS n_rows",
         dcorr("n", "sx", "sy", "sxy", "sxx", "syy") + " AS spearman_rho",
