@@ -1370,6 +1370,83 @@ sql_query(
 )
 
 
+def _wasserstein_sql(d: Dialect) -> str:
+    """Exact 1-Wasserstein (earth-mover) distance between the early and
+    late halves of the event-value stream — the MAGNITUDE-sensitive
+    companion to q_ks_drift's supremum: KS answers 'did the distribution
+    move anywhere', W1 answers 'how much probability mass moved how far'
+    (W1 = integral of |F1 - F2| dx for 1-D distributions), the drift
+    metric that actually orders retraining urgency.
+
+    All-integer: values snapped to cents (the house DECIMAL convention),
+    per-value group counts, and the integral is the exact sum over
+    distinct-value gaps of |n2*C1 - n1*C2| * (v_next - v); the only
+    float op is the final /(n1*n2) normalization. BIGINT-safe while
+    n1*n2*(range cents) < 2^63 (~sf1 here); beyond that the documented
+    swap is DECIMAL(38,0) for the gap terms."""
+    cents = "CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN({d.epoch('ts')}) AS BIGINT) AS t0,
+         CAST(MAX({d.epoch('ts')}) AS BIGINT) AS t1
+  FROM events
+),
+tagged AS (
+  SELECT {cents} AS v,
+         CASE WHEN 2 * {d.epoch('e.ts')} <= b.t0 + b.t1 THEN 0 ELSE 1 END
+           AS grp
+  FROM events e CROSS JOIN bounds b
+  WHERE e.value IS NOT NULL
+),
+per_value AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM tagged GROUP BY v
+),
+walked AS (
+  SELECT
+    LEAD(v) OVER (ORDER BY v) - v AS gap,
+    SUM(c1) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    SUM(c2) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2
+  FROM per_value
+)
+SELECT
+  CAST(MAX(n1) AS BIGINT) AS n1,
+  CAST(MAX(n2) AS BIGINT) AS n2,
+  CAST(SUM(CASE WHEN gap IS NULL THEN 0
+            ELSE ABS(n2 * cum1 - n1 * cum2) * gap END) AS BIGINT)
+    AS w1_num_cents,
+  CAST(SUM(CASE WHEN gap IS NULL THEN 0
+            ELSE ABS(n2 * cum1 - n1 * cum2) * gap END) AS DOUBLE)
+    / NULLIF(CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE), 0.0)
+    AS w1_cents
+FROM walked
+"""
+
+
+sql_query(
+    "q_wasserstein",
+    spark_sql=_wasserstein_sql(SPARK),
+    duck_sql=_wasserstein_sql(DUCK),
+    tables=["events"],
+    doc="Exact 1-Wasserstein (earth-mover) drift between the early and "
+    "late halves of the event-value stream — the magnitude-sensitive "
+    "companion to q_ks_drift's supremum statistic (W1 = integral of "
+    "|F1 - F2| over values; it ranks drifts KS ties and ignores "
+    "immaterial wiggles KS flags). Integer-exact: cent-snapped values, "
+    "cross-multiplied CDF gaps |n2*C1 - n1*C2| weighted by the exact "
+    "distinct-value gaps, one final IEEE division. Same scale shape as "
+    "q_ks_drift: one value-keyed aggregate, then the prefix walk runs "
+    "over the distinct-value table only (two-pass subtotal-broadcast "
+    "prefix sum at 100 TB), never the raw stream.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Quantile normalization across groups — batch-effect correction for scores
 # coming from heterogeneous sources.

@@ -536,3 +536,207 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sk").alias("suppkey"),
         F.col("dist2").cast("bigint").alias("dist2"),
     ).orderBy("custkey", "rk")
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN — density-based clustering with grid-blocked neighbor counting.
+# ---------------------------------------------------------------------------
+
+_DB_CELL = 512  # eps-sized cell: 3x3 neighborhood covers every eps-ball
+_DB_GRID = _SPACE // _DB_CELL  # 128
+_DB_EPS2 = _DB_CELL * _DB_CELL
+_DB_MINPTS = 4  # |N_eps(p)| including p itself
+
+
+def _dbscan_oracle_sql() -> str:
+    """DuckDB oracle: the same grid-blocked neighbor generation, core
+    flags, and a recursive-CTE transitive closure over the core-core
+    edge set (the q_dedup_clusters oracle pattern). Border points take
+    the MINIMUM cluster label among their core neighbors — the
+    deterministic resolution of textbook DBSCAN's scan-order-dependent
+    border assignment."""
+    acx = f"(a.x // {_DB_CELL})"
+    acy = f"(a.y // {_DB_CELL})"
+    bcx = f"(b.x // {_DB_CELL})"
+    bcy = f"(b.y // {_DB_CELL})"
+    return f"""
+WITH RECURSIVE cust AS (
+  SELECT c_custkey AS ck,
+         CAST((c_custkey * {_MX_C}) % {_SPACE} AS BIGINT) AS x,
+         CAST((c_custkey * {_MY_C}) % {_SPACE} AS BIGINT) AS y
+  FROM customer
+),
+offsets AS (
+  SELECT a.dx, b.dy
+  FROM (SELECT unnest(generate_series(-1, 1)) AS dx) a
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) b
+),
+reg AS (
+  SELECT b.ck, b.x, b.y, {bcx} + o.dx AS cx, {bcy} + o.dy AS cy
+  FROM cust b CROSS JOIN offsets o
+  WHERE {bcx} + o.dx BETWEEN 0 AND {_DB_GRID - 1}
+    AND {bcy} + o.dy BETWEEN 0 AND {_DB_GRID - 1}
+),
+nbrs AS (
+  SELECT a.ck AS a, r.ck AS b
+  FROM cust a JOIN reg r ON {acx} = r.cx AND {acy} = r.cy
+  WHERE a.ck <> r.ck
+    AND (a.x - r.x) * (a.x - r.x) + (a.y - r.y) * (a.y - r.y) <= {_DB_EPS2}
+),
+deg AS (
+  SELECT c.ck, COALESCE(n.cnt, 0) + 1 AS ncnt
+  FROM cust c LEFT JOIN (
+    SELECT a AS ck, CAST(COUNT(*) AS BIGINT) AS cnt FROM nbrs GROUP BY a
+  ) n ON c.ck = n.ck
+),
+cores AS (SELECT ck FROM deg WHERE ncnt >= {_DB_MINPTS}),
+core_edges AS (
+  SELECT n.a AS src, n.b AS dst
+  FROM nbrs n
+  JOIN cores ca ON n.a = ca.ck
+  JOIN cores cb ON n.b = cb.ck
+),
+reach AS (
+  SELECT src AS ck, dst AS reached FROM core_edges
+  UNION
+  SELECT r.ck, e.dst FROM reach r JOIN core_edges e ON r.reached = e.src
+),
+core_labels AS (
+  SELECT c.ck,
+         LEAST(c.ck, COALESCE(MIN(r.reached), c.ck)) AS cluster_id
+  FROM cores c LEFT JOIN reach r ON c.ck = r.ck
+  GROUP BY c.ck
+),
+border AS (
+  SELECT n.a AS ck, CAST(MIN(l.cluster_id) AS BIGINT) AS cluster_id
+  FROM nbrs n
+  JOIN core_labels l ON n.b = l.ck
+  WHERE n.a NOT IN (SELECT ck FROM cores)
+  GROUP BY n.a
+)
+SELECT c.ck AS custkey,
+       CASE WHEN cl.ck IS NOT NULL THEN 'core'
+            WHEN bo.ck IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.cluster_id, bo.cluster_id, -1) AS BIGINT)
+         AS cluster_id
+FROM cust c
+LEFT JOIN core_labels cl ON c.ck = cl.ck
+LEFT JOIN border bo ON c.ck = bo.ck
+ORDER BY custkey
+"""
+
+
+@df_query(
+    "q_dbscan",
+    duck_sql=_dbscan_oracle_sql(),
+    tables=["customer"],
+    doc=f"DBSCAN over the synthetic customer plane (eps={_DB_CELL}, "
+    f"minPts={_DB_MINPTS} including the point itself): density-based "
+    "clustering — the shape-agnostic companion to q_kmeans_step's "
+    "centroid clustering and q_dedup_clusters' similarity components. "
+    "Neighbor counting is grid-blocked (eps-sized cells, one side "
+    "registers in its 3x3 neighborhood — the pair space never exceeds "
+    "actual eps-neighborhoods); cluster formation is connected "
+    "components over the CORE-core edge set via the shared iterative "
+    "min-label propagation (llm.dedup.connected_components: one shuffle "
+    "per round, O(cluster diameter) rounds, localCheckpoint per round); "
+    "border points take the MINIMUM cluster label among their core "
+    "neighbors, removing textbook DBSCAN's scan-order dependence so the "
+    "result is hash-deterministic. The oracle recomputes everything "
+    "with a recursive-CTE transitive closure. Output is per-point "
+    "(custkey, role, cluster_id; noise = -1) — row count equals the "
+    "corpus at every SF. At 100 TB: the cell join is a plain equi-join "
+    "on cell keys, core/border/noise are one aggregate each, and the CC "
+    "loop state is (vertex, label) pairs hash-partitioned on vertex.",
+)
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import connected_components
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_custkey") * _MX_C) % _SPACE).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * _MY_C) % _SPACE).cast("bigint").alias("y"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    reg = (
+        cust.select(
+            F.col("ck").alias("bk"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx, dy in offsets
+                    ]
+                )
+            ).alias("o"),
+        )
+        .select(
+            "bk", "bx", "by",
+            (F.expr(f"bx DIV {_DB_CELL}") + F.col("o.dx")).alias("cx"),
+            (F.expr(f"by DIV {_DB_CELL}") + F.col("o.dy")).alias("cy"),
+        )
+        .filter(
+            (F.col("cx") >= 0) & (F.col("cx") <= _DB_GRID - 1)
+            & (F.col("cy") >= 0) & (F.col("cy") <= _DB_GRID - 1)
+        )
+    )
+    nbrs = (
+        cust.join(
+            reg,
+            (F.expr(f"x DIV {_DB_CELL}") == F.col("cx"))
+            & (F.expr(f"y DIV {_DB_CELL}") == F.col("cy"))
+            & (F.col("ck") != F.col("bk")),
+        )
+        .filter(
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+            <= _DB_EPS2
+        )
+        .select(F.col("ck").alias("a"), F.col("bk").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    deg = nbrs.groupBy("a").agg((F.count("*") + 1).alias("ncnt"))
+    cores = (
+        deg.filter(F.col("ncnt") >= _DB_MINPTS)
+        .select(F.col("a").alias("ck"))
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        nbrs.join(F.broadcast(cores.withColumnRenamed("ck", "a")), "a")
+        .join(F.broadcast(cores.withColumnRenamed("ck", "b")), "b")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    core_labels = connected_components(
+        core_edges, cores.withColumnRenamed("ck", "doc_id")
+    ).select(F.col("doc_id").alias("ck"), "cluster_id")
+    border = (
+        nbrs.join(
+            F.broadcast(core_labels.withColumnRenamed("ck", "b")), "b"
+        )
+        .join(F.broadcast(cores.withColumnRenamed("ck", "a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster_id").cast("bigint").alias("cluster_id"))
+        .select(F.col("a").alias("ck"), "cluster_id")
+    )
+    return (
+        cust.select("ck")
+        .join(F.broadcast(core_labels.withColumnRenamed("cluster_id", "ccl")),
+              "ck", "left")
+        .join(F.broadcast(border.withColumnRenamed("cluster_id", "bcl")),
+              "ck", "left")
+        .select(
+            F.col("ck").alias("custkey"),
+            F.when(F.col("ccl").isNotNull(), "core")
+            .when(F.col("bcl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("ccl"), F.col("bcl"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+        .orderBy("custkey")
+    )

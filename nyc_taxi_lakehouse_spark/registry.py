@@ -371,6 +371,8 @@ _DRIVER_PRIORITY: list[str] = [
     # in _DRIVER_PRIORITY order; appending here keeps the r1-r4 backlog
     # ahead of anything new).
     "q_spatial_knn_exact",
+    "q_dbscan",
+    "q_wasserstein",
 ]
 
 

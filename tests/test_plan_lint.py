@@ -264,6 +264,7 @@ WHITELIST = {
     # 1-row MIN/MAX ts bounds onto the scan (q_drift_chisq shape) + the
     # supremum prefix walk over the DISTINCT-value aggregate.
     "q_ks_drift": ({"bnlj", "single-part"}, "1-row bounds x scan; sweep over per-value aggregate"),
+    "q_wasserstein": ({"bnlj", "single-part"}, "1-row bounds x scan; sweep over per-value aggregate (q_ks_drift shape)"),
     # 1-row total-weight scalar broadcast + source offsets from a window
     # over the per-source AGGREGATE (cardinality = #sources); the per-doc
     # cumulative windows are source-partitioned, never single-partition.

@@ -70,3 +70,120 @@ def test_spatial_knn_exact_vs_bruteforce(spark):
     # can contain).
     max_nn = max(rows[0][2] for rows in by_probe.values())
     assert max_nn > (2 * _CELL) ** 2
+
+
+def test_dbscan_vs_union_find(spark):
+    """DBSCAN recomputed serially: brute-force O(N^2) neighbor scan,
+    core flags, union-find over core-core edges, border = min core
+    neighbor's cluster — the full per-point (role, cluster) assignment
+    must match, and the parameterization must be non-degenerate at the
+    smoke SF (at least one core and one noise point)."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _DB_EPS2, _DB_MINPTS, _MX_C, _MY_C,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {
+        r.custkey: (r.role, r.cluster_id)
+        for r in all_queries()["q_dbscan"].fn(spark, SF_SMOKE).collect()
+    }
+    con = _duck(SF_SMOKE, ("customer",))
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    pts = {ck: _coords(ck, _MX_C, _MY_C) for ck in custs}
+    nbrs = {ck: [] for ck in custs}
+    for i, a in enumerate(custs):
+        ax, ay = pts[a]
+        for b in custs[i + 1:]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _DB_EPS2:
+                nbrs[a].append(b)
+                nbrs[b].append(a)
+    cores = {ck for ck in custs if len(nbrs[ck]) + 1 >= _DB_MINPTS}
+
+    parent = {ck: ck for ck in cores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in cores:
+        for b in nbrs[a]:
+            if b in cores:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of the component
+    label = {}
+    for a in cores:
+        root = find(a)
+        label.setdefault(root, root)
+    comp_min = {}
+    for a in cores:
+        root = find(a)
+        comp_min[root] = min(comp_min.get(root, a), a)
+    expected = {}
+    for ck in custs:
+        if ck in cores:
+            expected[ck] = ("core", comp_min[find(ck)])
+        else:
+            core_nbr_labels = [comp_min[find(b)] for b in nbrs[ck] if b in cores]
+            if core_nbr_labels:
+                expected[ck] = ("border", min(core_nbr_labels))
+            else:
+                expected[ck] = ("noise", -1)
+    assert got == expected
+    roles = {v[0] for v in expected.values()}
+    assert "noise" in roles  # non-degenerate parameterization
+
+
+def test_wasserstein_vs_python(spark):
+    """W1 recomputed serially as the exact integral of |F1 - F2| over the
+    cent grid: integer cross-multiplied CDF gaps weighted by value gaps.
+    Also pins the analytic identity W1 >= |mean1 - mean2| (Jensen) and
+    that the early/late split matches the KS convention (2*epoch_s <=
+    t0 + t1)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    row = all_queries()["q_wasserstein"].fn(spark, SF_SMOKE).collect()[0]
+    con = _duck(SF_SMOKE, ("events",))
+    rows = con.execute(
+        "SELECT CAST(floor(epoch(ts)) AS BIGINT), value FROM events "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL"
+    ).fetchall()
+    bounds = con.execute(
+        "SELECT CAST(MIN(floor(epoch(ts))) AS BIGINT), "
+        "CAST(MAX(floor(epoch(ts))) AS BIGINT) FROM events"
+    ).fetchone()
+    t0, t1 = bounds
+    from collections import defaultdict
+
+    per_v = defaultdict(lambda: [0, 0])
+    n1 = n2 = 0
+    for es, val in rows:
+        cents = int(
+            (Decimal(str(val)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        )
+        g = 0 if 2 * es <= t0 + t1 else 1
+        per_v[cents][g] += 1
+        if g == 0:
+            n1 += 1
+        else:
+            n2 += 1
+    vs = sorted(per_v)
+    cum1 = cum2 = 0
+    w1_num = 0
+    for i, v in enumerate(vs):
+        cum1 += per_v[v][0]
+        cum2 += per_v[v][1]
+        if i + 1 < len(vs):
+            w1_num += abs(n2 * cum1 - n1 * cum2) * (vs[i + 1] - v)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.w1_num_cents == w1_num
+    assert abs(row.w1_cents - w1_num / (n1 * n2)) < 1e-9
+    mean1 = sum(v * c[0] for v, c in per_v.items()) / n1
+    mean2 = sum(v * c[1] for v, c in per_v.items()) / n2
+    assert row.w1_cents >= abs(mean1 - mean2) - 1e-9
