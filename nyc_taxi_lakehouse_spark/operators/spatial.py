@@ -638,9 +638,10 @@ ORDER BY custkey
     "Neighbor counting is grid-blocked (eps-sized cells, one side "
     "registers in its 3x3 neighborhood — the pair space never exceeds "
     "actual eps-neighborhoods); cluster formation is connected "
-    "components over the CORE-core edge set via the shared iterative "
-    "min-label propagation (llm.dedup.connected_components: one shuffle "
-    "per round, O(cluster diameter) rounds, localCheckpoint per round); "
+    "components over the CORE-core edge set via the shared large-star/"
+    "small-star contraction (llm.dedup.connected_components_star — "
+    "O(log diameter) rounds; eps-chains in dense regions exceed 25 hops "
+    "at sf0.1, so plain min-label propagation is the wrong primitive); "
     "border points take the MINIMUM cluster label among their core "
     "neighbors, removing textbook DBSCAN's scan-order dependence so the "
     "result is hash-deterministic. The oracle recomputes everything "
@@ -651,7 +652,7 @@ ORDER BY custkey
     "loop state is (vertex, label) pairs hash-partitioned on vertex.",
 )
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.dedup import connected_components
+    from ..llm.dedup import connected_components_star
 
     t = load_tables(spark, sf_dir, ["customer"])
     cust = t["customer"].select(
@@ -710,7 +711,11 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cores.withColumnRenamed("ck", "b")), "b")
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    core_labels = connected_components(
+    # Star contraction, not plain min-label propagation: eps-chains in
+    # dense regions give core components whose DIAMETER exceeds any fixed
+    # propagation budget (measured: > 25 hops at sf0.1) — the O(log d)
+    # large-star/small-star rounds converge regardless of chain length.
+    core_labels = connected_components_star(
         core_edges, cores.withColumnRenamed("ck", "doc_id")
     ).select(F.col("doc_id").alias("ck"), "cluster_id")
     border = (
