@@ -706,9 +706,12 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a").alias("ck"))
         .localCheckpoint(eager=True)
     )
+    # No forced broadcasts below: cores/labels/border scale with the
+    # corpus (unlike a dimension table), so the joins stay adaptive —
+    # AQE broadcasts them locally, shuffles them at cluster scale.
     core_edges = (
-        nbrs.join(F.broadcast(cores.withColumnRenamed("ck", "a")), "a")
-        .join(F.broadcast(cores.withColumnRenamed("ck", "b")), "b")
+        nbrs.join(cores.withColumnRenamed("ck", "a"), "a")
+        .join(cores.withColumnRenamed("ck", "b"), "b")
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     # Star contraction, not plain min-label propagation: eps-chains in
@@ -719,20 +722,16 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         core_edges, cores.withColumnRenamed("ck", "doc_id")
     ).select(F.col("doc_id").alias("ck"), "cluster_id")
     border = (
-        nbrs.join(
-            F.broadcast(core_labels.withColumnRenamed("ck", "b")), "b"
-        )
-        .join(F.broadcast(cores.withColumnRenamed("ck", "a")), "a", "left_anti")
+        nbrs.join(core_labels.withColumnRenamed("ck", "b"), "b")
+        .join(cores.withColumnRenamed("ck", "a"), "a", "left_anti")
         .groupBy("a")
         .agg(F.min("cluster_id").cast("bigint").alias("cluster_id"))
         .select(F.col("a").alias("ck"), "cluster_id")
     )
     return (
         cust.select("ck")
-        .join(F.broadcast(core_labels.withColumnRenamed("cluster_id", "ccl")),
-              "ck", "left")
-        .join(F.broadcast(border.withColumnRenamed("cluster_id", "bcl")),
-              "ck", "left")
+        .join(core_labels.withColumnRenamed("cluster_id", "ccl"), "ck", "left")
+        .join(border.withColumnRenamed("cluster_id", "bcl"), "ck", "left")
         .select(
             F.col("ck").alias("custkey"),
             F.when(F.col("ccl").isNotNull(), "core")
