@@ -97,6 +97,17 @@ CASES = [
     "q_effective_diameter",
     "q_top_paths",
     "q_rake_keyphrases",
+    # round-5 additions with partition-sensitive internals:
+    #   iterative annulus expansion with per-round completion decisions
+    #   (a tie broken differently in any round would ship a wrong
+    #   neighbor) -> q_spatial_knn_exact
+    #   star-contraction CC + min-label border assignment -> q_dbscan
+    #   distinct-value prefix walk weighted by value gaps -> q_wasserstein
+    #   checkpoint-free single-reference rank sweep       -> q_spearman
+    "q_spatial_knn_exact",
+    "q_dbscan",
+    "q_wasserstein",
+    "q_spearman",
 ]
 
 
