@@ -198,6 +198,7 @@ HEADLINE = [
     "q_spatial_knn_exact",
     "q_dbscan",
     "q_wasserstein",
+    "q_idw_interpolation",
 ]
 
 

@@ -744,3 +744,89 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted interpolation — spatial feature enrichment.
+# ---------------------------------------------------------------------------
+
+_IDW_W_SCALE = 10**9  # integer weight grid: w = 1e9 DIV (dist2 + 1)
+
+
+def _idw_sql(d: Dialect) -> str:
+    """IDW estimate of supplier account balance at each customer location
+    from the radius-2000 neighborhood (the q_spatial_join candidate set):
+    est = sum(w_i * v_i) / sum(w_i), w_i = 1/(dist2_i + 1) — the +1
+    regularizer handles coincident points and keeps the weight integral:
+    w is snapped to the exact integer grid 1e9 DIV (dist2+1), so both
+    moment sums are exact BIGINT (|num| <= 1e7 cents * 1e9 * 9 nbrs ~
+    9e16 < 2^63) and the estimate is ONE final IEEE division — no
+    decimal-division rounding to diverge across engines."""
+    cx = d.idiv("c.x", str(_CELL))
+    cy = d.idiv("c.y", str(_CELL))
+    sx = d.idiv("s.x", str(_CELL))
+    sy = d.idiv("s.y", str(_CELL))
+    w = d.idiv(str(_IDW_W_SCALE), "(dist2 + 1)")
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS ck,
+         CAST((c_custkey * {_MX_C}) % {_SPACE} AS BIGINT) AS x,
+         CAST((c_custkey * {_MY_C}) % {_SPACE} AS BIGINT) AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS sk,
+         CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,
+         CAST((s_suppkey * {_MX_S}) % {_SPACE} AS BIGINT) AS x,
+         CAST((s_suppkey * {_MY_S}) % {_SPACE} AS BIGINT) AS y
+  FROM supplier
+),
+offsets AS ({_offsets(d)}),
+supp_cells AS (
+  SELECT s.sk, s.v_cents, s.x, s.y,
+         {sx} + o.dx AS cx,
+         {sy} + o.dy AS cy
+  FROM supp s CROSS JOIN offsets o
+  WHERE {sx} + o.dx BETWEEN 0 AND {_GRID - 1}
+    AND {sy} + o.dy BETWEEN 0 AND {_GRID - 1}
+),
+cand AS (
+  SELECT c.ck, s.v_cents,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM cust c JOIN supp_cells s ON {cx} = s.cx AND {cy} = s.cy
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= {_R2}
+),
+weighted AS (
+  SELECT ck, v_cents, CAST({w} AS BIGINT) AS w FROM cand
+)
+SELECT ck AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       CAST(SUM(w * v_cents) AS BIGINT) AS idw_num,
+       CAST(SUM(w) AS BIGINT) AS idw_den,
+       CAST(SUM(w * v_cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         AS est_cents
+FROM weighted
+GROUP BY ck
+ORDER BY custkey
+"""
+
+
+sql_query(
+    "q_idw_interpolation",
+    spark_sql=_idw_sql(SPARK),
+    duck_sql=_idw_sql(DUCK),
+    tables=["customer", "supplier"],
+    doc="Inverse-distance-weighted spatial interpolation: estimate "
+    "supplier account balance at every customer location from the "
+    "radius-2000 neighborhood (q_spatial_join's grid-blocked candidate "
+    "set) — the 'enrich training examples with spatially-joined "
+    "features' operator (kriging's cheap deterministic cousin; think "
+    "interpolating weather-station readings onto trip pickups). Weights "
+    "are snapped to the exact integer grid 1e9 DIV (dist2+1) — the +1 "
+    "regularizer handles coincident points — so both moment sums are "
+    "exact BIGINT and the estimate is one final IEEE division; the "
+    "exact numerator/denominator ride along as columns. One equi-join "
+    "on cell keys + one probe-keyed aggregate; probes with an empty "
+    "neighborhood are absent by definition (radius-bounded, the "
+    "q_spatial_knn boundary convention).",
+)

@@ -373,6 +373,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_spatial_knn_exact",
     "q_dbscan",
     "q_wasserstein",
+    "q_idw_interpolation",
 ]
 
 

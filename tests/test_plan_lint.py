@@ -174,6 +174,7 @@ WHITELIST = {
     # Constant 9-row neighbor-offset grid fanned onto the SMALL side
     # (q_rendezvous_shards class); ranking windows are probe-partitioned.
     "q_spatial_knn": ({"bnlj"}, "9-row offset grid x supplier side"),
+    "q_idw_interpolation": ({"bnlj"}, "9-row offset grid x supplier side (q_spatial_knn shape)"),
     # 1-row pair-count scalar fanned onto the blocked candidate pairs
     # (top-20 itself is TakeOrderedAndProject — no global sort).
     "q_spatial_join": ({"bnlj", "single-part"}, "1-row pair-count x pairs; top-k take"),

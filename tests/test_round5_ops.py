@@ -187,3 +187,46 @@ def test_wasserstein_vs_python(spark):
     mean1 = sum(v * c[0] for v, c in per_v.items()) / n1
     mean2 = sum(v * c[1] for v, c in per_v.items()) / n2
     assert row.w1_cents >= abs(mean1 - mean2) - 1e-9
+
+
+def test_idw_vs_python(spark):
+    """IDW recomputed serially: brute-force radius scan, integer weight
+    grid w = 1e9 // (dist2+1), exact moment sums — numerator,
+    denominator, neighbor counts, and the single-division estimate must
+    all match, and the radius-bounded output must cover exactly the
+    customers with >= 1 in-radius supplier."""
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _IDW_W_SCALE, _MX_C, _MX_S, _MY_C, _MY_S, _R2,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    got = {
+        r.custkey: (r.n_nbrs, r.idw_num, r.idw_den, r.est_cents)
+        for r in all_queries()["q_idw_interpolation"].fn(spark, SF_SMOKE).collect()
+    }
+    con = _duck(SF_SMOKE)
+    custs = [r[0] for r in con.execute("SELECT c_custkey FROM customer").fetchall()]
+    supps = con.execute(
+        "SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        " FROM supplier"
+    ).fetchall()
+    expected = {}
+    for ck in custs:
+        cx, cy = _coords(ck, _MX_C, _MY_C)
+        num = den = n = 0
+        for sk, v in supps:
+            sx, sy = _coords(sk, _MX_S, _MY_S)
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+            if d2 <= _R2:
+                w = _IDW_W_SCALE // (d2 + 1)
+                num += w * v
+                den += w
+                n += 1
+        if n:
+            expected[ck] = (n, num, den, num / den)
+    assert set(got) == set(expected)
+    for ck, (n, num, den, est) in expected.items():
+        gn, gnum, gden, gest = got[ck]
+        assert (gn, gnum, gden) == (n, num, den)
+        assert abs(gest - est) < 1e-9
+    assert len(expected) > 0
