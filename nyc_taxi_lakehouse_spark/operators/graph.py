@@ -607,9 +607,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # scores/deg_c are NODE-scaled tables (customer/supplier cardinality),
+    # not dimensions — the joins stay adaptive so AQE broadcasts them at
+    # test SFs and shuffles at billions of nodes (the DBSCAN/kNN posture
+    # from commit 71d855a). Only the 1-row normalization totals are
+    # broadcast-hinted.
     def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
         return (
-            pairs.join(F.broadcast(scores), F.col(in_key) == scores.node)
+            pairs.join(scores, F.col(in_key) == scores.node)
             .groupBy(out_key)
             .agg(F.sum("v").alias("v"))
             .select(F.col(out_key).alias("node"), "v")
@@ -628,7 +633,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_HITS_ITERS):
         tot_a = (
-            hub.join(F.broadcast(deg_c), hub.node == F.col("c"))
+            hub.join(deg_c, hub.node == F.col("c"))
             .agg(F.sum(F.col("v") * F.col("dc")).cast("bigint").alias("t"))
         )
         auth = norm_by(half_step(hub, "c", "s"), tot_a)

@@ -378,60 +378,18 @@ ORDER BY custkey, rk
 """
 
 
-@df_query(
-    "q_spatial_knn_exact",
-    duck_sql=_knn_exact_oracle_sql(),
-    tables=["customer", "supplier"],
-    doc=f"EXACT k-nearest-supplier join (k={_KNN_K}) per customer — the "
-    "ring-expansion completion of q_spatial_knn's radius-bounded first "
-    "pass (which keeps its own oracle row as the documented-boundary "
-    "anchor). Round 1 gathers candidates from the probe's 3x3 cell "
-    "neighborhood; a probe is COMPLETE when it holds k candidates whose "
-    "k-th distance^2 is <= the squared distance to the nearest wall of "
-    "the searched cell region (any unsearched supplier lies strictly "
-    "beyond that wall, so it can neither displace nor tie — ties break "
-    "on (dist2, suppkey) and unsearched dist2 is strictly larger), or "
-    "when the region already covers the whole grid. Incomplete probes "
-    "expand on a GEOMETRIC radius schedule (annulus of cells with "
-    "Chebyshev distance in (r, 2r] — never revisited, so candidate "
-    "streams stay disjoint and the round count is log2(grid) even for "
-    "sparse corpora), re-rank their running top-k, and loop; per-round "
-    "state is localCheckpoint'ed and the pending-probe set shrinks "
-    "monotonically. The oracle is the brute-force cross product, so a "
-    "green row certifies exact-kNN semantics end to end. At 100 TB: "
-    "probe-side annulus fanout runs on the SHRINKING pending set, the "
-    "cell join is a plain equi-join (broadcast when the corpus-cell "
-    "table is small, shuffle otherwise), and per-probe windows carry "
-    "<= k rows (WindowGroupLimit) — no cross product at any scale.",
-)
-def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+def _knn_exact_loop(
+    spark: SparkSession, probes: DataFrame, supp_cell: DataFrame, k: int
+) -> DataFrame:
+    """Ring-expansion exact-kNN driver loop, factored out so the
+    boundary-coincidence unit test (tests/test_spatial_serial.py) can run
+    it on a hand-built layout where an unsearched supplier ties the k-th
+    candidate's dist2 exactly on the searched region's wall.
 
-    t = load_tables(spark, sf_dir, ["customer", "supplier"])
-    probes = t["customer"].select(
-        F.col("c_custkey").alias("ck"),
-        ((F.col("c_custkey") * _MX_C) % _SPACE).cast("bigint").alias("x"),
-        ((F.col("c_custkey") * _MY_C) % _SPACE).cast("bigint").alias("y"),
-    )
-    probes = probes.select(
-        "ck", "x", "y",
-        F.expr(f"x DIV {_CELL}").alias("pcx"),
-        F.expr(f"y DIV {_CELL}").alias("pcy"),
-    )
-    supp_cell = (
-        t["supplier"]
-        .select(
-            F.col("s_suppkey").alias("sk"),
-            ((F.col("s_suppkey") * _MX_S) % _SPACE).cast("bigint").alias("sx"),
-            ((F.col("s_suppkey") * _MY_S) % _SPACE).cast("bigint").alias("sy"),
-        )
-        .select(
-            "sk", "sx", "sy",
-            F.expr(f"sx DIV {_CELL}").alias("scx"),
-            F.expr(f"sy DIV {_CELL}").alias("scy"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    `probes` needs (ck, x, y, pcx, pcy); `supp_cell` needs
+    (sk, sx, sy, scx, scy) and should already be checkpointed. Returns
+    (ck, sk, dist2, rk) with rk in 1..k ranked by (dist2, sk)."""
+    from pyspark.sql.window import Window
 
     def gather(pending: DataFrame, lo: int, hi: int) -> DataFrame:
         # Annulus of cells with Chebyshev distance in (lo, hi] — generated
@@ -483,7 +441,7 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.select("ck", "sk", "dist2")
             .unionAll(cand)
             .withColumn("rk", F.row_number().over(w).cast("int"))
-            .filter(F.col("rk") <= _KNN_K)
+            .filter(F.col("rk") <= k)
             .localCheckpoint(eager=True)
         )
         stats = state.groupBy("ck").agg(
@@ -491,8 +449,11 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Wall distances for the searched region [pcx-rr, pcx+rr]^2 clipped
         # to the grid; a wall clipped away (region touches the grid edge)
-        # contributes no bound. BIG sentinel = no wall on that side.
-        big = _SPACE * _SPACE  # larger than any in-grid distance^2 base
+        # contributes no bound. BIG sentinel = no wall on that side; its
+        # square (4*_SPACE^2 ~ 1.7e10) still fits BIGINT and exceeds the
+        # max in-grid dist2 (2*(_SPACE-1)^2 ~ 8.6e9), so wall*wall below is
+        # overflow-safe regardless of disjunct evaluation order.
+        big = 2 * _SPACE
         flags = pending.join(stats, "ck", "left").select(
             "ck", "x", "y", "pcx", "pcy",
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
@@ -508,28 +469,93 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("pcy") + rr + 1) * _CELL - F.col("y")).otherwise(big),
             ).alias("wall"),
         )
+        # STRICT bound: an unsearched supplier on the right/top walls sits
+        # at axis distance exactly `wall` (sx == (pcx+rr+1)*_CELL), so its
+        # dist2 can EQUAL wall^2 and win the (dist2, sk) tiebreak; only
+        # kth < wall^2 certifies that nothing unsearched can displace or
+        # tie. (Left/bottom walls give distance >= wall+1 — the strict
+        # test costs at most one extra round for exact-boundary probes.)
         complete = flags.filter(
             (F.col("wall") == big)
-            | ((F.col("cnt") >= _KNN_K)
-               & (F.col("kth") <= F.col("wall") * F.col("wall")))
+            | ((F.col("cnt") >= k)
+               & (F.col("kth") < F.col("wall") * F.col("wall")))
         ).select("ck")
+        # complete/pending scale with the probe corpus — keep the joins
+        # adaptive (AQE broadcasts them at test SFs, shuffles at 100 TB),
+        # the same posture commit 71d855a gave DBSCAN.
         done_slices.append(
-            state.join(F.broadcast(complete), "ck").select("ck", "sk", "dist2", "rk")
+            state.join(complete, "ck").select("ck", "sk", "dist2", "rk")
         )
         pending = (
-            pending.join(F.broadcast(complete), "ck", "left_anti")
+            pending.join(complete, "ck", "left_anti")
             .localCheckpoint(eager=True)
         )
         if pending.isEmpty():
             break
         state = state.join(
-            F.broadcast(pending.select("ck")), "ck"
+            pending.select("ck"), "ck"
         ).localCheckpoint(eager=True)
         lo, rr = rr, min(rr * 2, _GRID)
 
     out = done_slices[0]
     for s in done_slices[1:]:
         out = out.unionAll(s)
+    return out
+
+
+@df_query(
+    "q_spatial_knn_exact",
+    duck_sql=_knn_exact_oracle_sql(),
+    tables=["customer", "supplier"],
+    doc=f"EXACT k-nearest-supplier join (k={_KNN_K}) per customer — the "
+    "ring-expansion completion of q_spatial_knn's radius-bounded first "
+    "pass (which keeps its own oracle row as the documented-boundary "
+    "anchor). Round 1 gathers candidates from the probe's 3x3 cell "
+    "neighborhood; a probe is COMPLETE when it holds k candidates whose "
+    "k-th distance^2 is STRICTLY LESS than the squared distance to the "
+    "nearest wall of the searched cell region (right/top walls admit an "
+    "unsearched supplier at axis distance exactly the wall, which could "
+    "tie dist2 and win the (dist2, suppkey) tiebreak — strict inequality "
+    "rules both displacement and ties out), or when the region already "
+    "covers the whole grid. Incomplete probes expand on a GEOMETRIC "
+    "radius schedule (annulus of cells with Chebyshev distance in "
+    "(r, 2r] — never revisited, so candidate streams stay disjoint and "
+    "the round count is log2(grid) even for sparse corpora), re-rank "
+    "their running top-k, and loop; per-round state is localCheckpoint'ed "
+    "and the pending-probe set shrinks monotonically. The oracle is the "
+    "brute-force cross product, so a green row certifies exact-kNN "
+    "semantics end to end. At 100 TB: probe-side annulus fanout runs on "
+    "the SHRINKING pending set, the cell join is a plain equi-join, the "
+    "probe-keyed complete/pending joins stay ADAPTIVE (they are "
+    "corpus-scaled, never broadcast-hinted), and per-probe windows carry "
+    "<= k rows (WindowGroupLimit) — no cross product at any scale.",
+)
+def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    probes = t["customer"].select(
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_custkey") * _MX_C) % _SPACE).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * _MY_C) % _SPACE).cast("bigint").alias("y"),
+    ).select(
+        "ck", "x", "y",
+        F.expr(f"x DIV {_CELL}").alias("pcx"),
+        F.expr(f"y DIV {_CELL}").alias("pcy"),
+    )
+    supp_cell = (
+        t["supplier"]
+        .select(
+            F.col("s_suppkey").alias("sk"),
+            ((F.col("s_suppkey") * _MX_S) % _SPACE).cast("bigint").alias("sx"),
+            ((F.col("s_suppkey") * _MY_S) % _SPACE).cast("bigint").alias("sy"),
+        )
+        .select(
+            "sk", "sx", "sy",
+            F.expr(f"sx DIV {_CELL}").alias("scx"),
+            F.expr(f"sy DIV {_CELL}").alias("scy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = _knn_exact_loop(spark, probes, supp_cell, _KNN_K)
     return out.select(
         F.col("ck").alias("custkey"),
         F.col("rk").cast("bigint").alias("rk"),
