@@ -100,6 +100,19 @@ def principal_components(
     return evals, comps, mu_q / _QSCALE
 
 
+def _dot_scores(comp: DataFrame, pcs: DataFrame) -> DataFrame:
+    """The projection join both PCA queries run: exploded quantized
+    components equi-joined to the BROADCAST k·d component table (bounded:
+    512 rows), one (vec_id, pc) aggregate of the products. Shared so the
+    hash-oracled q_pca_project_step certifies the exact code path
+    q_pca_project's projection stage executes."""
+    return (
+        comp.join(F.broadcast(pcs), "i")
+        .groupBy("vec_id", "pc")
+        .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+    )
+
+
 @df_query(
     "q_pca_project",
     duck_sql=None,
@@ -111,10 +124,11 @@ def principal_components(
     "(two constant-size aggregate collects + driver eigh — the MLlib "
     "RowMatrix shape); the projection itself is JVM-only: exploded "
     "quantized components joined to the BROADCAST 512-row eigenvector "
-    "table, one (vec_id, pc) aggregate. Rows-only (eigh is driver-side "
-    "LAPACK, not SQL-expressible); semantics pinned by "
-    "tests/test_pca.py: orthonormality, eigenvalue ordering, per-PC "
-    "score variance = eigenvalue, and parity with numpy full PCA.",
+    "table, one (vec_id, pc) aggregate (_dot_scores, the code path "
+    "hash-certified by q_pca_project_step's oracle row). Rows-only "
+    "(eigh is driver-side LAPACK, not SQL-expressible); semantics "
+    "pinned by tests/test_pca.py: orthonormality, eigenvalue ordering, "
+    "per-PC score variance = eigenvalue, and parity with numpy full PCA.",
 )
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals, comps, mu = principal_components(spark, sf_dir, k=_PCA_K)
@@ -132,14 +146,109 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(pc), float(o)) for pc, o in enumerate(mu_dot)], "pc INT, off DOUBLE"
     )
     return (
-        comp.join(F.broadcast(pcs), "i")
-        .groupBy("vec_id", "pc")
-        .agg((F.sum(F.col("q") * F.col("v")) / F.lit(_QSCALE)).alias("raw"))
+        _dot_scores(comp, pcs)
+        .withColumn("raw", F.col("dot") / F.lit(_QSCALE))
         .join(F.broadcast(offs), "pc")
         .select(
             "vec_id",
             "pc",
             (F.col("raw") - F.col("off")).alias("score"),
+        )
+        .orderBy("vec_id", "pc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-oracled projection step — q_pca_project's projection stage with
+# FIXED components, exact BIGINT end to end (VERDICT r05 #4).
+# ---------------------------------------------------------------------------
+
+# Closed-form signed component grid both engines generate independently:
+# v[pc, i] = ((pc+1)·2654435761·(97·i+13)) mod 2^16 − 2^15. Data-free, so
+# the oracle SQL reproduces it at any SF; deterministic integer mod over
+# positive operands is engine-identical.
+_STEP_MULT = 2654435761
+
+
+def _step_oracle_sql() -> str:
+    return f"""
+WITH comp AS (
+  SELECT vec_id, u.i - 1 AS i,
+         CAST(floor(CAST(u.x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(list_transform(embedding,
+        (x, i) -> {{'x': x, 'i': i}})) AS u FROM embeddings) s
+),
+pcs AS (
+  SELECT p.pc, i.i,
+         CAST(((p.pc + 1) * {_STEP_MULT} * (97 * i.i + 13)) % 65536
+              - 32768 AS BIGINT) AS v
+  FROM (SELECT unnest(range(0, {_PCA_K})) AS pc) p
+  CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS i) i
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+colsum AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM comp GROUP BY i),
+offs AS (
+  SELECT p.pc, CAST(SUM(c.s * p.v) AS BIGINT) AS off_num
+  FROM colsum c JOIN pcs p ON c.i = p.i GROUP BY p.pc
+),
+dots AS (
+  SELECT c.vec_id, p.pc, CAST(SUM(c.q * p.v) AS BIGINT) AS dot
+  FROM comp c JOIN pcs p ON c.i = p.i GROUP BY c.vec_id, p.pc
+)
+SELECT d.vec_id, CAST(d.pc AS BIGINT) AS pc,
+       CAST(t.n * d.dot - o.off_num AS BIGINT) AS score_num
+FROM dots d JOIN offs o ON d.pc = o.pc CROSS JOIN tot t
+ORDER BY d.vec_id, d.pc
+"""
+
+
+@df_query(
+    "q_pca_project_step",
+    duck_sql=_step_oracle_sql(),
+    tables=["embeddings"],
+    doc="The hash-oracled twin of q_pca_project's projection stage "
+    "(VERDICT r05 #4, q_kmeans_step precedent: step oracle + rows-only "
+    "loop): project every quantized embedding onto a FIXED closed-form "
+    "signed component grid — same explode/quantize (_quantized_"
+    "components), same broadcast-join + (vec_id, pc) dot-product "
+    "aggregate (_dot_scores), same mean-centering, with eigh's "
+    "data-dependent floats replaced by a data-free integer matrix so "
+    "DuckDB can regenerate it. Division-free centering keeps every "
+    "value exact BIGINT: score_num = n·Σqᵢvᵢ − ΣSᵢvᵢ = n·Vᵀ(x−μ) on "
+    "the 2^-15 grid (Spark DIV truncates where DuckDB // floors, so "
+    "no integer division touches a signed numerator). Magnitudes stay "
+    "under 2^53 at oracle SFs; at 100 TB the same plan map-side-"
+    "combines the d-row column sums and broadcasts the 512-row "
+    "component table — corpus is touched twice, shuffled on vec_id "
+    "once.",
+)
+def q_pca_project_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    comp = _quantized_components(emb)
+    pc_rows = [
+        (pc, i, ((pc + 1) * _STEP_MULT * (97 * i + 13)) % 65536 - 32768)
+        for pc in range(_PCA_K)
+        for i in range(_DIM)
+    ]
+    pcs = spark.createDataFrame(pc_rows, "pc INT, i INT, v LONG")
+    n = emb.count()
+    offs = (
+        comp.groupBy("i")
+        .agg(F.sum("q").alias("s"))
+        .join(F.broadcast(pcs), "i")
+        .groupBy("pc")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("off_num"))
+    )
+    return (
+        _dot_scores(comp, pcs)
+        .join(F.broadcast(offs), "pc")
+        .select(
+            "vec_id",
+            F.col("pc").cast("bigint").alias("pc"),
+            (F.lit(n) * F.col("dot") - F.col("off_num"))
+            .cast("bigint")
+            .alias("score_num"),
         )
         .orderBy("vec_id", "pc")
     )

@@ -374,6 +374,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_dbscan",
     "q_wasserstein",
     "q_idw_interpolation",
+    # round-6 additions — same cap discipline (VERDICT r05 #1: <=5 new,
+    # appended BEHIND the backlog so the never-checked pool drains first).
+    "q_pca_project_step",
 ]
 
 
