@@ -266,8 +266,18 @@ def main() -> None:
             # the median of the warm (memoized-read) runs only — a median
             # that included the drain would misstate the steady-state read.
             first_drain[name] = round(samples[0], 4)
-            warm = sorted(samples[1:]) or samples
-            timings[name] = round(warm[(len(warm) - 1) // 2], 4)
+            warm = sorted(samples[1:])
+            if warm:
+                timings[name] = round(warm[(len(warm) - 1) // 2], 4)
+            else:
+                # BENCH_RUNS=1: the only sample IS the watermarked drain.
+                # Keep it (better than nothing) but say so loudly — the
+                # steady-state read was never measured.
+                print(
+                    f"# {name}: BENCH_RUNS=1, reported time INCLUDES the "
+                    "replay drain (no warm run to median)",
+                    file=sys.stderr,
+                )
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
