@@ -577,28 +577,25 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
     "shape, src/dst-keyed at any scale.",
 )
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Iterative loop with ONE checkpoint per ROUND (not per half-step):
-    # the unrolled CTE chain is only for the (materializing) oracle —
-    # Spark inlines CTEs, and each normalization total references its raw
-    # table twice, so the inlined chain recomputes the base join
-    # 2^(2*iters) times (measured 10 s vs ~3 s for the per-half-step
-    # checkpoint loop at sf0.1). Round-5 fusion (VERDICT r04 #3), two
-    # pieces, measured 5.4 s -> ~3.1 s at sf0.1:
-    #   1. The auth half-step stays LAZY inside the hub half-step's
-    #      checkpoint job, so one round = one materialization job (two
-    #      pipelined join+agg stages) instead of two synchronous jobs.
-    #   2. The auth normalization total never re-traverses the pair list:
-    #      SUM_s rawa(s) = SUM_c deg(c)*hub(c) (every pair (c,s)
-    #      contributes hub(c) exactly once), so tot_a is a 15k-row dot
-    #      product against the checkpointed out-degree table instead of a
-    #      second pairs traversal under the broadcast subquery. The hub
-    #      total reads the just-checkpointed raw table directly. Exact
-    #      same BIGINT value either way — same recurrence, same hash.
-    # Fully-lazy (checkpoint-free) and AQE-off variants were measured
-    # worse (4.9 s / 6.2 s): per-level double references defeat exchange
-    # reuse. The remaining ~0.5 s/round is scheduling floor (the
-    # q_pagerank class), constant in rounds, not data — at 100 TB the
-    # per-round cost is the two key-grouped shuffles, which parallelize.
+    # Iterative loop with TWO synchronization points per ROUND (the r6
+    # shape; measured 3.9 s -> ~3.0 s standalone / ~2 s in-suite at sf0.1,
+    # hash-identical to the unrolled recurrence):
+    #   1. ONE checkpoint job materializes the round: the auth half-step
+    #      (join+agg) stays lazy inside the hub half-step's checkpoint, so
+    #      both message passes run as pipelined stages of a single job.
+    #      Per-half-step checkpoints (2 jobs/round), fully-lazy (2^(2k)
+    #      recomputation of the base join: 4.9 s), persist()-based caching
+    #      (13.8 s) and AQE-off (no gain) all measured worse.
+    #   2. ONE fused 1-row collect computes BOTH normalization totals:
+    #      th = SUM(rawh) directly, and next round's auth total via the
+    #      degree dot-product identity SUM_s rawa(s) = SUM_c deg(c)*hub(c)
+    #      (every pair contributes hub(c) exactly once), evaluated from
+    #      the just-checkpointed rawh without re-traversing pairs. The
+    #      totals come back as driver scalars (bounded: one BIGINT each)
+    #      and are inlined as literals, removing two broadcast-exchange
+    #      round-trips per iteration. Round 1's auth total needs no job:
+    #      hub == SCALE everywhere, so it is SCALE * |pairs|.
+    # Same BIGINT recurrence either way — same hash.
     load_tables(spark, sf_dir, ["orders", "lineitem"])
     pairs = spark.sql(_HITS_PAIRS_SQL).localCheckpoint(eager=True)
     deg_c = (
@@ -606,39 +603,64 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("dc"))
         .localCheckpoint(eager=True)
     )
-
+    stats = deg_c.agg(
+        F.count("*").alias("n"), F.sum("dc").cast("bigint").alias("m")
+    ).collect()[0]
     # scores/deg_c are NODE-scaled tables (customer/supplier cardinality),
-    # not dimensions — the joins stay adaptive so AQE broadcasts them at
-    # test SFs and shuffles at billions of nodes (the DBSCAN/kNN posture
-    # from commit 71d855a). Only the 1-row normalization totals are
-    # broadcast-hinted.
+    # not dimensions. localCheckpoint hides size stats from Catalyst, so
+    # an unhinted join falls back to SortMergeJoin at EVERY scale — the
+    # opposite failure from the r5 unconditional hint (broadcast at every
+    # scale). Resolve it with a measured-size gate: broadcast only when
+    # the node table actually fits the ~10 MB broadcast threshold
+    # (200k rows x ~48 B); at billions of nodes the gate is false and the
+    # joins shuffle, matching the DBSCAN/kNN adaptive posture (71d855a).
+    small = stats["n"] <= 200_000
+    b = (lambda d: F.broadcast(d)) if small else (lambda d: d)
+
     def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
         return (
-            pairs.join(scores, F.col(in_key) == scores.node)
+            pairs.join(b(scores), F.col(in_key) == scores.node)
             .groupBy(out_key)
             .agg(F.sum("v").alias("v"))
             .select(F.col(out_key).alias("node"), "v")
         )
 
-    def norm_by(raw: DataFrame, tot: DataFrame) -> DataFrame:
-        return raw.crossJoin(F.broadcast(tot)).select(
+    def norm_lit(raw: DataFrame, t: int) -> DataFrame:
+        return raw.select(
             "node",
             F.expr(
-                f"CAST(v DIV GREATEST(t DIV {_HITS_SCALE}, 1) AS BIGINT)"
+                f"CAST(v DIV GREATEST({t} DIV {_HITS_SCALE}, 1) AS BIGINT)"
             ).alias("v"),
         )
 
     hub = deg_c.select(
         F.col("c").alias("node"), F.lit(_HITS_SCALE).cast("bigint").alias("v")
     )
+    tot_a = _HITS_SCALE * stats["m"]
     for _ in range(_HITS_ITERS):
-        tot_a = (
-            hub.join(deg_c, hub.node == F.col("c"))
-            .agg(F.sum(F.col("v") * F.col("dc")).cast("bigint").alias("t"))
-        )
-        auth = norm_by(half_step(hub, "c", "s"), tot_a)
+        auth = norm_lit(half_step(hub, "c", "s"), tot_a)
         rawh = half_step(auth, "s", "c").localCheckpoint(eager=True)
-        hub = norm_by(rawh, rawh.agg(F.sum("v").cast("bigint").alias("t")))
+        row = (
+            rawh.crossJoin(
+                F.broadcast(rawh.agg(F.sum("v").cast("bigint").alias("th")))
+            )
+            .join(b(deg_c), rawh.node == F.col("c"))
+            .agg(
+                F.max("th").alias("th"),
+                F.sum(
+                    F.expr(
+                        f"CAST(v DIV GREATEST(th DIV {_HITS_SCALE}, 1)"
+                        " AS BIGINT)"
+                    )
+                    * F.col("dc")
+                )
+                .cast("bigint")
+                .alias("ta"),
+            )
+            .collect()[0]
+        )
+        tot_a = row["ta"]
+        hub = norm_lit(rawh, row["th"])
     return hub.select(
         F.lit("customer").alias("kind"),
         F.col("node").cast("bigint").alias("entity_key"),
