@@ -678,7 +678,23 @@ ORDER BY custkey
     "loop state is (vertex, label) pairs hash-partitioned on vertex.",
 )
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dbscan_frame(spark, sf_dir, _DB_CELL, _DB_MINPTS)
+
+
+def _dbscan_frame(
+    spark: SparkSession, sf_dir: str, cell: int, minpts: int
+) -> DataFrame:
+    """q_dbscan's full pipeline with eps/cell and minPts as parameters
+    (cell must divide _SPACE — the grid clip drops indices >= SPACE//cell).
+    The registry query pins (cell=_DB_CELL, minpts=_DB_MINPTS); the
+    density-scaled SF-scaling run (PLANS.md round-6 row) shrinks eps as
+    the plane densifies to hold mean neighborhood size roughly constant,
+    pinning the Θ(eps-neighborhood pairs) cost claim."""
     from ..llm.dedup import connected_components_star
+
+    assert _SPACE % cell == 0, "cell must divide the coordinate space"
+    grid = _SPACE // cell
+    eps2 = cell * cell
 
     t = load_tables(spark, sf_dir, ["customer"])
     cust = t["customer"].select(
@@ -703,32 +719,32 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "bk", "bx", "by",
-            (F.expr(f"bx DIV {_DB_CELL}") + F.col("o.dx")).alias("cx"),
-            (F.expr(f"by DIV {_DB_CELL}") + F.col("o.dy")).alias("cy"),
+            (F.expr(f"bx DIV {cell}") + F.col("o.dx")).alias("cx"),
+            (F.expr(f"by DIV {cell}") + F.col("o.dy")).alias("cy"),
         )
         .filter(
-            (F.col("cx") >= 0) & (F.col("cx") <= _DB_GRID - 1)
-            & (F.col("cy") >= 0) & (F.col("cy") <= _DB_GRID - 1)
+            (F.col("cx") >= 0) & (F.col("cx") <= grid - 1)
+            & (F.col("cy") >= 0) & (F.col("cy") <= grid - 1)
         )
     )
     nbrs = (
         cust.join(
             reg,
-            (F.expr(f"x DIV {_DB_CELL}") == F.col("cx"))
-            & (F.expr(f"y DIV {_DB_CELL}") == F.col("cy"))
+            (F.expr(f"x DIV {cell}") == F.col("cx"))
+            & (F.expr(f"y DIV {cell}") == F.col("cy"))
             & (F.col("ck") != F.col("bk")),
         )
         .filter(
             (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
             + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
-            <= _DB_EPS2
+            <= eps2
         )
         .select(F.col("ck").alias("a"), F.col("bk").alias("b"))
         .localCheckpoint(eager=True)
     )
     deg = nbrs.groupBy("a").agg((F.count("*") + 1).alias("ncnt"))
     cores = (
-        deg.filter(F.col("ncnt") >= _DB_MINPTS)
+        deg.filter(F.col("ncnt") >= minpts)
         .select(F.col("a").alias("ck"))
         .localCheckpoint(eager=True)
     )
