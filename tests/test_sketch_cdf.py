@@ -272,6 +272,48 @@ def test_ppjoin_prefix_filter_complete(sets):
                 )
 
 
+@given(sets=_sets)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_positional_filter_complete(sets):
+    """The r6 positional filter (cand CTE): with m = #common prefix tokens
+    and (pa, pb) = 1-based ranks of the LAST common prefix token,
+    overlap <= m + min(n_a - pa, n_b - pb) EXACTLY, so pruning pairs whose
+    bound cannot reach ceil(t/(1+t)*(n_a+n_b)) never drops a J >= t pair.
+    Pure-Python mirror of the SQL on adversarial random sets."""
+    from nyc_taxi_lakehouse_spark.llm.ppjoin import _T_DEN, _T_NUM
+
+    t_num, t_den = _T_NUM, _T_DEN
+    dfreq = {}
+    for s in sets:
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    order = lambda tok: (dfreq[tok], tok)
+    ranked, prefixes = [], []
+    for s in sets:
+        n = len(s)
+        plen = n - ((t_num * n + t_den - 1) // t_den) + 1
+        srt = sorted(s, key=order)
+        ranked.append({tok: k + 1 for k, tok in enumerate(srt)})
+        prefixes.append(set(srt[:plen]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            common_prefix = prefixes[i] & prefixes[j]
+            if not common_prefix:
+                continue  # prefix lemma test covers this side
+            na, nb = len(a), len(b)
+            m = len(common_prefix)
+            pa = max(ranked[i][tok] for tok in common_prefix)
+            pb = max(ranked[j][tok] for tok in common_prefix)
+            ubound = m + min(na - pa, nb - pb)
+            inter = len(a & b)
+            # the bound is a true overlap upper bound...
+            assert inter <= ubound, (sorted(a), sorted(b))
+            # ...so the pruning predicate keeps every J >= t pair
+            if t_den * inter >= t_num * (na + nb - inter):
+                assert (t_num + t_den) * ubound >= t_num * (na + nb)
+
+
 # ---------------------------------------------------------------------------
 # HLL sketch rollup (q_hll_rollup): mergeability + error bound.
 # ---------------------------------------------------------------------------
