@@ -610,12 +610,13 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not dimensions. localCheckpoint hides size stats from Catalyst, so
     # an unhinted join falls back to SortMergeJoin at EVERY scale — the
     # opposite failure from the r5 unconditional hint (broadcast at every
-    # scale). Resolve it with a measured-size gate: broadcast only when
-    # the node table actually fits the ~10 MB broadcast threshold
-    # (200k rows x ~48 B); at billions of nodes the gate is false and the
+    # scale). Resolve it with a measured-size gate (plans.gated_broadcast):
+    # broadcast only when the node table actually fits the ~10 MB
+    # broadcast threshold; at billions of nodes the gate is false and the
     # joins shuffle, matching the DBSCAN/kNN adaptive posture (71d855a).
-    small = stats["n"] <= 200_000
-    b = (lambda d: F.broadcast(d)) if small else (lambda d: d)
+    from ..plans.audit import gated_broadcast
+
+    b = lambda d: gated_broadcast(d, stats["n"])  # noqa: E731
 
     def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
         return (

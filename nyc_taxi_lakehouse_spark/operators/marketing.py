@@ -129,12 +129,20 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("co_orders"))
         .filter(F.col("co_orders") >= 2)
     )
+    # deg is ITEM-scaled (part vocabulary), not a dimension: gate the
+    # broadcast on its measured count (bounded scalar off the checkpoint)
+    # so the join shuffles at catalog scales instead of OOMing the hint.
+    from ..plans.audit import gated_broadcast
+
+    n_items = deg.count()
     scored = (
         pairs
-        .join(F.broadcast(deg.select(F.col("pkey").alias("part_a"),
-                                     F.col("n_orders").alias("n_a"))), "part_a")
-        .join(F.broadcast(deg.select(F.col("pkey").alias("part_b"),
-                                     F.col("n_orders").alias("n_b"))), "part_b")
+        .join(gated_broadcast(deg.select(F.col("pkey").alias("part_a"),
+                                         F.col("n_orders").alias("n_a")),
+                              n_items), "part_a")
+        .join(gated_broadcast(deg.select(F.col("pkey").alias("part_b"),
+                                         F.col("n_orders").alias("n_b")),
+                              n_items), "part_b")
         .withColumn(
             "cosine",
             F.col("co_orders").cast("double")
@@ -409,12 +417,16 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("co"))
         .filter(F.col("co") >= 2)
     )
+    # Same item-scaled posture as q_item_cf: measured-size broadcast gate.
+    from ..plans.audit import gated_broadcast
+
+    n_items = deg.count()
     scored_pairs = (
         pairs
-        .join(F.broadcast(deg.select(F.col("pkey").alias("pa"),
-                                     F.col("n").alias("n_a"))), "pa")
-        .join(F.broadcast(deg.select(F.col("pkey").alias("pb"),
-                                     F.col("n").alias("n_b"))), "pb")
+        .join(gated_broadcast(deg.select(F.col("pkey").alias("pa"),
+                                         F.col("n").alias("n_a")), n_items), "pa")
+        .join(gated_broadcast(deg.select(F.col("pkey").alias("pb"),
+                                         F.col("n").alias("n_b")), n_items), "pb")
         .withColumn(
             "cosine",
             F.col("co").cast("double")
@@ -446,7 +458,11 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("okey", "p.anchor", "p.other")
     scored = (
         test_pairs.join(
-            F.broadcast(nbr.withColumnRenamed("neighbor", "other")),
+            # nbr carries <= 5 rows per anchor — item-scaled, same gate
+            # (bound derived from the measured item count, no extra job).
+            gated_broadcast(
+                nbr.withColumnRenamed("neighbor", "other"), 5 * n_items
+            ),
             ["anchor", "other"],
             "left",
         )

@@ -100,3 +100,26 @@ def audit(df: DataFrame) -> dict:
         ),
         "nodes": nodes,
     }
+
+
+# 200k rows x ~50 B/row ~ 10 MB: Spark's default autoBroadcastJoinThreshold.
+GATED_BROADCAST_MAX_ROWS = 200_000
+
+
+def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int = GATED_BROADCAST_MAX_ROWS):
+    """Broadcast hint gated on a MEASURED row count — the posture for
+    corpus-scaled relations behind a localCheckpoint.
+
+    localCheckpoint hides size statistics from Catalyst (LogicalRDD
+    defaults to 'huge'), so an unhinted join of a checkpointed small table
+    sort-merges at EVERY scale, while an unconditional F.broadcast hint
+    broadcasts at every scale — wrong at 100 TB when the relation scales
+    with the corpus (the q_hits scores / DBSCAN cores / kNN pending-probe
+    class, VERDICT r05 #2). The caller passes the row count it already
+    knows (a bounded 1-row scalar off the checkpointed frame, or a bound
+    derived from one); below the threshold the hint is safe by
+    measurement, above it the join stays adaptive and shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if n_rows <= max_rows else df
