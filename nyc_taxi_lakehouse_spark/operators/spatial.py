@@ -661,9 +661,12 @@ ORDER BY custkey
     f"minPts={_DB_MINPTS} including the point itself): density-based "
     "clustering — the shape-agnostic companion to q_kmeans_step's "
     "centroid clustering and q_dedup_clusters' similarity components. "
-    "Neighbor counting is grid-blocked (eps-sized cells, one side "
-    "registers in its 3x3 neighborhood — the pair space never exceeds "
-    "actual eps-neighborhoods); cluster formation is connected "
+    "Neighbor counting is grid-blocked (eps-sized cells) and "
+    "SYMMETRY-HALVED: each unordered pair materializes once — 4 forward "
+    "cell offsets (E, NE, N, NW) plus an a>b same-cell self-join — then "
+    "mirrors, so the candidate join carries half the naive 3x3 fanout "
+    "and the pair space never exceeds actual eps-neighborhoods; cluster "
+    "formation is connected "
     "components over the CORE-core edge set via the shared large-star/"
     "small-star contraction (llm.dedup.connected_components_star — "
     "O(log diameter) rounds; eps-chains in dense regions exceed 25 hops "
