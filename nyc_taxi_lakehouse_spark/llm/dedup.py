@@ -746,15 +746,23 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
 
     e = edges.localCheckpoint(eager=True)
     rounds = 0
-    if e.isEmpty():
+    n_e = e.count()
+    if n_e == 0:
         return e, rounds
     while rounds < max_iter:
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         rounds += 1
-        # Fixpoint = edge set unchanged by a full round (set equality).
-        if new_e.subtract(e).isEmpty() and e.subtract(new_e).isEmpty():
+        # Fixpoint = edge set unchanged by a full round. Both frames are
+        # DEDUPED canonical sets (_canon_edges), so set equality is
+        # |new| == |old| plus ONE-way containment — the count is a
+        # shuffle-free scan of the checkpointed partitions, and the
+        # second subtract of the old two-way check is never needed
+        # (r6: one set-difference shuffle per round instead of two,
+        # and zero on the early rounds where the counts still differ).
+        n_new = new_e.count()
+        if n_new == n_e and new_e.subtract(e).isEmpty():
             return new_e, rounds
-        e = new_e
+        e, n_e = new_e, n_new
     raise RuntimeError(
         f"star contraction did not converge in {max_iter} rounds — "
         "raise max_iter (rounds are O(log diameter))."
