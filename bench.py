@@ -199,6 +199,9 @@ HEADLINE = [
     "q_dbscan",
     "q_wasserstein",
     "q_idw_interpolation",
+    # round-6 addition: the hash-oracled twin of q_pca_project's
+    # projection stage (fixed integer components, BIGINT-exact).
+    "q_pca_project_step",
 ]
 
 
