@@ -93,3 +93,67 @@ def test_knn_boundary_grid_vs_bruteforce(spark):
     expect = _brute_knn(probes, supps, 3)
     for ck, rows in expect.items():
         assert sorted(got[ck]) == [(rk, sk, d2) for sk, d2, rk in rows], ck
+
+
+def test_dbscan_forward_offset_decomposition_property():
+    """The r6 symmetry halving rests on a combinatorial identity: every
+    unordered eps-pair is generated EXACTLY once by (same-cell a>b) plus
+    (probe in one of the 4 forward cells E/NE/N/NW of the base). Pure-
+    Python mirror over seeded random point sets — no Spark needed."""
+    import random
+
+    from nyc_taxi_lakehouse_spark.operators.spatial import _SPACE
+
+    rng = random.Random(20260815)
+    cell = 512
+    grid = _SPACE // cell
+    eps2 = cell * cell
+    fwd = {(1, 0), (1, 1), (0, 1), (-1, 1)}
+    for _ in range(20):
+        pts = {
+            k: (rng.randrange(_SPACE), rng.randrange(_SPACE))
+            for k in range(1, rng.randrange(30, 120))
+        }
+        naive = set()
+        for a, (ax, ay) in pts.items():
+            for b, (bx, by) in pts.items():
+                if a < b and (ax - bx) ** 2 + (ay - by) ** 2 <= eps2:
+                    naive.add((a, b))
+        halved = set()
+        for a, (ax, ay) in pts.items():
+            ca = (ax // cell, ay // cell)
+            for b, (bx, by) in pts.items():
+                if a == b or (ax - bx) ** 2 + (ay - by) ** 2 > eps2:
+                    continue
+                cb = (bx // cell, by // cell)
+                d = (ca[0] - cb[0], ca[1] - cb[1])
+                emit = (d == (0, 0) and a > b) or (
+                    d in fwd
+                    and 0 <= ca[0] < grid and 0 <= ca[1] < grid
+                )
+                if emit:
+                    halved.add((min(a, b), max(a, b)))
+                    # each unordered pair must come from exactly one side
+        assert halved == naive
+
+
+def test_knn_randomized_layout_vs_bruteforce(spark):
+    """Seeded random probe/supplier layout (positions fully arbitrary, not
+    hash-derived) through the full ring-expansion loop vs serial brute
+    force — coverage beyond the hand-built wall cases."""
+    import random
+
+    from nyc_taxi_lakehouse_spark.operators.spatial import (
+        _SPACE, _knn_exact_loop,
+    )
+
+    rng = random.Random(1234)
+    probes = [(k, rng.randrange(_SPACE), rng.randrange(_SPACE)) for k in range(1, 25)]
+    supps = [(100 + k, rng.randrange(_SPACE), rng.randrange(_SPACE)) for k in range(30)]
+    p, s = _knn_frames(spark, probes, supps)
+    got = {}
+    for r in _knn_exact_loop(spark, p, s, 4).collect():
+        got.setdefault(r.ck, []).append((r.rk, r.sk, r.dist2))
+    expect = _brute_knn(probes, supps, 4)
+    for ck, rows in expect.items():
+        assert sorted(got[ck]) == [(rk, sk, d2) for sk, d2, rk in rows], ck
