@@ -1554,27 +1554,47 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     # removed set + two small node-keyed joins, vs two full semi-joins +
     # a full-degree aggregate before. Pre-partitioning the edge list on
     # dst lets every per-round probe reuse that exchange.
+    from ..plans.audit import gated_broadcast
+
     n_part = int(edges_sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges_sym.repartition(n_part, "dst").localCheckpoint(eager=True)
     deg = (
         e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("gone"))
-        if removed.isEmpty():
+        # One fused 1-row scan of the checkpointed degree table replaces
+        # the isEmpty() probe AND measures both broadcast gates: the
+        # removal frontier and the alive set are NODE-scaled (in round 1
+        # the frontier is every node with degree < k — at 100 TB that is
+        # most of the corpus, so an unconditional broadcast OOMs; VERDICT
+        # r06 #2). Below the gate the round is a map-side probe of the
+        # checkpointed edge partitions; above it the joins stay adaptive
+        # and hash-partition on node id, which the dst pre-partitioning
+        # already serves.
+        counts = deg.agg(
+            F.count_if(F.col("deg") < k).alias("n_removed"),
+            F.count_if(F.col("deg") >= k).alias("n_alive"),
+        ).collect()[0]
+        if counts["n_removed"] == 0:
             break
-        # The removal frontier and its decrement table are node-bounded
-        # and shrink every round — broadcast both so the only work that
-        # touches the (big) edge list is a map-side probe of the
-        # checkpointed partitions; no per-round edge shuffle at all.
+        removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("gone"))
+        # dec has one row per alive-or-removed node adjacent to the
+        # frontier, so n_removed + n_alive (= |deg|) bounds its size.
         dec = (
-            e.join(F.broadcast(removed), e.dst == removed.gone)
+            e.join(
+                gated_broadcast(removed, counts["n_removed"]),
+                e.dst == removed.gone,
+            )
             .groupBy("src")
             .agg(F.count("*").alias("dec"))
         )
         deg = (
             deg.filter(F.col("deg") >= k)
-            .join(F.broadcast(dec), "src", "left")
+            .join(
+                gated_broadcast(dec, counts["n_removed"] + counts["n_alive"]),
+                "src",
+                "left",
+            )
             .select(
                 "src",
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
@@ -1717,7 +1737,15 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
         .localCheckpoint(eager=True)
     )
     core = kcore_members(e, _KCORE_K, _KCORE_ROUNDS)
-    core_b = F.broadcast(core.localCheckpoint(eager=True))
+    # The core MEMBERSHIP set scales with the corpus (at 100 TB a dense
+    # template farm can be a large fraction of all docs) — gate the
+    # broadcast on its measured count (shuffle-free scan of the
+    # checkpointed frame); above the gate both degree joins stay adaptive
+    # node-keyed hash joins (VERDICT r06 #2).
+    from ..plans.audit import gated_broadcast
+
+    core_ck = core.localCheckpoint(eager=True)
+    core_b = gated_broadcast(core_ck, core_ck.count())
     return (
         e.join(core_b.withColumnRenamed("node", "src"), "src")
         .join(core_b.withColumnRenamed("node", "dst"), "dst")

@@ -572,9 +572,14 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
     "oracle unrolls the identical recurrence (q_pagerank's pattern). "
     "Spark checkpoints the distinct pair table ONCE (each iteration "
     "references it twice; CTE inlining would re-run the orders×lineitem "
-    "join six times), then each half-step is one hash join + one "
-    "key-grouped sum + a 1-row total broadcast — Pregel message-pass "
-    "shape, src/dst-keyed at any scale.",
+    "join six times), then each round is ONE checkpoint job (the auth "
+    "half-step stays lazy inside the hub half-step's checkpoint) plus "
+    "ONE fused 1-row collect that returns both normalization totals as "
+    "driver scalars inlined as literals — no per-half-step total "
+    "broadcasts. Node-scaled score tables join via size-gated broadcast "
+    "(measured per-side counts); above the gate the joins stay adaptive "
+    "and shuffle — Pregel message-pass shape, src/dst-keyed at any "
+    "scale.",
 )
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative loop with TWO synchronization points per ROUND (the r6
@@ -603,8 +608,17 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("dc"))
         .localCheckpoint(eager=True)
     )
-    stats = deg_c.agg(
-        F.count("*").alias("n"), F.sum("dc").cast("bigint").alias("m")
+    # One job over the checkpointed pairs yields BOTH node cardinalities
+    # (m = |pairs| since the edge set is already DISTINCT). The hub table
+    # is customer-keyed and the auth table supplier-keyed, so each
+    # half-step's broadcast gate must be fed the count of the side it
+    # actually broadcasts (ADVICE r06: gating the supplier-keyed auth
+    # table on the customer count breaks the measured-row-count contract
+    # whenever |suppliers| > |customers|).
+    stats = pairs.agg(
+        F.countDistinct("c").alias("n_c"),
+        F.countDistinct("s").alias("n_s"),
+        F.count("*").cast("bigint").alias("m"),
     ).collect()[0]
     # scores/deg_c are NODE-scaled tables (customer/supplier cardinality),
     # not dimensions. localCheckpoint hides size stats from Catalyst, so
@@ -616,11 +630,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins shuffle, matching the DBSCAN/kNN adaptive posture (71d855a).
     from ..plans.audit import gated_broadcast
 
-    b = lambda d: gated_broadcast(d, stats["n"])  # noqa: E731
+    n_of = {"c": stats["n_c"], "s": stats["n_s"]}
 
     def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
         return (
-            pairs.join(b(scores), F.col(in_key) == scores.node)
+            pairs.join(
+                gated_broadcast(scores, n_of[in_key]),
+                F.col(in_key) == scores.node,
+            )
             .groupBy(out_key)
             .agg(F.sum("v").alias("v"))
             .select(F.col(out_key).alias("node"), "v")
@@ -645,7 +662,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             rawh.crossJoin(
                 F.broadcast(rawh.agg(F.sum("v").cast("bigint").alias("th")))
             )
-            .join(b(deg_c), rawh.node == F.col("c"))
+            .join(gated_broadcast(deg_c, stats["n_c"]), rawh.node == F.col("c"))
             .agg(
                 F.max("th").alias("th"),
                 F.sum(

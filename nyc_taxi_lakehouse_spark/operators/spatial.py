@@ -695,7 +695,13 @@ def _dbscan_frame(
     pinning the Θ(eps-neighborhood pairs) cost claim."""
     from ..llm.dedup import connected_components_star
 
-    assert _SPACE % cell == 0, "cell must divide the coordinate space"
+    if _SPACE % cell != 0:
+        # Not an assert: under `python -O` a non-dividing cell would pass
+        # silently and the grid clip (grid = _SPACE // cell) would drop
+        # border cells, losing eps-pairs near the top/right edges.
+        raise ValueError(
+            f"cell ({cell}) must divide the coordinate space ({_SPACE})"
+        )
     grid = _SPACE // cell
     eps2 = cell * cell
 
