@@ -270,23 +270,13 @@ def kmeans_lloyd(
 # ---------------------------------------------------------------------------
 
 
-def ann_lsh_topk(
-    embeddings: DataFrame,
-    n_tables: int = 4,
-    planes_per_table: int = 4,
-    n_probes: int = _N_PROBES,
-    top_k: int = _TOP_K,
+def lsh_buckets(
+    embeddings: DataFrame, n_tables: int = 4, planes_per_table: int = 4
 ) -> DataFrame:
-    """Random-hyperplane LSH with L hash tables of k planes each: per table,
-    bucket = k-bit sign pattern; candidates = corpus vectors sharing any
-    table's bucket with the probe (union-of-tables boosts recall, the
-    standard L×k trade-off). Cosine re-ranking happens only inside buckets —
-    the 100 TB pair-space reduction.
-
-    Hyperplane weights come from the deterministic integer family
-    ((p·131 + i·31 + 7) mod 19) − 9, so the pipeline is reproducible with no
-    stored model.
-    """
+    """(vec_id, bucket0..bucket{L-1}) sign-pattern bucket keys — the exact
+    candidate-generation state of ann_lsh_topk, factored out so the step
+    twin q_lsh_bucket_step can pin it against a SQL oracle (integer
+    projections only; no floats beyond the ×QSCALE quantization)."""
     n_planes = n_tables * planes_per_table
     comp = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
@@ -308,7 +298,29 @@ def ann_lsh_topk(
         ).alias(f"bucket{t}")
         for t in range(n_tables)
     ]
-    with_bucket = embeddings.join(proj.select("vec_id", *bucket_cols), "vec_id")
+    return proj.select("vec_id", *bucket_cols)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    n_probes: int = _N_PROBES,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Random-hyperplane LSH with L hash tables of k planes each: per table,
+    bucket = k-bit sign pattern; candidates = corpus vectors sharing any
+    table's bucket with the probe (union-of-tables boosts recall, the
+    standard L×k trade-off). Cosine re-ranking happens only inside buckets —
+    the 100 TB pair-space reduction.
+
+    Hyperplane weights come from the deterministic integer family
+    ((p·131 + i·31 + 7) mod 19) − 9, so the pipeline is reproducible with no
+    stored model.
+    """
+    with_bucket = embeddings.join(
+        lsh_buckets(embeddings, n_tables, planes_per_table), "vec_id"
+    )
 
     dot = F.aggregate(
         F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
@@ -424,6 +436,48 @@ def q_similarity_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFram
     return ann_bruteforce_pandas(t["embeddings"])
 
 
+def ivf_cell_ranks(
+    quant: DataFrame, n_centroids: int = 16, n_probes: int = _N_PROBES
+) -> DataFrame:
+    """(vec_id, cell, score, rk): every vector's cells ranked by exact
+    quantized cosine against the deterministic coarse centroids (the first
+    n_centroids corpus vectors by vec_id) — ann_ivf_topk's assignment state,
+    factored out so the step twin q_ivf_assign_step can pin it against a
+    SQL oracle. quant is (vec_id, q: array<bigint>)."""
+    from pyspark.sql import Window
+
+    spark = quant.sparkSession
+    cents = (
+        quant.filter(F.col("vec_id") >= n_probes).orderBy("vec_id").limit(n_centroids)
+    )
+    cent_rows = [list(r.q) for r in cents.collect()]
+    cent_comp = spark.createDataFrame(
+        [
+            (cell, i, int(v), float(sum(x * x for x in cq)) ** 0.5)
+            for cell, cq in enumerate(cent_rows)
+            for i, v in enumerate(cq)
+        ],
+        "cell int, i int, cv long, cnorm double",
+    )
+
+    comp = quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
+    # Rank cells by dot/|c| — |q| is constant per vector, so the argmax over
+    # cells is unchanged; exact integer dot, one double division. cent_comp
+    # is a k·dim-bounded literal relation (n_centroids * _DIM rows by
+    # construction) — the broadcast is size-safe at any corpus volume.
+    cell_scores = (
+        comp.join(F.broadcast(cent_comp), "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            (F.sum(F.col("qv") * F.col("cv")).cast("double") / F.first("cnorm")).alias(
+                "score"
+            )
+        )
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    return cell_scores.withColumn("rk", F.row_number().over(w_cell))
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -447,38 +501,11 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    spark = embeddings.sparkSession
     quant = embeddings.selectExpr(
         "vec_id",
         f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
     )
-    cents = (
-        quant.filter(F.col("vec_id") >= n_probes).orderBy("vec_id").limit(n_centroids)
-    )
-    cent_rows = [list(r.q) for r in cents.collect()]
-    cent_comp = spark.createDataFrame(
-        [
-            (cell, i, int(v), float(sum(x * x for x in cq)) ** 0.5)
-            for cell, cq in enumerate(cent_rows)
-            for i, v in enumerate(cq)
-        ],
-        "cell int, i int, cv long, cnorm double",
-    )
-
-    comp = quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
-    # Rank cells by dot/|c| — |q| is constant per vector, so the argmax over
-    # cells is unchanged; exact integer dot, one double division.
-    cell_scores = (
-        comp.join(F.broadcast(cent_comp), "i")
-        .groupBy("vec_id", "cell")
-        .agg(
-            (F.sum(F.col("qv") * F.col("cv")).cast("double") / F.first("cnorm")).alias(
-                "score"
-            )
-        )
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
-    ranked = cell_scores.withColumn("rk", F.row_number().over(w_cell))
+    ranked = ivf_cell_ranks(quant, n_centroids, n_probes)
 
     corpus_cells = ranked.filter((F.col("vec_id") >= n_probes) & (F.col("rk") == 1))
     probe_cells = ranked.filter((F.col("vec_id") < n_probes) & (F.col("rk") <= n_probe_cells))
@@ -527,6 +554,160 @@ def ann_ivf_topk(
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return ann_ivf_topk(t["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Oracle-bearing step twins for the rows-only ANN scale paths (the
+# q_pca_project_step precedent, VERDICT r06 #4): the end-to-end recall of an
+# ANN surface is approximate by design, but its CANDIDATE-GENERATION step is
+# exact deterministic arithmetic — pin that step hash-exactly and the
+# rows-only end-to-end entry inherits a verified core.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bucket_step_sql(n_tables: int = 4, planes_per_table: int = 4) -> str:
+    """DuckDB twin of lsh_buckets + the union-of-tables candidate join:
+    integer projections (q × the deterministic plane family), sign-pattern
+    bucket strings, probe×corpus bucket match counted per pair."""
+    comp = _components_sql(DUCK, "true")
+    n_planes = n_tables * planes_per_table
+    return f"""
+WITH comp AS ({comp}),
+projs AS (
+  SELECT c.vec_id, t.p,
+         SUM(c.q * (((t.p * 131 + c.i * 31 + 7) % 19) - 9)) AS proj
+  FROM comp c CROSS JOIN range({n_planes}) t(p)
+  GROUP BY c.vec_id, t.p
+),
+buckets AS (
+  SELECT vec_id, CAST(p // {planes_per_table} AS INT) AS tbl,
+         STRING_AGG(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS bucket
+  FROM projs GROUP BY vec_id, p // {planes_per_table}
+)
+SELECT p.vec_id AS query_id, c.vec_id AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tables
+FROM buckets p
+JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+WHERE p.vec_id < {_N_PROBES} AND c.vec_id >= {_N_PROBES}
+GROUP BY p.vec_id, c.vec_id
+"""
+
+
+@df_query(
+    "q_lsh_bucket_step",
+    duck_sql=_lsh_bucket_step_sql(),
+    tables=["embeddings"],
+    doc="Hash-oracled step twin of q_similarity_lsh's candidate generation "
+    "(the q_pca_project_step precedent): the sign-pattern bucket keys and "
+    "the union-of-4-tables probe×corpus candidate pairs are exact integer "
+    "arithmetic (quantized components × the deterministic plane family "
+    "((p·131+i·31+7) mod 19) − 9), so the ENTIRE pair-space reduction step "
+    "is pinned bit-for-bit — only the post-candidate cosine re-rank stays "
+    "rows-only. Output: (query_id, candidate_id, n_tables matched). Plan: "
+    "one groupBy for projections, a bucket-keyed equi-join — at 100 TB "
+    "corpus partitions by bucket, probes broadcast.",
+)
+def q_lsh_bucket_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    n_tables = 4
+    b = lsh_buckets(t["embeddings"], n_tables=n_tables)
+    melted = b.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{i}") for i in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    probes = melted.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    corpus = melted.filter(F.col("vec_id") >= _N_PROBES).select(
+        F.col("vec_id").alias("candidate_id"), "tbl", "bucket"
+    )
+    return (
+        probes.join(corpus, ["tbl", "bucket"])
+        .groupBy("query_id", "candidate_id")
+        .agg(F.count("*").cast("bigint").alias("n_tables"))
+    )
+
+
+def _ivf_assign_step_sql(
+    n_centroids: int = 16, n_probe_cells: int = 4
+) -> str:
+    """DuckDB twin of ivf_cell_ranks: deterministic coarse centroids (first
+    n_centroids corpus vectors by vec_id), exact integer dot / one double
+    division per (vector, cell), ROW_NUMBER cell ranking."""
+    comp = _components_sql(DUCK, "true")
+    return f"""
+WITH comp AS ({comp}),
+cent_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id >= {_N_PROBES}
+        ORDER BY vec_id LIMIT {n_centroids}) s
+),
+ccomp AS (
+  SELECT ci.cell, c.i, c.q AS cv
+  FROM cent_ids ci JOIN comp c ON c.vec_id = ci.vec_id
+),
+cnorm AS (
+  SELECT cell, SQRT(CAST(SUM(cv * cv) AS DOUBLE)) AS cnorm
+  FROM ccomp GROUP BY cell
+),
+scores AS (
+  SELECT c.vec_id, cc.cell,
+         CAST(SUM(c.q * cc.cv) AS DOUBLE) / MAX(n.cnorm) AS score
+  FROM comp c
+  JOIN ccomp cc ON c.i = cc.i
+  JOIN cnorm n ON cc.cell = n.cell
+  GROUP BY c.vec_id, cc.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cell) AS rk
+  FROM scores
+)
+SELECT vec_id, cell, CAST(rk AS INT) AS rk,
+       CASE WHEN vec_id < {_N_PROBES} THEN 'probe' ELSE 'corpus' END AS role
+FROM ranked
+WHERE (vec_id < {_N_PROBES} AND rk <= {n_probe_cells})
+   OR (vec_id >= {_N_PROBES} AND rk = 1)
+"""
+
+
+@df_query(
+    "q_ivf_assign_step",
+    duck_sql=_ivf_assign_step_sql(),
+    tables=["embeddings"],
+    doc="Hash-oracled step twin of q_similarity_ivf's Voronoi assignment "
+    "(the q_pca_project_step precedent): coarse-centroid choice, the exact "
+    "integer dot products, the one IEEE division by |c|, and the cell "
+    "ranking are all deterministic — the twin emits every corpus vector's "
+    "argmax cell and every probe's 4 probe cells, pinning the inverted-"
+    "file partitioning that the end-to-end rows-only entry then searches. "
+    "Plan: centroid components are a k·dim literal broadcast; one corpus "
+    "shuffle for the per-(vector, cell) dot aggregate, one same-key window.",
+)
+def q_ivf_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    n_probe_cells = 4
+    quant = t["embeddings"].selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE})"
+        " AS BIGINT)) AS q",
+    )
+    ranked = ivf_cell_ranks(quant)
+    return ranked.filter(
+        ((F.col("vec_id") < _N_PROBES) & (F.col("rk") <= n_probe_cells))
+        | ((F.col("vec_id") >= _N_PROBES) & (F.col("rk") == 1))
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("rk").cast("int").alias("rk"),
+        F.when(F.col("vec_id") < _N_PROBES, "probe")
+        .otherwise("corpus")
+        .alias("role"),
+    )
 
 
 def ann_pq_rerank(

@@ -102,6 +102,64 @@ def audit(df: DataFrame) -> dict:
     }
 
 
+def broadcast_hint_risks(df: DataFrame) -> list[str]:
+    """Broadcast ResolvedHints in df's ANALYZED logical plan whose subtree
+    reaches a LogicalRDD (localCheckpoint output) or a base-table relation
+    without passing a structural boundedness barrier.
+
+    The scale-killer class behind VERDICT r05 #2 / r06 #2: localCheckpoint
+    hides size statistics from Catalyst, so an author reaching for
+    F.broadcast to avoid the resulting sort-merge join has silently
+    promised the relation fits in executor memory at EVERY data volume —
+    wrong whenever it scales with the corpus (HITS scores, k-core
+    frontiers, MoR tombstones). The fix is plans.gated_broadcast (hint
+    only below a MEASURED row count); this linter rule makes the ungated
+    form fail CI.
+
+    A subtree is structurally bounded (descent stops, no flag) below:
+    - GlobalLimit / LocalLimit — row count capped by a literal;
+    - an Aggregate with NO grouping expressions — exactly one row.
+    Grouped aggregates do NOT barrier: their cardinality is the group
+    count, which is corpus-scaled for corpus-keyed groups. Sites whose
+    bound is semantic rather than structural (k centroids, a calendar
+    grain, a gated_broadcast that passed its gate at test scale) are
+    whitelisted by name with the reason in tests/test_plan_lint.py —
+    the same mechanism as the single-partition-window rule.
+    """
+    root = df._jdf.queryExecution().analyzed()
+    hints = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "ResolvedHint" and "broadcast" in node.simpleString(
+            100
+        ):
+            hints.append(node)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    risks = []
+    for hint in hints:
+        stack = []
+        children = hint.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if name in ("GlobalLimit", "LocalLimit"):
+                continue
+            if name == "Aggregate" and node.groupingExpressions().isEmpty():
+                continue
+            if name == "LogicalRDD" or "Relation" in name:
+                risks.append(f"broadcast hint reaches {name}")
+                break
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    return risks
+
+
 # 200k rows x ~50 B/row ~ 10 MB: Spark's default autoBroadcastJoinThreshold.
 GATED_BROADCAST_MAX_ROWS = 200_000
 

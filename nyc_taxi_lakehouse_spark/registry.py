@@ -377,6 +377,13 @@ _DRIVER_PRIORITY: list[str] = [
     # round-6 additions — same cap discipline (VERDICT r05 #1: <=5 new,
     # appended BEHIND the backlog so the never-checked pool drains first).
     "q_pca_project_step",
+    # round-7 additions — oracle-bearing step twins for the rows-only ANN
+    # scale paths (VERDICT r06 #4). Appended BEHIND the 50-query backlog:
+    # the r07 driver window is exactly that backlog, so these first get
+    # driver rows in r08; locally they're hash-verified at two SFs like
+    # everything else.
+    "q_lsh_bucket_step",
+    "q_ivf_assign_step",
 ]
 
 

@@ -337,9 +337,38 @@ WHITELIST = {
 }
 
 
+# Broadcast-hint rule (VERDICT r06 #3): a broadcast ResolvedHint whose
+# analyzed subtree reaches a LogicalRDD (localCheckpoint — size stats hidden
+# from Catalyst) or a base-table relation without passing a structural
+# boundedness barrier (GlobalLimit / ungrouped Aggregate) is the
+# OOM-at-100TB class fixed in q_hits/q_kcore/MoR. Sites whose bound is
+# semantic rather than structural are whitelisted here with the reason;
+# "size-gated" means plans.gated_broadcast applied the hint only below a
+# MEASURED row count (at the test SF the gate passes, so the hint — and
+# this flag — legitimately appear).
+HINT_WHITELIST = {
+    "q_similarity_ivf": "16·64-row literal centroid table (createDataFrame)",
+    "q_ivf_assign_step": "16·64-row literal centroid table (createDataFrame)",
+    "q_contamination": "eval side thresholded on its measured doc count",
+    "q_semdedup": "centroid components: corpus ⋈ LIMIT-k ids (k·dim rows)",
+    "q_kmeans_step": "centroid components: corpus ⋈ LIMIT-k ids (k·dim rows)",
+    "q_similarity_pq_rerank": "PQ codebook/LUT/probe tables (16-code × 8-sub model)",
+    "q_deletion_vectors": "size-gated on measured tombstone count (mor.read)",
+    "q_hits": "size-gated on measured per-side node counts",
+    "q_item_cf": "size-gated (gated_broadcast, d17ab03)",
+    "q_rec_hitrate": "size-gated (gated_broadcast, d17ab03)",
+    "q_kcore": "size-gated per round on measured frontier/alive/membership counts",
+    "q_spearman": "<=50-value l_quantity rank table + 64-row bucket offsets",
+    "q_pca_project": "k·dim principal-component tables",
+    "q_pca_project_step": "k·dim principal-component tables",
+    "q_dsir_weights": "256-bucket hash-grain weight table",
+}
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_no_unbounded_plan_shapes(name, spark):
     from nyc_taxi_lakehouse_spark.plans import plan_flags
+    from nyc_taxi_lakehouse_spark.plans.audit import broadcast_hint_risks
 
     df = SPECS[name].fn(spark, SF)
     flags = plan_flags(df)
@@ -348,6 +377,12 @@ def test_no_unbounded_plan_shapes(name, spark):
         f"{name}: plan shapes {flags - allowed} not whitelisted — either fix "
         f"the plan or add a bounded-why entry.\n"
         f"{df._jdf.queryExecution().executedPlan().toString()[:2000]}"
+    )
+    risks = broadcast_hint_risks(df)
+    assert not risks or name in HINT_WHITELIST, (
+        f"{name}: {risks} — an UNGATED broadcast hint over a stats-hidden or "
+        f"corpus-scaled relation OOMs at 100 TB. Use plans.gated_broadcast "
+        f"with a measured count, or whitelist with the boundedness reason."
     )
 
 
