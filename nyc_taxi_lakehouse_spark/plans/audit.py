@@ -164,7 +164,7 @@ def broadcast_hint_risks(df: DataFrame) -> list[str]:
 GATED_BROADCAST_MAX_ROWS = 200_000
 
 
-def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int = GATED_BROADCAST_MAX_ROWS):
+def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int | None = None):
     """Broadcast hint gated on a MEASURED row count — the posture for
     corpus-scaled relations behind a localCheckpoint.
 
@@ -180,4 +180,9 @@ def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int = GATED_BROADCAST_
     """
     from pyspark.sql import functions as F
 
+    if max_rows is None:
+        # Read the module var at CALL time (not as a def-time default) so
+        # tests can monkeypatch the threshold to force the adaptive branch
+        # on small data (tests/test_mor.py exercises both sides).
+        max_rows = GATED_BROADCAST_MAX_ROWS
     return F.broadcast(df) if n_rows <= max_rows else df

@@ -82,3 +82,35 @@ def test_read_without_tombstones_is_plain_scan(spark, tmp_path):
     assert t.read().count() == spark.read.parquet(
         f"{SF_SMOKE}/orders.parquet"
     ).count()
+
+
+def test_read_gate_both_sides(spark, tmp_path, monkeypatch):
+    """VERDICT r06 #5: the tombstone anti-join's broadcast gate must yield
+    identical rows on BOTH branches — hinted below the threshold, adaptive
+    (shuffled anti-join) above it, as when a 100 TB table has absorbed more
+    deletes than fit a broadcast."""
+    # plans/__init__ re-exports audit() the FUNCTION under the same name,
+    # shadowing the submodule as a package attribute — fetch the real
+    # module from sys.modules to patch the gate.
+    from importlib import import_module
+
+    audit = import_module("nyc_taxi_lakehouse_spark.plans.audit")
+
+    t = _table(spark, tmp_path)
+    t.delete_where("o_orderkey % 5 = 0")
+
+    hinted = t.read()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    expect = {r[0] for r in hinted.select("o_orderkey").collect()}
+    assert expect and all(k % 5 != 0 for k in expect)
+
+    # Force the adaptive branch: a gate of 0 makes every tombstone set
+    # "too large to broadcast".
+    monkeypatch.setattr(audit, "GATED_BROADCAST_MAX_ROWS", 0)
+    adaptive = t.read()
+    assert (
+        "ResolvedHint"
+        not in adaptive._jdf.queryExecution().analyzed().toString()
+    )
+    got = {r[0] for r in adaptive.select("o_orderkey").collect()}
+    assert got == expect
