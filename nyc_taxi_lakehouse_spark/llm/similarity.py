@@ -710,6 +710,82 @@ def q_ivf_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_adc_candidates(
+    quant: DataFrame,
+    n_probes: int = _N_PROBES,
+    refine_c: int = 32,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Stage 1 of ann_pq_rerank, factored out so the step twin
+    q_pq_adc_step can pin it against a SQL oracle: hash-ranked codebook
+    seeds → exact integer sub-L2 table → per-(vector, subspace) argmin
+    codes → ADC scan (LUT sum) → top-refine_c candidates per probe.
+    Everything is 64-bit integer arithmetic with (value, id) tiebreaks —
+    bit-for-bit reproducible. Returns (query_id, candidate_id, approx_d2,
+    crk). quant is (vec_id, q: array<bigint>)."""
+    from pyspark.sql import Window
+
+    spark = quant.sparkSession
+    subdim = _DIM // n_sub
+
+    # Codebook: per subspace, the subvectors of 16 hash-ranked corpus seeds
+    # (deterministic k-means init; Lloyd refinement = q_kmeans_step algebra).
+    seeds = (
+        quant.filter(F.col("vec_id") >= n_probes)
+        .withColumn("hrank", (F.lit(2654435761) * F.col("vec_id") + F.lit(104729)) % F.lit(1_000_003))
+        .orderBy("hrank", "vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    cb = spark.createDataFrame(
+        [
+            (sub, code, j, int(row.q[sub * subdim + j]))
+            for code, row in enumerate(seeds)
+            for sub in range(n_sub)
+            for j in range(subdim)
+        ],
+        "sub int, code int, j int, cv long",
+    )
+
+    comp = (
+        quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
+        .withColumn("sub", (F.col("i") / subdim).cast("int"))
+        .withColumn("j", (F.col("i") % subdim).cast("int"))
+    )
+    # Exact integer L2 per (vector, subspace, code) — one broadcast join +
+    # one hash-agg; products stay < 2^63 (|q| ≤ 4·10^6 ⇒ Σ8 diffs² < 10^15).
+    # cb is a bounded literal relation (n_codes · dim rows by construction).
+    d2 = (
+        comp.join(F.broadcast(cb), ["sub", "j"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("d2"))
+    )
+
+    w_enc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        d2.filter(F.col("vec_id") >= n_probes)
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("candidate_id"), "sub", "code")
+    )
+    lut = d2.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", "d2"
+    )
+
+    # ADC scan: code table ⋈ broadcast LUT, summed per (query, candidate).
+    # The LUT is n_probes · n_sub · n_codes rows — probe-batch-bounded.
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy("approx_d2", "candidate_id")
+    return adc.withColumn("crk", F.row_number().over(w_c)).filter(
+        F.col("crk") <= refine_c
+    )
+
+
 def ann_pq_rerank(
     embeddings: DataFrame,
     n_probes: int = _N_PROBES,
@@ -739,66 +815,11 @@ def ann_pq_rerank(
     """
     from pyspark.sql import Window
 
-    spark = embeddings.sparkSession
-    subdim = _DIM // n_sub
     quant = embeddings.selectExpr(
         "vec_id",
         f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
     )
-
-    # Codebook: per subspace, the subvectors of 16 hash-ranked corpus seeds
-    # (deterministic k-means init; Lloyd refinement = q_kmeans_step algebra).
-    seeds = (
-        quant.filter(F.col("vec_id") >= n_probes)
-        .withColumn("hrank", (F.lit(2654435761) * F.col("vec_id") + F.lit(104729)) % F.lit(1_000_003))
-        .orderBy("hrank", "vec_id")
-        .limit(n_codes)
-        .collect()
-    )
-    cb = spark.createDataFrame(
-        [
-            (sub, code, j, int(row.q[sub * subdim + j]))
-            for code, row in enumerate(seeds)
-            for sub in range(n_sub)
-            for j in range(subdim)
-        ],
-        "sub int, code int, j int, cv long",
-    )
-
-    comp = (
-        quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
-        .withColumn("sub", (F.col("i") / subdim).cast("int"))
-        .withColumn("j", (F.col("i") % subdim).cast("int"))
-    )
-    # Exact integer L2 per (vector, subspace, code) — one broadcast join +
-    # one hash-agg; products stay < 2^63 (|q| ≤ 4·10^6 ⇒ Σ8 diffs² < 10^15).
-    d2 = (
-        comp.join(F.broadcast(cb), ["sub", "j"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("d2"))
-    )
-
-    w_enc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (
-        d2.filter(F.col("vec_id") >= n_probes)
-        .withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select(F.col("vec_id").alias("candidate_id"), "sub", "code")
-    )
-    lut = d2.filter(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("query_id"), "sub", "code", "d2"
-    )
-
-    # ADC scan: code table ⋈ broadcast LUT, summed per (query, candidate).
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .groupBy("query_id", "candidate_id")
-        .agg(F.sum("d2").alias("approx_d2"))
-    )
-    w_c = Window.partitionBy("query_id").orderBy("approx_d2", "candidate_id")
-    cands = adc.withColumn("crk", F.row_number().over(w_c)).filter(
-        F.col("crk") <= refine_c
-    )
+    cands = pq_adc_candidates(quant, n_probes, refine_c, n_sub, n_codes)
 
     # Refine: exact quantized cosine on the surviving pairs only.
     pq = quant.select(F.col("vec_id").alias("query_id"), F.col("q").alias("pq"))
@@ -839,6 +860,99 @@ def ann_pq_rerank(
 def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return ann_pq_rerank(t["embeddings"])
+
+
+def _pq_adc_step_sql(
+    refine_c: int = 32, n_sub: int = 8, n_codes: int = 16
+) -> str:
+    """DuckDB twin of pq_adc_candidates: hash-ranked seeds, integer sub-L2
+    codebook distances, argmin encoding, LUT-sum ADC scan, top-refine_c."""
+    comp = _components_sql(DUCK, "true")
+    subdim = _DIM // n_sub
+    return f"""
+WITH comp AS ({comp}),
+seeds AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY hrank, vec_id) - 1 AS INT) AS code
+  FROM (
+    SELECT vec_id, (2654435761 * vec_id + 104729) % 1000003 AS hrank
+    FROM embeddings WHERE vec_id >= {_N_PROBES}
+    ORDER BY hrank, vec_id LIMIT {n_codes}
+  ) s
+),
+cb AS (
+  SELECT s.code, CAST(c.i // {subdim} AS INT) AS sub,
+         CAST(c.i % {subdim} AS INT) AS j, c.q AS cv
+  FROM seeds s JOIN comp c ON c.vec_id = s.vec_id
+),
+compsj AS (
+  SELECT vec_id, CAST(i // {subdim} AS INT) AS sub,
+         CAST(i % {subdim} AS INT) AS j, q
+  FROM comp
+),
+d2 AS (
+  SELECT p.vec_id, p.sub, cb.code,
+         SUM((p.q - cb.cv) * (p.q - cb.cv)) AS d2
+  FROM compsj p JOIN cb ON p.sub = cb.sub AND p.j = cb.j
+  GROUP BY p.vec_id, p.sub, cb.code
+),
+codes AS (
+  SELECT vec_id AS candidate_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rk
+    FROM d2 WHERE vec_id >= {_N_PROBES}
+  ) r WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, sub, code, d2
+  FROM d2 WHERE vec_id < {_N_PROBES}
+),
+adc AS (
+  SELECT l.query_id, c.candidate_id, SUM(l.d2) AS approx_d2
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  GROUP BY l.query_id, c.candidate_id
+)
+SELECT query_id, candidate_id,
+       CAST(approx_d2 AS BIGINT) AS approx_d2, CAST(crk AS INT) AS crk
+FROM (
+  SELECT query_id, candidate_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, candidate_id) AS crk
+  FROM adc
+) r
+WHERE crk <= {refine_c}
+"""
+
+
+@df_query(
+    "q_pq_adc_step",
+    duck_sql=_pq_adc_step_sql(),
+    tables=["embeddings"],
+    doc="Hash-oracled step twin of q_similarity_pq_rerank's compressed "
+    "stage (the q_pca_project_step precedent): codebook seeding (hash-"
+    "ranked corpus vectors), the 8-subspace nibble encoding (integer-L2 "
+    "argmin per subspace), the ADC lookup-table scan, and the top-32 "
+    "candidate cut are ALL exact 64-bit integer arithmetic with (value, "
+    "id) tiebreaks — pinned bit-for-bit; only the final exact-cosine "
+    "refine of the survivors stays rows-only. Output: (query_id, "
+    "candidate_id, approx_d2, crk). Plan: the codebook (n_codes·dim "
+    "literal) and per-probe LUT (probes·8·16 rows) broadcast; the corpus "
+    "side shuffles once on vec_id for the encoding aggregate.",
+)
+def q_pq_adc_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    quant = t["embeddings"].selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE})"
+        " AS BIGINT)) AS q",
+    )
+    return pq_adc_candidates(quant).select(
+        "query_id",
+        "candidate_id",
+        F.col("approx_d2").cast("bigint").alias("approx_d2"),
+        F.col("crk").cast("int").alias("crk"),
+    )
 
 
 _SEMDEDUP_KEEP_RANK = 4  # keep the 4 centroid-nearest vectors per cell

@@ -384,6 +384,7 @@ _DRIVER_PRIORITY: list[str] = [
     # everything else.
     "q_lsh_bucket_step",
     "q_ivf_assign_step",
+    "q_pq_adc_step",
 ]
 
 
