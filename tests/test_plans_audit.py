@@ -53,3 +53,51 @@ def test_audit_report_shape(spark):
     assert set(rep) == {"flags", "shuffle_bytes_written", "nodes"}
     assert rep["shuffle_bytes_written"] > 0
     assert any(n["node"] == "Exchange" for n in rep["nodes"])
+
+
+def test_broadcast_hint_risks_detects_and_barriers(spark):
+    """The hint-risk walker (VERDICT r06 #3) must flag a broadcast hint
+    over a localCheckpoint or a raw table scan, stay quiet below a
+    structural boundedness barrier (LIMIT / ungrouped aggregate), and stay
+    quiet when gated_broadcast declines the hint."""
+    from nyc_taxi_lakehouse_spark.plans.audit import (
+        broadcast_hint_risks,
+        gated_broadcast,
+    )
+
+    probe = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("k")
+    )
+
+    # 1. Ungated hint over a checkpointed frame → flagged (LogicalRDD).
+    ck = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    assert broadcast_hint_risks(probe.join(F.broadcast(ck), "k"))
+
+    # 2. Ungated hint straight over a table scan → flagged (Relation).
+    scan = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    assert broadcast_hint_risks(probe.join(F.broadcast(scan), "k"))
+
+    # 3. LIMIT barrier: a hint over a row-capped subtree is bounded.
+    assert not broadcast_hint_risks(
+        probe.join(F.broadcast(scan.limit(5)), "k")
+    )
+
+    # 4. Ungrouped-aggregate barrier: a 1-row scalar is bounded.
+    one_row = scan.agg(F.count("*").alias("n"))
+    assert not broadcast_hint_risks(probe.crossJoin(F.broadcast(one_row)))
+
+    # 5. A grouped aggregate is NOT a barrier (group count can be
+    # corpus-scaled).
+    grouped = scan.groupBy("k").agg(F.count("*").alias("n")).select("k")
+    assert broadcast_hint_risks(probe.join(F.broadcast(grouped), "k"))
+
+    # 6. gated_broadcast above the threshold declines the hint → no risk.
+    assert not broadcast_hint_risks(
+        probe.join(gated_broadcast(ck, n_rows=10**9), "k")
+    )
