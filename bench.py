@@ -202,6 +202,9 @@ HEADLINE = [
     # round-6 addition: the hash-oracled twin of q_pca_project's
     # projection stage (fixed integer components, BIGINT-exact).
     "q_pca_project_step",
+    "q_lsh_bucket_step",
+    "q_ivf_assign_step",
+    "q_pq_adc_step",
 ]
 
 
