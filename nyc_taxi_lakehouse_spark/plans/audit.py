@@ -125,7 +125,23 @@ def broadcast_hint_risks(df: DataFrame) -> list[str]:
     grain, a gated_broadcast that passed its gate at test scale) are
     whitelisted by name with the reason in tests/test_plan_lint.py —
     the same mechanism as the single-partition-window rule.
+
+    Node matching is a PRECISE name set, not a substring: CTERelationRef
+    (a SQL WITH reference) would otherwise flag — its definition lives in
+    a separate CTERelationDef subtree this walker does not resolve, and
+    the hint-over-checkpoint failure mode this rule targets only arises
+    on the DataFrame API side.
     """
+    risky_nodes = {
+        "LogicalRDD",
+        "LogicalRelation",
+        "Relation",
+        "HiveTableRelation",
+        "UnresolvedCatalogRelation",
+        "DataSourceV2Relation",
+        "StreamingRelation",
+        "StreamingRelationV2",
+    }
     root = df._jdf.queryExecution().analyzed()
     hints = []
     stack = [root]
@@ -151,7 +167,7 @@ def broadcast_hint_risks(df: DataFrame) -> list[str]:
                 continue
             if name == "Aggregate" and node.groupingExpressions().isEmpty():
                 continue
-            if name == "LogicalRDD" or "Relation" in name:
+            if name in risky_nodes:
                 risks.append(f"broadcast hint reaches {name}")
                 break
             children = node.children()
