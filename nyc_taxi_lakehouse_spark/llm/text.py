@@ -374,7 +374,10 @@ def tfidf_top_terms(documents, top_k: int = 5):
     tf and df are exact integer counts; the single ln() keeps this off the
     hash-gate (ln differs from DuckDB's libm by 1 ulp on ~1% of inputs —
     measured), so the query is rows-only with behavioral pinning instead.
-    One explode + two hash-aggs + a broadcast of the (small) df table.
+    One explode + two hash-aggs + an ADAPTIVE tf⨝df join: the df table is
+    vocabulary-scaled (Heaps' law — unbounded in the corpus), so it is
+    never hint-broadcast; it is an in-plan aggregate whose runtime size
+    AQE measures, converting to a broadcast join exactly when it fits.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -385,7 +388,7 @@ def tfidf_top_terms(documents, top_k: int = 5):
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = documents.count()
-    scored = tf.join(F.broadcast(df), "token").withColumn(
+    scored = tf.join(df, "token").withColumn(
         "tfidf",
         F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
     )
@@ -405,8 +408,9 @@ def tfidf_top_terms(documents, top_k: int = 5):
     "tf/df; rows-only because ln() is not bit-identical across engines "
     "(measured 1-ulp divergence on ~1% of inputs) — ranking behavior is "
     "pinned by tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms. "
-    "Plan: one explode, two hash-aggs, df table broadcast, per-doc "
-    "window — no global sort.",
+    "Plan: one explode, two hash-aggs, AQE-adaptive tf⨝df join (the df "
+    "table is vocabulary-scaled, never hint-broadcast), per-doc window — "
+    "no global sort.",
 )
 def q_tfidf(spark, sf_dir):
     from ..sources.tables import load_tables

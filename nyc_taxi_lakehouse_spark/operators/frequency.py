@@ -96,9 +96,20 @@ def heavy_hitters_exact(
     if k < 1.0 / support:
         raise ValueError(f"k={k} too small for support={support}; need k >= 1/support")
     total = df.count()  # bounded driver scalar (one count-only scan, no key shuffle)
-    cands = misra_gries_candidates(df, key_col, k)
+    # The candidate set is ≤ k rows PER PARTITION, which after the DISTINCT
+    # union is k·P-bounded, not k-bounded: at ~100 TB (~800k input splits)
+    # the superset can exceed the broadcast threshold even though it is
+    # tiny in practice (true heavy hitters repeat across partitions and
+    # collapse under DISTINCT). So the semi-join side is size-gated on the
+    # MEASURED candidate count; the eager checkpoint materializes the MG
+    # pass once so the count is a re-scan of the (small) summary, not a
+    # second corpus pass. Above the gate the semi-join stays adaptive and
+    # shuffles — below it the corpus-scaled input never shuffles at all.
+    from ..plans.audit import gated_broadcast
+
+    cands = misra_gries_candidates(df, key_col, k).localCheckpoint(eager=True)
     return (
-        df.join(F.broadcast(cands), key_col, "left_semi")
+        df.join(gated_broadcast(cands, cands.count()), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > F.lit(total) * F.lit(support))
@@ -127,9 +138,12 @@ HAVING COUNT(*) > (SELECT n FROM tot) * {_SUPPORT}
     doc="Vocabulary-head heavy hitters: tokens covering > 2% of the corpus "
     "token stream (stopword discovery / head-of-Zipf analysis for "
     "tokenizer training). Two-pass distributed Misra-Gries (k=64): O(k)-"
-    "memory partition summaries -> candidate superset -> exact broadcast-"
-    "semi-join recount. Exact because k >= 1/support, hence oracle-"
-    "checkable against a plain GROUP BY ... HAVING in DuckDB.",
+    "memory partition summaries -> candidate superset -> exact semi-join "
+    "recount (candidate side size-gated on its measured count: broadcast "
+    "below the threshold, adaptive shuffle above — the k·P candidate "
+    "union is not k-bounded at corpus scale). Exact because k >= "
+    "1/support, hence oracle-checkable against a plain GROUP BY ... "
+    "HAVING in DuckDB.",
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])

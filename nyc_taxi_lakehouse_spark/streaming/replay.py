@@ -665,7 +665,9 @@ HAVING COUNT(*) > (SELECT n FROM tot) * {_HH_SUPPORT}
     "and the MG no-false-negative guarantee makes the recount EXACT — so "
     "the lambda pipeline (stream sketch + batch verify) hash-matches a "
     "plain GROUP BY/HAVING oracle. State O(k) per shard forever; "
-    "emissions ≤ k rows per shard per micro-batch.",
+    "emissions ≤ k rows per shard per micro-batch; the recount's "
+    "candidate side is size-gated on its measured count (broadcast only "
+    "below the threshold — batch count scales with stream lifetime).",
 )
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import streaming_heavy_hitter_candidates
@@ -705,6 +707,10 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.join(last_n, ["shard", "shard_n"])
         .select(F.col("key").cast("bigint").alias("user_id"))
         .distinct()
+        # Eager checkpoint: the gate below needs a measured count, and the
+        # checkpoint makes that count a re-scan of the (k·shards-bounded)
+        # candidate set instead of a second execution of the sink join.
+        .localCheckpoint(eager=True)
     )
     # Exact recount of the candidate superset against the batch table —
     # the MG guarantee makes this the exact heavy-hitter answer.
@@ -712,8 +718,15 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").isNotNull() & F.col("ts").isNotNull() & (F.col("value") > 0)
     )
     total = ev.count()  # bounded driver scalar (count-only scan)
+    # Emissions are ≤ k per shard per micro-batch, so the candidate set is
+    # k·shards·batches-bounded — small here, but batch count scales with
+    # stream lifetime, so the semi-join side is size-gated on its measured
+    # count (cheap: cands re-reads the small parquet sink) instead of
+    # force-broadcast. Above the gate the recount stays adaptive.
+    from ..plans.audit import gated_broadcast
+
     return (
-        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        ev.join(gated_broadcast(cands, cands.count()), "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > F.lit(total) * F.lit(_HH_SUPPORT))

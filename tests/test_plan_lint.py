@@ -363,6 +363,10 @@ HINT_WHITELIST = {
     "q_pca_project": "k·dim principal-component tables",
     "q_pca_project_step": "k·dim principal-component tables",
     "q_dsir_weights": "256-bucket hash-grain weight table",
+    "q_heavy_hitters": "size-gated on measured MG-candidate count "
+    "(k·P-bounded union, checkpointed so the count is not a second pass)",
+    "q_stream_heavy_hitters": "size-gated on measured sink-candidate count "
+    "(k·shards·batches-bounded)",
 }
 
 
