@@ -1677,10 +1677,18 @@ GROUP BY e.src
     "duplication, but only densely interlinked groups (every member "
     "near-dup to >= 3 others even after peeling hangers-on) survive the "
     "k-core, which is exactly the boilerplate/mirror-farm signature a "
-    "web-corpus curation pass removes wholesale. Synchronous peeling, "
-    "one degree aggregate + two alive semi-joins per round, fixpoint "
-    "<= 8 rounds with a 1-scalar convergence probe (monotone set, so "
-    "equal count = converged); the oracle unrolls the identical fixed "
+    "web-corpus curation pass removes wholesale. Synchronous DELTA "
+    "peeling: the dst-pre-partitioned edge checkpoint is probed once per "
+    "round against only the NEWLY-removed frontier, and the resulting "
+    "degree decrements update a per-node degree table — identical "
+    "round-i semantics to the full two-semi-join recompute but with "
+    "per-round work that shrinks with the frontier. Fixpoint <= 8 "
+    "rounds; ONE fused 1-row scan per round returns the convergence "
+    "probe AND both gate counts, so the frontier/decrement (and the "
+    "final membership) joins are size-gated broadcasts (measured "
+    "counts) that stay adaptive node-keyed hash joins above the gate — "
+    "in round 1 the frontier is every node with degree < k, which at "
+    "100 TB is corpus-scaled. The oracle unrolls the identical fixed "
     "budget as chained CTEs (q_pagerank's pattern) so extra "
     "post-fixpoint rounds are idempotent no-ops on both engines. "
     "Output: surviving docs with their within-core degree. At 100 TB "

@@ -17,10 +17,14 @@ parquet file):
   columns and appends tombstones to ``<path>/_deletes/`` — data files are
   verifiably untouched (pinned byte-for-byte in tests/test_mor.py).
 - ``read`` subtracts tombstones with a left-anti join on
-  (file_path, row_index). Tombstone sidecars are tiny relative to data, so
-  the join broadcasts; at cluster scale Delta encodes them as per-file
-  roaring bitmaps — the join-based form here has the same semantics with
-  the anti-join keyed by file, which co-partitions with the scan.
+  (file_path, row_index). The broadcast is size-GATED on the sidecar's
+  measured row count (one footer-cheap count of the tiny sidecar):
+  tombstones scale with delete volume, and a 100 TB table that has
+  absorbed heavy deletes would OOM an unconditional broadcast — above the
+  gate the anti-join stays adaptive, hash-partitioned on
+  (file_path, row_index), which co-partitions with the scan. At cluster
+  scale Delta encodes the same information as per-file roaring bitmaps;
+  the join-based form here has identical semantics.
 - ``purge`` applies all tombstones and rewrites the data files
   (copy-on-write compaction), emptying the sidecar directory — the point
   where merge-on-read debt is repaid.

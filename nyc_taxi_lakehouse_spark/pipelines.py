@@ -236,7 +236,14 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Increment 2: the genuine control-table path — ingest_facts reads
         # the watermark and appends ONLY the newer rows.
         n2 = ingest_facts(spark, sf_dir, facts, control)
-        assert n2 > 0
+        # Not an assert: stripped under `python -O`, a broken watermark
+        # would then silently publish a mart missing increment 2 instead
+        # of failing fast (ADVICE r06 precondition class, spatial.py fix).
+        if n2 <= 0:
+            raise RuntimeError(
+                "incremental ingest found no rows past the watermark "
+                f"{_INC_SPLIT!r} — control-table watermark is corrupt"
+            )
         batch2 = facts.read().filter(F.col("l_shipdate") > F.lit(_INC_SPLIT))
         months2 = _touched_months(batch2)
         refresh_mart(mart, _month_rollup(facts, months2), months2)
