@@ -108,6 +108,16 @@ CASES = [
     "q_dbscan",
     "q_wasserstein",
     "q_spearman",
+    # round-6/7 step twins with partition-sensitive internals:
+    #   power-iteration components + per-pc offset join    -> q_pca_project_step
+    #   sign-pattern buckets + per-pair table-match counts -> q_lsh_bucket_step
+    #   same-key argmax window under exact-dot ties        -> q_ivf_assign_step
+    #   hash-ranked codebook seeds + argmin encoding + top-32 cut under
+    #   (value, id) ties                                   -> q_pq_adc_step
+    "q_pca_project_step",
+    "q_lsh_bucket_step",
+    "q_ivf_assign_step",
+    "q_pq_adc_step",
 ]
 
 
