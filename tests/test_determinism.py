@@ -148,3 +148,36 @@ def test_partition_invariance(name, spark):
     assert len(set(hashes.values())) == 1, (
         f"{name}: result depends on shuffle partitioning: { {k: v[:12] for k, v in hashes.items()} }"
     )
+
+
+# Queries whose plans CHANGE SHAPE with AQE: measured-count broadcast gates
+# (q_kcore, q_hits, q_deletion_vectors, q_item_cf, q_heavy_hitters) and
+# AQE-decided join sides / skew splits (q_dbscan). The gates and adaptive
+# fallbacks are exactly where the physical plan diverges between AQE on and
+# off, so the RESULT must be pinned invariant across both — a dependency on
+# runtime re-planning for correctness (not just speed) would surface here.
+AQE_CASES = [
+    "q_kcore",
+    "q_hits",
+    "q_dbscan",
+    "q_deletion_vectors",
+    "q_item_cf",
+    "q_heavy_hitters",
+]
+
+
+@pytest.mark.parametrize("name", AQE_CASES)
+def test_aqe_invariance(name, spark):
+    spec = SPECS[name]
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    hashes = {}
+    try:
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            hashes[aqe] = _canonical_hash(spec.fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert hashes["true"] == hashes["false"], (
+        f"{name}: result depends on adaptive execution: "
+        f"{ {k: v[:12] for k, v in hashes.items()} }"
+    )
