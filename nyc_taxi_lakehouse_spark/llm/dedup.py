@@ -1578,8 +1578,17 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
         if counts["n_removed"] == 0:
             break
         removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("gone"))
-        # dec has one row per alive-or-removed node adjacent to the
-        # frontier, so n_removed + n_alive (= |deg|) bounds its size.
+        # dec is NOT hinted: its row set is every ORIGINAL-edge neighbor of
+        # this round's frontier, which includes nodes peeled in EARLIER
+        # rounds (the checkpointed e never shrinks) — so no count the loop
+        # already holds bounds it (|deg| does not: a huge round-1 leaf peel
+        # followed by a small round-2 frontier still yields a leaf-scaled
+        # dec). dec is an in-plan aggregate, so AQE measures its REAL
+        # runtime size at the shuffle boundary and converts the update
+        # join to broadcast exactly when it fits — the q_tfidf df-table
+        # treatment (4768c02), with no extra pass. The frontier hint stays:
+        # `removed` comes off the checkpointed deg (stats hidden from
+        # Catalyst) and n_removed is its exact measured count.
         dec = (
             e.join(
                 gated_broadcast(removed, counts["n_removed"]),
@@ -1590,11 +1599,7 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
         )
         deg = (
             deg.filter(F.col("deg") >= k)
-            .join(
-                gated_broadcast(dec, counts["n_removed"] + counts["n_alive"]),
-                "src",
-                "left",
-            )
+            .join(dec, "src", "left")
             .select(
                 "src",
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
@@ -1684,11 +1689,15 @@ GROUP BY e.src
     "round-i semantics to the full two-semi-join recompute but with "
     "per-round work that shrinks with the frontier. Fixpoint <= 8 "
     "rounds; ONE fused 1-row scan per round returns the convergence "
-    "probe AND both gate counts, so the frontier/decrement (and the "
-    "final membership) joins are size-gated broadcasts (measured "
+    "probe AND the frontier count, so the frontier probe (and the "
+    "final membership joins) are size-gated broadcasts (measured "
     "counts) that stay adaptive node-keyed hash joins above the gate — "
     "in round 1 the frontier is every node with degree < k, which at "
-    "100 TB is corpus-scaled. The oracle unrolls the identical fixed "
+    "100 TB is corpus-scaled. The decrement table is deliberately "
+    "UNhinted: it can exceed every count the loop holds (long-removed "
+    "neighbors of the frontier reappear in it), and as an in-plan "
+    "aggregate AQE measures its true runtime size and broadcasts it "
+    "exactly when it fits. The oracle unrolls the identical fixed "
     "budget as chained CTEs (q_pagerank's pattern) so extra "
     "post-fixpoint rounds are idempotent no-ops on both engines. "
     "Output: surviving docs with their within-core degree. At 100 TB "

@@ -189,6 +189,20 @@ def _quant_components(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q: array<bigint>) — the array-form sibling of
+    _quant_components. ONE definition on purpose: this expression is the
+    contract that lets the hash-oracled step twins (q_ivf_assign_step,
+    q_pq_adc_step) pin their end-to-end paths (ann_ivf_topk,
+    ann_pq_rerank) — a quantization change applied to some call sites but
+    not others would silently break twin/end-to-end agreement."""
+    return embeddings.selectExpr(
+        "vec_id",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE})"
+        " AS BIGINT)) AS q",
+    )
+
+
 @df_query(
     "q_kmeans_step",
     duck_sql=_kmeans_step_sql(DUCK),
@@ -451,9 +465,18 @@ def ivf_cell_ranks(
         quant.filter(F.col("vec_id") >= n_probes).orderBy("vec_id").limit(n_centroids)
     )
     cent_rows = [list(r.q) for r in cents.collect()]
+    # math.sqrt, not `** 0.5`: the oracle computes SQRT and this query is
+    # hash-gated. math.sqrt is IEEE-754 correctly rounded (as are DuckDB's
+    # SQRT and Spark's F.sqrt); libm pow(x, 0.5) carries no such guarantee
+    # and a 1-ulp divergence in cnorm could flip a near-tied cell rank —
+    # the tfidf-ln() flake class, here on the driver-side literal path.
+    # The squared sum itself is exact: components are ints and the total
+    # stays below 2^53, so float() conversion is lossless.
+    import math
+
     cent_comp = spark.createDataFrame(
         [
-            (cell, i, int(v), float(sum(x * x for x in cq)) ** 0.5)
+            (cell, i, int(v), math.sqrt(float(sum(x * x for x in cq))))
             for cell, cq in enumerate(cent_rows)
             for i, v in enumerate(cq)
         ],
@@ -501,10 +524,7 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    quant = embeddings.selectExpr(
-        "vec_id",
-        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
-    )
+    quant = _quantized(embeddings)
     ranked = ivf_cell_ranks(quant, n_centroids, n_probes)
 
     corpus_cells = ranked.filter((F.col("vec_id") >= n_probes) & (F.col("rk") == 1))
@@ -691,11 +711,7 @@ WHERE (vec_id < {_N_PROBES} AND rk <= {n_probe_cells})
 def q_ivf_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     n_probe_cells = 4
-    quant = t["embeddings"].selectExpr(
-        "vec_id",
-        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE})"
-        " AS BIGINT)) AS q",
-    )
+    quant = _quantized(t["embeddings"])
     ranked = ivf_cell_ranks(quant)
     return ranked.filter(
         ((F.col("vec_id") < _N_PROBES) & (F.col("rk") <= n_probe_cells))
@@ -815,14 +831,19 @@ def ann_pq_rerank(
     """
     from pyspark.sql import Window
 
-    quant = embeddings.selectExpr(
-        "vec_id",
-        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS q",
-    )
+    quant = _quantized(embeddings)
     cands = pq_adc_candidates(quant, n_probes, refine_c, n_sub, n_codes)
 
-    # Refine: exact quantized cosine on the surviving pairs only.
-    pq = quant.select(F.col("vec_id").alias("query_id"), F.col("q").alias("pq"))
+    # Refine: exact quantized cosine on the surviving pairs only. Every
+    # cands.query_id is < n_probes (the ADC LUT side is probe-filtered), so
+    # restricting the probe-vector table BEFORE the broadcast is
+    # semantically free — without the filter the broadcast ships the FULL
+    # quantized corpus (the VERDICT r06 #2 OOM class; at 100 TB that is
+    # the 25 TB embedding table, quantized). The candidate-vector side cq
+    # stays corpus-scaled and joins adaptively, unhinted.
+    pq = quant.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("pq")
+    )
     cq = quant.select(F.col("vec_id").alias("candidate_id"), F.col("q").alias("cq"))
     dot = F.aggregate(
         F.zip_with("pq", "cq", lambda a, b: a.cast("double") * b.cast("double")),
@@ -942,11 +963,7 @@ WHERE crk <= {refine_c}
 )
 def q_pq_adc_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    quant = t["embeddings"].selectExpr(
-        "vec_id",
-        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_QSCALE})"
-        " AS BIGINT)) AS q",
-    )
+    quant = _quantized(t["embeddings"])
     return pq_adc_candidates(quant).select(
         "query_id",
         "candidate_id",

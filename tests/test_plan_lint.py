@@ -358,7 +358,8 @@ HINT_WHITELIST = {
     "q_hits": "size-gated on measured per-side node counts",
     "q_item_cf": "size-gated (gated_broadcast, d17ab03)",
     "q_rec_hitrate": "size-gated (gated_broadcast, d17ab03)",
-    "q_kcore": "size-gated per round on measured frontier/alive/membership counts",
+    "q_kcore": "frontier/membership size-gated on measured counts; the "
+    "decrement table is unhinted (in-plan aggregate — AQE-measured)",
     "q_spearman": "<=50-value l_quantity rank table + 64-row bucket offsets",
     "q_pca_project": "k·dim principal-component tables",
     "q_pca_project_step": "k·dim principal-component tables",
