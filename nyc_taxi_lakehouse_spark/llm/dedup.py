@@ -45,7 +45,11 @@ _BANDS = 4  # 4 bands × 4 rows
 
 
 def _exact_dedup_sql(d: Dialect) -> str:
-    norm = f"md5(lower({d.regex_strip('text', '[^a-z0-9 ]')}))"
+    # lower() INSIDE the strip: stripping [^a-z0-9 ] before lowercasing
+    # would DELETE uppercase letters instead of lowercasing them, so
+    # case variants would never dedup (latent on the all-lowercase
+    # fixture, wrong on any mixed-case corpus).
+    norm = f"md5({d.regex_strip('lower(text)', '[^a-z0-9 ]')})"
     return f"""
 SELECT
   {norm} AS content_hash,
@@ -304,7 +308,7 @@ WHERE ({matches}) >= {len(_PERMS) // 2}
     doc="MinHash(K=16) + LSH banding (4×4): shingle→minhash→band→bucket-join."
     " Candidate pairs share ≥1 band (UNION dedups across bands); est. "
     "Jaccard = matching-minhash fraction, kept at ≥ 0.5. Spark side "
-    "materializes the signature table ONCE (cache + temp view) — the "
+    "materializes the signature table ONCE (localCheckpoint + temp view) — the "
     "single-CTE form recomputes the explode + vocabulary dense_rank 3x "
     "because Catalyst inlines CTEs. Dictionary-encoded token ids make it "
     "oracle-checkable; production swaps the dictionary for xxhash64(token) "
@@ -313,7 +317,11 @@ WHERE ({matches}) >= {len(_PERMS) // 2}
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
     sig = spark.sql(_minhash_sig_sql(SPARK))
-    sig.persist()
+    # localCheckpoint, not persist(): a persist with no unpersist leaks
+    # cached partitions for the session lifetime (bench/suite sessions run
+    # hundreds of queries), and every other materialize-once site in this
+    # module already uses the checkpoint convention for that reason.
+    sig = sig.localCheckpoint(eager=True)
     sig.createOrReplaceTempView("mh_sig")
     return spark.sql(_minhash_pairs_sql("mh_sig"))
 
@@ -1233,8 +1241,8 @@ _PROD_VERIFY_MIN_MATCHES = 14  # est. Jaccard >= 0.875 to become an edge
     tables=["documents"],
     doc="The PRODUCTION dedup path composed end-to-end: xxhash64 minhash "
     "signatures (no vocabulary sort) -> LSH banding candidates (pair space "
-    "never materializes) -> signature-agreement verification (>= 8/16 "
-    "matching hashes, est. Jaccard >= 0.5) -> connected components -> "
+    "never materializes) -> signature-agreement verification (>= 14/16 "
+    "matching hashes, est. Jaccard >= 0.875) -> connected components -> "
     "per-doc keep verdict (canonical = min doc_id of its cluster). This is "
     "the exact chain a 100 TB corpus dedup runs; every stage is the "
     "scale-path variant (xxhash, banding, min-label CC). Rows-only by "
@@ -1562,18 +1570,17 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
         e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        # One fused 1-row scan of the checkpointed degree table replaces
-        # the isEmpty() probe AND measures both broadcast gates: the
-        # removal frontier and the alive set are NODE-scaled (in round 1
-        # the frontier is every node with degree < k — at 100 TB that is
-        # most of the corpus, so an unconditional broadcast OOMs; VERDICT
-        # r06 #2). Below the gate the round is a map-side probe of the
-        # checkpointed edge partitions; above it the joins stay adaptive
-        # and hash-partition on node id, which the dst pre-partitioning
-        # already serves.
+        # One fused 1-row scan of the checkpointed degree table is BOTH
+        # the convergence probe (n_removed == 0 ⇒ fixpoint) and the
+        # frontier broadcast gate's measured count: the frontier is
+        # NODE-scaled (in round 1 it is every node with degree < k — at
+        # 100 TB that is most of the corpus, so an unconditional
+        # broadcast OOMs; VERDICT r06 #2). Below the gate the round is a
+        # map-side probe of the checkpointed edge partitions; above it
+        # the joins stay adaptive and hash-partition on node id, which
+        # the dst pre-partitioning already serves.
         counts = deg.agg(
             F.count_if(F.col("deg") < k).alias("n_removed"),
-            F.count_if(F.col("deg") >= k).alias("n_alive"),
         ).collect()[0]
         if counts["n_removed"] == 0:
             break

@@ -46,7 +46,7 @@ def quality_gate(docs: DataFrame) -> DataFrame:
 def dedup_exact_canonical(docs: DataFrame) -> DataFrame:
     """Keep the MIN(doc_id) row per normalized-content hash."""
     hashed = docs.withColumn(
-        "__h", F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+        "__h", F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
     )
     canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     return hashed.join(canon, ["__h", "doc_id"]).drop("__h")
@@ -100,7 +100,7 @@ def dedup_append(table: LakeTable, new_docs: DataFrame) -> int:
     and a partitioned append that touches only the batch's partitions.
     Returns the number of rows appended.
     """
-    norm = F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+    norm = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
     batch = new_docs.withColumn("__h", norm)
     batch_canon = batch.join(
         batch.groupBy("__h").agg(F.min("doc_id").alias("doc_id")),

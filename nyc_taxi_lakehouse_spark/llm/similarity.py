@@ -332,8 +332,32 @@ def ann_lsh_topk(
     ((p·131 + i·31 + 7) mod 19) − 9, so the pipeline is reproducible with no
     stored model.
     """
-    with_bucket = embeddings.join(
-        lsh_buckets(embeddings, n_tables, planes_per_table), "vec_id"
+    # Candidate generation in the SAME melted shape as the hash-oracled
+    # twin q_lsh_bucket_step: posexplode the per-table buckets into
+    # (vec_id, tbl, bucket) and do ONE (tbl, bucket) equi-join — identical
+    # candidate set to the previous per-table join-then-union (the union
+    # over tables of same-bucket probe×corpus pairs, deduped), but only id
+    # triples shuffle through the bucket join (the embedding arrays joined
+    # back by id afterwards, once per side) instead of 4 rescans that each
+    # dragged the 64-float arrays through a shuffle.
+    b = lsh_buckets(embeddings, n_tables, planes_per_table)
+    melted = b.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    cand = (
+        melted.filter(F.col("vec_id") < n_probes)
+        .select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+        .join(
+            melted.filter(F.col("vec_id") >= n_probes).select(
+                F.col("vec_id").alias("candidate_id"), "tbl", "bucket"
+            ),
+            ["tbl", "bucket"],
+        )
+        .select("query_id", "candidate_id")
+        .dropDuplicates(["query_id", "candidate_id"])
     )
 
     dot = F.aggregate(
@@ -348,24 +372,20 @@ def ann_lsh_topk(
             lambda acc, v: acc + v,
         )
     )
-    pair_frames = []
-    for t in range(n_tables):
-        probes = with_bucket.filter(F.col("vec_id") < n_probes).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col(f"bucket{t}").alias("bucket"),
-        )
-        corpus = with_bucket.filter(F.col("vec_id") >= n_probes).select(
-            F.col("vec_id").alias("candidate_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col(f"bucket{t}").alias("bucket"),
-        )
-        pair_frames.append(probes.join(corpus, "bucket").drop("bucket"))
-    pairs = pair_frames[0]
-    for f in pair_frames[1:]:
-        pairs = pairs.unionByName(f)
     scored = (
-        pairs.dropDuplicates(["query_id", "candidate_id"])
+        cand.join(
+            embeddings.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            ),
+            "query_id",
+        )
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("candidate_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "candidate_id",
+        )
         .withColumn("cosine", dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))))
         .select("query_id", "candidate_id", "cosine")
     )
@@ -381,8 +401,11 @@ def ann_lsh_topk(
     "q_similarity_lsh",
     duck_sql=None,
     tables=["embeddings"],
-    doc="LSH-bucketed ANN (scale path): 8 deterministic pseudo-random "
-    "hyperplanes → sign-pattern bucket → cosine re-rank within bucket only. "
+    doc="LSH-bucketed ANN (scale path): 16 deterministic pseudo-random "
+    "hyperplanes arranged as 4 tables × 4 planes → per-table sign-pattern "
+    "buckets → candidates = union of same-bucket pairs over the 4 tables → "
+    "exact cosine re-rank of the candidates only (the q_lsh_bucket_step "
+    "twin pins the whole candidate generation under a hash oracle). "
     "Rows-only check (recall vs the brute-force oracle is asserted in "
     "tests/test_llm_ops.py instead).",
 )
@@ -402,8 +425,24 @@ def ann_bruteforce_pandas(
 
     spark = embeddings.sparkSession
     probes = embeddings.filter(F.col("vec_id") < n_probes).toPandas()
+    if len(probes) == 0:
+        # np.stack raises on an empty probe set; an empty result is the
+        # right answer (no probes → no rankings), same schema.
+        return spark.createDataFrame(
+            [], "query_id long, candidate_id long, cosine double, rank int"
+        )
+
+    def _unit(m: "np.ndarray") -> "np.ndarray":
+        # Zero-norm guard: 0/0 would yield NaN cosines, and NaN sorts
+        # ABOVE every real value under DESC ordering — a degenerate
+        # vector would become rank 1 for every probe. Dividing by 1
+        # leaves the zero vector zero, so its cosine is 0 against
+        # everything (the q_similarity_topk convention for a 0/0 pair).
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
     q = np.stack(probes["embedding"].to_numpy())
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qn = _unit(q)
     q_ids = probes["vec_id"].to_numpy()
     bq = spark.sparkContext.broadcast((qn, q_ids))
 
@@ -414,7 +453,8 @@ def ann_bruteforce_pandas(
             if len(pdf) == 0:
                 continue
             c = np.stack(pdf["embedding"].to_numpy())
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            n = np.linalg.norm(c, axis=1, keepdims=True)
+            cn = c / np.where(n == 0, 1.0, n)
             sims = cn @ qn_.T  # (batch, probes)
             for j, qid in enumerate(qids):
                 yield pd.DataFrame(
@@ -1654,9 +1694,13 @@ unit AS (SELECT vec_id, i, {nq} AS nq FROM comp),
 anchors AS (SELECT vec_id AS a_id, i, nq AS aq FROM unit
             WHERE vec_id < {_HN_PROBES}),
 dots AS (
+  -- Candidates are CORPUS vectors only (vec_id >= probe count, the
+  -- module-wide probe/corpus convention): with a mere <> a_id exclusion,
+  -- two similar ANCHORS inside the band would displace genuine corpus
+  -- negatives and ship a training pair whose "negative" is another query.
   SELECT a.a_id, u.vec_id AS cand,
          CAST(SUM(a.aq * u.nq) AS BIGINT) AS dot_scaled
-  FROM unit u JOIN anchors a ON a.i = u.i AND u.vec_id <> a.a_id
+  FROM unit u JOIN anchors a ON a.i = u.i AND u.vec_id >= {_HN_PROBES}
   GROUP BY a.a_id, u.vec_id
 ),
 banded AS (

@@ -345,12 +345,16 @@ sql_query(
 
 
 def _fingerprint_sql(d: Dialect) -> str:
-    strip_nonalnum = d.regex_strip("text", "[^a-z0-9 ]")
-    strip_nonalpha = d.regex_strip("text", "[^a-z]")
+    # lower() INSIDE the strips: stripping [^a-z...] before lowercasing
+    # would DELETE uppercase letters (so 'Hello' fingerprints as 'ello'
+    # and its uppercase letters vanish from alpha_chars). Latent on the
+    # all-lowercase fixture, wrong on any mixed-case corpus.
+    strip_nonalnum = d.regex_strip("lower(text)", "[^a-z0-9 ]")
+    strip_nonalpha = d.regex_strip("lower(text)", "[^a-z]")
     return f"""
 SELECT
   doc_id,
-  md5(lower({strip_nonalnum})) AS content_fingerprint,
+  md5({strip_nonalnum}) AS content_fingerprint,
   md5(concat_ws('|', lang, source)) AS bucket_fingerprint,
   CAST(length({strip_nonalpha}) AS INT) AS alpha_chars
 FROM documents
