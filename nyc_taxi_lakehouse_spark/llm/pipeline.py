@@ -31,6 +31,14 @@ from .curation import _SPLIT_A, _SPLIT_B
 from .dedup import _jaccard_sql, connected_components
 
 
+
+def exact_content_hash() -> F.Column:
+    """The canonical content-normalization hash used by every exact-dedup
+    site: lowercase FIRST, then strip non-[a-z0-9 ] — the order matters
+    ('Ab' and 'Cb' must NOT collide, which the reverse order would allow).
+    Shared so the pipeline, the append path, and the tests cannot drift."""
+    return F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+
 def quality_gate(docs: DataFrame) -> DataFrame:
     """Keep docs passing the q_text_stats quality CASE (>= 20 tokens and
     <= 50% function words)."""
@@ -45,9 +53,7 @@ def quality_gate(docs: DataFrame) -> DataFrame:
 
 def dedup_exact_canonical(docs: DataFrame) -> DataFrame:
     """Keep the MIN(doc_id) row per normalized-content hash."""
-    hashed = docs.withColumn(
-        "__h", F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
-    )
+    hashed = docs.withColumn("__h", exact_content_hash())
     canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     return hashed.join(canon, ["__h", "doc_id"]).drop("__h")
 
@@ -100,7 +106,7 @@ def dedup_append(table: LakeTable, new_docs: DataFrame) -> int:
     and a partitioned append that touches only the batch's partitions.
     Returns the number of rows appended.
     """
-    norm = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    norm = exact_content_hash()
     batch = new_docs.withColumn("__h", norm)
     batch_canon = batch.join(
         batch.groupBy("__h").agg(F.min("doc_id").alias("doc_id")),

@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_lakehouse_spark.llm.pipeline import curate_corpus
+from nyc_taxi_lakehouse_spark.llm.pipeline import curate_corpus, exact_content_hash
 
 SF = "/root/testdata/sf0.01"
 
@@ -21,9 +21,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # but never to a degenerate sliver.
     assert 0 < n_out < n_in
     # No surviving exact duplicates.
-    n_hashes = out.select(
-        F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
-    ).distinct().count()
+    n_hashes = out.select(exact_content_hash()).distinct().count()
     assert n_hashes == n_out
     # Split column present with sane proportions (96/2/2 +- slack).
     frac = {r["split"]: r["cnt"] / n_out for r in
