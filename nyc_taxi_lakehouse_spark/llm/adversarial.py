@@ -1,0 +1,182 @@
+"""Adversarial mixed-case fixture for the text-normalization surface.
+
+VERDICT r07 #4: the round-7 lower()-after-strip bug (strip [^a-z0-9 ]
+BEFORE lowercasing deletes every uppercase letter, so 'Hello' fingerprints
+as 'ello' and case variants never dedup) was invisible to the all-lowercase
+oracle corpus — the one bug class the DuckDB-oracle harness was
+structurally blind to. These queries close that hole by DERIVING an
+adversarial corpus from the documents table inside the query itself
+(mixed case, unicode punctuation, empty and whitespace-only docs), then
+running the engine's REAL normalization code paths over it:
+
+- the derivation (upper/substring/concat over pure-ASCII text, plus
+  literal edge rows) is deterministic and engine-identical, so the driver
+  can oracle-check it against the standard pre-registered views — no new
+  parquet fixture needed;
+- the Spark side calls the production expressions
+  (llm.pipeline.exact_content_hash — the shared exact-dedup key — and
+  llm.pipeline.dedup_exact_canonical), while the oracle SQL is written
+  INDEPENDENTLY here, NOT dialect-templated: a wrong normalization order
+  in a shared template would move both engines together and pass; two
+  independent spellings make the r7 bug class fail red.
+
+Under the correct lower-then-strip order the upper-cased variant of every
+doc normalizes to the SAME canonical as the original (they dedup together,
+min doc_id wins); under the buggy strip-then-lower order it normalizes to
+the empty string (all its letters deleted) and collapses with the
+empty/whitespace/unicode-only edge rows instead — a different survivor
+set, a different hash, a red driver row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import df_query
+from ..sources.tables import load_tables
+
+# Unicode suffix: guillemets, em-dash, ellipsis — all stripped by
+# [^a-z0-9 ], so the 'mixed' variant canonicalizes to original + ' mixed'.
+_UNI_SUFFIX = " «Mixed—Case…»"
+# Edge rows appended after the per-doc variants (ids above any real doc).
+_EDGE_ROWS = [
+    (9_000_000_001, ""),            # empty text
+    (9_000_000_002, "   "),         # whitespace-only (spaces survive strip)
+    (9_000_000_003, "™©®—…"),       # unicode-only → canonical empty string
+]
+
+
+def adversarial_documents(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) adversarial corpus: 3 deterministic variants per doc
+    (original; UPPER-cased — must dedup with the original; mixed-case with
+    a unicode-punctuation suffix — distinct canonical) plus 3 literal edge
+    rows. Variant ids are doc_id·10 + {0,1,2} so min-id canonical selection
+    always keeps the original. Map-only: three narrow projections unioned,
+    no shuffle."""
+    base = documents.select("doc_id", "text")
+    v0 = base.select((F.col("doc_id") * 10).alias("doc_id"), "text")
+    v1 = base.select(
+        (F.col("doc_id") * 10 + 1).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    v2 = base.select(
+        (F.col("doc_id") * 10 + 2).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 7)),
+            F.expr("substring(text, 8)"),
+            F.lit(_UNI_SUFFIX),
+        ).alias("text"),
+    )
+    edges = documents.sparkSession.createDataFrame(
+        _EDGE_ROWS, "doc_id LONG, text STRING"
+    )
+    return v0.unionByName(v1).unionByName(v2).unionByName(edges)
+
+
+def _edge_values_sql() -> str:
+    rows = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _EDGE_ROWS
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS e(doc_id, text)"
+
+
+# The adversarial-corpus derivation, spelled independently in DuckDB SQL
+# (upper/substring/concat over pure-ASCII lowercase text are byte-identical
+# across engines; unicode literals pass through untouched).
+def _adv_corpus_cte() -> str:
+    return f"""
+adv AS (
+  SELECT doc_id * 10 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 10 + 1, upper(text) FROM documents
+  UNION ALL
+  SELECT doc_id * 10 + 2,
+         upper(substring(text, 1, 7)) || substring(text, 8) || '{_UNI_SUFFIX}'
+  FROM documents
+  UNION ALL
+  {_edge_values_sql()}
+)"""
+
+
+@df_query(
+    "q_mixedcase_fingerprint",
+    duck_sql=f"""
+WITH {_adv_corpus_cte()}
+SELECT
+  doc_id,
+  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS content_fingerprint,
+  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS alpha_chars
+FROM adv
+""",
+    tables=["documents"],
+    doc="Document fingerprinting over the DERIVED adversarial mixed-case "
+    "corpus (upper-cased / unicode-suffixed variants + empty/whitespace/"
+    "unicode-only edge rows — VERDICT r07 #4): the Spark side runs the "
+    "production normalization (llm.pipeline.exact_content_hash, the "
+    "shared exact-dedup key), the oracle spells lower-then-strip "
+    "INDEPENDENTLY (not dialect-templated — a shared template would let "
+    "a wrong order move both engines together). The r7 strip-then-lower "
+    "bug deletes every uppercase letter and fails this row red; the "
+    "all-lowercase corpus could not express that. Map-only plan: three "
+    "narrow projections unioned with a 3-row literal, no shuffle, no "
+    "new fixture file (derivation is deterministic over pure-ASCII "
+    "text, so the driver's standard views suffice).",
+)
+def q_mixedcase_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import exact_content_hash
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    adv = adversarial_documents(t["documents"])
+    return adv.select(
+        "doc_id",
+        exact_content_hash().alias("content_fingerprint"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("int")
+        .alias("alpha_chars"),
+    )
+
+
+@df_query(
+    "q_mixedcase_dedup",
+    duck_sql=f"""
+WITH {_adv_corpus_cte()},
+hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+  FROM adv
+),
+canon AS (
+  SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+  FROM hashed GROUP BY h
+)
+SELECT doc_id, h AS content_fingerprint, n_variants FROM canon
+""",
+    tables=["documents"],
+    doc="Exact dedup over the adversarial mixed-case corpus via the REAL "
+    "production path (llm.pipeline.dedup_exact_canonical — the same "
+    "function curate_corpus runs): every UPPER-cased variant must merge "
+    "with its original under lower-then-strip (survivor = min doc_id = "
+    "the original), the unicode-suffixed variant stays distinct, and the "
+    "empty/whitespace/unicode-only edge rows collapse by canonical "
+    "string. Oracle spelled independently (see q_mixedcase_fingerprint). "
+    "Under the r7 strip-then-lower bug the upper variants canonicalize "
+    "to '' and collapse with the edge rows instead — different survivor "
+    "set, red row. One hash-shuffle on the md5 key, same plan as "
+    "q_dedup_exact.",
+)
+def q_mixedcase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup_exact_canonical, exact_content_hash
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    adv = adversarial_documents(t["documents"])
+    survivors = dedup_exact_canonical(adv)
+    return survivors.select(
+        "doc_id",
+        exact_content_hash().alias("content_fingerprint"),
+    ).join(
+        adv.select(exact_content_hash().alias("content_fingerprint")).groupBy(
+            "content_fingerprint"
+        ).agg(F.count("*").alias("n_variants")),
+        "content_fingerprint",
+    ).select("doc_id", "content_fingerprint", "n_variants")

@@ -372,12 +372,24 @@ sql_query(
 )
 
 
-def tfidf_top_terms(documents, top_k: int = 5):
-    """TF-IDF per (doc, term) with smooth IDF, top-k terms per doc.
+_TFIDF_SCALE = 1_000_000  # fixed-point scale for the integer tf·idf score
 
-    tf and df are exact integer counts; the single ln() keeps this off the
-    hash-gate (ln differs from DuckDB's libm by 1 ulp on ~1% of inputs —
-    measured), so the query is rows-only with behavioral pinning instead.
+
+def tfidf_top_terms(documents, top_k: int = 5):
+    """TF-IDF per (doc, term) with smooth raw idf, top-k terms per doc.
+
+    Scoring is the exact fixed-point form (the q_collocations lift
+    precedent, VERDICT r07 #2): tfidf_ppm = (tf·(N+1)·1e6) DIV (df+1) —
+    pure BIGINT arithmetic, identical in any engine, so the query carries
+    a hash oracle instead of the former rows-only ln() variant (ln differs
+    from DuckDB's libm by 1 ulp on ~1% of inputs — measured in r1). The
+    raw idf (N+1)/(df+1) is the log-free member of the TF-IDF family:
+    within a fixed tf it ranks identically to ln-idf (ln is monotone),
+    and rare terms still dominate corpus-wide stopwords (pinned by
+    tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms). Products stay
+    < 2^63 up to ~10^9 docs with tf ≤ 10^4; beyond that drop the 1e6
+    scale or score per-shard.
+
     One explode + two hash-aggs + an ADAPTIVE tf⨝df join: the df table is
     vocabulary-scaled (Heaps' law — unbounded in the corpus), so it is
     never hint-broadcast; it is an in-plan aggregate whose runtime size
@@ -393,28 +405,61 @@ def tfidf_top_terms(documents, top_k: int = 5):
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = documents.count()
     scored = tf.join(df, "token").withColumn(
-        "tfidf",
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+        "tfidf_ppm",
+        F.expr(
+            f"CAST((tf * ({n_docs} + 1) * {_TFIDF_SCALE}) DIV (df + 1) AS BIGINT)"
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ppm"), "token")
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= top_k)
-        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+        .select("doc_id", "token", "tf", "df", "tfidf_ppm", "term_rank")
     )
+
+
+def _tfidf_oracle_sql(d: Dialect) -> str:
+    """DuckDB twin of tfidf_top_terms — same tf/df counts, same fixed-point
+    score, same (score DESC, token) tiebreak."""
+    score = d.idiv(
+        f"(t.tf * (n.n_docs + 1) * {_TFIDF_SCALE})", "(d2.df + 1)"
+    )
+    return f"""
+WITH toks AS ({d.all_token_rows('documents')}),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d2.df,
+         CAST({score} AS BIGINT) AS tfidf_ppm
+  FROM tf t JOIN df d2 ON t.token = d2.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf_ppm, term_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_ppm DESC, token
+  ) AS term_rank
+  FROM scored
+) r WHERE term_rank <= 5
+"""
 
 
 @df_query(
     "q_tfidf",
-    duck_sql=None,
+    duck_sql=_tfidf_oracle_sql(DUCK),
     tables=["documents"],
-    doc="TF-IDF top-5 terms per document (smooth IDF). Exact integer "
-    "tf/df; rows-only because ln() is not bit-identical across engines "
-    "(measured 1-ulp divergence on ~1% of inputs) — ranking behavior is "
-    "pinned by tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms. "
-    "Plan: one explode, two hash-aggs, AQE-adaptive tf⨝df join (the df "
-    "table is vocabulary-scaled, never hint-broadcast), per-doc window — "
-    "no global sort.",
+    doc="TF-IDF top-5 terms per document — exact fixed-point score "
+    "tfidf_ppm = (tf·(N+1)·1e6) DIV (df+1) (smooth raw idf; the "
+    "q_collocations lift precedent), pure BIGINT so the query is "
+    "hash-oracled (converted from rows-only in r8 — the former ln() "
+    "score diverged from DuckDB's libm by 1 ulp on ~1% of inputs). "
+    "Rare-term ranking behavior additionally pinned by tests/"
+    "test_llm_ops.py::test_tfidf_surfaces_rare_terms. Plan: one "
+    "explode, two hash-aggs, AQE-adaptive tf⨝df join (the df table is "
+    "vocabulary-scaled, never hint-broadcast), per-doc window — no "
+    "global sort.",
 )
 def q_tfidf(spark, sf_dir):
     from ..sources.tables import load_tables

@@ -385,6 +385,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q_lsh_bucket_step",
     "q_ivf_assign_step",
     "q_pq_adc_step",
+    # round-8 additions (VERDICT r07 #2/#4) — appended per the cap
+    # discipline. q_pca_gram_step pins principal_components' Gram collect
+    # (the q_pca_project_step precedent: both eigh inputs now oracle-
+    # certified); the mixedcase pair runs the normalization stack over the
+    # adversarial mixed-case/unicode fixture the all-lowercase corpus
+    # cannot exercise (the r7 lower()-after-strip bug class).
+    "q_pca_gram_step",
+    "q_mixedcase_fingerprint",
+    "q_mixedcase_dedup",
 ]
 
 
@@ -420,6 +429,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .llm import dedup  # noqa: F401
     from .llm import similarity  # noqa: F401
     from .llm import pca  # noqa: F401
+    from .llm import adversarial  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .llm import curation  # noqa: F401
     from .llm import chunking  # noqa: F401

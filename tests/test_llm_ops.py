@@ -322,7 +322,7 @@ def test_tfidf_surfaces_rare_terms(spark):
     d7 = top[top.doc_id == 7].sort_values("term_rank")
     assert d7.iloc[0].token == "zyzzyva" and d7.iloc[0].tf == 3 and d7.iloc[0].df == 1
     # Stopwords appear in every doc → idf ~ 0 → tfidf below the planted term.
-    assert (d7[d7.token != "zyzzyva"].tfidf < d7.iloc[0].tfidf).all()
+    assert (d7[d7.token != "zyzzyva"].tfidf_ppm < d7.iloc[0].tfidf_ppm).all()
 
 
 def test_winnowing_guarantee(spark):

@@ -363,6 +363,8 @@ HINT_WHITELIST = {
     "q_spearman": "<=50-value l_quantity rank table + 64-row bucket offsets",
     "q_pca_project": "k·dim principal-component tables",
     "q_pca_project_step": "k·dim principal-component tables",
+    "q_pca_gram_step": "d-row (64) column-sum tables — grouped on the "
+    "dimension index, bounded by d not the corpus",
     "q_dsir_weights": "256-bucket hash-grain weight table",
     "q_heavy_hitters": "size-gated on measured MG-candidate count "
     "(k·P-bounded union, checkpointed so the count is not a second pass)",
