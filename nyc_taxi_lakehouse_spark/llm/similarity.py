@@ -414,12 +414,33 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(t["embeddings"])
 
 
+def _np_quantize(m):
+    """numpy twin of the _quantized/_components_sql contract: HALF_UP
+    round(x·2^15) as exact int64. np.round is half-EVEN (banker's) —
+    different from Spark/DuckDB round() on exact .5 products, which
+    float32 inputs CAN produce — so emulate HALF_UP explicitly:
+    sign(x)·floor(|x|·S + 0.5)."""
+    import numpy as np
+
+    s = m.astype(np.float64) * _QSCALE
+    return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+
 def ann_bruteforce_pandas(
     embeddings: DataFrame, n_probes: int = _N_PROBES, top_k: int = _TOP_K
 ) -> DataFrame:
     """Arrow-batched numpy cosine top-k: the dense-math alternative when the
     probe set fits in memory — probes are collected once (small), broadcast,
     and each corpus partition computes a (batch × probes) GEMM via mapInPandas.
+
+    Hash-oracled since r8: the GEMM runs the SAME quantized-integer algebra
+    as q_similarity_topk (int64 dots on the 2^-15 grid, one IEEE sqrt per
+    norm, one multiply + one divide per pair — every step correctly rounded
+    and engine-identical), so the numpy path reproduces the SQL oracle
+    bit-for-bit instead of 'close enough on top-1'. No zero-norm guard, to
+    mirror the oracle exactly: a zero vector would yield NaN cosines in both
+    engines alike (none exist at any SF; tests/test_llm_ops.py pins the
+    corpus-wide min norm > 0).
     """
     import numpy as np
 
@@ -432,30 +453,22 @@ def ann_bruteforce_pandas(
             [], "query_id long, candidate_id long, cosine double, rank int"
         )
 
-    def _unit(m: "np.ndarray") -> "np.ndarray":
-        # Zero-norm guard: 0/0 would yield NaN cosines, and NaN sorts
-        # ABOVE every real value under DESC ordering — a degenerate
-        # vector would become rank 1 for every probe. Dividing by 1
-        # leaves the zero vector zero, so its cosine is 0 against
-        # everything (the q_similarity_topk convention for a 0/0 pair).
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        return m / np.where(n == 0, 1.0, n)
-
-    q = np.stack(probes["embedding"].to_numpy())
-    qn = _unit(q)
+    q = _np_quantize(np.stack(probes["embedding"].to_numpy()))
+    qnorm = np.sqrt((q * q).sum(axis=1).astype(np.float64))  # exact ints < 2^53
     q_ids = probes["vec_id"].to_numpy()
-    bq = spark.sparkContext.broadcast((qn, q_ids))
+    bq = spark.sparkContext.broadcast((q, qnorm, q_ids))
 
     def score(batches):
-        qn_, qids = bq.value
+        q_, qnorm_, qids = bq.value
         for pdf in batches:
             pdf = pdf[pdf["vec_id"] >= n_probes]
             if len(pdf) == 0:
                 continue
-            c = np.stack(pdf["embedding"].to_numpy())
-            n = np.linalg.norm(c, axis=1, keepdims=True)
-            cn = c / np.where(n == 0, 1.0, n)
-            sims = cn @ qn_.T  # (batch, probes)
+            c = _np_quantize(np.stack(pdf["embedding"].to_numpy()))
+            cnorm = np.sqrt((c * c).sum(axis=1).astype(np.float64))
+            dots = c @ q_.T  # exact int64 GEMM
+            # dot / (qnorm·cnorm): same two IEEE ops as the SQL oracle.
+            sims = dots.astype(np.float64) / (cnorm[:, None] * qnorm_[None, :])
             for j, qid in enumerate(qids):
                 yield pd.DataFrame(
                     {
@@ -478,12 +491,19 @@ def ann_bruteforce_pandas(
 
 @df_query(
     "q_similarity_bruteforce_pandas",
-    duck_sql=None,
+    duck_sql=_topk_sql(DUCK),
     tables=["embeddings"],
     doc="Arrow-batched numpy GEMM cosine top-k via mapInPandas — the "
     "vectorized Python path for dense math (SURVEY §2.10: pandas UDFs only "
-    "where built-ins can't express the op efficiently). Rows-only; parity "
-    "with q_similarity_topk asserted in tests.",
+    "where built-ins can't express the op efficiently). Converted from "
+    "rows-only in r8 (VERDICT r07 #2): the UDF computes the exact "
+    "quantized-integer algebra of q_similarity_topk (HALF_UP round to the "
+    "2^-15 grid — np.round is half-even, so the UDF emulates HALF_UP — "
+    "int64 GEMM, IEEE sqrt/multiply/divide), so its oracle IS _topk_sql: "
+    "the Arrow seam itself is now hash-certified, not just 'top-1 agrees'. "
+    "Scale shape: probes collected once (k-bounded), broadcast; each "
+    "corpus Arrow batch does one (batch × probes) GEMM; one vec_id-keyed "
+    "window for top-k.",
 )
 def q_similarity_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])

@@ -350,9 +350,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q_equidepth_histogram",
     "q_table_checksum",
     # r01-green / rows-only tail: each already has a green driver row
-    # (r01), or is rows-only by design (the three ANN variants' driver
-    # rows are row-count-only; semantics pinned by recall tests in
-    # tests/test_llm_ops.py).
+    # (r01), or is rows-only by design (LSH/IVF semantics pinned by
+    # recall tests in tests/test_llm_ops.py plus the r7 hash-oracled
+    # step twins; q_similarity_bruteforce_pandas gained a full hash
+    # oracle in r8 — the quantized-integer GEMM reproduces _topk_sql
+    # bit-for-bit — so the rotation re-presents it).
     "q_activity_score",
     "q_dedup_embedding",
     "q_similarity_topk",
