@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Parallel full-suite test runner (VERDICT r07 #3).
+
+``pytest tests/`` is Spark-bound and takes hours serially; pytest-xdist is
+not available in this environment. This runner shards the test FILES across
+N concurrent pytest subprocesses, each with its own SparkSession on a slice
+of the host's cores (SPARK_GRAFT_CPUS is divided among workers), so the
+full suite finishes in one sitting.
+
+File-level sharding is the isolation boundary on purpose: every test uses
+pytest tmp_path for filesystem state, the in-memory catalog is per-JVM, and
+the only named shared object (test_catalog's ``taxi_test`` database) lives
+inside a single file — so no two workers ever touch the same mutable state.
+Spark UI port collisions are avoided by disabling the UI.
+
+Scheduling is greedy longest-first using measured per-file durations from
+the previous run (cached in tools/.partest_durations.json, refreshed every
+run); the first run falls back to file size as the proxy.
+
+Usage:
+    python tools/partest.py                # all of tests/, 8 workers
+    python tools/partest.py -j 4           # 4 workers
+    python tools/partest.py tests/test_lake.py tests/test_mor.py
+
+Exit code is non-zero if any shard fails; each shard's tail is printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DUR_CACHE = os.path.join(REPO, "tools", ".partest_durations.json")
+
+
+def shard(files: list[str], n: int, weights: dict[str, float]) -> list[list[str]]:
+    """Greedy longest-first bin packing into n shards."""
+    order = sorted(files, key=lambda f: -weights.get(os.path.basename(f), 0.0))
+    bins: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for f in order:
+        w = weights.get(os.path.basename(f), 0.0)
+        i = min(range(n), key=lambda k: bins[k][0])
+        bins[i] = (bins[i][0] + w, bins[i][1] + [f])
+    return [b[1] for b in bins if b[1]]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", help="test files (default: tests/*.py)")
+    ap.add_argument("-j", "--jobs", type=int, default=8)
+    ap.add_argument("--cpus-total", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    files = args.files or sorted(
+        f for f in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+    )
+    try:
+        cached = json.load(open(DUR_CACHE))
+    except (OSError, json.JSONDecodeError):
+        cached = {}
+    weights = {
+        os.path.basename(f): cached.get(
+            os.path.basename(f), os.path.getsize(f) / 1000.0
+        )
+        for f in files
+    }
+    shards = shard(files, args.jobs, weights)
+    per_worker_cpus = max(2, args.cpus_total // max(1, len(shards)))
+
+    env_base = dict(os.environ)
+    env_base["SPARK_GRAFT_CPUS"] = str(per_worker_cpus)
+    # Each worker JVM gets a smaller driver heap than the single-process
+    # default so j workers fit the host comfortably.
+    env_base.setdefault("SPARK_DRIVER_MEMORY", "6g")
+    # No UI: avoids 4040..port-retry churn across concurrent JVMs.
+    env_base["SPARK_SUBMIT_OPTS"] = (
+        env_base.get("SPARK_SUBMIT_OPTS", "") + " -Dspark.ui.enabled=false"
+    ).strip()
+
+    t0 = time.time()
+    procs = []
+    for i, s in enumerate(shards):
+        logf = open(f"/tmp/partest_shard{i}.log", "w")
+        procs.append(
+            (
+                i,
+                s,
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", "-q", "--tb=line", "-p",
+                     "no:cacheprovider", *s],
+                    cwd=REPO, env=env_base, stdout=logf, stderr=subprocess.STDOUT,
+                ),
+                logf,
+            )
+        )
+    rc = 0
+    durations: dict[str, float] = dict(cached)
+    for i, s, p, logf in procs:
+        p.wait()
+        logf.close()
+        tail = open(f"/tmp/partest_shard{i}.log").read().strip().splitlines()
+        summary = tail[-1] if tail else "(no output)"
+        print(f"shard {i} ({len(s)} files): rc={p.returncode}  {summary}")
+        if p.returncode not in (0, 5):  # 5 = no tests collected (empty shard)
+            rc = 1
+            print("\n".join(tail[-15:]))
+        # Refresh the duration cache from pytest's own summary line when
+        # parseable ("N passed in 123.45s"); split evenly across the
+        # shard's files — coarse, but converges the balance run-over-run.
+        if "in " in summary and summary.rstrip().endswith("s"):
+            try:
+                secs = float(summary.rstrip("s ").rsplit("in ", 1)[1])
+                for f in s:
+                    durations[os.path.basename(f)] = secs / len(s)
+            except (ValueError, IndexError):
+                pass
+    json.dump(durations, open(DUR_CACHE, "w"), indent=0, sort_keys=True)
+    print(f"TOTAL wall: {time.time() - t0:.0f}s across {len(shards)} shards"
+          f" ({per_worker_cpus} cores each); logs /tmp/partest_shard*.log")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
