@@ -304,13 +304,18 @@ def main() -> None:
     }
     if first_drain:
         full["first_drain"] = first_drain
+    # A BENCH_QUERIES CSV subset is a spot check, not the suite record —
+    # write it to a side file so it can never clobber the committed
+    # BENCH_full.json (which happened once in r8: a 4-query contract check
+    # silently replaced the 121-query round record).
+    full_name = "BENCH_full.json" if sel in ("", "all") else "BENCH_subset.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_full.json"), "w") as f:
+                               full_name), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:  # read-only checkout: the stdout line still lands
-        print(f"# BENCH_full.json not written: {e}", file=sys.stderr)
+        print(f"# {full_name} not written: {e}", file=sys.stderr)
 
     # Compact final line — the driver's machine-readable record. Keep it
     # short: only the frozen-13 core in "queries" (full map is in
@@ -326,7 +331,7 @@ def main() -> None:
         "nproc": os.cpu_count(),
         "runs_per_query": runs,
         "loadavg": full["loadavg_after"],
-        "full_map": "BENCH_full.json",
+        "full_map": full_name,
     }
     if first_drain:
         compact["first_drain"] = first_drain

@@ -39,7 +39,10 @@ from ..sources.tables import load_tables
 # Unicode suffix: guillemets, em-dash, ellipsis — all stripped by
 # [^a-z0-9 ], so the 'mixed' variant canonicalizes to original + ' mixed'.
 _UNI_SUFFIX = " «Mixed—Case…»"
-# Edge rows appended after the per-doc variants (ids above any real doc).
+# Edge rows appended after the per-doc variants. Ids must sit above every
+# variant id (doc_id·10+2) — an UNCHECKED precondition in the query itself
+# (a MAX(doc_id) pass per run would cost a scan); pinned instead by
+# tests/test_adversarial.py::test_fixture_preconditions.
 _EDGE_ROWS = [
     (9_000_000_001, ""),            # empty text
     (9_000_000_002, "   "),         # whitespace-only (spaces survive strip)
@@ -162,8 +165,11 @@ SELECT doc_id, h AS content_fingerprint, n_variants FROM canon
     "string. Oracle spelled independently (see q_mixedcase_fingerprint). "
     "Under the r7 strip-then-lower bug the upper variants canonicalize "
     "to '' and collapse with the edge rows instead — different survivor "
-    "set, red row. One hash-shuffle on the md5 key, same plan as "
-    "q_dedup_exact.",
+    "set, red row. Plan: two content-hash aggregates on the same md5 "
+    "exchange key (the production function's canonical-id agg and the "
+    "n_variants count) plus the canonical join; the derived corpus is a "
+    "map-only union re-evaluated per subtree — deliberate, to keep the "
+    "production function's signature untouched by fixture needs.",
 )
 def q_mixedcase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup_exact_canonical, exact_content_hash

@@ -315,10 +315,13 @@ ORDER BY g.i, g.j
     "every cell bit-for-bit. Magnitudes stay under 2^53 at oracle SFs "
     "(n ≤ 2e3, |q| ≤ 2e4 ⇒ |cov_num| ≤ ~3e15); at larger corpora scale "
     "the comparison per-shard or drop to the raw gram_q cells (< 2^63 "
-    "to ~10^9 rows). Plan: one self-join on vec_id (64×64 per key), two "
-    "keyed aggregates that map-side-combine to constant-size (2080- and "
-    "64-row) exchanges, a 3-way join over those constant-size tables — "
-    "the corpus is scanned once, shuffled on vec_id once.",
+    "to ~10^9 rows). Plan: an up-front count() for n (parquet "
+    "metadata-only — row-group counts, no column data read; the "
+    "q_pca_project_step convention), then one self-join on vec_id "
+    "(64×64 per key) and two keyed aggregates that map-side-combine to "
+    "constant-size (2080- and 64-row) exchanges, joined over those "
+    "constant-size tables — the corpus's column data is read once, "
+    "shuffled on vec_id once.",
 )
 def q_pca_gram_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])

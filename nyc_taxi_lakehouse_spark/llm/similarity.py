@@ -415,11 +415,21 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _np_quantize(m):
-    """numpy twin of the _quantized/_components_sql contract: HALF_UP
-    round(x·2^15) as exact int64. np.round is half-EVEN (banker's) —
-    different from Spark/DuckDB round() on exact .5 products, which
-    float32 inputs CAN produce — so emulate HALF_UP explicitly:
-    sign(x)·floor(|x|·S + 0.5)."""
+    """numpy twin of _components_sql's quantization: round(x·1e6)
+    half-away-from-zero as exact int64 (the 1e-6 grid — similarity's
+    _QSCALE, NOT pca.py's 2^15 grid, whose convention is also different:
+    floor(x·S+0.5) = half-toward-+inf). np.round is half-EVEN (banker's),
+    which differs from DuckDB round() on exact .5 products — which
+    float32 inputs CAN produce — so emulate half-away-from-zero as
+    sign(x)·floor(|x|·S + 0.5).
+
+    The emulation is exact, not approximate: s = float64(x)·1e6 is the
+    same double both SQL engines round (identical multiply), and for
+    |s| < 2^52·ulp⁻¹-bounded magnitudes — here |s| < 2^20, so |s| is a
+    multiple of ulp ≤ 2^-32 and |s|+0.5 needs ≤ 53 mantissa bits — the
+    +0.5 addition is EXACT, so floor(|s|+0.5) equals true
+    half-away-from-zero of s, bit-for-bit what DuckDB's round() returns.
+    """
     import numpy as np
 
     s = m.astype(np.float64) * _QSCALE
@@ -434,9 +444,10 @@ def ann_bruteforce_pandas(
     and each corpus partition computes a (batch × probes) GEMM via mapInPandas.
 
     Hash-oracled since r8: the GEMM runs the SAME quantized-integer algebra
-    as q_similarity_topk (int64 dots on the 2^-15 grid, one IEEE sqrt per
-    norm, one multiply + one divide per pair — every step correctly rounded
-    and engine-identical), so the numpy path reproduces the SQL oracle
+    as q_similarity_topk (int64 dots on the 1e-6 grid — _np_quantize, the
+    exact twin of _components_sql's round() — one IEEE sqrt per norm, one
+    multiply + one divide per pair, every step correctly rounded and
+    engine-identical), so the numpy path reproduces the SQL oracle
     bit-for-bit instead of 'close enough on top-1'. No zero-norm guard, to
     mirror the oracle exactly: a zero vector would yield NaN cosines in both
     engines alike (none exist at any SF; tests/test_llm_ops.py pins the
@@ -497,9 +508,10 @@ def ann_bruteforce_pandas(
     "vectorized Python path for dense math (SURVEY §2.10: pandas UDFs only "
     "where built-ins can't express the op efficiently). Converted from "
     "rows-only in r8 (VERDICT r07 #2): the UDF computes the exact "
-    "quantized-integer algebra of q_similarity_topk (HALF_UP round to the "
-    "2^-15 grid — np.round is half-even, so the UDF emulates HALF_UP — "
-    "int64 GEMM, IEEE sqrt/multiply/divide), so its oracle IS _topk_sql: "
+    "quantized-integer algebra of q_similarity_topk (half-away-from-zero "
+    "round to the 1e-6 grid — np.round is half-even, so the UDF emulates "
+    "round() as sign·floor(|s|+0.5), exact for |s| < 2^20 — int64 GEMM, "
+    "IEEE sqrt/multiply/divide), so its oracle IS _topk_sql: "
     "the Arrow seam itself is now hash-certified, not just 'top-1 agrees'. "
     "Scale shape: probes collected once (k-bounded), broadcast; each "
     "corpus Arrow batch does one (batch × probes) GEMM; one vec_id-keyed "

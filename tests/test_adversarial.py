@@ -26,6 +26,22 @@ def _buggy_hash():
     return F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
 
 
+def test_fixture_preconditions(spark):
+    """The invariants the adversarial derivation and these tests assume,
+    pinned so a regenerated fixture fails HERE with an explanation instead
+    of as a mystery red driver row:
+    - variant ids (doc_id·10+2) stay below the 9e9 edge-row id block;
+    - originals are pure lowercase-ASCII [a-z0-9 ] (so upper() is
+      engine-identical and the two normalization orders coincide on v0);
+    - every doc contains a letter (so upper(text) != text on v1 and the
+      two orders DIVERGE on every cased row)."""
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id * 10 + 2 < 9_000_000_000
+    assert docs.where(F.col("text").rlike("[^a-z0-9 ]")).count() == 0
+    assert docs.where(~F.col("text").rlike("[a-z]")).count() == 0
+
+
 def test_case_variants_merge_under_correct_order(spark):
     docs = load_tables(spark, SF, ["documents"])["documents"]
     adv = adversarial_documents(docs)

@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_lakehouse_spark.llm.pipeline import curate_corpus, exact_content_hash
+from nyc_taxi_lakehouse_spark.llm.pipeline import curate_corpus
 
 SF = "/root/testdata/sf0.01"
 
@@ -21,7 +21,15 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # but never to a degenerate sliver.
     assert 0 < n_out < n_in
     # No surviving exact duplicates.
-    n_hashes = out.select(exact_content_hash()).distinct().count()
+    # Spelled INDEPENDENTLY of llm.pipeline.exact_content_hash on purpose
+    # (lower FIRST, then strip): importing the shared expression here would
+    # make this check tautological — a normalization regression in the
+    # pipeline would move the checker with it and stay green. Keep the two
+    # spellings in lockstep; tests/test_adversarial.py proves they diverge
+    # red on mixed-case input if either drifts in order.
+    n_hashes = out.select(
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    ).distinct().count()
     assert n_hashes == n_out
     # Split column present with sane proportions (96/2/2 +- slack).
     frac = {r["split"]: r["cnt"] / n_out for r in

@@ -85,15 +85,19 @@ def main() -> int:
     ).strip()
 
     t0 = time.time()
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="partest_")
     procs = []
     for i, s in enumerate(shards):
-        logf = open(f"/tmp/partest_shard{i}.log", "w")
+        logf = open(os.path.join(logdir, f"shard{i}.log"), "w")
         procs.append(
             (
                 i,
                 s,
                 subprocess.Popen(
-                    [sys.executable, "-m", "pytest", "-q", "--tb=line", "-p",
+                    [sys.executable, "-m", "pytest", "-q", "--tb=line",
+                     "--durations=0", "--durations-min=0.01", "-p",
                      "no:cacheprovider", *s],
                     cwd=REPO, env=env_base, stdout=logf, stderr=subprocess.STDOUT,
                 ),
@@ -105,25 +109,30 @@ def main() -> int:
     for i, s, p, logf in procs:
         p.wait()
         logf.close()
-        tail = open(f"/tmp/partest_shard{i}.log").read().strip().splitlines()
-        summary = tail[-1] if tail else "(no output)"
+        lines = open(os.path.join(logdir, f"shard{i}.log")).read().splitlines()
+        summary = lines[-1].strip() if lines else "(no output)"
         print(f"shard {i} ({len(s)} files): rc={p.returncode}  {summary}")
         if p.returncode not in (0, 5):  # 5 = no tests collected (empty shard)
             rc = 1
-            print("\n".join(tail[-15:]))
-        # Refresh the duration cache from pytest's own summary line when
-        # parseable ("N passed in 123.45s"); split evenly across the
-        # shard's files — coarse, but converges the balance run-over-run.
-        if "in " in summary and summary.rstrip().endswith("s"):
-            try:
-                secs = float(summary.rstrip("s ").rsplit("in ", 1)[1])
-                for f in s:
-                    durations[os.path.basename(f)] = secs / len(s)
-            except (ValueError, IndexError):
-                pass
+            print("\n".join(lines[-15:]))
+        # Refresh the duration cache from pytest's --durations report
+        # ("  1.23s call     tests/test_x.py::test_y"): accurate per-FILE
+        # sums, so the greedy packer converges instead of oscillating on
+        # shard averages.
+        per_file: dict[str, float] = {}
+        for ln in lines:
+            parts = ln.split()
+            if len(parts) >= 3 and parts[0].endswith("s") and "::" in parts[2]:
+                try:
+                    secs = float(parts[0][:-1])
+                except ValueError:
+                    continue
+                fname = os.path.basename(parts[2].split("::", 1)[0])
+                per_file[fname] = per_file.get(fname, 0.0) + secs
+        durations.update(per_file)
     json.dump(durations, open(DUR_CACHE, "w"), indent=0, sort_keys=True)
     print(f"TOTAL wall: {time.time() - t0:.0f}s across {len(shards)} shards"
-          f" ({per_worker_cpus} cores each); logs /tmp/partest_shard*.log")
+          f" ({per_worker_cpus} cores each); logs {logdir}/shard*.log")
     return rc
 
 
