@@ -23,14 +23,19 @@ def t(spark, spec, sf_dir):
     return best, n
 
 def main():
+    # --decade: measure sf0.1 -> the derived 10x dataset (sf1-equivalent,
+    # built by tools/make_scale_decade.py) instead of sf0.01 -> sf0.1.
+    decade = "--decade" in sys.argv
+    lo = "/root/testdata/sf0.1" if decade else "/root/testdata/sf0.01"
+    hi = "/tmp/sf1_decade" if decade else "/root/testdata/sf0.1"
     spark = get_spark()
     specs = all_queries()
     # warm the session
-    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
-    print(f"{'query':28s} {'t(0.01)':>8s} {'t(0.1)':>8s} {'ratio':>6s} {'rows01':>9s} {'rows1':>9s}")
+    spark.read.parquet(f"{lo}/lineitem.parquet").count()
+    print(f"{'query':28s} {'t(lo)':>8s} {'t(hi)':>8s} {'ratio':>6s} {'rows_lo':>9s} {'rows_hi':>9s}   [{lo} -> {hi}]")
     for name in HEAVY:
-        s1, n1 = t(spark, specs[name], "/root/testdata/sf0.01")
-        s2, n2 = t(spark, specs[name], "/root/testdata/sf0.1")
+        s1, n1 = t(spark, specs[name], lo)
+        s2, n2 = t(spark, specs[name], hi)
         print(f"{name:28s} {s1:8.2f} {s2:8.2f} {s2/s1:6.1f} {n1:9d} {n2:9d}")
 
 if __name__ == "__main__":
