@@ -326,22 +326,45 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_minhash_pairs_sql("mh_sig"))
 
 
+# 60-bit fingerprint (r8, was 16-bit): at 16 bits the chance of two RANDOM
+# docs landing within Hamming 3 is C(16,<=3)/2^16 ~ 1.1%, so chance pairs
+# grow quadratically in the corpus — the r8 scale-decade run measured 86.7M
+# output pairs at 50k docs, almost all noise (17x wall per 10x rows). At 60
+# bits that probability is ~3e-14: output collapses to genuine near-dups
+# and the 4x15-bit pigeonhole buckets (32768 values each) cut the candidate
+# space ~2000x. 60 not 64: bit 63 would overflow signed BIGINT and bits
+# 60-62 buy nothing; Hamming<=3 at 60+ bits is the published production
+# configuration (Manku et al., WWW'07 — Google's web-dedup setting).
+_SIM_BITS = 60
+_SIM_CHUNK_BITS = 15  # 4 chunks x 15 bits; <=3 differing bits -> >=1 equal chunk
+
+
 def _simhash_ctes(d: Dialect) -> str:
-    """The shared simhash CTE chain ending in `sim(doc_id, simhash16)` —
-    composed by both the fingerprint query and the Hamming-pair query."""
+    """The shared simhash CTE chain ending in `sim(doc_id, simhash)` —
+    composed by both the fingerprint query and the Hamming-pair query.
+
+    Bits come from TWO md5-derived 32-bit token hashes (30 bits each, the
+    salted second hash decorrelates them), not from the linear
+    (a·tid+b) mod p family over a DENSE_RANK vocabulary the 16-bit version
+    used: md5 bits are independent (the linear family's correlated bits
+    produced systematic near-collisions between unrelated docs), and
+    dropping the vocabulary removes this family's only global sort — the
+    fingerprint is now one map-side token hash + one doc_id hash-agg.
+    """
     tok = d.distinct_token_rows("documents")
+    h1 = d.md5_int32("token")
+    h2 = d.md5_int32("(token || '#b')")
     bit_sums = ",\n  ".join(
-        f"SUM(CASE WHEN (({a} * tid + {b}) % {_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
-        for i, (a, b) in enumerate(_PERMS)
+        f"SUM(CASE WHEN ({d.idiv('h' + str(1 + i // 30), str(1 << (i % 30)))})"
+        f" % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_SIM_BITS)
     )
-    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(len(_PERMS)))
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIM_BITS)
+    )
     return f"""tok AS ({tok}),
-vocab AS (
-  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT token FROM tok) v
-),
 tt AS (
-  SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM tok
 ),
 bits AS (
   SELECT doc_id,
@@ -349,14 +372,14 @@ bits AS (
   FROM tt GROUP BY doc_id
 ),
 sim AS (
-  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16 FROM bits
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
 )"""
 
 
 def _simhash_sql(d: Dialect) -> str:
     return f"""
 WITH {_simhash_ctes(d)}
-SELECT doc_id, simhash16 FROM sim
+SELECT doc_id, simhash FROM sim
 """
 
 
@@ -365,24 +388,30 @@ sql_query(
     spark_sql=_simhash_sql(SPARK),
     duck_sql=_simhash_sql(DUCK),
     tables=["documents"],
-    doc="SimHash (16-bit): per-bit signed token-hash parity sums folded into "
-    "an integer fingerprint — 16 conditional aggregates in ONE hash-agg pass "
-    "over exploded tokens (no 64× row blowup). Near-dups = small Hamming "
-    "distance; exact integer arithmetic end-to-end.",
+    doc="SimHash (60-bit; widened from 16 in r8 after the scale-decade run "
+    "measured quadratic chance-collision growth — C(16,<=3)/2^16 ~ 1.1% of "
+    "RANDOM pairs land within Hamming 3, vs ~3e-14 at 60 bits): per-bit "
+    "signed token-hash parity sums folded into one BIGINT fingerprint — 60 "
+    "conditional aggregates in ONE hash-agg pass over exploded tokens (no "
+    "60× row blowup). Near-dups = small Hamming distance; exact integer "
+    "arithmetic end-to-end.",
 )
 
 
-_HAMMING_MAX = 3  # near-dup threshold over the 16-bit simhash
+_HAMMING_MAX = 3  # near-dup threshold (Manku's production setting at 60+ bits)
 
 
 def _simhash_pairs_sql(d: Dialect) -> str:
-    """Pigeonhole-banded Hamming join: the 16-bit fingerprint splits into 4
-    4-bit chunks; any pair within Hamming distance 3 differs in at most 3
+    """Pigeonhole-banded Hamming join: the 60-bit fingerprint splits into 4
+    15-bit chunks; any pair within Hamming distance 3 differs in at most 3
     chunks, so it MATCHES on at least one — candidate generation is exact
-    (no recall loss) and never enumerates the full pair space."""
+    (no recall loss) and never enumerates the full pair space. 32768-value
+    chunks keep buckets ~N/32768 deep, so candidates are ~4·N²/65536 of
+    the pair space instead of the 16-bit version's ~4·N²/32."""
     chunk_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, simhash16, {i} AS chunk_idx,"
-        f" {d.idiv('simhash16', 1 << (4 * i))} % 16 AS chunk_val FROM sim"
+        f"SELECT doc_id, simhash, {i} AS chunk_idx,"
+        f" {d.idiv('simhash', 1 << (_SIM_CHUNK_BITS * i))} % {1 << _SIM_CHUNK_BITS}"
+        f" AS chunk_val FROM sim"
         for i in range(4)
     )
     ham = f"bit_count({d.xor('fp_a', 'fp_b')})"
@@ -393,7 +422,7 @@ chunks AS (
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash16 AS fp_a, b.simhash16 AS fp_b
+         a.simhash AS fp_a, b.simhash AS fp_b
   FROM chunks a
   JOIN chunks b
     ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
@@ -413,12 +442,15 @@ sql_query(
     tables=["documents"],
     doc="SimHash near-dup PAIRS (the dedup step q_dedup_simhash's "
     "fingerprints feed): Hamming distance <= 3 via pigeonhole banding — 4 "
-    "exact-match 4-bit chunks generate candidates (distance <= 3 implies "
+    "exact-match 15-bit chunks generate candidates (distance <= 3 implies "
     ">= 1 identical chunk, so candidate generation loses nothing), then "
     "one bit_count(xor) verify per candidate. The pair space never "
     "materializes; only same-chunk buckets join — the same "
     "blocking-then-verify shape as MinHash banding, on bits instead of "
-    "hash rows.",
+    "hash rows. Widened 16→60 bits in r8: the scale-decade measurement "
+    "showed the 16-bit space's chance collisions dominating output "
+    "(86.7M pairs at 50k docs, 17× wall per 10× rows); at 60 bits chance "
+    "pairs vanish and output is the genuine near-dup set.",
 )
 
 
@@ -947,10 +979,18 @@ def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
     1. modhash sampling (Broder '97): keep the deterministic 1/8 of shingles
        whose integer hash ≡ 0 (mod 8) — an unbiased sketch of the shingle
        set that cuts join input 8× with no per-doc state;
-    2. stop-shingle removal: shingles present in >10% of documents are
-       uninformative AND are exactly the hot join keys that explode the
-       candidate space / skew the shuffle — dropped before the self-join
-       (the df-cap from syntactic-clustering practice);
+    2. stop-shingle removal: shingles present in >10% of the documents OF
+       THEIR LANG are uninformative AND are exactly the hot join keys that
+       explode the candidate space / skew the shuffle — dropped before the
+       self-join (the df-cap from syntactic-clustering practice). The cap
+       is PER LANG — the same key the pair join blocks on — not
+       corpus-global: the r8 scale-decade measurement showed a global
+       relative cap loses its bite on a heterogeneous corpus (10 disjoint
+       content shards → every shard's common grams fall under 10% of the
+       GLOBAL count, nothing is capped within a shard, and the candidate
+       space reverts to uncapped: 397× output growth per 10× rows). A cap
+       relative to the blocking group keeps its bite no matter how many
+       groups the corpus spans;
     3. lang blocking (applied in the pair join).
 
     ``table`` lets the Spark caller substitute a re-partitioned view of
@@ -978,12 +1018,16 @@ sel AS (
   SELECT doc_id, lang, gram FROM grams
   WHERE ({d.md5_int32('gram')} % {_SHINGLE_MOD}) = 0
 ),
+lang_docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 informative AS (
-  SELECT gram FROM sel GROUP BY gram
-  HAVING COUNT(DISTINCT doc_id)
-         <= {_STOP_SHINGLE_DOC_FRAC} * (SELECT COUNT(*) FROM documents)
+  SELECT g.lang, g.gram
+  FROM (SELECT lang, gram, COUNT(DISTINCT doc_id) AS df
+        FROM sel GROUP BY lang, gram) g
+  JOIN lang_docs ld ON g.lang = ld.lang
+  WHERE g.df <= {_STOP_SHINGLE_DOC_FRAC} * ld.n_docs
 )
-SELECT s.doc_id, s.lang, s.gram FROM sel s JOIN informative i ON s.gram = i.gram
+SELECT s.doc_id, s.lang, s.gram
+FROM sel s JOIN informative i ON s.gram = i.gram AND s.lang = i.lang
 """
 
 

@@ -35,8 +35,8 @@ WHITELIST = {
     # Dictionary-encoded oracle anchors: the vocabulary dense_rank is a
     # global sort by design; the production path (xxhash64) has none.
     "q_dedup_minhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
-    "q_dedup_simhash": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
-    "q_dedup_simhash_pairs": ({"single-part"}, "vocab dictionary sort (oracle anchor)"),
+    # q_dedup_simhash/_pairs left the whitelist in r8: the md5-bit rewrite
+    # removed their vocabulary DENSE_RANK, so they no longer single-part.
     # 1-row corpus-size scalar feeding the stop-shingle df-cap threshold.
     "q_dedup_chargram": ({"single-part"}, "COUNT(*) scalar for df-cap"),
     # 1-row corpus-token-total broadcast into the lift denominator.

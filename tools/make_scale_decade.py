@@ -84,11 +84,16 @@ COPY (
         f"'{alpha[(7 * k) % 26:] + alpha[:(7 * k) % 26]}')"
         for k in range(1, r)
     )
+    # Replica lang is suffixed (en -> en3): replicas are disjoint SHARDS,
+    # and lang is the blocking/df-cap key — a 10x corpus of 10 shards
+    # should present 10 blocking groups, not one group with diluted
+    # global document frequencies.
     con.execute(f"""
 COPY (
   SELECT doc_id + k.k * {doc_off} AS doc_id,
          CASE WHEN k.k = 0 THEN text {rot_cases} END AS text,
-         lang, source, n_chars
+         CASE WHEN k.k = 0 THEN lang ELSE lang || k.k END AS lang,
+         source, n_chars
   FROM read_parquet('{SRC}/documents.parquet'), range({r}) k(k)
 ) TO '{args.out}/documents.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
