@@ -401,23 +401,22 @@ sql_query(
 _HAMMING_MAX = 3  # near-dup threshold (Manku's production setting at 60+ bits)
 
 
-def _simhash_pairs_sql(d: Dialect) -> str:
-    """Pigeonhole-banded Hamming join: the 60-bit fingerprint splits into 4
-    15-bit chunks; any pair within Hamming distance 3 differs in at most 3
-    chunks, so it MATCHES on at least one — candidate generation is exact
-    (no recall loss) and never enumerates the full pair space. 32768-value
-    chunks keep buckets ~N/32768 deep, so candidates are ~4·N²/65536 of
-    the pair space instead of the 16-bit version's ~4·N²/32."""
+def _simhash_pairs_body(d: Dialect, sim: str) -> str:
+    """Pigeonhole-banded Hamming join over a fingerprint relation `sim`:
+    the 60-bit fingerprint splits into 4 15-bit chunks; any pair within
+    Hamming distance 3 differs in at most 3 chunks, so it MATCHES on at
+    least one — candidate generation is exact (no recall loss) and never
+    enumerates the full pair space. 32768-value chunks keep buckets
+    ~N/32768 deep, so candidates are ~4·N²/65536 of the pair space
+    instead of the 16-bit version's ~4·N²/32."""
     chunk_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {i} AS chunk_idx,"
         f" {d.idiv('simhash', 1 << (_SIM_CHUNK_BITS * i))} % {1 << _SIM_CHUNK_BITS}"
-        f" AS chunk_val FROM sim"
+        f" AS chunk_val FROM {sim}"
         for i in range(4)
     )
     ham = f"bit_count({d.xor('fp_a', 'fp_b')})"
-    return f"""
-WITH {_simhash_ctes(d)},
-chunks AS (
+    return f"""chunks AS (
 {chunk_selects}
 ),
 cand AS (
@@ -435,9 +434,14 @@ WHERE {ham} <= {_HAMMING_MAX}
 """
 
 
-sql_query(
+def _simhash_pairs_sql(d: Dialect) -> str:
+    return f"""
+WITH {_simhash_ctes(d)},
+{_simhash_pairs_body(d, 'sim')}"""
+
+
+@df_query(
     "q_dedup_simhash_pairs",
-    spark_sql=_simhash_pairs_sql(SPARK),
     duck_sql=_simhash_pairs_sql(DUCK),
     tables=["documents"],
     doc="SimHash near-dup PAIRS (the dedup step q_dedup_simhash's "
@@ -450,8 +454,17 @@ sql_query(
     "hash rows. Widened 16→60 bits in r8: the scale-decade measurement "
     "showed the 16-bit space's chance collisions dominating output "
     "(86.7M pairs at 50k docs, 17× wall per 10× rows); at 60 bits chance "
-    "pairs vanish and output is the genuine near-dup set.",
+    "pairs vanish and output is the genuine near-dup set. The Spark side "
+    "materializes the fingerprint table ONCE (localCheckpoint + temp "
+    "view, the module convention) — the chunk UNION references it 4× per "
+    "self-join side and Catalyst CTE inlining would re-run the token "
+    "explode + md5 + 60-aggregate pass 8×.",
 )
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    sim = spark.sql(_simhash_sql(SPARK)).localCheckpoint(eager=True)
+    sim.createOrReplaceTempView("simhash_fp")
+    return spark.sql("WITH " + _simhash_pairs_body(SPARK, "simhash_fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -970,6 +983,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_N = 5  # character shingle width (Broder syntactic clustering)
 _SHINGLE_MOD = 8  # modhash sketch: keep shingles with h(g) % 8 == 0
 _STOP_SHINGLE_DOC_FRAC = 0.10  # drop shingles present in >10% of docs
+# Absolute floor under the relative cap: for a lang with < 1/frac·MIN docs
+# the 10% cap would drop EVERY shared gram (df >= 2 > 0.1·n for n < 20) —
+# exactly the intersection grams near-dup detection needs. A gram must
+# appear in > max(10%·n, 5) docs of its lang before it counts as "stop".
+_STOP_SHINGLE_MIN_DF = 5
 
 
 def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
@@ -1024,7 +1042,8 @@ informative AS (
   FROM (SELECT lang, gram, COUNT(DISTINCT doc_id) AS df
         FROM sel GROUP BY lang, gram) g
   JOIN lang_docs ld ON g.lang = ld.lang
-  WHERE g.df <= {_STOP_SHINGLE_DOC_FRAC} * ld.n_docs
+  WHERE g.df <= GREATEST({_STOP_SHINGLE_DOC_FRAC} * ld.n_docs,
+                         {_STOP_SHINGLE_MIN_DF})
 )
 SELECT s.doc_id, s.lang, s.gram
 FROM sel s JOIN informative i ON s.gram = i.gram AND s.lang = i.lang

@@ -38,7 +38,8 @@ WHITELIST = {
     # q_dedup_simhash/_pairs left the whitelist in r8: the md5-bit rewrite
     # removed their vocabulary DENSE_RANK, so they no longer single-part.
     # 1-row corpus-size scalar feeding the stop-shingle df-cap threshold.
-    "q_dedup_chargram": ({"single-part"}, "COUNT(*) scalar for df-cap"),
+    # q_dedup_chargram left the whitelist in r8: the per-lang df-cap
+    # replaced the global COUNT(*) scalar, so no single-part shape remains.
     # 1-row corpus-token-total broadcast into the lift denominator.
     "q_collocations": ({"single-part", "bnlj"}, "N-tokens scalar x bigram table"),
     # 1-row corpus/target token totals x the 256-bucket DSIR weight table.

@@ -50,6 +50,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1_decade")
     ap.add_argument("--replicas", type=int, default=10)
     args = ap.parse_args()
+    # The Caesar rotations 7k mod 26 are distinct only for k < 26; replica
+    # 26 would rotate by 0 — byte-identical to replica 0, silently
+    # reintroducing the cross-replica clone artifact this tool exists to
+    # avoid. Grow via a second cipher parameter before raising this.
+    assert args.replicas <= 26, "replicas > 26 reuse Caesar rotations"
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     r = args.replicas
