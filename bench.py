@@ -205,6 +205,13 @@ HEADLINE = [
     "q_lsh_bucket_step",
     "q_ivf_assign_step",
     "q_pq_adc_step",
+    # round-8 additions: the Gram step twin, the converted fixed-point
+    # TF-IDF, the adversarial mixed-case dedup, and the 60-bit simhash
+    # pairs (now cheap enough to watch — 3.4 s at sf0.1, was 10.6).
+    "q_pca_gram_step",
+    "q_tfidf",
+    "q_mixedcase_dedup",
+    "q_dedup_simhash_pairs",
 ]
 
 
