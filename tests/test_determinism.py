@@ -118,6 +118,22 @@ CASES = [
     "q_lsh_bucket_step",
     "q_ivf_assign_step",
     "q_pq_adc_step",
+    # round-8 additions with partition-sensitive internals:
+    #   exact-BIGINT Gram cells via a vec_id self-join + 2 keyed aggs,
+    #   n from a separate count action                    -> q_pca_gram_step
+    #   integer fixed-point score + per-doc top-5 under (score, token)
+    #   ties across an AQE-adaptive tf x df join          -> q_tfidf
+    #   min-id canonical selection + variant counts over a 4-way derived
+    #   union                                             -> q_mixedcase_dedup
+    #   checkpointed 60-bit fingerprints + 4-chunk bucket self-join with
+    #   DISTINCT pair dedup                               -> q_dedup_simhash_pairs
+    #   Arrow-batched int64 GEMM whose batch boundaries move with
+    #   partitioning; rank window under bit-equal cosines -> q_similarity_bruteforce_pandas
+    "q_pca_gram_step",
+    "q_tfidf",
+    "q_mixedcase_dedup",
+    "q_dedup_simhash_pairs",
+    "q_similarity_bruteforce_pandas",
 ]
 
 
@@ -163,6 +179,11 @@ AQE_CASES = [
     "q_deletion_vectors",
     "q_item_cf",
     "q_heavy_hitters",
+    # r8: the tf x df join is deliberately unhinted so AQE decides its
+    # side; the chargram per-lang df-cap join likewise. Results must not
+    # depend on that runtime choice.
+    "q_tfidf",
+    "q_dedup_chargram",
 ]
 
 
