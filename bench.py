@@ -311,11 +311,17 @@ def main() -> None:
     }
     if first_drain:
         full["first_drain"] = first_drain
-    # A BENCH_QUERIES CSV subset is a spot check, not the suite record —
-    # write it to a side file so it can never clobber the committed
-    # BENCH_full.json (which happened once in r8: a 4-query contract check
-    # silently replaced the 121-query round record).
-    full_name = "BENCH_full.json" if sel in ("", "all") else "BENCH_subset.json"
+    # Only a run that actually covered the whole registry may write the
+    # committed BENCH_full.json (which a 4-query contract check clobbered
+    # once in r8, and whose r8 guard still let the ~17-query headline
+    # default through). Headline and CSV spot checks go to gitignored side
+    # files so they can never replace the full-registry round record.
+    if set(names) == set(specs):
+        full_name = "BENCH_full.json"
+    elif sel == "":
+        full_name = "BENCH_headline.json"
+    else:
+        full_name = "BENCH_subset.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                full_name), "w") as f:

@@ -21,7 +21,7 @@ append that never rewrites other partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.detsql import SPARK
@@ -51,11 +51,31 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_exact_canonical(docs: DataFrame) -> DataFrame:
-    """Keep the MIN(doc_id) row per normalized-content hash."""
+def dedup_exact_canonical(docs: DataFrame, with_counts: bool = False) -> DataFrame:
+    """Keep the MIN(doc_id) row per normalized-content hash.
+
+    One MIN-over-window on a single hash-partitioned exchange. The former
+    agg-then-self-join spelling shuffled the corpus twice (once for the
+    GROUP BY, once for the join probe — the canonical side is
+    corpus-scaled, so it is never broadcastable at scale) and evaluated
+    the md5 normalization in both subtrees; min-over-window + filter has
+    identical semantics (doc_id is unique, so no ties) with ONE exchange
+    and ONE normalization pass — the shape that survives a 100× corpus.
+
+    ``with_counts=True`` adds ``n_variants`` = COUNT(*) per hash group over
+    the SAME window frame (no extra shuffle) — VERDICT r8 #3's blessed way
+    to let q_mixedcase_dedup drop its separate n_variants agg + join.
+    """
+    w = Window.partitionBy("__h")
     hashed = docs.withColumn("__h", exact_content_hash())
-    canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
-    return hashed.join(canon, ["__h", "doc_id"]).drop("__h")
+    out = hashed.withColumn("__min_id", F.min("doc_id").over(w))
+    if with_counts:
+        out = out.withColumn(
+            "n_variants", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+    return out.where(F.col("doc_id") == F.col("__min_id")).drop(
+        "__h", "__min_id"
+    )
 
 
 def dedup_neardup_canonical(spark: SparkSession, docs: DataFrame) -> DataFrame:

@@ -386,9 +386,11 @@ def tfidf_top_terms(documents, top_k: int = 5):
     raw idf (N+1)/(df+1) is the log-free member of the TF-IDF family:
     within a fixed tf it ranks identically to ln-idf (ln is monotone),
     and rare terms still dominate corpus-wide stopwords (pinned by
-    tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms). Products stay
-    < 2^63 up to ~10^9 docs with tf ≤ 10^4; beyond that drop the 1e6
-    scale or score per-shard.
+    tests/test_llm_ops.py::test_tfidf_surfaces_rare_terms). Overflow
+    bound (ADVICE r8 correction): tf·(N+1)·1e6 < 2^63 ≈ 9.22·10^18 holds
+    for N ≤ ~9·10^8 docs at tf ≤ 10^4 (or N ≤ 10^9 with tf ≤ 9·10^3) —
+    NOT a full 10^9 at tf 10^4, which is ~1e19 and overflows; beyond
+    that drop the 1e6 scale or score per-shard.
 
     One explode + two hash-aggs + an ADAPTIVE tf⨝df join: the df table is
     vocabulary-scaled (Heaps' law — unbounded in the corpus), so it is

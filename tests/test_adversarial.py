@@ -28,18 +28,67 @@ def _buggy_hash():
 
 def test_fixture_preconditions(spark):
     """The invariants the adversarial derivation and these tests assume,
-    pinned so a regenerated fixture fails HERE with an explanation instead
-    of as a mystery red driver row:
+    pinned at EVERY SF the suite consumes the corpus at (ADVICE r8: the
+    id-block invariant was pinned only at sf0.001 while q_mixedcase_* run
+    at sf0.1 and on the derived decade), so a regenerated fixture fails
+    HERE with an explanation instead of as a mystery red driver row:
     - variant ids (doc_id·10+2) stay below the 9e9 edge-row id block;
     - originals are pure lowercase-ASCII [a-z0-9 ] (so upper() is
       engine-identical and the two normalization orders coincide on v0);
     - every doc contains a letter (so upper(text) != text on v1 and the
       two orders DIVERGE on every cased row)."""
+    import os
+
+    sf_dirs = [SF, "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    if os.path.exists("/tmp/sf1_decade/documents.parquet"):
+        sf_dirs.append("/tmp/sf1_decade")
+    for sf_dir in sf_dirs:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        assert max_id * 10 + 2 < 9_000_000_000, sf_dir
+        assert docs.where(F.col("text").rlike("[^a-z0-9 ]")).count() == 0, sf_dir
+        assert docs.where(~F.col("text").rlike("[a-z]")).count() == 0, sf_dir
+
+
+def test_id_block_precondition_raises_in_derivation(spark):
+    """ADVICE r8: the precondition must be checked where the corpus is
+    consumed — a doc_id >= 9e8 flips min-id survivor semantics identically
+    in both engines, so the oracle would stay green while the 'original
+    wins' property silently breaks. adversarial_documents now raises."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(900_000_000, "a doc with a huge id")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="edge-row id block"):
+        adversarial_documents(bad)
+
+
+def test_with_counts_matches_independent_group_count(spark):
+    """dedup_exact_canonical(with_counts=True) — the single-window form
+    VERDICT r8 #3 folded n_variants into — must agree with an
+    independently spelled groupBy count over the same (buggy-order-free)
+    normalization; spelled WITHOUT the production window so a frame bug
+    (e.g. a running count under an accidental orderBy) fails red."""
     docs = load_tables(spark, SF, ["documents"])["documents"]
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    assert max_id * 10 + 2 < 9_000_000_000
-    assert docs.where(F.col("text").rlike("[^a-z0-9 ]")).count() == 0
-    assert docs.where(~F.col("text").rlike("[a-z]")).count() == 0
+    adv = adversarial_documents(docs)
+    got = {
+        (r["doc_id"], r["n_variants"])
+        for r in dedup_exact_canonical(adv, with_counts=True)
+        .select("doc_id", "n_variants")
+        .collect()
+    }
+    indep = {
+        (r["doc_id"], r["n"])
+        for r in adv.withColumn(
+            "h", F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n"))
+        .select("doc_id", "n")
+        .collect()
+    }
+    assert got == indep
 
 
 def test_case_variants_merge_under_correct_order(spark):

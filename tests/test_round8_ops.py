@@ -66,12 +66,16 @@ def test_simhash_is_60_bit_and_chance_collision_free(spark):
 
 
 def test_scale_decade_generator_caps_replicas():
+    import os
     import subprocess
     import sys
 
+    # -O strips `assert` statements: the cap must be a real raise, so the
+    # subprocess runs optimized to prove it survives.
     r = subprocess.run(
-        [sys.executable, "tools/make_scale_decade.py", "--replicas", "27",
-         "--out", "/tmp/r8_should_not_exist"],
+        [sys.executable, "-O", "tools/make_scale_decade.py", "--replicas",
+         "27", "--out", "/tmp/r8_should_not_exist"],
         capture_output=True, text=True,
     )
     assert r.returncode != 0 and "Caesar" in (r.stderr + r.stdout)
+    assert not os.path.exists("/tmp/r8_should_not_exist")

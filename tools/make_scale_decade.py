@@ -54,7 +54,9 @@ def main() -> None:
     # 26 would rotate by 0 — byte-identical to replica 0, silently
     # reintroducing the cross-replica clone artifact this tool exists to
     # avoid. Grow via a second cipher parameter before raising this.
-    assert args.replicas <= 26, "replicas > 26 reuse Caesar rotations"
+    # An explicit raise, not `assert`: the cap must survive `python -O`.
+    if args.replicas > 26:
+        raise SystemExit("replicas > 26 reuse Caesar rotations")
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     r = args.replicas
