@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
+from ..plans.ckpt import evict_local_checkpoint
 from ..registry import df_query, sql_query
 from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.tables import load_tables
@@ -726,17 +727,26 @@ def connected_components(
         nbr_min = edges.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
         ).select(F.col("src").alias("doc_id"), "label")
-        labels = (
+        new_labels = (
             labels.unionByName(nbr_min)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # The new round materialized eagerly above — the previous round's
+        # blocks are now unreachable; release them instead of letting them
+        # pile up for the session's lifetime (VERDICT r8 #2: the decade-
+        # scale GC-churn / repeat-run-OOM cause at the default 8 GiB heap).
+        evict_local_checkpoint(labels)
+        labels = new_labels
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
+    # The edge checkpoint is loop-internal: the returned plan references
+    # only the final labels round (+ the lazy vertices frame).
+    evict_local_checkpoint(edges)
     if not converged:
         # Silent partial convergence would emit WRONG cluster labels (some
         # vertices not yet reached by their component's minimum). Refuse.
@@ -813,7 +823,11 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         # (r6: one set-difference shuffle per round instead of two,
         # and zero on the early rounds where the counts still differ).
         n_new = new_e.count()
-        if n_new == n_e and new_e.subtract(e).isEmpty():
+        at_fixpoint = n_new == n_e and new_e.subtract(e).isEmpty()
+        # The fixpoint probe above was the LAST plan referencing the
+        # previous round — release its blocks either way (VERDICT r8 #2).
+        evict_local_checkpoint(e)
+        if at_fixpoint:
             return new_e, rounds
         e, n_e = new_e, n_new
     raise RuntimeError(
@@ -1356,6 +1370,12 @@ def prod_dedup_chain(docs: DataFrame) -> DataFrame:
         verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = connected_components(edges, docs.select("doc_id"))
+    # connected_components has already materialized its internal edge
+    # checkpoint (the loop runs eagerly), so nothing live references the
+    # signature table anymore — release it instead of holding ~16 hash
+    # columns × corpus rows for the session's lifetime (VERDICT r8 #2:
+    # this chain is the one that OOMed repeat decade runs at 8 GiB).
+    evict_local_checkpoint(sig)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -1667,7 +1687,7 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
             .groupBy("src")
             .agg(F.count("*").alias("dec"))
         )
-        deg = (
+        new_deg = (
             deg.filter(F.col("deg") >= k)
             .join(dec, "src", "left")
             .select(
@@ -1676,6 +1696,13 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # new_deg materialized eagerly — the previous round's degree table
+        # is dead; release it (VERDICT r8 #2 checkpoint lifecycle).
+        evict_local_checkpoint(deg)
+        deg = new_deg
+    # The pre-partitioned edge checkpoint is loop-internal; the returned
+    # plan references only the final degree round.
+    evict_local_checkpoint(e)
     # deg's row set IS alive after exactly `rounds` removal rounds (each
     # iteration filters on the PREVIOUS round's degrees before updating),
     # matching the oracle's unrolled budget — no extra filter here.

@@ -1,0 +1,106 @@
+"""Checkpoint lifecycle (VERDICT r8 #2): iterative operators must RELEASE
+superseded per-round localCheckpoints instead of accumulating them for the
+session's lifetime — the accumulation is what GC-churned / OOMed repeat
+decade runs at the default 8 GiB single-JVM heap.
+
+The observable is the JVM's persistent-RDD map: bounded by the number of
+checkpoints the RETURNED plan still references (≤1 per call), not growing
+by one per iteration round or per repeat run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_lakehouse_spark.llm.dedup import (
+    connected_components,
+    connected_components_star,
+    kcore_members,
+    prod_dedup_chain,
+)
+from nyc_taxi_lakehouse_spark.plans.ckpt import (
+    evict_local_checkpoint,
+    persistent_rdd_count,
+)
+
+
+def _path_edges(spark, n):
+    """Symmetric edge set of the path 0-1-...-(n-1): worst-case diameter,
+    so the loops actually iterate many rounds."""
+    half = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    return half.unionByName(half.selectExpr("dst AS src", "src AS dst"))
+
+
+def test_evict_requires_checkpoint_frame(spark):
+    ck = spark.range(10).localCheckpoint(eager=True)
+    with pytest.raises(TypeError, match="LogicalRDD"):
+        evict_local_checkpoint(ck.selectExpr("id * 2 AS y"))
+    before = persistent_rdd_count(spark)
+    evict_local_checkpoint(ck)
+    assert persistent_rdd_count(spark) == before - 1
+
+
+def test_connected_components_releases_rounds(spark):
+    edges = _path_edges(spark, 16)  # min-label propagation: ~15 rounds
+    verts = spark.range(16).withColumnRenamed("id", "doc_id")
+    before = persistent_rdd_count(spark)
+    out = connected_components(edges, verts, max_iter=25)
+    assert out.count() == 16
+    assert out.select("cluster_id").distinct().count() == 1
+    # Only the final labels round may survive; ~16 round checkpoints plus
+    # the edge checkpoint would linger without eviction.
+    assert persistent_rdd_count(spark) - before <= 1
+
+
+def test_star_contraction_releases_rounds(spark):
+    edges = _path_edges(spark, 64)  # O(log d) rounds, still several
+    verts = spark.range(64).withColumnRenamed("id", "doc_id")
+    before = persistent_rdd_count(spark)
+    out = connected_components_star(edges, verts, max_iter=30)
+    assert out.count() == 64
+    assert out.select("cluster_id").distinct().count() == 1
+    # Only the fixpoint edge set may survive (the returned labels read it).
+    assert persistent_rdd_count(spark) - before <= 1
+
+
+def test_kcore_releases_rounds(spark):
+    edges = _path_edges(spark, 16)  # k=2 peels a path end-in, ~8 rounds
+    before = persistent_rdd_count(spark)
+    out = kcore_members(edges, k=2, rounds=12)
+    assert out.count() == 0  # a path has no 2-core
+    assert persistent_rdd_count(spark) - before <= 1
+
+
+def test_prod_dedup_chain_repeat_runs_bounded(spark):
+    # Small corpus with planted near-dup pairs so every stage (signatures,
+    # banding, verify, CC) does real work.
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the long winter",
+        "a stitch in time saves nine but only when the thread is strong",
+        "all that glitters is not gold yet the miners keep on digging",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4] + f" variant tail {i // 4}"
+        rows.append((i, t))
+        rows.append((1000 + i, t + "!"))  # near-dup of row i
+    docs = (
+        _spark_docs(spark, rows)
+    )
+    before = persistent_rdd_count(spark)
+    for _ in range(3):
+        out = prod_dedup_chain(docs)
+        assert out.where(~F.col("keep")).count() > 0  # dups actually found
+    # One surviving final-labels checkpoint per run; intermediate label
+    # rounds, the edge checkpoint, and the 16-column signature table must
+    # all have been released (the signature table alone dominated the
+    # decade-scale heap).
+    assert persistent_rdd_count(spark) - before <= 3
+
+
+def _spark_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
