@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import evict_local_checkpoint
+
 
 def _merge_pair_expr(left: str, right: str) -> str:
     """SQL expression rewriting `syms` with every adjacent (left, right)
@@ -82,7 +84,16 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> list[tuple[str, str, i
             break
         l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
         merges.append((l, r, cnt))
-        vocab = vocab.withColumn("syms", F.expr(_merge_pair_expr(l, r))).localCheckpoint()
+        new_vocab = vocab.withColumn(
+            "syms", F.expr(_merge_pair_expr(l, r))
+        ).localCheckpoint()
+        # The merged vocab materialized eagerly; the previous round is dead
+        # (VERDICT r8 #2 checkpoint lifecycle).
+        evict_local_checkpoint(vocab)
+        vocab = new_vocab
+    # The function returns a plain Python list — no plan survives, so the
+    # final vocab round is dead too.
+    evict_local_checkpoint(vocab)
     return merges
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
+from ..plans.ckpt import evict_local_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -269,13 +270,23 @@ def kmeans_lloyd(
     )
     ccomp = cent_ids.join(comp, "vec_id").select("cell", "i", F.col("q").alias("cv"))
     assign = None
+    prev = None
     for _ in range(iterations):
         assign = kmeans_assign(comp, ccomp).localCheckpoint(eager=True)
+        # The new assignment materialized eagerly, and the lazy ccomp that
+        # referenced the previous round was consumed doing so — release the
+        # superseded round (VERDICT r8 #2 checkpoint lifecycle).
+        if prev is not None:
+            evict_local_checkpoint(prev)
+        prev = assign
         ccomp = (
             assign.join(comp, "vec_id")
             .groupBy("cell", "i")
             .agg(F.round(F.sum("q") / F.count("*")).cast("bigint").alias("cv"))
         )
+    # The returned plan is the final assignment checkpoint alone; the
+    # component table is loop-internal.
+    evict_local_checkpoint(comp)
     return assign
 
 
@@ -1249,11 +1260,17 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         vid, dd = int(top.vec_id), int(top.dist)
         centers.append((i, vid, dd))
         if i < _KC_K - 1:
-            dist = (
+            new_dist = (
                 dist.join(dist_to(vid), "vec_id")
                 .select("vec_id", F.least("dist", "nd").cast("bigint").alias("dist"))
                 .localCheckpoint()
             )
+            # Superseded min-distance round — release (VERDICT r8 #2).
+            evict_local_checkpoint(dist)
+            dist = new_dist
+    # The result is a driver-side literal: every checkpoint is dead here.
+    evict_local_checkpoint(dist)
+    evict_local_checkpoint(comp)
     return spark.createDataFrame(
         centers, "sel_order int, vec_id bigint, dist_at_selection bigint"
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
+from ..plans.ckpt import evict_local_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -368,8 +369,18 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hop", F.lit(i))
             .localCheckpoint()
         )
-        dist = dist.unionAll(new).localCheckpoint()
-        frontier = new
+        new_dist = dist.unionAll(new).localCheckpoint()
+        # new_dist materialized eagerly and COPIES the frontier rows, so
+        # the superseded rounds are dead — release them instead of holding
+        # one checkpoint per hop for the session (VERDICT r8 #2). Round 1
+        # guard: the seed frame doubles as dist AND frontier.
+        evict_local_checkpoint(dist)
+        if frontier is not dist:
+            evict_local_checkpoint(frontier)
+        dist, frontier = new_dist, new
+    evict_local_checkpoint(edges)
+    if frontier is not dist:
+        evict_local_checkpoint(frontier)
     return dist.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -992,9 +1003,18 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("hop", F.lit(i))
         new = new.localCheckpoint()
         if new.isEmpty():
+            evict_local_checkpoint(new)
             break
-        dist = dist.unionAll(new).localCheckpoint()
-        frontier = new
+        new_dist = dist.unionAll(new).localCheckpoint()
+        # Superseded rounds are dead once new_dist materialized (its union
+        # copied the frontier rows) — release per round, VERDICT r8 #2.
+        evict_local_checkpoint(dist)
+        if frontier is not dist:
+            evict_local_checkpoint(frontier)
+        dist, frontier = new_dist, new
+    evict_local_checkpoint(edges)
+    if frontier is not dist:
+        evict_local_checkpoint(frontier)
     hist = dist.groupBy("hop").agg(F.count("*").alias("n_pairs"))
     from pyspark.sql import Window
 

@@ -104,3 +104,52 @@ def test_prod_dedup_chain_repeat_runs_bounded(spark):
 
 def _spark_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "qname,kept",
+    [
+        ("q_bfs_hops", 1),               # final dist only
+        ("q_effective_diameter", 1),     # final dist only
+        ("q_kcenter_coreset", 0),        # returns a driver-side literal
+    ],
+)
+def test_registered_iterative_queries_bounded(spark, qname, kept):
+    """The frontier-BFS and k-center loops release superseded rounds; the
+    surviving count is exactly what the returned plan still references."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    fn = all_queries()[qname].fn
+    before = persistent_rdd_count(spark)
+    out = fn(spark, SF)
+    assert out.count() > 0
+    assert persistent_rdd_count(spark) - before <= kept
+
+
+def test_bpe_train_releases_everything(spark):
+    """bpe_train returns a Python list — no plan survives, so every
+    per-merge vocab checkpoint must be released."""
+    from nyc_taxi_lakehouse_spark.llm.bpe import bpe_train
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    before = persistent_rdd_count(spark)
+    merges = bpe_train(docs, n_merges=4)
+    assert len(merges) == 4
+    assert persistent_rdd_count(spark) - before == 0
+
+
+def test_kmeans_lloyd_releases_rounds(spark):
+    from nyc_taxi_lakehouse_spark.llm.similarity import kmeans_lloyd
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    before = persistent_rdd_count(spark)
+    assign = kmeans_lloyd(emb, k=4, iterations=4)
+    assert assign.count() > 0
+    # Final assignment checkpoint only; 4 rounds + the component table
+    # would linger without eviction.
+    assert persistent_rdd_count(spark) - before <= 1
