@@ -26,6 +26,34 @@ workload SHAPE scales honestly instead of degenerating):
   cost is probes x corpus / k x corpus — value clones don't change it).
 - all other tables: copied unchanged.
 
+--skew (VERDICT r8 #1) derives the PLANTED-SKEW variant of the same decade:
+identical row counts and replica structure, Zipfian key mass instead of
+uniform shards —
+
+- documents: replicas 0-4 are ALL labelled with the single hottest base
+  lang — one blocking group holds 50% of the corpus (five Caesar-disjoint
+  shards of the full multi-lang base). Two deliberate consequences, both
+  part of what "skewed corpus" means: (a) the per-lang df-cap faces a
+  block whose frequent shingles are diluted ~5x by rotation heterogeneity
+  — the r8 global-cap hazard class recurring WITHIN one language, which a
+  real heterogeneous corpus produces; (b) formerly lang-blocked pairs
+  inside each rotation become visible, so near-dup outputs legitimately
+  differ from the uniform decade (skew changes blocking outcomes; the
+  oracle moves with it). Replicas 5-9 get lang||k as in the uniform
+  decade.
+- lineitem: ~30% of line rows across every replica remap l_suppkey to the
+  minimum suppkey (deterministic mix of (l_orderkey, l_linenumber)) — one
+  hot supplier dominates the customer–supplier trade graph and every
+  suppkey-keyed join/shuffle partition, the canonical AQE-skew-join
+  scenario. Remaining rows keep their uniform suppkey (a one-hot Zipf
+  head with a uniform tail).
+- Token-frequency Zipf inside the TEXT was considered and rejected:
+  rewriting token streams changes the true dup/near-dup structure, so the
+  measurement would capture the perturbation, not the engine (the exact
+  failure mode the Caesar design exists to avoid — see the r8 note above).
+
+--src lets tests derive the same structures from a smaller SF.
+
 Deterministic end to end; DuckDB does the generation so no Spark session
 is warmed before a measurement run.
 """
@@ -38,17 +66,27 @@ import shutil
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# Hot-supplier mass for --skew: 3 of 10 residue classes of a multiplicative
+# mix remap to the minimum suppkey -> ~30% of all line rows on one key.
+_HOT_SUPP_PCT = 3
+_MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_decade")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="plant Zipfian key mass (hot lang block, hot supplier) "
+        "instead of uniform shards",
+    )
     args = ap.parse_args()
     # The Caesar rotations 7k mod 26 are distinct only for k < 26; replica
     # 26 would rotate by 0 — byte-identical to replica 0, silently
@@ -57,6 +95,7 @@ def main() -> None:
     # An explicit raise, not `assert`: the cap must survive `python -O`.
     if args.replicas > 26:
         raise SystemExit("replicas > 26 reuse Caesar rotations")
+    SRC = args.src
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     r = args.replicas
@@ -71,10 +110,27 @@ def main() -> None:
         f"SELECT MAX(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
     ).fetchone()[0]
 
+    if args.skew:
+        hot_supp = con.execute(
+            f"SELECT MIN(l_suppkey) FROM read_parquet('{SRC}/lineitem.parquet')"
+        ).fetchone()[0]
+        suppkey_expr = (
+            f"CASE WHEN (l_orderkey * {_MIX} + l_linenumber) % 10"
+            f" < {_HOT_SUPP_PCT} THEN {hot_supp} ELSE l_suppkey END"
+        )
+        lineitem_sel = (
+            f"SELECT l_orderkey + k.k * {off} AS l_orderkey,\n"
+            f"       {suppkey_expr} AS l_suppkey,\n"
+            "       * EXCLUDE (l_orderkey, l_suppkey)"
+        )
+    else:
+        lineitem_sel = (
+            f"SELECT l_orderkey + k.k * {off} AS l_orderkey,\n"
+            "       * EXCLUDE (l_orderkey)"
+        )
     con.execute(f"""
 COPY (
-  SELECT l_orderkey + k.k * {off} AS l_orderkey,
-         * EXCLUDE (l_orderkey)
+  {lineitem_sel}
   FROM read_parquet('{SRC}/lineitem.parquet'), range({r}) k(k)
 ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
@@ -91,15 +147,29 @@ COPY (
         f"'{alpha[(7 * k) % 26:] + alpha[:(7 * k) % 26]}')"
         for k in range(1, r)
     )
-    # Replica lang is suffixed (en -> en3): replicas are disjoint SHARDS,
-    # and lang is the blocking/df-cap key — a 10x corpus of 10 shards
-    # should present 10 blocking groups, not one group with diluted
-    # global document frequencies.
+    # Uniform: replica lang is suffixed (en -> en3) — replicas are disjoint
+    # SHARDS, and lang is the blocking/df-cap key, so a 10x corpus of 10
+    # shards presents 10 blocking groups, not one group with diluted global
+    # document frequencies. Skew: the first half of the replicas are all
+    # labelled with the hottest base lang — ONE blocking group holds ~50%
+    # of the corpus (see the module docstring for the two consequences).
+    if args.skew:
+        hot_cut = (r + 1) // 2
+        hot_lang = con.execute(
+            f"SELECT lang FROM read_parquet('{SRC}/documents.parquet') "
+            "GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1"
+        ).fetchone()[0]
+        lang_expr = (
+            f"CASE WHEN k.k < {hot_cut} THEN '{hot_lang}' "
+            "ELSE lang || k.k END"
+        )
+    else:
+        lang_expr = "CASE WHEN k.k = 0 THEN lang ELSE lang || k.k END"
     con.execute(f"""
 COPY (
   SELECT doc_id + k.k * {doc_off} AS doc_id,
          CASE WHEN k.k = 0 THEN text {rot_cases} END AS text,
-         CASE WHEN k.k = 0 THEN lang ELSE lang || k.k END AS lang,
+         {lang_expr} AS lang,
          source, n_chars
   FROM read_parquet('{SRC}/documents.parquet'), range({r}) k(k)
 ) TO '{args.out}/documents.parquet' (FORMAT PARQUET, CODEC ZSTD)
