@@ -1,0 +1,65 @@
+"""Plan-fingerprint regression gate (VERDICT r8 #4): the committed
+tools/plan_fingerprints.json pins the load-bearing physical-plan
+properties of the heavy-16 at sf0.01 (join strategies, exchange counts,
+scan pruning + pushdown). A refactor or config change that silently
+degrades a plan — broadcast decaying to SMJ, lost pushdown, lost column
+pruning, lost exchange reuse — fails HERE, at the moment of the change,
+instead of rounds later in the bench noise.
+
+Intentional plan changes: rerun tools/gen_fingerprints.py, commit the
+diff, and say why in the commit message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nyc_taxi_lakehouse_spark.plans.fingerprint import plan_fingerprint
+from nyc_taxi_lakehouse_spark.registry import all_queries
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PINNED = os.path.join(_HERE, "tools", "plan_fingerprints.json")
+SF_DIR = "/root/testdata/sf0.01"
+
+with open(_PINNED) as f:
+    PINNED = json.load(f)
+
+# Fields that are legitimately adaptive at sf0.01, excluded per query WITH
+# the reason. Everything else must match exactly.
+_VOLATILE: dict[str, set] = {
+    # The final LPA round joins the checkpointed edge set against the
+    # label aggregate, whose measured shuffle size sits within a few
+    # percent of the 10 MB adaptive broadcast threshold at sf0.01 —
+    # compressed size varies with intra-partition row order, so AQE picks
+    # BroadcastHashJoin or SortMergeJoin run-to-run (observed both while
+    # pinning). Exchange counts are identical under both choices and stay
+    # pinned, so a real shape regression is still caught.
+    "q_label_propagation": {"joins"},
+}
+
+
+@pytest.mark.parametrize("qname", sorted(PINNED))
+def test_plan_fingerprint_unchanged(spark, qname):
+    got = plan_fingerprint(all_queries()[qname].fn(spark, SF_DIR))
+    for field in _VOLATILE.get(qname, ()):
+        got.pop(field, None)
+        PINNED[qname].pop(field, None)
+    assert got == PINNED[qname], (
+        f"{qname}: executed-plan fingerprint drifted from the committed "
+        "pin. If the change is intentional, rerun "
+        "tools/gen_fingerprints.py and commit the diff with the reason.\n"
+        f"pinned: {json.dumps(PINNED[qname], sort_keys=True)}\n"
+        f"got:    {json.dumps(got, sort_keys=True)}"
+    )
+
+
+def test_pin_covers_the_heavy_list():
+    import sys
+
+    sys.path.insert(0, os.path.join(_HERE, "tools"))
+    from scaling_report import HEAVY
+
+    assert set(PINNED) == set(HEAVY)

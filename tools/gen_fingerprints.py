@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Regenerate the committed heavy-16 plan fingerprints (VERDICT r8 #4).
+
+Writes tools/plan_fingerprints.json: per heavy query, the canonical
+executed-plan fingerprint at sf0.01 under the session's default conf.
+tests/test_plan_fingerprints.py regenerates and diffs in CI — run this
+tool (and commit the diff) when a plan change is INTENTIONAL, with the
+reason in the commit message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nyc_taxi_lakehouse_spark.plans.fingerprint import plan_fingerprint
+from nyc_taxi_lakehouse_spark.registry import all_queries
+from nyc_taxi_lakehouse_spark.session import get_spark
+from scaling_report import HEAVY
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "plan_fingerprints.json")
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen_fingerprints")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    out = {}
+    for name in HEAVY:
+        out[name] = plan_fingerprint(specs[name].fn(spark, SF_DIR))
+        print(f"{name}: {json.dumps(out[name])[:120]}...", file=sys.stderr)
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
