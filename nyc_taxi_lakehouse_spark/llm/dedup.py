@@ -1002,28 +1002,39 @@ _STOP_SHINGLE_DOC_FRAC = 0.10  # drop shingles present in >10% of docs
 # exactly the intersection grams near-dup detection needs. A gram must
 # appear in > max(10%·n, 5) docs of its lang before it counts as "stop".
 _STOP_SHINGLE_MIN_DF = 5
+# Absolute CEILING over the relative cap (r9 planted-skew finding): per-gram
+# self-join cost is C(df,2) pairs regardless of block size, so a block-
+# relative cap cannot bound it on a heterogeneous hot block (one lang = 50%
+# of the corpus diluted every shard's common grams under the 10% line:
+# 134M candidate pairs, 11.3x wall). 256 binds nowhere at the committed SFs
+# (max kept df at sf0.1 is 199 — r1-r8 outputs bit-identical) and bounds
+# any single gram's bucket at C(256,2) ~ 33k pairs at every corpus size.
+_STOP_SHINGLE_ABS_MAX = 256
 
 
 def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
-    """The `keep(doc_id, lang, gram)` shingle table with the three standard
-    scale guards applied:
+    """The `keep(doc_id, lang, gram, anchor)` sampled-shingle table.
 
-    1. modhash sampling (Broder '97): keep the deterministic 1/8 of shingles
-       whose integer hash ≡ 0 (mod 8) — an unbiased sketch of the shingle
-       set that cuts join input 8× with no per-doc state;
-    2. stop-shingle removal: shingles present in >10% of the documents OF
-       THEIR LANG are uninformative AND are exactly the hot join keys that
-       explode the candidate space / skew the shuffle — dropped before the
-       self-join (the df-cap from syntactic-clustering practice). The cap
-       is PER LANG — the same key the pair join blocks on — not
-       corpus-global: the r8 scale-decade measurement showed a global
-       relative cap loses its bite on a heterogeneous corpus (10 disjoint
-       content shards → every shard's common grams fall under 10% of the
-       GLOBAL count, nothing is capped within a shard, and the candidate
-       space reverts to uncapped: 397× output growth per 10× rows). A cap
-       relative to the blocking group keeps its bite no matter how many
-       groups the corpus spans;
-    3. lang blocking (applied in the pair join).
+    Every row is a modhash-sampled shingle (Broder '97: the deterministic
+    1/8 of shingles with hash ≡ 0 mod 8 — an unbiased sketch that cuts
+    join input 8× with no per-doc state). `anchor` marks the shingles that
+    may GENERATE candidate pairs; similarity is always SCORED over the
+    full sample (see _chargram_pairs_sql — the r9 generate/score split).
+
+    A shingle is an anchor iff its doc frequency is within
+    min(max(10%·n_lang, {_STOP_SHINGLE_MIN_DF}), {_STOP_SHINGLE_ABS_MAX}):
+
+    - per LANG, not corpus-global (r8 decade finding: on a corpus of 10
+      content-disjoint shards nothing reaches 10% of the GLOBAL count,
+      nothing is capped, candidates revert to uncapped — 397× output);
+    - with an ABSOLUTE ceiling (r9 planted-skew finding: a block-relative
+      cap alone still dies on a heterogeneous BLOCK — one lang holding
+      50% of the corpus as five disjoint shards diluted every shard's
+      common grams under the 10% line and wall blew up 11.3×; per-gram
+      join cost is C(df,2) REGARDLESS of block size, so only an absolute
+      df bound caps it: C({_STOP_SHINGLE_ABS_MAX},2) ≈ 33k pairs/gram at
+      any corpus. On the skew decade the ceiling cuts candidate cost
+      134M → 9.4M pairs, below the uniform decade's 16.2M).
 
     ``table`` lets the Spark caller substitute a re-partitioned view of
     documents (the shingle explode + per-shingle md5 is the compute-dense
@@ -1056,55 +1067,99 @@ informative AS (
   FROM (SELECT lang, gram, COUNT(DISTINCT doc_id) AS df
         FROM sel GROUP BY lang, gram) g
   JOIN lang_docs ld ON g.lang = ld.lang
-  WHERE g.df <= GREATEST({_STOP_SHINGLE_DOC_FRAC} * ld.n_docs,
-                         {_STOP_SHINGLE_MIN_DF})
+  WHERE g.df <= LEAST(GREATEST({_STOP_SHINGLE_DOC_FRAC} * ld.n_docs,
+                               {_STOP_SHINGLE_MIN_DF}),
+                      {_STOP_SHINGLE_ABS_MAX})
 )
-SELECT s.doc_id, s.lang, s.gram
-FROM sel s JOIN informative i ON s.gram = i.gram AND s.lang = i.lang
+SELECT s.doc_id, s.lang, s.gram, i.gram IS NOT NULL AS anchor
+FROM sel s LEFT JOIN informative i ON s.gram = i.gram AND s.lang = i.lang
 """
 
 
-def _chargram_pairs_sql(keep: str, ctes: str = "") -> str:
-    """Jaccard pairs over a `keep` relation — exact integer |∩|/|∪|."""
+def _chargram_pairs_sql(d: Dialect, keep: str, ctes: str = "") -> str:
+    """Jaccard pairs over a `keep(doc_id, lang, gram, anchor)` relation —
+    candidate GENERATION on anchor shingles, SCORING on the full sample.
+
+    The r9 planted-skew decade exposed why the split matters: scoring over
+    the capped gram set couples the similarity ESTIMATE to the candidate-
+    pruning knob, so the moment the cap bites hard (a hot heterogeneous
+    block) every doc is reduced to its rare grams, unions shrink, and
+    spurious pairs flood past the 0.3 threshold (output inflated ~49× on
+    the skew corpus). Here the cap only bounds which pairs are LOOKED AT
+    (pairs sharing nothing but block-boilerplate are skipped — intended
+    recall bias); |∩| and |∪| come from the unbiased 1/8 modhash sample
+    via an exact array intersection per candidate pair, so scores are
+    cap-independent. This is the standard candidate/verify factoring of
+    similarity self-joins (the q_dedup_ppjoin architecture, applied to
+    the gram-bucket family).
+
+    Plan shape: one anchor-bucket self-join (bounded by the df ceiling at
+    C(cap,2) pairs per gram) + DISTINCT, then one join of the candidate
+    list against the per-doc gram arrays — candidate-scaled, never
+    corpus-quadratic. Exact integers end to end; the division is the same
+    IEEE expression in both engines."""
+    if d.name == "spark":
+        grams_agg = "collect_list(gram)"
+        inter = "size(array_intersect(ga.grams, gb.grams))"
+    else:
+        grams_agg = "list(gram)"
+        inter = "len(list_intersect(ga.grams, gb.grams))"
     return f"""
-WITH {ctes}doc_size AS (SELECT doc_id, COUNT(*) AS n_grams FROM {keep} GROUP BY doc_id),
-pair_inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+WITH {ctes}doc_grams AS (
+  SELECT doc_id, lang, {grams_agg} AS grams, COUNT(*) AS n_grams
+  FROM {keep} GROUP BY doc_id, lang
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {keep} a
   JOIN {keep} b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  WHERE a.anchor AND b.anchor
+),
+scored AS (
+  SELECT
+    c.doc_a,
+    c.doc_b,
+    CAST({inter} AS BIGINT) AS inter,
+    ga.n_grams AS size_a,
+    gb.n_grams AS size_b
+  FROM cand c
+  JOIN doc_grams ga ON c.doc_a = ga.doc_id
+  JOIN doc_grams gb ON c.doc_b = gb.doc_id
 )
 SELECT
-  p.doc_a,
-  p.doc_b,
-  p.inter,
-  sa.n_grams AS size_a,
-  sb.n_grams AS size_b,
-  CAST(p.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter) AS jaccard
-FROM pair_inter p
-JOIN doc_size sa ON p.doc_a = sa.doc_id
-JOIN doc_size sb ON p.doc_b = sb.doc_id
-WHERE CAST(p.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter) >= 0.3
+  doc_a,
+  doc_b,
+  inter,
+  size_a,
+  size_b,
+  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+FROM scored
+WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.3
 """
 
 
 @df_query(
     "q_dedup_chargram",
     duck_sql=_chargram_pairs_sql(
-        "keep", ctes=f"keep AS ({_chargram_keep_sql(DUCK)}),\n"
+        DUCK, "keep", ctes=f"keep AS ({_chargram_keep_sql(DUCK)}),\n"
     ),
     tables=["documents"],
     doc="Character-5-gram (shingle) Jaccard near-dup — the n-gram-Jaccard "
     "family member operating below the token level (robust to tokenization "
-    "and whitespace edits, the classic syntactic-clustering signal). Three "
-    "scale guards before the self-join: deterministic 1/8 modhash shingle "
-    "sampling, stop-shingle removal (doc-frequency cap — also removes the "
-    "hot keys that would skew the gram join), and lang blocking. "
-    "Exact integer intersection/union over surviving shingles; threshold "
-    "0.3 on the sampled-shingle Jaccard estimator. The Spark side "
-    "materializes the shingle table ONCE (persist + temp view — Catalyst "
-    "CTE inlining would otherwise re-run the explode + md5 pipeline for "
-    "each of its 4 references, the q_dedup_minhash lesson).",
+    "and whitespace edits, the classic syntactic-clustering signal). "
+    "Candidate/score factoring (r9): candidates come from ANCHOR shingles "
+    "(deterministic 1/8 modhash sample, per-lang df cap with an absolute "
+    "ceiling — see _chargram_keep_sql for the two measured scale hazards "
+    "behind that rule), while |intersection|/|union| are computed over the "
+    "FULL unbiased sample via exact array intersection per candidate pair "
+    "— so the similarity estimate is independent of the pruning knob "
+    "(scoring on capped grams inflated skew-decade output ~49x: docs "
+    "reduced to rare grams, unions shrink, spurious pairs flood the 0.3 "
+    "threshold). Lang blocking throughout; exact integers end to end. "
+    "The Spark side materializes the shingle table ONCE (localCheckpoint "
+    "+ temp view — Catalyst CTE inlining would otherwise re-run the "
+    "explode + md5 pipeline for each of its 3 references, the "
+    "q_dedup_minhash lesson).",
 )
 def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
@@ -1116,13 +1171,14 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < DEFAULT_SHUFFLE_PARTITIONS:
         docs = docs.repartition(DEFAULT_SHUFFLE_PARTITIONS)
     docs.createOrReplaceTempView("documents_sharded")
-    # Materialize the shingle table once — the pair query references it four
-    # times and a scalar-subquery-bearing plan defeats cache matching, so
+    # Materialize the shingle table once — the pair query references it
+    # three times (doc_grams + both sides of the anchor join) and a
+    # scalar-subquery-bearing plan defeats cache matching, so
     # localCheckpoint (truncated lineage) rather than persist.
     keep = spark.sql(_chargram_keep_sql(SPARK, table="documents_sharded"))
     keep = keep.localCheckpoint()
     keep.createOrReplaceTempView("chargram_keep")
-    return spark.sql(_chargram_pairs_sql("chargram_keep"))
+    return spark.sql(_chargram_pairs_sql(SPARK, "chargram_keep"))
 
 
 # --- Cross-document segment (paragraph-level) dedup ----------------------

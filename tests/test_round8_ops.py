@@ -39,7 +39,7 @@ def test_chargram_small_lang_recall(spark):
     keep.createOrReplaceTempView("r8_keep")
     pairs = {
         (r.doc_a, r.doc_b)
-        for r in spark.sql(_chargram_pairs_sql("r8_keep")).collect()
+        for r in spark.sql(_chargram_pairs_sql(SPARK, "r8_keep")).collect()
     }
     assert (9001, 9002) in pairs
     spark.catalog.dropTempView("documents")

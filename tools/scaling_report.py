@@ -25,18 +25,21 @@ def t(spark, spec, sf_dir):
 def main():
     # --decade: measure sf0.1 -> the derived 10x dataset (sf1-equivalent,
     # built by tools/make_scale_decade.py) instead of sf0.01 -> sf0.1.
+    # SCALE_QUERIES=csv overrides the heavy-16 (the r9 mid-tier sweep).
     decade = "--decade" in sys.argv
     lo = "/root/testdata/sf0.1" if decade else "/root/testdata/sf0.01"
     hi = "/tmp/sf1_decade" if decade else "/root/testdata/sf0.1"
+    sel = os.environ.get("SCALE_QUERIES", "")
+    names = [n for n in sel.split(",") if n] or HEAVY
     spark = get_spark()
     specs = all_queries()
     # warm the session
     spark.read.parquet(f"{lo}/lineitem.parquet").count()
     print(f"{'query':28s} {'t(lo)':>8s} {'t(hi)':>8s} {'ratio':>6s} {'rows_lo':>9s} {'rows_hi':>9s}   [{lo} -> {hi}]")
-    for name in HEAVY:
+    for name in names:
         s1, n1 = t(spark, specs[name], lo)
         s2, n2 = t(spark, specs[name], hi)
-        print(f"{name:28s} {s1:8.2f} {s2:8.2f} {s2/s1:6.1f} {n1:9d} {n2:9d}")
+        print(f"{name:28s} {s1:8.2f} {s2:8.2f} {s2/s1:6.1f} {n1:9d} {n2:9d}", flush=True)
 
 if __name__ == "__main__":
     main()
