@@ -7,10 +7,16 @@ compact JSON line LAST on stdout: {"metric": ..., "value": total_sec,
 
 Output protocol (round-5 fix; BENCH_r04.json arrived "parsed": null
 because the 110-entry per-query map overflowed the driver's tail
-capture): the FULL per-query map is written to BENCH_full.json in the
-repo root (committed, machine-readable), and the final stdout line keeps
-only the frozen-13 core — the cross-round-comparable set — so it stays
-well under any tail window. Nothing is printed to stdout after it.
+capture): the FULL per-query map goes to a side JSON in the repo root,
+and the final stdout line keeps only the frozen-13 core — the
+cross-round-comparable set — so it stays well under any tail window.
+Nothing is printed to stdout after it. File routing (r9 guard): the
+committed BENCH_full.json is written ONLY when the run covered the whole
+registry (BENCH_QUERIES=all or an equivalent CSV); the default headline
+run writes gitignored BENCH_headline.json and CSV spot checks write
+gitignored BENCH_subset.json, so neither can clobber the committed
+full-registry round record. The stdout line's "full_map" field names
+which file this run wrote.
 
 Timing counts actions only (df.count() per query after a warm-up of the
 session); Spark session startup is excluded, matching BASELINE.md's plan.

@@ -749,7 +749,11 @@ def connected_components(
     evict_local_checkpoint(edges)
     if not converged:
         # Silent partial convergence would emit WRONG cluster labels (some
-        # vertices not yet reached by their component's minimum). Refuse.
+        # vertices not yet reached by their component's minimum). Refuse —
+        # and release the last round first: a caller catching this to
+        # retry with a higher max_iter must not accumulate pinned label
+        # tables across attempts (the r8 #2 hazard on the error path).
+        evict_local_checkpoint(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise max_iter (rounds are "
@@ -830,6 +834,9 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         if at_fixpoint:
             return new_e, rounds
         e, n_e = new_e, n_new
+    # Error path must not pin the last round either — a catch-and-retry
+    # caller would otherwise accumulate edge sets across attempts.
+    evict_local_checkpoint(e)
     raise RuntimeError(
         f"star contraction did not converge in {max_iter} rounds — "
         "raise max_iter (rounds are O(log diameter))."
@@ -1425,13 +1432,17 @@ def prod_dedup_chain(docs: DataFrame) -> DataFrame:
     ).unionByName(
         verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = connected_components(edges, docs.select("doc_id"))
-    # connected_components has already materialized its internal edge
-    # checkpoint (the loop runs eagerly), so nothing live references the
-    # signature table anymore — release it instead of holding ~16 hash
-    # columns × corpus rows for the session's lifetime (VERDICT r8 #2:
-    # this chain is the one that OOMed repeat decade runs at 8 GiB).
-    evict_local_checkpoint(sig)
+    # connected_components materializes its internal edge checkpoint (the
+    # loop runs eagerly), so on return nothing live references the
+    # signature table — release it instead of holding ~16 hash columns ×
+    # corpus rows for the session's lifetime (VERDICT r8 #2: this chain is
+    # the one that OOMed repeat decade runs at 8 GiB). finally: so the
+    # non-convergence raise does not pin sig across catch-and-retry
+    # attempts either (r9 review finding).
+    try:
+        labels = connected_components(edges, docs.select("doc_id"))
+    finally:
+        evict_local_checkpoint(sig)
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -38,18 +38,36 @@ def _scala_map(jmap) -> dict:
     }
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at bracket depth 0 only — ReadSchema entries contain
+    parameterized/nested types (decimal(12,2), struct<...>) and pushed
+    filters can be compound (Or(GreaterThan(a,1),LessThan(b,2))); a naive
+    split would mint phantom entries for both (r9 review finding)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    tail = s[start:]
+    if tail.strip():
+        out.append(tail)
+    return [p.strip() for p in out if p.strip()]
+
+
 def _scan_info(node) -> dict:
     md = _scala_map(node.metadata())
     loc = md.get("Location", "")
     table = loc.rsplit("/", 1)[-1].rstrip("]") if "/" in loc else loc
     schema = md.get("ReadSchema", "")
-    cols = sorted(
-        part.split(":", 1)[0]
-        for part in schema[len("struct<"):].rstrip(">").split(",")
-        if part
-    )
-    pushed = md.get("PushedFilters", "[]").strip("[]")
-    n_pushed = len([p for p in pushed.split("),") if p.strip()]) if pushed else 0
+    body = schema[len("struct<"):-1] if schema.startswith("struct<") else schema
+    cols = sorted(part.split(":", 1)[0] for part in _split_top(body))
+    pushed = md.get("PushedFilters", "[]").strip()
+    body = pushed[1:-1] if pushed.startswith("[") else pushed
+    n_pushed = len(_split_top(body))
     return {"table": table, "columns": cols, "pushed_filters": n_pushed}
 
 

@@ -56,6 +56,20 @@ def test_plan_fingerprint_unchanged(spark, qname):
     )
 
 
+def test_split_top_handles_nested_types_and_compound_filters():
+    from nyc_taxi_lakehouse_spark.plans.fingerprint import _split_top
+
+    assert _split_top("a:decimal(12,2),b:struct<x:int,y:int>,c:string") == [
+        "a:decimal(12,2)",
+        "b:struct<x:int,y:int>",
+        "c:string",
+    ]
+    assert len(
+        _split_top("IsNotNull(a), Or(GreaterThan(a,1),LessThan(b,2))")
+    ) == 2
+    assert _split_top("") == []
+
+
 def test_pin_covers_the_heavy_list():
     import sys
 

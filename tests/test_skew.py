@@ -18,6 +18,7 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
+from nyc_taxi_lakehouse_spark.plans.invariance import content_hash, with_conf
 from nyc_taxi_lakehouse_spark.registry import all_queries
 
 _SKEW_DIR = "/tmp/skew_sf01_test"
@@ -34,9 +35,34 @@ _SPLIT_CONF = {
 }
 
 
+def _generator_digest() -> str:
+    """md5 of the generator source — a stale or partially-written dataset
+    (generator killed mid-COPY, or its constants changed since the dir was
+    built) must trigger a rebuild, not a silent green run against outdated
+    planted masses (r9 review finding)."""
+    import hashlib
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "make_scale_decade.py",
+    )
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
 @pytest.fixture(scope="module")
 def skew_dir():
-    if not os.path.exists(f"{_SKEW_DIR}/lineitem.parquet"):
+    marker = f"{_SKEW_DIR}/.complete"
+    digest = _generator_digest()
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != digest
+    if stale:
+        import shutil
+
+        shutil.rmtree(_SKEW_DIR, ignore_errors=True)
         subprocess.run(
             [
                 sys.executable,
@@ -54,30 +80,13 @@ def skew_dir():
             check=True,
             capture_output=True,
         )
+        # Written only after the generator exited 0 — a partial dir from a
+        # killed run has no marker and is rebuilt next time.
+        with open(marker, "w") as f:
+            f.write(digest)
     return _SKEW_DIR
 
 
-def _with_conf(spark, conf):
-    saved = {k: spark.conf.get(k) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    return saved
-
-
-def _content_hash(df):
-    """Order-independent executor-side content hash + row count."""
-    cols = sorted(df.columns)
-    row = (
-        df.select(
-            F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h")
-        )
-        .agg(
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()[0]
-    )
-    return row["s"], row["n"]
 
 
 def test_planted_masses(spark, skew_dir):
@@ -109,7 +118,7 @@ def test_skew_split_fires_on_planted_data(spark, skew_dir):
 
     conf = dict(_SPLIT_CONF)
     conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"  # force SMJ
-    saved = _with_conf(spark, conf)
+    saved = with_conf(spark, conf)
     try:
         j = run()
         rows_on = sorted(map(tuple, j.collect()))  # finalize THIS plan
@@ -121,8 +130,8 @@ def test_skew_split_fires_on_planted_data(spark, skew_dir):
         # development).
         assert "skew=true" in plan, plan[:2000]
     finally:
-        _with_conf(spark, saved)
-    saved = _with_conf(
+        with_conf(spark, saved)
+    saved = with_conf(
         spark,
         {
             "spark.sql.adaptive.skewJoin.enabled": "false",
@@ -132,7 +141,7 @@ def test_skew_split_fires_on_planted_data(spark, skew_dir):
     try:
         rows_off = sorted(map(tuple, run().collect()))
     finally:
-        _with_conf(spark, saved)
+        with_conf(spark, saved)
     assert rows_on == rows_off
 
 
@@ -151,16 +160,16 @@ _INVARIANT_QUERIES = [
 @pytest.mark.parametrize("qname", _INVARIANT_QUERIES)
 def test_heavy_queries_invariant_under_skew_split(spark, skew_dir, qname):
     fn = all_queries()[qname].fn
-    saved = _with_conf(spark, _SPLIT_CONF)
+    saved = with_conf(spark, _SPLIT_CONF)
     try:
-        h_on = _content_hash(fn(spark, skew_dir))
+        h_on = content_hash(fn(spark, skew_dir))
     finally:
-        _with_conf(spark, saved)
-    saved = _with_conf(
+        with_conf(spark, saved)
+    saved = with_conf(
         spark, {"spark.sql.adaptive.skewJoin.enabled": "false"}
     )
     try:
-        h_off = _content_hash(fn(spark, skew_dir))
+        h_off = content_hash(fn(spark, skew_dir))
     finally:
-        _with_conf(spark, saved)
+        with_conf(spark, saved)
     assert h_on == h_off

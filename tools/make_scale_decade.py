@@ -71,8 +71,12 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# Hot-supplier mass for --skew: 3 of 10 residue classes of a multiplicative
-# mix remap to the minimum suppkey -> ~30% of all line rows on one key.
+# Hot-supplier mass for --skew: 3 of 10 residue classes of the mixed HIGH
+# bits remap to the minimum suppkey -> ~30% of all line rows on one key.
+# The residue must be taken from the multiply's HIGH bits: _MIX % 10 == 1,
+# so (key * _MIX) % 10 == key % 10 — a raw low-bit residue would silently
+# ride on the source keys' own mod-10 structure (r9 review finding; a
+# stride-10 or even-only --src would plant 0%-50% instead of 30%).
 _HOT_SUPP_PCT = 3
 _MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
 
@@ -115,8 +119,9 @@ def main() -> None:
             f"SELECT MIN(l_suppkey) FROM read_parquet('{SRC}/lineitem.parquet')"
         ).fetchone()[0]
         suppkey_expr = (
-            f"CASE WHEN (l_orderkey * {_MIX} + l_linenumber) % 10"
-            f" < {_HOT_SUPP_PCT} THEN {hot_supp} ELSE l_suppkey END"
+            f"CASE WHEN ((((l_orderkey * 8 + l_linenumber) * {_MIX})"
+            f" >> 16) % 10) < {_HOT_SUPP_PCT}"
+            f" THEN {hot_supp} ELSE l_suppkey END"
         )
         lineitem_sel = (
             f"SELECT l_orderkey + k.k * {off} AS l_orderkey,\n"

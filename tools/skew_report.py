@@ -30,8 +30,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 from scaling_report import HEAVY  # the same heavy-16 list, single source
@@ -63,31 +61,37 @@ _NOSPLIT_CONF = {
 
 
 def _with_conf(spark, conf):
-    saved = {k: spark.conf.get(k) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    return saved
+    from nyc_taxi_lakehouse_spark.plans.invariance import with_conf
+
+    return with_conf(spark, conf)
 
 
 def _hash_and_count(spark, df, tag):
     """(order-independent content hash, row count) with a cancel timer —
-    a runaway query records as TIMEOUT instead of wedging the report."""
-    cols = sorted(df.columns)
-    hashed = df.select(
-        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h")
-    ).agg(
-        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    a runaway query records as TIMEOUT instead of wedging the report.
+    Only a cancel-induced failure maps to (None, None); a genuine query
+    error (analysis failure, operator bug the skew corpus exposed) must
+    surface, not masquerade as 'slow' in the committed record."""
+    from nyc_taxi_lakehouse_spark.plans.invariance import content_hash_frame
+
+    hashed = content_hash_frame(df)
     sc = spark.sparkContext
     sc.setJobGroup(tag, tag, interruptOnCancel=True)
-    timer = threading.Timer(TIMEOUT_S, lambda: sc.cancelJobGroup(tag))
+    fired = threading.Event()
+
+    def _cancel():
+        fired.set()
+        sc.cancelJobGroup(tag)
+
+    timer = threading.Timer(TIMEOUT_S, _cancel)
     timer.start()
     try:
         row = hashed.collect()[0]
         return row["s"], row["n"]
     except Exception:
-        return None, None
+        if fired.is_set():
+            return None, None
+        raise
     finally:
         timer.cancel()
         sc.setJobGroup("", "")
