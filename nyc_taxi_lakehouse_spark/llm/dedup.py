@@ -188,57 +188,23 @@ sql_query(
 
 
 def _minhash_sql(d: Dialect) -> str:
-    tok = d.distinct_token_rows("documents")
-    sig_cols = ",\n  ".join(
-        f"MIN(({a} * tid + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_PERMS)
+    """The full minhash+banding pipeline as ONE statement (the DuckDB
+    oracle form), composed literally from the two shared fragments —
+    _minhash_sig_sql inlined as the sig CTE, then _minhash_pairs_sql over
+    it. One source of truth for the banding/matching algebra: the oracle
+    and the Spark split can no longer drift apart (r9 review finding —
+    three verbatim copies of the band/candidate/match fragments existed
+    before)."""
+    pairs = _minhash_pairs_sql("sig")
+    prefix = "\nWITH "
+    if not pairs.startswith(prefix):
+        raise AssertionError("_minhash_pairs_sql no longer starts with WITH")
+    return (
+        "\nWITH sig AS (\n"
+        + _minhash_sig_sql(d)
+        + "\n),\n"
+        + pairs[len(prefix):]
     )
-    rows_per_band = len(_PERMS) // _BANDS
-    band_exprs = []
-    for bi in range(_BANDS):
-        hs = range(bi * rows_per_band, (bi + 1) * rows_per_band)
-        concat = " || '_' || ".join(f"CAST(h{i} AS STRING)" for i in hs)
-        band_exprs.append(f"{concat} AS band{bi}")
-    bands = ",\n  ".join(band_exprs)
-    cand_union = "\nUNION\n".join(
-        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x "
-        f"JOIN bands y ON x.band{bi} = y.band{bi} AND x.doc_id < y.doc_id"
-        for bi in range(_BANDS)
-    )
-    matches = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_PERMS))
-    )
-    return f"""
-WITH tok AS ({tok}),
-vocab AS (
-  SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT token FROM tok) v
-),
-tt AS (
-  SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token
-),
-sig AS (
-  SELECT doc_id,
-  {sig_cols}
-  FROM tt GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id,
-  {bands}
-  FROM sig
-),
-cand AS (
-{cand_union}
-)
-SELECT
-  c.doc_a,
-  c.doc_b,
-  CAST({matches} AS INT) AS matching_hashes,
-  CAST({matches} AS DOUBLE) / {len(_PERMS)} AS est_jaccard
-FROM cand c
-JOIN sig sa ON c.doc_a = sa.doc_id
-JOIN sig sb ON c.doc_b = sb.doc_id
-WHERE ({matches}) >= {len(_PERMS) // 2}
-"""
 
 
 def _minhash_sig_sql(d: Dialect) -> str:
@@ -400,6 +366,14 @@ sql_query(
 
 
 _HAMMING_MAX = 3  # near-dup threshold (Manku's production setting at 60+ bits)
+# Chunk count DERIVED from the bit constants (r9 review: a hardcoded 4 would
+# silently leave high bits out of blocking if _SIM_CHUNK_BITS were retuned);
+# the pigeonhole guarantee needs more chunks than differing bits.
+_SIM_CHUNKS = _SIM_BITS // _SIM_CHUNK_BITS
+if _SIM_CHUNKS <= _HAMMING_MAX:
+    raise AssertionError(
+        "pigeonhole broken: need _SIM_BITS//_SIM_CHUNK_BITS > _HAMMING_MAX"
+    )
 
 
 def _simhash_pairs_body(d: Dialect, sim: str) -> str:
@@ -414,7 +388,7 @@ def _simhash_pairs_body(d: Dialect, sim: str) -> str:
         f"SELECT doc_id, simhash, {i} AS chunk_idx,"
         f" {d.idiv('simhash', 1 << (_SIM_CHUNK_BITS * i))} % {1 << _SIM_CHUNK_BITS}"
         f" AS chunk_val FROM {sim}"
-        for i in range(4)
+        for i in range(_SIM_CHUNKS)
     )
     ham = f"bit_count({d.xor('fp_a', 'fp_b')})"
     return f"""chunks AS (
@@ -569,6 +543,9 @@ def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSCALE = 1000000
 _COS_THRESHOLD = "0.40"  # SQL literal; cast to DOUBLE in both engines
+# The SAME knob, parsed once for the numpy GEMM path: the blocked-pair mask
+# must move with the oracle SQL, never a second hardcoded copy (r9 review).
+_COS_THRESHOLD_F = float(_COS_THRESHOLD)
 
 
 def _embedding_dedup_sql(d: Dialect) -> str:
@@ -665,11 +642,11 @@ def embedding_pairs_blocked(embeddings: DataFrame, n_blocks: int = _GEMM_BLOCKS)
         cos = dots / (na[:, None] * nb[None, :])
         if bi == bj:
             # Triangular: each unordered pair once, oriented by id.
-            mask = (cos >= 0.40) & (ids_a[:, None] < ids_b[None, :])
+            mask = (cos >= _COS_THRESHOLD_F) & (ids_a[:, None] < ids_b[None, :])
         else:
             # Cross-block: every (a, b) combination is a distinct unordered
             # pair — orient the output by id below, never drop.
-            mask = cos >= 0.40
+            mask = cos >= _COS_THRESHOLD_F
         ia, ib = np.nonzero(mask)
         if len(ia) == 0:
             return empty
@@ -739,7 +716,12 @@ def connected_components(
         # scale GC-churn / repeat-run-OOM cause at the default 8 GiB heap).
         evict_local_checkpoint(labels)
         labels = new_labels
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0): raw BIGINT SUM overflows (ANSI crash) once label
+        # ids approach 2^63-scale hash/snowflake domains — two such labels
+        # already exceed the range (r9 full-file review finding).
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -1193,7 +1175,7 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG_TOKENS = 8  # tokens per segment ("paragraph" proxy for the corpus)
 
 
-def _segment_dedup_sql(d: Dialect) -> str:
+def _segment_dedup_sql(d: Dialect) -> "str | tuple[str, str]":
     """CCNet-style paragraph dedup adapted to the single-line corpus:
     documents split into consecutive 8-token segments; a segment appearing
     in more than one document is boilerplate and is removed; per doc we
@@ -1207,26 +1189,23 @@ def _segment_dedup_sql(d: Dialect) -> str:
     pos = d.positional_token_rows("documents")
     seg_no = d.idiv("(i - 1)", str(_SEG_TOKENS))
     if d.name == "spark":
-        seg_text = (
-            "concat_ws(' ', transform(array_sort(collect_list("
-            "named_struct('i', i, 't', token))), x -> x.t))"
-        )
+        # Rendered in two pieces by q_dedup_segments so the segment table
+        # materializes once (Catalyst CTE inlining would re-run the
+        # posexplode + md5 assembly for both of its references). The
+        # caller substitutes its temp-view name via the parameter — and
+        # the per-segment seg_text expression lives in _segments_sql, not
+        # here (a dead duplicate previously shadowed it, r9 review).
         kept = (
             "concat_ws(' ', transform(array_sort(collect_list("
             "CASE WHEN NOT is_dup THEN named_struct('s', seg_no, 't', seg_text)"
             " END)), x -> x.t))"
         )
-    else:
-        seg_text = "string_agg(token, ' ' ORDER BY i)"
-        kept = (
-            "COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg_text END,"
-            " ' ' ORDER BY seg_no), '')"
-        )
-    if d.name == "spark":
-        # Rendered in two pieces by q_dedup_segments so the segment table
-        # materializes once (Catalyst CTE inlining would re-run the
-        # posexplode + md5 assembly for both of its references).
-        return _segments_sql(d), _segment_report_sql("segs_view", kept)
+        return _segments_sql(d), _segment_report_sql("dedup_segs", kept)
+    seg_text = "string_agg(token, ' ' ORDER BY i)"
+    kept = (
+        "COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg_text END,"
+        " ' ' ORDER BY seg_no), '')"
+    )
     return f"""
 WITH pos AS ({pos}),
 segs AS (
@@ -1314,7 +1293,7 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs_sql, report_sql = _segment_dedup_sql(SPARK)
     segs = spark.sql(segs_sql).localCheckpoint()
     segs.createOrReplaceTempView("dedup_segs")
-    return spark.sql(report_sql.replace("segs_view", "dedup_segs"))
+    return spark.sql(report_sql)
 
 
 # --- Estimator-quality analysis: minhash vs exact Jaccard ----------------

@@ -91,8 +91,13 @@ def plan_fingerprint(df: DataFrame) -> dict:
             stack.append(node.plan())
             continue
         cls = node.getClass().getSimpleName()
-        if name.endswith(_JOIN_SUFFIX):
-            joins[name] = joins.get(name, 0) + 1
+        # Spark's ShuffledJoin trait appends "(skew=true)" to nodeName when
+        # AQE split a skewed partition — strip the annotation so the join
+        # still counts under its strategy (r9 review: endswith("Join")
+        # silently dropped skew-handled joins from the gate).
+        base = name.split("(", 1)[0].strip()
+        if base.endswith(_JOIN_SUFFIX):
+            joins[base] = joins.get(base, 0) + 1
         elif name == "CartesianProduct":
             counts["cartesian_products"] += 1
         elif cls == "ShuffleExchangeExec":
@@ -110,6 +115,13 @@ def plan_fingerprint(df: DataFrame) -> dict:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        # Subquery plans (scalar subqueries, DPP) live in EXPRESSIONS, not
+        # children — without this descent their joins/scans/pushdowns are
+        # invisible to the gate (r9 review finding). QueryPlan.subqueries
+        # returns the embedded plans directly.
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
     scans.sort(key=lambda s: (s["table"], s["columns"], s["pushed_filters"]))
     return {
         "joins": dict(sorted(joins.items())),

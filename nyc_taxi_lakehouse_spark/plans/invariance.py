@@ -18,8 +18,15 @@ def content_hash_frame(df: DataFrame) -> DataFrame:
     ints/decimals/strings); a mismatch between two plans of the same
     query is a real nondeterminism bug or a float seam — both findings."""
     cols = sorted(df.columns)
+    # NULL sentinel (r9 review): Spark's hash functions SKIP null inputs
+    # (the running hash is unchanged), so rows differing only in WHICH
+    # column holds a value — (NULL,'x') vs ('x',NULL) — would collide.
+    # Coalescing to a sentinel no real string equals closes the seam.
+    sent = "\x00<null>\x00"
     return df.select(
-        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h")
+        F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in cols]
+        ).alias("h")
     ).agg(
         F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -34,8 +41,14 @@ def content_hash(df: DataFrame) -> tuple:
 
 def with_conf(spark, conf: dict) -> dict:
     """Set session confs, returning the prior values (pass the return back
-    to restore)."""
-    saved = {k: spark.conf.get(k) for k in conf}
+    to restore). A key with no registered default saves as None and the
+    restore pass UNSETS it — spark.conf.get(k) would otherwise raise
+    before anything was set, bypassing the caller's try/finally (r9
+    review finding)."""
+    saved = {k: spark.conf.get(k, None) for k in conf}
     for k, v in conf.items():
-        spark.conf.set(k, v)
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
     return saved
