@@ -28,7 +28,10 @@ with open(_PINNED) as f:
     PINNED = json.load(f)
 
 # Fields that are legitimately adaptive at sf0.01, excluded per query WITH
-# the reason. Everything else must match exactly.
+# the reason — a hand-curated UNION on top of the generator-measured
+# "volatile" list each pin carries (gen_fingerprints runs every query 3x
+# and records fields that differed; this table covers volatility that only
+# manifests across sessions). Everything else must match exactly.
 _VOLATILE: dict[str, set] = {
     # The final LPA round joins the checkpointed edge set against the
     # label aggregate, whose measured shuffle size sits within a few
@@ -38,16 +41,24 @@ _VOLATILE: dict[str, set] = {
     # pinning). Exchange counts are identical under both choices and stay
     # pinned, so a real shape regression is still caught.
     "q_label_propagation": {"joins"},
+    # Repeating the fingerprint 4x in one session at sf0.01 alternates
+    # broadcast_exchanges 6/7 (measured while pinning): one per-iteration
+    # broadcast sits at an AQE reuse/threshold boundary, and compressed
+    # shuffle sizes vary with intra-partition row order. Joins, shuffle
+    # exchanges, and scans are stable and stay pinned.
+    "q_pagerank": {"broadcast_exchanges"},
 }
 
 
 @pytest.mark.parametrize("qname", sorted(PINNED))
 def test_plan_fingerprint_unchanged(spark, qname):
     got = plan_fingerprint(all_queries()[qname].fn(spark, SF_DIR))
-    for field in _VOLATILE.get(qname, ()):
+    pin = dict(PINNED[qname])
+    skip = set(pin.pop("volatile", [])) | _VOLATILE.get(qname, set())
+    for field in skip:
         got.pop(field, None)
-        PINNED[qname].pop(field, None)
-    assert got == PINNED[qname], (
+        pin.pop(field, None)
+    assert got == pin, (
         f"{qname}: executed-plan fingerprint drifted from the committed "
         "pin. If the change is intentional, rerun "
         "tools/gen_fingerprints.py and commit the diff with the reason.\n"
@@ -70,10 +81,12 @@ def test_split_top_handles_nested_types_and_compound_filters():
     assert _split_top("") == []
 
 
-def test_pin_covers_the_heavy_list():
+def test_pin_covers_heavy_and_core13():
     import sys
 
+    sys.path.insert(0, _HERE)
     sys.path.insert(0, os.path.join(_HERE, "tools"))
+    from bench import CORE13
     from scaling_report import HEAVY
 
-    assert set(PINNED) == set(HEAVY)
+    assert set(PINNED) == set(HEAVY) | set(CORE13)

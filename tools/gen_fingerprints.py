@@ -16,6 +16,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import CORE13
 from nyc_taxi_lakehouse_spark.plans.fingerprint import plan_fingerprint
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
@@ -25,15 +26,38 @@ SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "plan_fingerprints.json")
 
+# The pinned set: the scale-heavy queries plus the frozen cross-round
+# bench core — a plan regression in either is the one that matters.
+PINNED = sorted(set(HEAVY) | set(CORE13))
+
 
 def main() -> None:
     spark = get_spark(app_name="gen_fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     out = {}
-    for name in HEAVY:
-        out[name] = plan_fingerprint(specs[name].fn(spark, SF_DIR))
-        print(f"{name}: {json.dumps(out[name])[:120]}...", file=sys.stderr)
+    for name in PINNED:
+        # Three fresh plans per query: AQE decisions at a size-threshold
+        # boundary legitimately flip run-to-run (compressed shuffle bytes
+        # vary with intra-partition row order), so any field that differs
+        # across the runs is recorded as volatile and excluded from the
+        # gate's comparison instead of flaking it. Cross-session-only
+        # volatility is still possible — the test keeps a hand-curated
+        # exclusion table (with reasons) as a union on top of this.
+        runs = [
+            plan_fingerprint(specs[name].fn(spark, SF_DIR)) for _ in range(3)
+        ]
+        volatile = sorted(
+            k for k in runs[0] if any(r[k] != runs[0][k] for r in runs[1:])
+        )
+        out[name] = runs[0]
+        if volatile:
+            out[name]["volatile"] = volatile
+        print(
+            f"{name}: volatile={volatile} "
+            f"{json.dumps(runs[0])[:100]}...",
+            file=sys.stderr,
+        )
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
