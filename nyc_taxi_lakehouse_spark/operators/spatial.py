@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
+from ..plans.ckpt import evict_local_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -429,6 +430,12 @@ def _knn_exact_loop(
     w = Window.partitionBy("ck").orderBy("dist2", "sk")
     pending = probes.localCheckpoint(eager=True)
     state = spark.createDataFrame([], "ck bigint, sk bigint, dist2 bigint, rk int")
+    # Round 1's state is a literal frame, not a checkpoint — guard the
+    # eviction ladder below (r9: this loop was the one place the r8 #2
+    # checkpoint-lifecycle campaign could not evict, because each round's
+    # DONE slice stayed a lazy plan over that round's state+pending
+    # checkpoints; materializing the slices per round frees the rounds).
+    prev_state_ckpt: DataFrame | None = None
     done_slices: list[DataFrame] = []
     # Geometric radius schedule (1, 2, 4, ... grid edge): sparse corpora
     # would otherwise pay one synchronous round per unit ring; doubling
@@ -437,13 +444,18 @@ def _knn_exact_loop(
     lo, rr = -1, 1
     while True:
         cand = gather(pending, lo, rr)
-        state = (
+        new_state = (
             state.select("ck", "sk", "dist2")
             .unionAll(cand)
             .withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= k)
             .localCheckpoint(eager=True)
         )
+        # The previous round's checkpoint (possibly wrapped in the lazy
+        # narrowing join below) was consumed materializing new_state.
+        if prev_state_ckpt is not None:
+            evict_local_checkpoint(prev_state_ckpt)
+        state = prev_state_ckpt = new_state
         stats = state.groupBy("ck").agg(
             F.count("*").alias("cnt"), F.max("dist2").alias("kth")
         )
@@ -482,19 +494,34 @@ def _knn_exact_loop(
         ).select("ck")
         # complete/pending scale with the probe corpus — keep the joins
         # adaptive (AQE broadcasts them at test SFs, shuffles at 100 TB),
-        # the same posture commit 71d855a gave DBSCAN.
+        # the same posture commit 71d855a gave DBSCAN. The DONE slice is
+        # materialized eagerly (its rows are final output — total extra
+        # storage is exactly the result size) so it stops referencing this
+        # round's state/pending checkpoints and they can be released.
         done_slices.append(
-            state.join(complete, "ck").select("ck", "sk", "dist2", "rk")
+            state.join(complete, "ck")
+            .select("ck", "sk", "dist2", "rk")
+            .localCheckpoint(eager=True)
         )
-        pending = (
+        new_pending = (
             pending.join(complete, "ck", "left_anti")
             .localCheckpoint(eager=True)
         )
+        evict_local_checkpoint(pending)
+        pending = new_pending
         if pending.isEmpty():
+            # The returned union reads only the materialized done slices.
+            evict_local_checkpoint(pending)
+            evict_local_checkpoint(state)
             break
-        state = state.join(
-            pending.select("ck"), "ck"
-        ).localCheckpoint(eager=True)
+        # Narrow LAZILY to the still-pending probes: the join is absorbed
+        # into the next round's union checkpoint (one eager checkpoint per
+        # round, not two — lineage stays O(1) because the base is this
+        # round's checkpoint, which prev_state_ckpt still tracks for
+        # eviction). Correctness doesn't need the narrowing at all (later
+        # complete sets are disjoint from earlier ones), it only keeps the
+        # ranked-state rows pending-scaled.
+        state = new_state.join(pending.select("ck"), "ck")
         lo, rr = rr, min(rr * 2, _GRID)
 
     out = done_slices[0]
@@ -556,6 +583,9 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     out = _knn_exact_loop(spark, probes, supp_cell, _KNN_K)
+    # The loop has fully materialized its done slices — the supplier cell
+    # table is no longer referenced by any live plan.
+    evict_local_checkpoint(supp_cell)
     return out.select(
         F.col("ck").alias("custkey"),
         F.col("rk").cast("bigint").alias("rk"),

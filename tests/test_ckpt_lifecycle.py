@@ -129,6 +129,21 @@ def test_registered_iterative_queries_bounded(spark, qname, kept):
     assert persistent_rdd_count(spark) - before <= kept
 
 
+def test_spatial_knn_releases_rounds(spark):
+    """The ring-expansion kNN loop (r9: the last loop outside the eviction
+    campaign) materializes its per-round done slices and releases every
+    superseded state/pending round plus the supplier cell table — only the
+    done slices (= the final output, one per round, <= log2(grid)) may
+    survive."""
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    fn = all_queries()["q_spatial_knn_exact"].fn
+    before = persistent_rdd_count(spark)
+    out = fn(spark, SF)
+    assert out.count() > 0
+    assert persistent_rdd_count(spark) - before <= 8
+
+
 def test_bpe_train_releases_everything(spark):
     """bpe_train returns a Python list — no plan survives, so every
     per-merge vocab checkpoint must be released."""
