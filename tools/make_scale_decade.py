@@ -119,8 +119,14 @@ def main() -> None:
             f"SELECT MIN(l_suppkey) FROM read_parquet('{SRC}/lineitem.parquet')"
         ).fetchone()[0]
         suppkey_expr = (
-            f"CASE WHEN ((((l_orderkey * 8 + l_linenumber) * {_MIX})"
-            f" >> 16) % 10) < {_HOT_SUPP_PCT}"
+            # Mask the key to 31 bits BEFORE the multiply: the product then
+            # tops out at (2^31-1)*_MIX ~= 5.7e18 < 2^63-1, so the residue
+            # stays defined at any source SF (an unmasked l_orderkey >= ~4.3e8,
+            # i.e. a --src around sf70, overflowed DuckDB's signed BIGINT).
+            # For every existing source (keys << 2^31) the mask is a no-op,
+            # so committed skew decades are byte-identical.
+            f"CASE WHEN (((((l_orderkey * 8 + l_linenumber) & 2147483647)"
+            f" * {_MIX}) >> 16) % 10) < {_HOT_SUPP_PCT}"
             f" THEN {hot_supp} ELSE l_suppkey END"
         )
         lineitem_sel = (
