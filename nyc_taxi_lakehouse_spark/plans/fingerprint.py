@@ -25,6 +25,8 @@ the same determinism contract the oracle hash gate already relies on.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 
 _JOIN_SUFFIX = "Join"
@@ -128,3 +130,91 @@ def plan_fingerprint(df: DataFrame) -> dict:
         **counts,
         "scans": scans,
     }
+
+
+_SCALAR_FIELDS = (
+    "shuffle_exchanges",
+    "broadcast_exchanges",
+    "reused_exchanges",
+    "cartesian_products",
+)
+
+
+def volatile_paths(runs: list) -> list:
+    """Fine-grained volatility between repeated fingerprints of one query.
+
+    Returns dotted paths instead of top-level field names, so the CI gate
+    excludes ONLY the sub-entry that measured volatile (ADVICE r9:
+    dropping the whole `scans` list because one scan's one field flickers
+    would let a later lost-pushdown regression in a DIFFERENT scan of the
+    same query pass silently).
+
+    Path forms:
+      - ``<scalar_field>``            (e.g. ``broadcast_exchanges``)
+      - ``joins.<Strategy>``          (that strategy's count only — an AQE
+        BHJ<->SMJ flip marks both strategies, other joins stay pinned)
+      - ``scans[<table>].columns`` / ``scans[<table>].pushed_filters``
+        (that table's scans only)
+      - ``scans`` as a coarse fallback when the per-table scan COUNT is
+        itself unstable (alignment impossible).
+    """
+    base = runs[0]
+    paths = set()
+    for field in _SCALAR_FIELDS:
+        if any(r[field] != base[field] for r in runs[1:]):
+            paths.add(field)
+    join_keys = set()
+    for r in runs:
+        join_keys.update(r["joins"])
+    for k in join_keys:
+        if len({r["joins"].get(k, 0) for r in runs}) > 1:
+            paths.add(f"joins.{k}")
+
+    def by_table(r):
+        groups = {}
+        for s in r["scans"]:
+            groups.setdefault(s["table"], []).append(s)
+        return groups
+
+    grouped = [by_table(r) for r in runs]
+    tables = set()
+    for g in grouped:
+        tables.update(g)
+    for t in tables:
+        per_run = [g.get(t, []) for g in grouped]
+        if len({len(scans_t) for scans_t in per_run}) > 1:
+            paths.add("scans")
+            continue
+        for sub in ("columns", "pushed_filters"):
+            projected = [
+                sorted(json.dumps(s[sub]) for s in scans_t)
+                for scans_t in per_run
+            ]
+            if any(p != projected[0] for p in projected[1:]):
+                paths.add(f"scans[{t}].{sub}")
+    return sorted(paths)
+
+
+def mask_volatile(fp: dict, paths) -> dict:
+    """Deep-copy ``fp`` with every volatile path blanked, for comparison.
+
+    Accepts both the fine-grained paths of :func:`volatile_paths` and the
+    legacy whole-field names still used by hand-curated exclusion tables.
+    Masked scan sub-fields are set to ``None`` (not popped) so the scan's
+    OTHER sub-fields stay comparable; scans re-sort afterwards because
+    masking can change the list's sort key.
+    """
+    fp = json.loads(json.dumps(fp))
+    for p in paths:
+        if p in fp:
+            fp.pop(p)
+        elif p.startswith("joins."):
+            fp.get("joins", {}).pop(p[len("joins."):], None)
+        elif p.startswith("scans[") and "]." in p:
+            table, sub = p[len("scans["):].split("].", 1)
+            for s in fp.get("scans", []):
+                if s.get("table") == table:
+                    s[sub] = None
+    if "scans" in fp:
+        fp["scans"].sort(key=lambda s: json.dumps(s, sort_keys=True))
+    return fp

@@ -17,7 +17,10 @@ import os
 
 import pytest
 
-from nyc_taxi_lakehouse_spark.plans.fingerprint import plan_fingerprint
+from nyc_taxi_lakehouse_spark.plans.fingerprint import (
+    mask_volatile,
+    plan_fingerprint,
+)
 from nyc_taxi_lakehouse_spark.registry import all_queries
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,7 +43,13 @@ _VOLATILE: dict[str, set] = {
     # BroadcastHashJoin or SortMergeJoin run-to-run (observed both while
     # pinning). Exchange counts are identical under both choices and stay
     # pinned, so a real shape regression is still caught.
-    "q_label_propagation": {"joins"},
+    # Fine-grained since r10: only the two strategies that flip are
+    # excluded, so any OTHER join appearing in the LPA plan still fails
+    # the gate.
+    "q_label_propagation": {
+        "joins.BroadcastHashJoin",
+        "joins.SortMergeJoin",
+    },
     # Repeating the fingerprint 4x in one session at sf0.01 alternates
     # broadcast_exchanges 6/7 (measured while pinning): one per-iteration
     # broadcast sits at an AQE reuse/threshold boundary, and compressed
@@ -54,10 +63,13 @@ _VOLATILE: dict[str, set] = {
 def test_plan_fingerprint_unchanged(spark, qname):
     got = plan_fingerprint(all_queries()[qname].fn(spark, SF_DIR))
     pin = dict(PINNED[qname])
+    # Volatile paths are fine-grained (joins.<Strategy>,
+    # scans[<table>].<sub>) — mask_volatile blanks ONLY those sub-entries
+    # on both sides, so the rest of the field stays pinned; legacy
+    # whole-field names from the hand-curated table still work.
     skip = set(pin.pop("volatile", [])) | _VOLATILE.get(qname, set())
-    for field in skip:
-        got.pop(field, None)
-        pin.pop(field, None)
+    got = mask_volatile(got, skip)
+    pin = mask_volatile(pin, skip)
     assert got == pin, (
         f"{qname}: executed-plan fingerprint drifted from the committed "
         "pin. If the change is intentional, rerun "
@@ -90,3 +102,114 @@ def test_pin_covers_heavy_and_core13():
     from scaling_report import HEAVY
 
     assert set(PINNED) == set(HEAVY) | set(CORE13)
+
+
+def _fp(joins=None, scans=None, **over):
+    base = {
+        "joins": joins or {},
+        "shuffle_exchanges": 0,
+        "broadcast_exchanges": 0,
+        "reused_exchanges": 0,
+        "cartesian_products": 0,
+        "scans": scans or [],
+    }
+    base.update(over)
+    return base
+
+
+def _scan(table, columns, pushed):
+    return {"table": table, "columns": columns, "pushed_filters": pushed}
+
+
+class TestVolatilePaths:
+    """ADVICE r9: volatility must be recorded per sub-entry, not per
+    top-level field — a flickering pushed_filters on ONE scan must not
+    un-pin the pushdown of every other scan in the query."""
+
+    def test_stable_runs_yield_no_paths(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        fp = _fp(joins={"BroadcastHashJoin": 2},
+                 scans=[_scan("orders.parquet", ["o_orderkey"], 1)])
+        assert volatile_paths([fp, fp, fp]) == []
+
+    def test_join_strategy_flip_marks_both_strategies_only(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(joins={"BroadcastHashJoin": 3, "SortMergeJoin": 1})
+        b = _fp(joins={"BroadcastHashJoin": 2, "SortMergeJoin": 2})
+        assert volatile_paths([a, b, a]) == [
+            "joins.BroadcastHashJoin",
+            "joins.SortMergeJoin",
+        ]
+
+    def test_one_scan_field_flicker_does_not_unpin_other_tables(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 1),
+                       _scan("lineitem.parquet", ["l_orderkey"], 3)])
+        b = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 2),
+                       _scan("lineitem.parquet", ["l_orderkey"], 3)])
+        assert volatile_paths([a, b, a]) == [
+            "scans[orders.parquet].pushed_filters"
+        ]
+
+    def test_scan_count_instability_falls_back_to_whole_field(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 1)])
+        b = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 1)] * 2)
+        assert volatile_paths([a, b, a]) == ["scans"]
+
+    def test_scalar_field(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(broadcast_exchanges=6)
+        b = _fp(broadcast_exchanges=7)
+        assert volatile_paths([a, b, a]) == ["broadcast_exchanges"]
+
+
+class TestMaskVolatile:
+    def test_mask_is_noncommunicating_deep_copy(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import mask_volatile
+
+        fp = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 1)])
+        out = mask_volatile(fp, ["scans[orders.parquet].pushed_filters"])
+        assert fp["scans"][0]["pushed_filters"] == 1
+        assert out["scans"][0]["pushed_filters"] is None
+
+    def test_masked_comparison_still_catches_other_scan_regression(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import mask_volatile
+
+        paths = ["scans[orders.parquet].pushed_filters"]
+        pin = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 1),
+                         _scan("lineitem.parquet", ["l_orderkey"], 3)])
+        ok = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 2),
+                        _scan("lineitem.parquet", ["l_orderkey"], 3)])
+        # lost pushdown on the OTHER (lineitem) scan must still fail
+        bad = _fp(scans=[_scan("orders.parquet", ["o_orderkey"], 2),
+                         _scan("lineitem.parquet", ["l_orderkey"], 0)])
+        assert mask_volatile(ok, paths) == mask_volatile(pin, paths)
+        assert mask_volatile(bad, paths) != mask_volatile(pin, paths)
+
+    def test_join_path_and_legacy_whole_field(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import mask_volatile
+
+        fp = _fp(joins={"BroadcastHashJoin": 3, "ShuffledHashJoin": 1},
+                 broadcast_exchanges=7)
+        out = mask_volatile(
+            fp, ["joins.BroadcastHashJoin", "broadcast_exchanges"]
+        )
+        assert out["joins"] == {"ShuffledHashJoin": 1}
+        assert "broadcast_exchanges" not in out
+
+    def test_masking_resorts_scans(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import mask_volatile
+
+        paths = ["scans[t.parquet].columns"]
+        # same multiset of scans, different pre-mask order keys
+        a = _fp(scans=[_scan("t.parquet", ["a"], 1),
+                       _scan("t.parquet", ["b"], 0)])
+        b = _fp(scans=[_scan("t.parquet", ["z"], 0),
+                       _scan("t.parquet", ["q"], 1)])
+        assert mask_volatile(a, paths) == mask_volatile(b, paths)

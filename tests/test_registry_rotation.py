@@ -97,6 +97,8 @@ def test_rotation_readmits_oldest_verified_after_pool_drains():
     """Among verified queries, iteration order is ascending by the round
     of their last clean driver row — least-recently-verified re-enter the
     driver cap first once no never-checked queries remain."""
+    from nyc_taxi_lakehouse_spark.registry import _SEMANTICS_CHANGED
+
     lr = _driver_verified_rounds()
     q = all_queries()
     rounds = []
@@ -104,6 +106,8 @@ def test_rotation_readmits_oldest_verified_after_pool_drains():
         row = lr.get(n)
         if row is None or (not row[1] and q[n].oracle is not None):
             rounds.append(-1)
+        elif row[0] < _SEMANTICS_CHANGED.get(n, 0):
+            rounds.append(-1)  # clean row predates a semantic change
         else:
             rounds.append(row[0])
     assert rounds == sorted(rounds)
@@ -119,3 +123,23 @@ def test_no_rotation_env_flag_gives_registration_order(monkeypatch):
     # _DRIVER_PRIORITY followed by registration order, stable across runs
     monkeypatch.setenv("LAKEHOUSE_NO_ROTATION", "1")
     assert list(all_queries()) == plain
+
+
+def test_semantics_change_represents_query_despite_clean_row():
+    """A clean driver row that PREDATES a committed semantic change must
+    not keep the query out of the driver cap: q_dedup_chargram's newest
+    clean row is pre-r9 but its committed outputs changed in r9, so the
+    rotation re-presents it at the head of the window (VERDICT r9 #3).
+    Once a post-change clean row lands, the entry clears naturally."""
+    from nyc_taxi_lakehouse_spark.registry import _SEMANTICS_CHANGED
+
+    lr = _driver_verified_rounds()
+    names = list(all_queries())
+    for n, change_round in _SEMANTICS_CHANGED.items():
+        row = lr.get(n)
+        if row is not None and row[0] < change_round:
+            # stale clean row -> must sort with the never-verified class
+            assert names.index(n) < 50, (
+                f"{n}: semantics changed in r{change_round} but its stale "
+                f"r{row[0]} row keeps it outside the driver cap"
+            )

@@ -17,7 +17,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import CORE13
-from nyc_taxi_lakehouse_spark.plans.fingerprint import plan_fingerprint
+from nyc_taxi_lakehouse_spark.plans.fingerprint import (
+    plan_fingerprint,
+    volatile_paths,
+)
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 from scaling_report import HEAVY
@@ -39,17 +42,19 @@ def main() -> None:
     for name in PINNED:
         # Three fresh plans per query: AQE decisions at a size-threshold
         # boundary legitimately flip run-to-run (compressed shuffle bytes
-        # vary with intra-partition row order), so any field that differs
-        # across the runs is recorded as volatile and excluded from the
-        # gate's comparison instead of flaking it. Cross-session-only
-        # volatility is still possible — the test keeps a hand-curated
-        # exclusion table (with reasons) as a union on top of this.
+        # vary with intra-partition row order), so any SUB-ENTRY that
+        # differs across the runs is recorded as a volatile path and
+        # excluded from the gate's comparison instead of flaking it —
+        # per join strategy / per scan-table sub-field, NOT whole fields
+        # (ADVICE r9: whole-field exclusion would let a later regression
+        # in an unrelated scan of the same query pass silently).
+        # Cross-session-only volatility is still possible — the test
+        # keeps a hand-curated exclusion table (with reasons) as a union
+        # on top of this.
         runs = [
             plan_fingerprint(specs[name].fn(spark, SF_DIR)) for _ in range(3)
         ]
-        volatile = sorted(
-            k for k in runs[0] if any(r[k] != runs[0][k] for r in runs[1:])
-        )
+        volatile = volatile_paths(runs)
         out[name] = runs[0]
         if volatile:
             out[name]["volatile"] = volatile
