@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint
+from ..plans.ckpt import (
+    evict_local_checkpoint,
+    evict_round_checkpoint,
+    round_checkpoint,
+)
 from ..registry import df_query, sql_query
 from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.tables import load_tables
@@ -687,13 +691,18 @@ def connected_components(
     is (vertex, label) pairs hash-partitioned on vertex; the alternating
     large-star/small-star variant would cut rounds to O(log d) but the
     plain form is already bounded by the tiny diameter of dup clusters.
+
+    Failure domain: per-round state goes through plans.ckpt.round_checkpoint
+    — memory-speed local checkpoints by default (an executor loss mid-loop
+    fails the job loudly, never silently recomputes), or RELIABLE
+    checkpoint-dir rounds under spark.lakehouse.checkpoint.reliable=true
+    so a long-running cluster job survives routine executor loss.
     """
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = round_checkpoint(edges)
+    labels = round_checkpoint(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     # Labels are monotonically non-increasing, so Σ(label) is a strictly
     # decreasing potential until the fixpoint — an unchanged sum IS
@@ -704,17 +713,16 @@ def connected_components(
         nbr_min = edges.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
         ).select(F.col("src").alias("doc_id"), "label")
-        new_labels = (
+        new_labels = round_checkpoint(
             labels.unionByName(nbr_min)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         # The new round materialized eagerly above — the previous round's
         # blocks are now unreachable; release them instead of letting them
         # pile up for the session's lifetime (VERDICT r8 #2: the decade-
         # scale GC-churn / repeat-run-OOM cause at the default 8 GiB heap).
-        evict_local_checkpoint(labels)
+        evict_round_checkpoint(labels)
         labels = new_labels
         # decimal(38,0): raw BIGINT SUM overflows (ANSI crash) once label
         # ids approach 2^63-scale hash/snowflake domains — two such labels
@@ -728,14 +736,14 @@ def connected_components(
         prev_sum = cur_sum
     # The edge checkpoint is loop-internal: the returned plan references
     # only the final labels round (+ the lazy vertices frame).
-    evict_local_checkpoint(edges)
+    evict_round_checkpoint(edges)
     if not converged:
         # Silent partial convergence would emit WRONG cluster labels (some
         # vertices not yet reached by their component's minimum). Refuse —
         # and release the last round first: a caller catching this to
         # retry with a higher max_iter must not accumulate pinned label
         # tables across attempts (the r8 #2 hazard on the error path).
-        evict_local_checkpoint(labels)
+        evict_round_checkpoint(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise max_iter (rounds are "
@@ -793,13 +801,13 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         centers = m.select(F.col("h").alias("a"), F.col("m").alias("b"))
         return _canon_edges(leaves.unionByName(centers), "a", "b")
 
-    e = edges.localCheckpoint(eager=True)
+    e = round_checkpoint(edges)
     rounds = 0
     n_e = e.count()
     if n_e == 0:
         return e, rounds
     while rounds < max_iter:
-        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_e = round_checkpoint(small_star(large_star(e)))
         rounds += 1
         # Fixpoint = edge set unchanged by a full round. Both frames are
         # DEDUPED canonical sets (_canon_edges), so set equality is
@@ -812,13 +820,13 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         at_fixpoint = n_new == n_e and new_e.subtract(e).isEmpty()
         # The fixpoint probe above was the LAST plan referencing the
         # previous round — release its blocks either way (VERDICT r8 #2).
-        evict_local_checkpoint(e)
+        evict_round_checkpoint(e)
         if at_fixpoint:
             return new_e, rounds
         e, n_e = new_e, n_new
     # Error path must not pin the last round either — a catch-and-retry
     # caller would otherwise accumulate edge sets across attempts.
-    evict_local_checkpoint(e)
+    evict_round_checkpoint(e)
     raise RuntimeError(
         f"star contraction did not converge in {max_iter} rounds — "
         "raise max_iter (rounds are O(log diameter))."
@@ -1694,9 +1702,9 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     from ..plans.audit import gated_broadcast
 
     n_part = int(edges_sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = edges_sym.repartition(n_part, "dst").localCheckpoint(eager=True)
-    deg = (
-        e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    e = round_checkpoint(edges_sym.repartition(n_part, "dst"))
+    deg = round_checkpoint(
+        e.groupBy("src").agg(F.count("*").alias("deg"))
     )
     for _ in range(rounds):
         # One fused 1-row scan of the checkpointed degree table is BOTH
@@ -1733,22 +1741,21 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
             .groupBy("src")
             .agg(F.count("*").alias("dec"))
         )
-        new_deg = (
+        new_deg = round_checkpoint(
             deg.filter(F.col("deg") >= k)
             .join(dec, "src", "left")
             .select(
                 "src",
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
             )
-            .localCheckpoint(eager=True)
         )
         # new_deg materialized eagerly — the previous round's degree table
         # is dead; release it (VERDICT r8 #2 checkpoint lifecycle).
-        evict_local_checkpoint(deg)
+        evict_round_checkpoint(deg)
         deg = new_deg
     # The pre-partitioned edge checkpoint is loop-internal; the returned
     # plan references only the final degree round.
-    evict_local_checkpoint(e)
+    evict_round_checkpoint(e)
     # deg's row set IS alive after exactly `rounds` removal rounds (each
     # iteration filters on the PREVIOUS round's degrees before updating),
     # matching the oracle's unrolled budget — no extra filter here.

@@ -23,27 +23,97 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Session conf that opts the iterative production loops into RELIABLE
+# per-round checkpoints (VERDICT r9 #1). Local checkpoints TRUNCATE
+# lineage into executor-memory blocks: the right default for a single
+# JVM, but on a real cluster ANY executor loss mid-loop kills the job
+# (fail-loud, never wrong — yet at 100 TB executor loss is routine, not
+# exceptional, and a multi-hour CC/k-core/dedup run restarting from zero
+# is an operational cost). With this conf set to "true" (and a checkpoint
+# dir configured via sc.setCheckpointDir — HDFS-class storage on a
+# cluster), round state goes through Dataset.checkpoint() instead:
+# round files survive executor loss and the loop resumes from the last
+# materialized round on task re-execution. Same eviction discipline:
+# superseded rounds' checkpoint FILES are deleted eagerly, so the dir
+# holds O(live rounds), not O(iterations). Measured overhead at sf0.1 is
+# quoted in PLANS.md (reliable rounds pay a write+read of the round
+# state vs memory-speed local blocks).
+RELIABLE_CONF = "spark.lakehouse.checkpoint.reliable"
 
-def evict_local_checkpoint(df: DataFrame) -> None:
-    """Release the executor blocks behind a localCheckpointed DataFrame.
+# Test injection point (failure-domain tests): called with the newly
+# materialized checkpoint frame after every round_checkpoint. Lets the
+# suite simulate an executor losing a round's blocks mid-loop — local
+# mode must then fail LOUDLY (truncated lineage, no recompute path) and
+# reliable mode must survive with identical results.
+_post_checkpoint_hook = None
+
+
+def round_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize one round of iterative-loop state.
+
+    Default: ``localCheckpoint`` (executor-memory blocks, lineage
+    truncated — O(1) plans, memory-speed, single-failure-domain). With
+    session conf ``spark.lakehouse.checkpoint.reliable=true``: a
+    RELIABLE ``Dataset.checkpoint()`` to the configured checkpoint dir,
+    surviving executor loss at the cost of a round-state write+read.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true":
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                f"{RELIABLE_CONF}=true but no checkpoint dir is set — call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) "
+                "first (HDFS/object-store on a cluster; reliable round "
+                "state must live OUTSIDE the executors to survive their "
+                "loss)."
+            )
+        out = df.checkpoint(eager=eager)
+    else:
+        out = df.localCheckpoint(eager=eager)
+    if _post_checkpoint_hook is not None:
+        _post_checkpoint_hook(out)
+    return out
+
+
+def evict_round_checkpoint(df: DataFrame) -> None:
+    """Release the storage behind a round_checkpoint()ed DataFrame.
 
     ``df`` must be the checkpointed frame itself (its analyzed plan is the
     LogicalRDD the checkpoint produced), not a transformation of one — the
     guard raises on anything else so a refactor that slips a projection in
     between fails red instead of silently leaking the blocks.
 
-    Non-blocking unpersist: the BlockManager frees the partitions
-    asynchronously, which is fine — the next round's materialization has
-    already completed by the time any caller invokes this.
+    Local checkpoints: non-blocking unpersist — the BlockManager frees the
+    partitions asynchronously, which is fine because the next round's
+    materialization has already completed by the time any caller invokes
+    this. Reliable checkpoints: the superseded round's files are deleted
+    from the checkpoint dir eagerly (the async ReferenceTracking cleaner
+    only runs on driver GC, unbounded lag at decade scale) — an action on
+    an evicted frame then fails loudly with a missing-checkpoint-file
+    error, the same misuse-is-a-crash model as the local path.
     """
     plan = df._jdf.queryExecution().analyzed()
     if plan.getClass().getSimpleName() != "LogicalRDD":
         raise TypeError(
-            "evict_local_checkpoint expects the localCheckpointed frame "
+            "evict_round_checkpoint expects the checkpointed frame "
             f"itself; analyzed plan is {plan.getClass().getSimpleName()}, "
             "not LogicalRDD"
         )
-    plan.rdd().unpersist(False)
+    jrdd = plan.rdd()
+    ckpt_file = jrdd.getCheckpointFile()
+    if ckpt_file.isDefined():
+        spark = df.sparkSession
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(ckpt_file.get())
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    jrdd.unpersist(False)
+
+
+# Back-compat name for the r8/r9 call sites; same guard, same semantics
+# (and since r10 it also releases reliable-round files when the loop ran
+# under the opt-in conf).
+evict_local_checkpoint = evict_round_checkpoint
 
 
 def persistent_rdd_count(spark) -> int:
