@@ -1,0 +1,50 @@
+"""Task-retry invariance gate (VERDICT r9 #2): results must be identical
+whether or not tasks fail and re-execute mid-query — the failure mode no
+oracle run can see, because the oracle path never retries.
+
+Runs tools/retry_invariance.py in a SUBPROCESS: retries need master
+local[N,F] with F>=2 (the shared session's local[*] aborts the job on
+the first task failure), and a second SparkContext cannot coexist with
+the suite's in one JVM. The harness injects a fail-once probe into every
+source scan (partition 0, attempt 0) and compares order-independent
+content hashes against the uninjected run.
+
+The committed full sweep (8 heavy queries, 8/8 PASS, 19 injected faults)
+is recorded in PLANS.md; this test keeps a 3-query core of it green in
+CI — the iterative star-contraction loop, the minhash pair join, and the
+join-dense analytics mart.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CORE = "q_dedup_clusters_star,q_dedup_minhash,q_zone_performance"
+
+
+def test_retry_invariance_core():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(_HERE, "tools", "retry_invariance.py"),
+            f"--queries={CORE}",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=_HERE,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 0, (
+        f"retry invariance FAILED:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    )
+    assert "3/3 PASS" in proc.stdout, proc.stdout
+    # the probe must have actually fired — a silent no-injection run
+    # would pass vacuously
+    assert "injected task fault" in proc.stderr, (
+        "no injected fault reached a task; the probe is dead"
+    )
