@@ -37,6 +37,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 
@@ -275,6 +276,12 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             samples.append(time.perf_counter() - t0)
+            # The run's result is consumed — release any materialize-once
+            # checkpoints it registered (ADVICE r9: otherwise a long bench
+            # session pins one RDD per invocation of the chargram/minhash/
+            # segment-style queries). Outside the timer: bookkeeping, not
+            # query work.
+            release_run_checkpoints()
         samples_sorted = sorted(samples)
         timings[name] = round(samples_sorted[len(samples_sorted) // 2], 4)
         bests[name] = round(samples_sorted[0], 4)

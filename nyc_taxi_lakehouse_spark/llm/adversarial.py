@@ -53,6 +53,10 @@ _EDGE_ROWS = [
     (9_000_000_003, "™©®—…"),       # unicode-only → canonical empty string
 ]
 
+# (session id, analyzed-plan semanticHash) pairs whose edge-row-id
+# precondition already passed this session — see adversarial_documents.
+_PRECONDITION_OK: set[tuple[int, int]] = set()
+
 
 def adversarial_documents(documents: DataFrame) -> DataFrame:
     """(doc_id, text) adversarial corpus: 3 deterministic variants per doc
@@ -66,16 +70,31 @@ def adversarial_documents(documents: DataFrame) -> DataFrame:
     corpus is actually consumed at: a doc_id >= 9·10^8 would push variant
     ids into the edge-row block and flip survivor semantics identically in
     both engines (green hash, broken property), so it raises instead. The
-    cost is one single-column MAX over the fixture-sized documents table.
+    cost is one single-column MAX over the fixture-sized documents table —
+    memoized per (session, source plan): construction stays effectively
+    lazy on repeat calls (bench/suite sessions build these frames dozens
+    of times over the same parquet), and the first call per source still
+    checks at every SF the corpus is consumed at (ADVICE r9: the eager
+    per-construction scan contradicted the map-only framing and was
+    charged to every timed q_mixedcase_* bench invocation). The memo
+    assumes a source's files are immutable within a session — true for
+    the driver-generated testdata and every derived decade.
     """
-    max_id = documents.agg(F.max("doc_id")).first()[0]
-    edge_floor = _EDGE_ROWS[0][0]
-    if max_id is not None and max_id * 10 + 2 >= edge_floor:
-        raise ValueError(
-            f"adversarial corpus precondition violated: max doc_id {max_id} "
-            f"*10+2 collides with the edge-row id block at {edge_floor}; "
-            "min-id survivor semantics would silently flip in BOTH engines"
-        )
+    key = (
+        id(documents.sparkSession),
+        documents._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    if key not in _PRECONDITION_OK:
+        max_id = documents.agg(F.max("doc_id")).first()[0]
+        edge_floor = _EDGE_ROWS[0][0]
+        if max_id is not None and max_id * 10 + 2 >= edge_floor:
+            raise ValueError(
+                f"adversarial corpus precondition violated: max doc_id "
+                f"{max_id} *10+2 collides with the edge-row id block at "
+                f"{edge_floor}; min-id survivor semantics would silently "
+                "flip in BOTH engines"
+            )
+        _PRECONDITION_OK.add(key)
     base = documents.select("doc_id", "text")
     v0 = base.select((F.col("doc_id") * 10).alias("doc_id"), "text")
     v1 = base.select(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
+from ..plans.ckpt import register_run_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -693,6 +694,7 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint()
     )
+    register_run_checkpoint(tokb)
     cnt = tokb.groupBy("b").agg(
         F.sum("c").alias("rc"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),

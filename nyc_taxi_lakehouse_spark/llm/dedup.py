@@ -31,6 +31,7 @@ from ..functions.detsql import DUCK, SPARK, Dialect
 from ..plans.ckpt import (
     evict_local_checkpoint,
     evict_round_checkpoint,
+    register_run_checkpoint,
     round_checkpoint,
 )
 from ..registry import df_query, sql_query
@@ -292,7 +293,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached partitions for the session lifetime (bench/suite sessions run
     # hundreds of queries), and every other materialize-once site in this
     # module already uses the checkpoint convention for that reason.
-    sig = sig.localCheckpoint(eager=True)
+    sig = register_run_checkpoint(sig.localCheckpoint(eager=True))
     sig.createOrReplaceTempView("mh_sig")
     return spark.sql(_minhash_pairs_sql("mh_sig"))
 
@@ -441,7 +442,7 @@ WITH {_simhash_ctes(d)},
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
-    sim = spark.sql(_simhash_sql(SPARK)).localCheckpoint(eager=True)
+    sim = register_run_checkpoint(spark.sql(_simhash_sql(SPARK)).localCheckpoint(eager=True))
     sim.createOrReplaceTempView("simhash_fp")
     return spark.sql("WITH " + _simhash_pairs_body(SPARK, "simhash_fp"))
 
@@ -1173,7 +1174,7 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-subquery-bearing plan defeats cache matching, so
     # localCheckpoint (truncated lineage) rather than persist.
     keep = spark.sql(_chargram_keep_sql(SPARK, table="documents_sharded"))
-    keep = keep.localCheckpoint()
+    keep = register_run_checkpoint(keep.localCheckpoint())
     keep.createOrReplaceTempView("chargram_keep")
     return spark.sql(_chargram_pairs_sql(SPARK, "chargram_keep"))
 
@@ -1299,7 +1300,7 @@ GROUP BY doc_id
 def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
     segs_sql, report_sql = _segment_dedup_sql(SPARK)
-    segs = spark.sql(segs_sql).localCheckpoint()
+    segs = register_run_checkpoint(spark.sql(segs_sql).localCheckpoint())
     segs.createOrReplaceTempView("dedup_segs")
     return spark.sql(report_sql)
 
@@ -1349,9 +1350,9 @@ JOIN {sig} sb ON e.doc_b = sb.doc_id
 )
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
-    sig = spark.sql(_minhash_sig_sql(SPARK)).localCheckpoint()
+    sig = register_run_checkpoint(spark.sql(_minhash_sig_sql(SPARK)).localCheckpoint())
     sig.createOrReplaceTempView("agree_sig")
-    exact = spark.sql(_jaccard_sql(SPARK)).localCheckpoint()
+    exact = register_run_checkpoint(spark.sql(_jaccard_sql(SPARK)).localCheckpoint())
     exact.createOrReplaceTempView("agree_exact")
     return spark.sql(_agreement_select_sql("agree_exact", "agree_sig"))
 
@@ -1656,10 +1657,12 @@ vocab AS (
 )
 SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token"""
     ).localCheckpoint(eager=True)
+    register_run_checkpoint(tt)
     tt.createOrReplaceTempView("lshcal_tt")
     sig = spark.sql(
         f"SELECT doc_id, {_lshcal_sig_cols()} FROM lshcal_tt GROUP BY doc_id"
     ).localCheckpoint(eager=True)
+    register_run_checkpoint(sig)
     sig.createOrReplaceTempView("lshcal_sig")
     return spark.sql(
         "WITH " + _lshcal_tail_sql(SPARK, "lshcal_tt", "lshcal_sig")
@@ -1876,6 +1879,7 @@ vocab AS (
 SELECT t.doc_id, v.cid FROM tok t
 JOIN vocab v ON t.token = v.token AND t.lang = v.lang AND t.source = v.source"""
     ).localCheckpoint(eager=True)
+    register_run_checkpoint(tt)
     tt.createOrReplaceTempView("kcore_tt")
     pairs = spark.sql(
         """
@@ -1903,6 +1907,7 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
         )
         .localCheckpoint(eager=True)
     )
+    register_run_checkpoint(e)
     core = kcore_members(e, _KCORE_K, _KCORE_ROUNDS)
     # The core MEMBERSHIP set scales with the corpus (at 100 TB a dense
     # template farm can be a large fraction of all docs) — gate the
@@ -1911,7 +1916,7 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
     # node-keyed hash joins (VERDICT r06 #2).
     from ..plans.audit import gated_broadcast
 
-    core_ck = core.localCheckpoint(eager=True)
+    core_ck = register_run_checkpoint(core.localCheckpoint(eager=True))
     core_b = gated_broadcast(core_ck, core_ck.count())
     return (
         e.join(core_b.withColumnRenamed("node", "src"), "src")

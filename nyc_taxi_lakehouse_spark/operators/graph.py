@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint
+from ..plans.ckpt import evict_local_checkpoint, register_run_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -613,12 +613,13 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      hub == SCALE everywhere, so it is SCALE * |pairs|.
     # Same BIGINT recurrence either way — same hash.
     load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = spark.sql(_HITS_PAIRS_SQL).localCheckpoint(eager=True)
+    pairs = register_run_checkpoint(spark.sql(_HITS_PAIRS_SQL).localCheckpoint(eager=True))
     deg_c = (
         pairs.groupBy("c")
         .agg(F.count("*").cast("bigint").alias("dc"))
         .localCheckpoint(eager=True)
     )
+    register_run_checkpoint(deg_c)
     # One job over the checkpointed pairs yields BOTH node cardinalities
     # (m = |pairs| since the edge set is already DISTINCT). The hub table
     # is customer-keyed and the auth table supplier-keyed, so each

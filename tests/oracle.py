@@ -68,7 +68,15 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 
 
 def compare(spark_df, duck_df: pd.DataFrame, name: str) -> None:
-    spd = spark_df.toPandas()
+    try:
+        spd = spark_df.toPandas()
+    finally:
+        # Result consumed (or the consume crashed) — release the query's
+        # materialize-once checkpoints either way so a long oracle-gate
+        # session stays bounded (ADVICE r9).
+        from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
+
+        release_run_checkpoints()
     assert sorted(spd.columns) == sorted(duck_df.columns), (
         f"{name}: column mismatch spark={sorted(spd.columns)} duck={sorted(duck_df.columns)}"
     )

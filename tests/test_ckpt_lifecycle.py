@@ -168,3 +168,46 @@ def test_kmeans_lloyd_releases_rounds(spark):
     # Final assignment checkpoint only; 4 rounds + the component table
     # would linger without eviction.
     assert persistent_rdd_count(spark) - before <= 1
+
+
+def test_materialize_once_checkpoints_release_after_consumption(spark):
+    """ADVICE r9: the materialize-once sites (chargram keep table, minhash
+    signature view, segment table, ...) cannot evict inside the query —
+    the returned plan still references the checkpoint. They REGISTER it
+    instead, and the harness releases after consuming the result. A
+    bench-style repeat loop must therefore stay bounded instead of
+    pinning one RDD per invocation."""
+    from nyc_taxi_lakehouse_spark.plans.ckpt import (
+        _RUN_CHECKPOINTS,
+        release_run_checkpoints,
+    )
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    specs = all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+    release_run_checkpoints()  # clean slate from earlier tests
+    base = persistent_rdd_count(spark)
+    for _ in range(3):
+        for name in ("q_dedup_chargram", "q_dedup_minhash", "q_dedup_segments"):
+            df = specs[name].fn(spark, sf_dir)
+            assert df.count() > 0
+            assert len(_RUN_CHECKPOINTS) >= 1, (
+                f"{name}: no materialize-once checkpoint registered — the "
+                "site lost its register_run_checkpoint wrapper"
+            )
+            release_run_checkpoints()
+    # without release: +1 pinned RDD per invocation (9 here); with it the
+    # count returns to baseline every iteration
+    assert persistent_rdd_count(spark) - base <= 0
+
+
+def test_release_run_checkpoints_is_idempotent(spark):
+    from nyc_taxi_lakehouse_spark.plans.ckpt import (
+        register_run_checkpoint,
+        release_run_checkpoints,
+    )
+
+    ck = register_run_checkpoint(spark.range(10).localCheckpoint(eager=True))
+    assert ck.count() == 10
+    assert release_run_checkpoints() == 1
+    assert release_run_checkpoints() == 0

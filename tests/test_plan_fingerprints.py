@@ -17,6 +17,7 @@ import os
 
 import pytest
 
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.plans.fingerprint import (
     mask_volatile,
     plan_fingerprint,
@@ -62,6 +63,7 @@ _VOLATILE: dict[str, set] = {
 @pytest.mark.parametrize("qname", sorted(PINNED))
 def test_plan_fingerprint_unchanged(spark, qname):
     got = plan_fingerprint(all_queries()[qname].fn(spark, SF_DIR))
+    release_run_checkpoints()
     pin = dict(PINNED[qname])
     # Volatile paths are fine-grained (joins.<Strategy>,
     # scans[<table>].<sub>) — mask_volatile blanks ONLY those sub-entries

@@ -13,6 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) )
 
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 from tests.oracle import compare, duck_connection
@@ -36,6 +37,7 @@ def main() -> int:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is None:
                 n = df.count()
+                release_run_checkpoints()
                 print(f"[{sf}] {name}: rows-only, {n} rows, {time.time()-t0:.2f}s")
                 continue
             expected = con.execute(spec.oracle).fetchdf()

@@ -17,6 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import CORE13
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.plans.fingerprint import (
     plan_fingerprint,
     volatile_paths,
@@ -51,9 +52,10 @@ def main() -> None:
         # Cross-session-only volatility is still possible — the test
         # keeps a hand-curated exclusion table (with reasons) as a union
         # on top of this.
-        runs = [
-            plan_fingerprint(specs[name].fn(spark, SF_DIR)) for _ in range(3)
-        ]
+        runs = []
+        for _ in range(3):
+            runs.append(plan_fingerprint(specs[name].fn(spark, SF_DIR)))
+            release_run_checkpoints()
         volatile = volatile_paths(runs)
         out[name] = runs[0]
         if volatile:

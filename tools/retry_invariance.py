@@ -45,6 +45,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.plans.invariance import content_hash
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
@@ -130,12 +131,14 @@ def main() -> int:
         INJECT["on"] = False
         t0 = time.time()
         clean = content_hash(spec.fn(spark, sf_dir))
+        release_run_checkpoints()
         t_clean = time.time() - t0
         INJECT["on"] = True
         try:
             t0 = time.time()
             injected = content_hash(spec.fn(spark, sf_dir))
             t_inj = time.time() - t0
+            release_run_checkpoints()
         finally:
             INJECT["on"] = False
         ok = clean == injected

@@ -4,6 +4,7 @@ compute-heavy queries. Ratio ~10 = linear; >>10 = output-bound or
 superlinear (each case must be documented in PLANS.md/BASELINE.md)."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 
@@ -20,6 +21,7 @@ def t(spark, spec, sf_dir):
     best = 1e9
     for _ in range(2):
         t0 = time.time(); n = spec.fn(spark, sf_dir).count(); best = min(best, time.time() - t0)
+        release_run_checkpoints()  # per-consume, ADVICE r9
     return best, n
 
 def main():

@@ -30,6 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
 from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 from scaling_report import HEAVY  # the same heavy-16 list, single source
@@ -103,6 +104,7 @@ def _timed(spark, fn, sf_dir, tag, runs=2):
         t0 = time.time()
         h, cnt = _hash_and_count(spark, fn(spark, sf_dir), tag)
         dt = time.time() - t0
+        release_run_checkpoints()  # per-consume, ADVICE r9
         if cnt is None:
             return None, None, None
         if best is None or dt < best:
