@@ -81,6 +81,48 @@ _HOT_SUPP_PCT = 3
 _MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
 
 
+def _make_longdoc(args) -> None:
+    """The long-document scale axis (PLANS.md round-9 bonus, promoted to a
+    flag per VERDICT r9 #6): same corpus CARDINALITY, F x the text bytes
+    per document. Each text becomes the space-joined concatenation of its
+    own F Caesar rotations (7k mod 26, k=0..F-1; k=0 is the original) —
+    distinct nonzero rotations keep the segments token- AND
+    char-gram-disjoint, so shingle/token set sizes scale ~F x the way
+    genuinely long documents do. n_chars is recomputed from the new text.
+    """
+    if args.longdoc > 26:
+        raise SystemExit("longdoc factor > 26 reuses Caesar rotations")
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    parts = ", ".join(
+        "text" if k == 0 else (
+            f"translate(text, '{alpha}', "
+            f"'{alpha[(7 * k) % 26:] + alpha[:(7 * k) % 26]}')"
+        )
+        for k in range(args.longdoc)
+    )
+    con.execute(f"""
+COPY (
+  SELECT doc_id,
+         concat_ws(' ', {parts}) AS text,
+         lang, source,
+         CAST(length(concat_ws(' ', {parts})) AS INT) AS n_chars
+  FROM read_parquet('{args.src}/documents.parquet')
+) TO '{args.out}/documents.parquet' (FORMAT PARQUET, CODEC ZSTD)
+""")
+    for t in TABLES:
+        dst = f"{args.out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{args.src}/{t}.parquet", dst)
+    stats = con.execute(
+        f"SELECT COUNT(*), AVG(n_chars) FROM "
+        f"read_parquet('{args.out}/documents.parquet')"
+    ).fetchone()
+    print(f"documents: {stats[0]} rows, avg {stats[1]:.0f} chars "
+          f"(x{args.longdoc} rotations)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_decade")
@@ -91,7 +133,23 @@ def main() -> None:
         help="plant Zipfian key mass (hot lang block, hot supplier) "
         "instead of uniform shards",
     )
+    ap.add_argument(
+        "--longdoc", type=int, nargs="?", const=8, default=0, metavar="F",
+        help="derive the LONG-DOCUMENT axis instead of a decade: fixed "
+        "row counts, each document's text replaced by F Caesar-rotated "
+        "copies of itself concatenated (default F=8; the r9 measurement "
+        "axis — rotations keep the repeated segments content-disjoint, so "
+        "distinct shingle/token sets grow ~F x like real long documents, "
+        "instead of collapsing to the original set as verbatim repetition "
+        "would). All other tables copied unchanged. Suggested "
+        "--out=/tmp/longdoc.",
+    )
     args = ap.parse_args()
+    if args.longdoc and args.skew:
+        raise SystemExit("--longdoc and --skew are separate axes; pick one")
+    if args.longdoc:
+        _make_longdoc(args)
+        return
     # The Caesar rotations 7k mod 26 are distinct only for k < 26; replica
     # 26 would rotate by 0 — byte-identical to replica 0, silently
     # reintroducing the cross-replica clone artifact this tool exists to
