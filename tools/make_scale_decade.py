@@ -144,9 +144,22 @@ def main() -> None:
         "would). All other tables copied unchanged. Suggested "
         "--out=/tmp/longdoc.",
     )
+    ap.add_argument(
+        "--hotgraph", type=int, nargs="?", const=300, default=0, metavar="M",
+        help="derive the GRAPH-SKEW decade (VERDICT r9 #4): the uniform "
+        "decade plus (a) an M-document template farm appended to "
+        "documents — one Jaccard>=0.8 clique component with C(M,2) edges "
+        "(~10x the whole base decade's near-dup edge set at the default "
+        "M=300), the adversarial-growth case the r9 supplier skew could "
+        "not produce (it SHRANK the pair graph); and (b) ~30%% of orders "
+        "remapped to the MIN customer — a hub vertex spanning every "
+        "supplier and a hot group key in the trade-graph pair "
+        "extraction. Suggested --out=/tmp/sf1_hotgraph.",
+    )
     args = ap.parse_args()
-    if args.longdoc and args.skew:
-        raise SystemExit("--longdoc and --skew are separate axes; pick one")
+    if sum(bool(x) for x in (args.longdoc, args.skew, args.hotgraph)) > 1:
+        raise SystemExit("--longdoc / --skew / --hotgraph are separate "
+                         "axes; pick one")
     if args.longdoc:
         _make_longdoc(args)
         return
@@ -203,10 +216,31 @@ COPY (
   FROM read_parquet('{SRC}/lineitem.parquet'), range({r}) k(k)
 ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
+    if args.hotgraph:
+        # ~30% of ALL orders (every replica) remap to the MIN customer: a
+        # hub vertex spanning every supplier in the trade graph, and one
+        # group key holding ~30% of the pair-extraction rows — the hot-key
+        # shuffle case on the CUSTOMER side, which the r9 supplier skew
+        # left unmeasured. Same masked high-bit multiplicative residue as
+        # the supplier planting (low bits would ride source-key structure).
+        hot_cust = con.execute(
+            f"SELECT MIN(o_custkey) FROM read_parquet('{SRC}/orders.parquet')"
+        ).fetchone()[0]
+        orders_sel = (
+            f"SELECT o_orderkey + k.k * {off} AS o_orderkey,\n"
+            f"       CASE WHEN ((((o_orderkey & 2147483647) * {_MIX})"
+            f" >> 16) % 10) < 3 THEN {hot_cust} ELSE o_custkey END"
+            " AS o_custkey,\n"
+            "       * EXCLUDE (o_orderkey, o_custkey)"
+        )
+    else:
+        orders_sel = (
+            f"SELECT o_orderkey + k.k * {off} AS o_orderkey,\n"
+            "       * EXCLUDE (o_orderkey)"
+        )
     con.execute(f"""
 COPY (
-  SELECT o_orderkey + k.k * {off} AS o_orderkey,
-         * EXCLUDE (o_orderkey)
+  {orders_sel}
   FROM read_parquet('{SRC}/orders.parquet'), range({r}) k(k)
 ) TO '{args.out}/orders.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
@@ -234,13 +268,35 @@ COPY (
         )
     else:
         lang_expr = "CASE WHEN k.k = 0 THEN lang ELSE lang || k.k END"
+    if args.hotgraph:
+        # Template farm: M near-identical documents (the longest base text
+        # + one unique trailing token each) in their OWN (lang, source)
+        # blocking bucket. Pairwise token-Jaccard is T/(T+2) for T shared
+        # distinct tokens (>=0.8 for any T>=8; the longest doc has
+        # hundreds), so the farm is ONE Jaccard>=0.8 clique: C(M,2) edges
+        # in a single component — adversarial edge GROWTH, where the r9
+        # planted-supplier skew shrank the graph. Farm ids sit above every
+        # replica id (r*doc_off) and far below the 9e8 adversarial edge-row
+        # block.
+        m = args.hotgraph
+        farm_union = f"""
+  UNION ALL
+  SELECT CAST({r * doc_off} + f.f AS BIGINT) AS doc_id,
+         b.text || ' farmtok' || f.f AS text,
+         'farm0' AS lang,
+         b.source AS source,
+         CAST(length(b.text || ' farmtok' || f.f) AS INT) AS n_chars
+  FROM (SELECT text, source FROM read_parquet('{SRC}/documents.parquet')
+        ORDER BY n_chars DESC, doc_id LIMIT 1) b, range({m}) f(f)"""
+    else:
+        farm_union = ""
     con.execute(f"""
 COPY (
   SELECT doc_id + k.k * {doc_off} AS doc_id,
          CASE WHEN k.k = 0 THEN text {rot_cases} END AS text,
          {lang_expr} AS lang,
          source, n_chars
-  FROM read_parquet('{SRC}/documents.parquet'), range({r}) k(k)
+  FROM read_parquet('{SRC}/documents.parquet'), range({r}) k(k){farm_union}
 ) TO '{args.out}/documents.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
     con.execute(f"""

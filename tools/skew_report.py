@@ -35,8 +35,10 @@ from nyc_taxi_lakehouse_spark.registry import all_queries
 from nyc_taxi_lakehouse_spark.session import get_spark
 from scaling_report import HEAVY  # the same heavy-16 list, single source
 
-UNIFORM = "/tmp/sf1_decade"
-SKEW = "/tmp/sf1_skew"
+# Overridable so the same report machinery measures OTHER planted-
+# hazard datasets against the uniform decade (r10: --hotgraph).
+UNIFORM = os.environ.get("SKEW_BASE", "/tmp/sf1_decade")
+SKEW = os.environ.get("SKEW_DATASET", "/tmp/sf1_skew")
 TIMEOUT_S = int(os.environ.get("SKEW_TIMEOUT_S", "600"))
 
 _SPLIT_CONF = {
