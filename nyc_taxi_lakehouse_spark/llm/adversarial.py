@@ -30,6 +30,8 @@ set, a different hash, a red driver row.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,9 +55,13 @@ _EDGE_ROWS = [
     (9_000_000_003, "™©®—…"),       # unicode-only → canonical empty string
 ]
 
-# (session id, analyzed-plan semanticHash) pairs whose edge-row-id
-# precondition already passed this session — see adversarial_documents.
-_PRECONDITION_OK: set[tuple[int, int]] = set()
+# Per-session set of analyzed-plan semanticHashes whose edge-row-id
+# precondition already passed — see adversarial_documents. Keyed WEAKLY
+# by the live session object, not id(session): CPython reuses ids after
+# GC, so an id-keyed memo could silently skip the safety check in a
+# fresh session over regenerated data (r10 review). A dead session's
+# entries vanish with it.
+_PRECONDITION_OK: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def adversarial_documents(documents: DataFrame) -> DataFrame:
@@ -80,11 +86,10 @@ def adversarial_documents(documents: DataFrame) -> DataFrame:
     assumes a source's files are immutable within a session — true for
     the driver-generated testdata and every derived decade.
     """
-    key = (
-        id(documents.sparkSession),
-        documents._jdf.queryExecution().analyzed().semanticHash(),
-    )
-    if key not in _PRECONDITION_OK:
+    session = documents.sparkSession
+    plan_hash = documents._jdf.queryExecution().analyzed().semanticHash()
+    checked = _PRECONDITION_OK.setdefault(session, set())
+    if plan_hash not in checked:
         max_id = documents.agg(F.max("doc_id")).first()[0]
         edge_floor = _EDGE_ROWS[0][0]
         if max_id is not None and max_id * 10 + 2 >= edge_floor:
@@ -94,7 +99,7 @@ def adversarial_documents(documents: DataFrame) -> DataFrame:
                 f"{edge_floor}; min-id survivor semantics would silently "
                 "flip in BOTH engines"
             )
-        _PRECONDITION_OK.add(key)
+        checked.add(plan_hash)
     base = documents.select("doc_id", "text")
     v0 = base.select((F.col("doc_id") * 10).alias("doc_id"), "text")
     v1 = base.select(

@@ -750,6 +750,12 @@ def connected_components(
             "component diameter exceeds max_iter; raise max_iter (rounds are "
             "O(diameter)) or pre-contract with large-star/small-star."
         )
+    # The FINAL round is referenced by the returned plan, so the loop can
+    # never evict it — register it for post-consumption release instead
+    # (r10 review: without this, every invocation still pinned one final-
+    # round RDD for the session, the exact per-run leak the run-checkpoint
+    # registry exists to close).
+    register_run_checkpoint(labels)
     return (
         vertices.join(labels, "doc_id", "left")
         .select(
@@ -855,6 +861,9 @@ def connected_components_star(
     are the component minima.
     """
     e, _rounds = _star_contract(_canon_edges(edges, "src", "dst"), max_iter)
+    # The fixpoint edge set is the loop's final checkpoint and the
+    # returned plan reads it — registry release, same as the min-label CC.
+    register_run_checkpoint(e)
     labels = e.select(F.col("h").alias("doc_id"), F.col("l").alias("label"))
     return vertices.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
@@ -1762,6 +1771,9 @@ def kcore_members(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     # deg's row set IS alive after exactly `rounds` removal rounds (each
     # iteration filters on the PREVIOUS round's degrees before updating),
     # matching the oracle's unrolled budget — no extra filter here.
+    # Final peel round: referenced by the returned plan (and dead as soon
+    # as a caller re-checkpoints the membership) — registry release.
+    register_run_checkpoint(deg)
     return deg.select(F.col("src").alias("node"))
 
 

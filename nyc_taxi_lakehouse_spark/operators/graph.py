@@ -667,9 +667,19 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("node"), F.lit(_HITS_SCALE).cast("bigint").alias("v")
     )
     tot_a = _HITS_SCALE * stats["m"]
+    # Round-state lifecycle (r10 review): the returned plan reads ONLY the
+    # last rawh (via hub) and the second-to-last (via the returned auth =
+    # f(hub_{last-1})) — every older rawh is dead the moment two newer
+    # rounds have materialized, so evict it in-loop like the other
+    # iterative operators; the two live tail checkpoints go to the run
+    # registry for post-consumption release.
+    rawh_live: list[DataFrame] = []
     for _ in range(_HITS_ITERS):
         auth = norm_lit(half_step(hub, "c", "s"), tot_a)
         rawh = half_step(auth, "s", "c").localCheckpoint(eager=True)
+        rawh_live.append(rawh)
+        if len(rawh_live) > 2:
+            evict_local_checkpoint(rawh_live.pop(0))
         row = (
             rawh.crossJoin(
                 F.broadcast(rawh.agg(F.sum("v").cast("bigint").alias("th")))
@@ -691,6 +701,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tot_a = row["ta"]
         hub = norm_lit(rawh, row["th"])
+    for live in rawh_live:
+        register_run_checkpoint(live)
     return hub.select(
         F.lit("customer").alias("kind"),
         F.col("node").cast("bigint").alias("entity_key"),

@@ -23,3 +23,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def path_edges(spark, n):
+    """Symmetric edge set of the path 0-1-...-(n-1): worst-case diameter,
+    so iterative graph loops actually run many rounds. Shared by the
+    checkpoint lifecycle and failure-domain suites (r10 review: two
+    copies of a load-bearing graph builder can silently diverge)."""
+    half = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    return half.unionByName(half.selectExpr("dst AS src", "src AS dst"))

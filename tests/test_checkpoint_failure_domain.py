@@ -41,13 +41,7 @@ from nyc_taxi_lakehouse_spark.plans.ckpt import (
 )
 
 
-def _path_edges(spark, n):
-    """Symmetric path 0-1-...-(n-1): worst-case diameter so the loops
-    run many rounds (same shape the lifecycle tests use)."""
-    half = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
-    )
-    return half.unionByName(half.selectExpr("dst AS src", "src AS dst"))
+from tests.conftest import path_edges as _path_edges
 
 
 def _drop_blocks(df):

@@ -25,13 +25,7 @@ from nyc_taxi_lakehouse_spark.plans.ckpt import (
 )
 
 
-def _path_edges(spark, n):
-    """Symmetric edge set of the path 0-1-...-(n-1): worst-case diameter,
-    so the loops actually iterate many rounds."""
-    half = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
-    )
-    return half.unionByName(half.selectExpr("dst AS src", "src AS dst"))
+from tests.conftest import path_edges as _path_edges
 
 
 def test_evict_requires_checkpoint_frame(spark):
@@ -187,8 +181,12 @@ def test_materialize_once_checkpoints_release_after_consumption(spark):
     sf_dir = "/root/testdata/sf0.001"
     release_run_checkpoints()  # clean slate from earlier tests
     base = persistent_rdd_count(spark)
+    # chargram/minhash/segments = materialize-once tables; clusters_star /
+    # hits = iterative loops whose FINAL round the returned plan references
+    # (r10 review: those also go through the registry now).
     for _ in range(3):
-        for name in ("q_dedup_chargram", "q_dedup_minhash", "q_dedup_segments"):
+        for name in ("q_dedup_chargram", "q_dedup_minhash", "q_dedup_segments",
+                     "q_dedup_clusters_star", "q_hits"):
             df = specs[name].fn(spark, sf_dir)
             assert df.count() > 0
             assert len(_RUN_CHECKPOINTS) >= 1, (

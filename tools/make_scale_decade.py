@@ -77,7 +77,10 @@ TABLES = [
 # so (key * _MIX) % 10 == key % 10 — a raw low-bit residue would silently
 # ride on the source keys' own mod-10 structure (r9 review finding; a
 # stride-10 or even-only --src would plant 0%-50% instead of 30%).
-_HOT_SUPP_PCT = 3
+# Shared by --skew (hot supplier) and --hotgraph (hot customer): both
+# axes plant the same 3-of-10 (~30%) residue mass on one key.
+_HOT_KEY_PCT = 3
+_HOT_SUPP_PCT = _HOT_KEY_PCT  # historical alias used in the r9 docs
 _MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
 
 
@@ -229,7 +232,7 @@ COPY (
         orders_sel = (
             f"SELECT o_orderkey + k.k * {off} AS o_orderkey,\n"
             f"       CASE WHEN ((((o_orderkey & 2147483647) * {_MIX})"
-            f" >> 16) % 10) < 3 THEN {hot_cust} ELSE o_custkey END"
+            f" >> 16) % 10) < {_HOT_KEY_PCT} THEN {hot_cust} ELSE o_custkey END"
             " AS o_custkey,\n"
             "       * EXCLUDE (o_orderkey, o_custkey)"
         )
