@@ -118,6 +118,142 @@ sql_query(
 )
 
 
+def _incremental_sql(d: Dialect) -> str:
+    """Incremental batch-vs-corpus near-dup: for every doc in the NEW
+    batch (doc_id % 100 in [70, 79] — the testdata's dup clusters sit at
+    id strides of 10/20, so a tens-digit slice actually CROSSES clusters;
+    a units-digit slice never does and returns zero rows), its best
+    Jaccard >= 0.8 match in the EXISTING corpus (everything else).
+
+    The production op behind continuous ingestion: a new crawl must be
+    deduped AGAINST the standing corpus, not just within itself — a
+    symmetric self-join (q_dedup_jaccard) answers the wrong question and
+    wastes C(corpus,2) work when only batch x corpus pairs matter. The
+    asymmetric join is the scale win: at 100 TB the corpus token table is
+    the big fixed side, the batch side is small-per-ingest, and the
+    (token, lang, source) join touches only tokens the BATCH contains —
+    corpus postings for absent tokens are never read (pushdown of the
+    batch's token set; with a pre-bucketed corpus table this is a
+    shuffle-free probe). Best-match selection is ONE window on the
+    (already tiny) scored pair set: rank by Jaccard desc, corpus_id asc —
+    deterministic, every tie broken by id.
+    """
+    tok = d.distinct_token_rows("documents", extra_cols="lang, source")
+    return f"""
+WITH tok AS ({tok}),
+batch AS (SELECT * FROM tok WHERE doc_id % 100 BETWEEN 70 AND 79),
+corpus AS (SELECT * FROM tok WHERE doc_id % 100 NOT BETWEEN 70 AND 79),
+bsize AS (SELECT doc_id, COUNT(*) AS n FROM batch GROUP BY doc_id),
+csize AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+pair_inter AS (
+  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+  FROM batch b
+  JOIN corpus c
+    ON b.token = c.token AND b.lang = c.lang AND b.source = c.source
+  GROUP BY b.doc_id, c.doc_id
+),
+scored AS (
+  SELECT p.new_id, p.corpus_id, p.inter,
+         bs.n + cs.n - p.inter AS uni
+  FROM pair_inter p
+  JOIN bsize bs ON p.new_id = bs.doc_id
+  JOIN csize cs ON p.corpus_id = cs.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (bs.n + cs.n - p.inter) >= 0.8
+),
+best AS (
+  SELECT new_id, corpus_id, inter, uni,
+         ROW_NUMBER() OVER (
+           PARTITION BY new_id
+           ORDER BY CAST(inter AS DOUBLE) / uni DESC, corpus_id
+         ) AS rn
+  FROM scored
+)
+SELECT new_id, corpus_id, inter, uni,
+       CAST(inter AS DOUBLE) / uni AS jaccard
+FROM best WHERE rn = 1
+"""
+
+
+sql_query(
+    "q_dedup_incremental",
+    spark_sql=_incremental_sql(SPARK),
+    duck_sql=_incremental_sql(DUCK),
+    tables=["documents"],
+    doc="Incremental ingestion dedup: best Jaccard >= 0.8 corpus match "
+    "per NEW-batch doc (batch = tens-digit 7 ids). Asymmetric batch x "
+    "corpus token join inside (lang, source) blocking — only tokens the "
+    "batch contains touch corpus postings, so ingest cost scales with "
+    "the batch, not the corpus; deterministic best-match window "
+    "(jaccard desc, corpus_id asc).",
+)
+
+
+def _content_chunk_sql(d: Dialect) -> str:
+    """Content-defined chunking (the LBFS/restic/CDC primitive) over the
+    token stream: a chunk boundary falls AFTER token i whenever the md5
+    of the 3-token window (i-2, i-1, i) starts with hex 0 or 1 — an
+    expected boundary rate of 1/8, driven by CONTENT, not position, so an
+    insertion near a doc's head re-chunks only its neighborhood instead
+    of shifting every downstream fixed-size block (the property that
+    makes CDC the storage-dedup primitive). Cross-engine determinism:
+    md5 over the same 3-token string is byte-identical in both engines;
+    all outputs are exact integers, incl. an order-sensitive integer
+    fingerprint of the chunk-size sequence (sum of size * (chunk_id+1))
+    standing in for a chunk-content hash without ordered string_agg
+    (which the engines spell incompatibly).
+
+    Scale shape: one windowed pass per doc partition (LAG + running SUM
+    over (doc_id, i)) and one two-level aggregation — no joins, no
+    corpus-pair space; 100 TB cost is a single doc-partitioned shuffle.
+    """
+    pos = d.positional_token_rows("documents")
+    return f"""
+WITH tok AS ({pos}),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i >= 3 AND substring(md5(
+                LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY i)
+                || ' ' ||
+                LAG(token, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                || ' ' || token), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, i,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS chunk_tokens
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk,
+       CAST(MIN(chunk_tokens) AS BIGINT) AS min_chunk,
+       CAST(SUM(chunk_tokens * (chunk_id + 1)) AS BIGINT) AS size_seq_fp
+FROM chunks
+GROUP BY doc_id
+"""
+
+
+sql_query(
+    "q_content_chunking",
+    spark_sql=_content_chunk_sql(SPARK),
+    duck_sql=_content_chunk_sql(DUCK),
+    tables=["documents"],
+    doc="Content-defined chunking over the token stream: boundaries where "
+    "md5 of the rolling 3-token window starts with hex 0/1 (rate 1/8) — "
+    "content-driven cut points that stay stable under local edits, the "
+    "CDC storage-dedup primitive. Per doc: chunk count, token total, "
+    "max/min chunk size, and an order-sensitive integer fingerprint of "
+    "the size sequence. One windowed pass + one aggregation, no joins.",
+)
+
+
 def _containment_sql(d: Dialect) -> str:
     """Asymmetric containment near-dup: C(A→B) = |A∩B| / |A|.
 

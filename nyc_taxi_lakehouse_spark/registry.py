@@ -396,6 +396,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q_pca_gram_step",
     "q_mixedcase_fingerprint",
     "q_mixedcase_dedup",
+    # round-10 additions (cap discipline: 2 new, appended last) — the
+    # asymmetric ingestion-dedup join (batch vs standing corpus) and the
+    # content-defined-chunking primitive (rolling-window md5 boundaries).
+    "q_dedup_incremental",
+    "q_content_chunking",
 ]
 
 # Queries whose COMMITTED OUTPUT SEMANTICS changed in a given round: a

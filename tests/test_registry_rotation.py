@@ -74,6 +74,8 @@ def test_rotation_puts_unverified_first():
     """Against the real repo history: the head of iteration must be names
     without a counting driver row (a 'no_oracle' row stops counting once
     the query has an oracle), ordered before anything already verified."""
+    from nyc_taxi_lakehouse_spark.registry import _SEMANTICS_CHANGED
+
     lr = _driver_verified_rounds()
     q = all_queries()
     names = list(q)
@@ -84,6 +86,8 @@ def test_rotation_puts_unverified_first():
             return False
         if not row[1] and q[n].oracle is not None:
             return False
+        if row[0] < _SEMANTICS_CHANGED.get(n, 0):
+            return False  # clean row predates a semantic change
         return True
 
     unchecked_total = sum(1 for n in names if not verified(n))
