@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.ckpt import evict_local_checkpoint
+from ..plans.ckpt import evict_local_checkpoint, round_checkpoint
 
 
 def _merge_pair_expr(left: str, right: str) -> str:
@@ -60,8 +60,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> list[tuple[str, str, i
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .withColumn("syms", F.expr("split(word, '')"))
-        .localCheckpoint()
     )
+    vocab = round_checkpoint(vocab)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = vocab.select(
@@ -84,9 +84,9 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> list[tuple[str, str, i
             break
         l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
         merges.append((l, r, cnt))
-        new_vocab = vocab.withColumn(
-            "syms", F.expr(_merge_pair_expr(l, r))
-        ).localCheckpoint()
+        new_vocab = round_checkpoint(
+            vocab.withColumn("syms", F.expr(_merge_pair_expr(l, r)))
+        )
         # The merged vocab materialized eagerly; the previous round is dead
         # (VERDICT r8 #2 checkpoint lifecycle).
         evict_local_checkpoint(vocab)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint
+from ..plans.ckpt import evict_local_checkpoint, round_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -259,7 +259,7 @@ def kmeans_lloyd(
     (the per-step algebra is pinned by q_kmeans_step's oracle)."""
     from pyspark.sql import Window
 
-    comp = _quant_components(embeddings).localCheckpoint(eager=True)
+    comp = round_checkpoint(_quant_components(embeddings))
     cent_ids = (
         embeddings.select("vec_id")
         .orderBy("vec_id")
@@ -272,7 +272,7 @@ def kmeans_lloyd(
     assign = None
     prev = None
     for _ in range(iterations):
-        assign = kmeans_assign(comp, ccomp).localCheckpoint(eager=True)
+        assign = round_checkpoint(kmeans_assign(comp, ccomp))
         # The new assignment materialized eagerly, and the lazy ccomp that
         # referenced the previous round was consumed doing so — release the
         # superseded round (VERDICT r8 #2 checkpoint lifecycle).
@@ -1236,7 +1236,7 @@ def _kcenter_oracle(k: int = _KC_K) -> str:
 )
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    comp = _quant_components(t["embeddings"]).localCheckpoint()
+    comp = round_checkpoint(_quant_components(t["embeddings"]))
 
     def dist_to(vid: int) -> DataFrame:
         cc = comp.where(F.col("vec_id") == vid).select(
@@ -1254,16 +1254,15 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c0 = int(comp.agg(F.min("vec_id")).collect()[0][0])
     centers = [(0, c0, 0)]
-    dist = dist_to(c0).withColumnRenamed("nd", "dist").localCheckpoint()
+    dist = round_checkpoint(dist_to(c0).withColumnRenamed("nd", "dist"))
     for i in range(1, _KC_K):
         top = dist.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
         vid, dd = int(top.vec_id), int(top.dist)
         centers.append((i, vid, dd))
         if i < _KC_K - 1:
-            new_dist = (
+            new_dist = round_checkpoint(
                 dist.join(dist_to(vid), "vec_id")
                 .select("vec_id", F.least("dist", "nd").cast("bigint").alias("dist"))
-                .localCheckpoint()
             )
             # Superseded min-distance round — release (VERDICT r8 #2).
             evict_local_checkpoint(dist)

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint, register_run_checkpoint
+from ..plans.ckpt import (
+    evict_local_checkpoint,
+    register_run_checkpoint,
+    round_checkpoint,
+)
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -342,9 +346,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint()
+    edges = round_checkpoint(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
     # Seeds: nation-0 customers that actually trade (graph nodes only — the
     # oracle's reach sets can never contain an isolated seed, so neither
     # should round 0).
@@ -356,7 +362,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(in_graph, F.col("node") == F.col("src"), "leftsemi")
         .distinct()
     )
-    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    dist = round_checkpoint(seeds.withColumn("hop", F.lit(0)))
     frontier = dist
     for i in range(1, _BFS_ROUNDS + 1):
         neighbors = (
@@ -364,12 +370,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = (
+        new = round_checkpoint(
             neighbors.join(dist, "node", "left_anti")
             .withColumn("hop", F.lit(i))
-            .localCheckpoint()
         )
-        new_dist = dist.unionAll(new).localCheckpoint()
+        new_dist = round_checkpoint(dist.unionAll(new))
         # new_dist materialized eagerly and COPIES the frontier rows, so
         # the superseded rounds are dead — release them instead of holding
         # one checkpoint per hop for the session (VERDICT r8 #2). Round 1
@@ -472,10 +477,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = round_checkpoint(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -676,7 +680,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rawh_live: list[DataFrame] = []
     for _ in range(_HITS_ITERS):
         auth = norm_lit(half_step(hub, "c", "s"), tot_a)
-        rawh = half_step(auth, "s", "c").localCheckpoint(eager=True)
+        rawh = round_checkpoint(half_step(auth, "s", "c"))
         rawh_live.append(rawh)
         if len(rawh_live) > 2:
             evict_local_checkpoint(rawh_live.pop(0))
@@ -988,10 +992,9 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = round_checkpoint(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
     )
     seeds = (
         edges.select("src")
@@ -1001,9 +1004,11 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ED_SOURCES)
         .select(F.col("src").alias("source"))
     )
-    dist = seeds.select("source", F.col("source").alias("node")).withColumn(
-        "hop", F.lit(0)
-    ).localCheckpoint()
+    dist = round_checkpoint(
+        seeds.select("source", F.col("source").alias("node")).withColumn(
+            "hop", F.lit(0)
+        )
+    )
     frontier = dist
     for i in range(1, _ED_ROUNDS + 1):
         neighbors = (
@@ -1014,11 +1019,11 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = neighbors.join(
             dist.select("source", "node"), ["source", "node"], "left_anti"
         ).withColumn("hop", F.lit(i))
-        new = new.localCheckpoint()
+        new = round_checkpoint(new)
         if new.isEmpty():
             evict_local_checkpoint(new)
             break
-        new_dist = dist.unionAll(new).localCheckpoint()
+        new_dist = round_checkpoint(dist.unionAll(new))
         # Superseded rounds are dead once new_dist materialized (its union
         # copied the frontier rows) — release per round, VERDICT r8 #2.
         evict_local_checkpoint(dist)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint
+from ..plans.ckpt import evict_local_checkpoint, round_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -428,7 +428,7 @@ def _knn_exact_loop(
         )
 
     w = Window.partitionBy("ck").orderBy("dist2", "sk")
-    pending = probes.localCheckpoint(eager=True)
+    pending = round_checkpoint(probes)
     state = spark.createDataFrame([], "ck bigint, sk bigint, dist2 bigint, rk int")
     # Round 1's state is a literal frame, not a checkpoint — guard the
     # eviction ladder below (r9: this loop was the one place the r8 #2
@@ -449,8 +449,8 @@ def _knn_exact_loop(
             .unionAll(cand)
             .withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= k)
-            .localCheckpoint(eager=True)
         )
+        new_state = round_checkpoint(new_state)
         # The previous round's checkpoint (possibly wrapped in the lazy
         # narrowing join below) was consumed materializing new_state.
         if prev_state_ckpt is not None:
@@ -498,14 +498,12 @@ def _knn_exact_loop(
         # materialized eagerly (its rows are final output — total extra
         # storage is exactly the result size) so it stops referencing this
         # round's state/pending checkpoints and they can be released.
-        done_slices.append(
+        done_slices.append(round_checkpoint(
             state.join(complete, "ck")
             .select("ck", "sk", "dist2", "rk")
-            .localCheckpoint(eager=True)
-        )
-        new_pending = (
+        ))
+        new_pending = round_checkpoint(
             pending.join(complete, "ck", "left_anti")
-            .localCheckpoint(eager=True)
         )
         evict_local_checkpoint(pending)
         pending = new_pending
@@ -580,8 +578,8 @@ def q_spatial_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sx DIV {_CELL}").alias("scx"),
             F.expr(f"sy DIV {_CELL}").alias("scy"),
         )
-        .localCheckpoint(eager=True)
     )
+    supp_cell = round_checkpoint(supp_cell)
     out = _knn_exact_loop(spark, probes, supp_cell, _KNN_K)
     # The loop has fully materialized its done slices — the supplier cell
     # table is no longer referenced by any live plan.
@@ -803,15 +801,13 @@ def _dbscan_frame(
         .select(F.col("p.ck").alias("a"), F.col("q.ck").alias("b"))
     )
     half = cross_cell.unionAll(same_cell)
-    nbrs = (
+    nbrs = round_checkpoint(
         half.unionAll(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
     )
     deg = nbrs.groupBy("a").agg((F.count("*") + 1).alias("ncnt"))
-    cores = (
+    cores = round_checkpoint(
         deg.filter(F.col("ncnt") >= minpts)
         .select(F.col("a").alias("ck"))
-        .localCheckpoint(eager=True)
     )
     # No forced broadcasts below: cores/labels/border scale with the
     # corpus (unlike a dimension table), so the joins stay adaptive —

@@ -214,3 +214,32 @@ def test_local_mode_results_match_reliable_mode(spark, tmp_path):
         spark.conf.set(RELIABLE_CONF, "false")
     assert local == rel
     assert {c for _, c in local} == {0, 3, 5}
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q_bfs_hops", "q_effective_diameter", "q_spatial_knn_exact",
+     "q_kcenter_coreset", "q_hits"],
+)
+def test_reliable_mode_query_results_match_local(spark, tmp_path, qname):
+    """r10 widened round_checkpoint to every iterative loop (BFS,
+    diameter, HITS rounds, spatial kNN ring loop, k-center, k-means,
+    BPE) — each migrated query must produce identical results in both
+    modes."""
+    from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
+    from nyc_taxi_lakehouse_spark.plans.invariance import content_hash
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    fn = all_queries()[qname].fn
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set(RELIABLE_CONF, "false")
+    local = content_hash(fn(spark, sf))
+    release_run_checkpoints()
+    spark.sparkContext.setCheckpointDir(str(tmp_path))
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        rel = content_hash(fn(spark, sf))
+        release_run_checkpoints()
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+    assert local == rel and local[1] > 0
