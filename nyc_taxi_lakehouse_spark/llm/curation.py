@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import register_run_checkpoint
+from ..plans.ckpt import register_run_checkpoint, round_checkpoint
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -692,9 +692,8 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "source", "b")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
     )
-    register_run_checkpoint(tokb)
+    tokb = register_run_checkpoint(round_checkpoint(tokb))
     cnt = tokb.groupBy("b").agg(
         F.sum("c").alias("rc"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),

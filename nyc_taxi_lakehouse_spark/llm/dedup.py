@@ -190,8 +190,10 @@ sql_query(
 
 def _content_chunk_sql(d: Dialect) -> str:
     """Content-defined chunking (the LBFS/restic/CDC primitive) over the
-    token stream: a chunk boundary falls AFTER token i whenever the md5
-    of the 3-token window (i-2, i-1, i) starts with hex 0 or 1 — an
+    token stream: whenever the md5 of the 3-token window (i-2, i-1, i)
+    starts with hex 0 or 1, token i STARTS a new chunk (the boundary
+    falls BEFORE the flagged token — the inclusive running SUM assigns
+    token i the incremented chunk id) — an
     expected boundary rate of 1/8, driven by CONTENT, not position, so an
     insertion near a doc's head re-chunks only its neighborhood instead
     of shifting every downstream fixed-size block (the property that
@@ -245,8 +247,9 @@ sql_query(
     spark_sql=_content_chunk_sql(SPARK),
     duck_sql=_content_chunk_sql(DUCK),
     tables=["documents"],
-    doc="Content-defined chunking over the token stream: boundaries where "
-    "md5 of the rolling 3-token window starts with hex 0/1 (rate 1/8) — "
+    doc="Content-defined chunking over the token stream: where md5 of the "
+    "rolling 3-token window starts with hex 0/1 (rate 1/8), the flagged "
+    "token starts a new chunk — "
     "content-driven cut points that stay stable under local edits, the "
     "CDC storage-dedup primitive. Per doc: chunk count, token total, "
     "max/min chunk size, and an order-sensitive integer fingerprint of "
@@ -429,7 +432,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached partitions for the session lifetime (bench/suite sessions run
     # hundreds of queries), and every other materialize-once site in this
     # module already uses the checkpoint convention for that reason.
-    sig = register_run_checkpoint(sig.localCheckpoint(eager=True))
+    sig = register_run_checkpoint(round_checkpoint(sig))
     sig.createOrReplaceTempView("mh_sig")
     return spark.sql(_minhash_pairs_sql("mh_sig"))
 
@@ -578,7 +581,7 @@ WITH {_simhash_ctes(d)},
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
-    sim = register_run_checkpoint(spark.sql(_simhash_sql(SPARK)).localCheckpoint(eager=True))
+    sim = register_run_checkpoint(round_checkpoint(spark.sql(_simhash_sql(SPARK))))
     sim.createOrReplaceTempView("simhash_fp")
     return spark.sql("WITH " + _simhash_pairs_body(SPARK, "simhash_fp"))
 
@@ -1319,7 +1322,7 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-subquery-bearing plan defeats cache matching, so
     # localCheckpoint (truncated lineage) rather than persist.
     keep = spark.sql(_chargram_keep_sql(SPARK, table="documents_sharded"))
-    keep = register_run_checkpoint(keep.localCheckpoint())
+    keep = register_run_checkpoint(round_checkpoint(keep))
     keep.createOrReplaceTempView("chargram_keep")
     return spark.sql(_chargram_pairs_sql(SPARK, "chargram_keep"))
 
@@ -1445,7 +1448,7 @@ GROUP BY doc_id
 def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
     segs_sql, report_sql = _segment_dedup_sql(SPARK)
-    segs = register_run_checkpoint(spark.sql(segs_sql).localCheckpoint())
+    segs = register_run_checkpoint(round_checkpoint(spark.sql(segs_sql)))
     segs.createOrReplaceTempView("dedup_segs")
     return spark.sql(report_sql)
 
@@ -1495,9 +1498,9 @@ JOIN {sig} sb ON e.doc_b = sb.doc_id
 )
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["documents"])
-    sig = register_run_checkpoint(spark.sql(_minhash_sig_sql(SPARK)).localCheckpoint())
+    sig = register_run_checkpoint(round_checkpoint(spark.sql(_minhash_sig_sql(SPARK))))
     sig.createOrReplaceTempView("agree_sig")
-    exact = register_run_checkpoint(spark.sql(_jaccard_sql(SPARK)).localCheckpoint())
+    exact = register_run_checkpoint(round_checkpoint(spark.sql(_jaccard_sql(SPARK))))
     exact.createOrReplaceTempView("agree_exact")
     return spark.sql(_agreement_select_sql("agree_exact", "agree_sig"))
 
@@ -1545,7 +1548,7 @@ def prod_dedup_chain(docs: DataFrame) -> DataFrame:
         # Fan the compute-dense shingle explode across cores (input splits
         # do this at cluster scale; the local corpus is one row group).
         docs = docs.repartition(DEFAULT_SHUFFLE_PARTITIONS)
-    sig = minhash_signatures_xxhash(docs, shingle_chars=5).localCheckpoint()
+    sig = round_checkpoint(minhash_signatures_xxhash(docs, shingle_chars=5))
     # Stricter banding than the 4x4 oracle anchor: a dedup pipeline wants
     # high-Jaccard pairs only — the steeper 2x8 S-curve.
     cand = lsh_candidate_pairs(sig, bands=_PROD_BANDS)
@@ -1801,13 +1804,13 @@ vocab AS (
   FROM (SELECT DISTINCT token FROM tok) v
 )
 SELECT t.doc_id, v.tid FROM tok t JOIN vocab v ON t.token = v.token"""
-    ).localCheckpoint(eager=True)
-    register_run_checkpoint(tt)
+    )
+    tt = register_run_checkpoint(round_checkpoint(tt))
     tt.createOrReplaceTempView("lshcal_tt")
     sig = spark.sql(
         f"SELECT doc_id, {_lshcal_sig_cols()} FROM lshcal_tt GROUP BY doc_id"
-    ).localCheckpoint(eager=True)
-    register_run_checkpoint(sig)
+    )
+    sig = register_run_checkpoint(round_checkpoint(sig))
     sig.createOrReplaceTempView("lshcal_sig")
     return spark.sql(
         "WITH " + _lshcal_tail_sql(SPARK, "lshcal_tt", "lshcal_sig")
@@ -2026,8 +2029,8 @@ vocab AS (
 )
 SELECT t.doc_id, v.cid FROM tok t
 JOIN vocab v ON t.token = v.token AND t.lang = v.lang AND t.source = v.source"""
-    ).localCheckpoint(eager=True)
-    register_run_checkpoint(tt)
+    )
+    tt = register_run_checkpoint(round_checkpoint(tt))
     tt.createOrReplaceTempView("kcore_tt")
     pairs = spark.sql(
         """
@@ -2053,9 +2056,8 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
-    register_run_checkpoint(e)
+    e = register_run_checkpoint(round_checkpoint(e))
     core = kcore_members(e, _KCORE_K, _KCORE_ROUNDS)
     # The core MEMBERSHIP set scales with the corpus (at 100 TB a dense
     # template farm can be a large fraction of all docs) — gate the
@@ -2064,7 +2066,7 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - p.inter) >= 0.8"""
     # node-keyed hash joins (VERDICT r06 #2).
     from ..plans.audit import gated_broadcast
 
-    core_ck = register_run_checkpoint(core.localCheckpoint(eager=True))
+    core_ck = register_run_checkpoint(round_checkpoint(core))
     core_b = gated_broadcast(core_ck, core_ck.count())
     return (
         e.join(core_b.withColumnRenamed("node", "src"), "src")

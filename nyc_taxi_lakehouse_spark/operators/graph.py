@@ -113,7 +113,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (src, dst, deg) edge relation once — every iteration
     # re-reads it, so recomputing the orders×lineitem join per round would
     # multiply the dominant cost by the iteration count.
-    e = edges.join(deg, "src").localCheckpoint()
+    e = register_run_checkpoint(round_checkpoint(edges.join(deg, "src")))
     nodes = e.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
@@ -386,6 +386,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_local_checkpoint(edges)
     if frontier is not dist:
         evict_local_checkpoint(frontier)
+    # The final hop round is referenced by the returned plan — registry
+    # release after the harness consumes the result (r10 review).
+    register_run_checkpoint(dist)
     return dist.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -481,6 +484,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     )
+    register_run_checkpoint(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -617,13 +621,11 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      hub == SCALE everywhere, so it is SCALE * |pairs|.
     # Same BIGINT recurrence either way — same hash.
     load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = register_run_checkpoint(spark.sql(_HITS_PAIRS_SQL).localCheckpoint(eager=True))
-    deg_c = (
+    pairs = register_run_checkpoint(round_checkpoint(spark.sql(_HITS_PAIRS_SQL)))
+    deg_c = register_run_checkpoint(round_checkpoint(
         pairs.groupBy("c")
         .agg(F.count("*").cast("bigint").alias("dc"))
-        .localCheckpoint(eager=True)
-    )
-    register_run_checkpoint(deg_c)
+    ))
     # One job over the checkpointed pairs yields BOTH node cardinalities
     # (m = |pairs| since the edge set is already DISTINCT). The hub table
     # is customer-keyed and the auth table supplier-keyed, so each
@@ -1033,6 +1035,7 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_local_checkpoint(edges)
     if frontier is not dist:
         evict_local_checkpoint(frontier)
+    register_run_checkpoint(dist)
     hist = dist.groupBy("hop").agg(F.count("*").alias("n_pairs"))
     from pyspark.sql import Window
 

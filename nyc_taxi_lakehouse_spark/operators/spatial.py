@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
-from ..plans.ckpt import evict_local_checkpoint, round_checkpoint
+from ..plans.ckpt import (
+    evict_local_checkpoint,
+    register_run_checkpoint,
+    round_checkpoint,
+)
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
 
@@ -498,10 +502,10 @@ def _knn_exact_loop(
         # materialized eagerly (its rows are final output — total extra
         # storage is exactly the result size) so it stops referencing this
         # round's state/pending checkpoints and they can be released.
-        done_slices.append(round_checkpoint(
+        done_slices.append(register_run_checkpoint(round_checkpoint(
             state.join(complete, "ck")
             .select("ck", "sk", "dist2", "rk")
-        ))
+        )))
         new_pending = round_checkpoint(
             pending.join(complete, "ck", "left_anti")
         )
@@ -801,14 +805,14 @@ def _dbscan_frame(
         .select(F.col("p.ck").alias("a"), F.col("q.ck").alias("b"))
     )
     half = cross_cell.unionAll(same_cell)
-    nbrs = round_checkpoint(
+    nbrs = register_run_checkpoint(round_checkpoint(
         half.unionAll(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    )
+    ))
     deg = nbrs.groupBy("a").agg((F.count("*") + 1).alias("ncnt"))
-    cores = round_checkpoint(
+    cores = register_run_checkpoint(round_checkpoint(
         deg.filter(F.col("ncnt") >= minpts)
         .select(F.col("a").alias("ck"))
-    )
+    ))
     # No forced broadcasts below: cores/labels/border scale with the
     # corpus (unlike a dimension table), so the joins stay adaptive —
     # AQE broadcasts them locally, shuffles them at cluster scale.

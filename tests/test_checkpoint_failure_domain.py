@@ -239,7 +239,9 @@ def test_reliable_mode_query_results_match_local(spark, tmp_path, qname):
     spark.conf.set(RELIABLE_CONF, "true")
     try:
         rel = content_hash(fn(spark, sf))
-        release_run_checkpoints()
     finally:
+        # release in the finally: a mid-query failure must not leak this
+        # query's registered checkpoints into the next test's release call
+        release_run_checkpoints()
         spark.conf.set(RELIABLE_CONF, "false")
     assert local == rel and local[1] > 0
