@@ -1145,3 +1145,86 @@ sql_query(
     "cap exactly as q_dedup_chargram documents. One explode + one "
     "(eval, train)-keyed count + an eval-partitioned top-1 window.",
 )
+
+
+_QUOTA_N = 8  # per-source document cap (the bite point: every testdata source holds >8 docs)
+_QUOTA_SALT = 16  # phase-1 salt buckets: the real per-source window sees <= N*SALT rows
+
+
+def _source_quota_sql(d: Dialect) -> str:
+    """Per-source document quota — the RefinedWeb/C4-style "domain cap"
+    curation op: keep at most _QUOTA_N documents per source, chosen by a
+    deterministic md5 priority (a stable uniform sample of the domain),
+    and report per-source accounting plus kept-set checksums.
+
+    Scale shape: the naive ROW_NUMBER() OVER (PARTITION BY source ORDER
+    BY pri) sends EVERY document of a hot domain to one reducer — at
+    100 TB a single domain can be >10% of the crawl, so that window IS
+    the job. The salted two-phase prune bounds it: phase 1 ranks inside
+    (source, doc_id % _QUOTA_SALT) — buckets uniform by construction
+    regardless of domain skew — and keeps each bucket's top-N, so the
+    phase-2 per-source window sees at most N*SALT survivors per source
+    (the global top-N is contained in the union of per-bucket top-Ns;
+    correctness is set containment, not an approximation). Both phases
+    are plain windows, so Catalyst keeps the whole pipeline JVM-side;
+    the md5 priority makes the kept set reproducible and — because a
+    document's priority never changes — stable under corpus growth:
+    re-running after an ingest only ever evicts the highest-priority
+    incumbents, never reshuffles the sample arbitrarily.
+
+    Output: one row per source with total/kept/dropped counts and the
+    kept set pinned by SUM(doc_id) + SUM(n_chars) checksums (verifies
+    the exact selection without emitting the kept corpus).
+    """
+    pri = d.md5_int32(f"{d.to_str('doc_id')} || ':quota'")
+    return f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars, {pri} AS pri FROM documents
+),
+p1 AS (
+  SELECT doc_id, source, n_chars, pri,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, doc_id % {_QUOTA_SALT}
+           ORDER BY pri, doc_id
+         ) AS rn1
+  FROM pri
+),
+ranked AS (
+  SELECT doc_id, source, n_chars, pri,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM p1 WHERE rn1 <= {_QUOTA_N}
+),
+kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+         CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+  FROM ranked WHERE rn <= {_QUOTA_N} GROUP BY source
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM pri GROUP BY source
+)
+SELECT t.source, t.total_docs, k.kept_docs,
+       t.total_docs - k.kept_docs AS dropped_docs,
+       k.kept_id_sum, k.kept_chars,
+       CAST(k.kept_chars AS DOUBLE) / t.total_chars AS char_keep_ratio
+FROM tot t JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
+sql_query(
+    "q_source_quota",
+    spark_sql=_source_quota_sql(SPARK),
+    duck_sql=_source_quota_sql(DUCK),
+    tables=["documents"],
+    doc="Per-source document quota (RefinedWeb/C4 domain cap): keep at "
+    "most 8 docs per source by deterministic md5 priority; per-source "
+    "total/kept/dropped accounting with kept-set id/char checksums. "
+    "Skew-safe salted two-phase top-N: phase 1 ranks inside (source, "
+    "doc_id % 16) uniform buckets, so the real per-source window sees "
+    "<= 128 survivors per source no matter how hot the domain — exact "
+    "by set containment, and the priority hash keeps the sample stable "
+    "under corpus growth.",
+)

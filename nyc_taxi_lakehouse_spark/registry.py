@@ -401,6 +401,9 @@ _DRIVER_PRIORITY: list[str] = [
     # content-defined-chunking primitive (rolling-window md5 boundaries).
     "q_dedup_incremental",
     "q_content_chunking",
+    # round-10 third addition — the domain-cap curation op (salted
+    # two-phase per-source top-N; see llm/curation.py).
+    "q_source_quota",
 ]
 
 # Queries whose COMMITTED OUTPUT SEMANTICS changed in a given round: a
