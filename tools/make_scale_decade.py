@@ -159,10 +159,21 @@ def main() -> None:
         "supplier and a hot group key in the trade-graph pair "
         "extraction. Suggested --out=/tmp/sf1_hotgraph.",
     )
+    ap.add_argument(
+        "--hotsource", action="store_true",
+        help="Plant a hot SOURCE: ~50%% of ALL documents (chosen by the "
+        "same masked multiplicative doc-id residue as the other plantings, "
+        "so the hot set is pseudo-random across replicas) are remapped to "
+        "the base corpus's largest source. Attacks every per-source "
+        "operator — domain-cap windows, per-source running sums, mixture "
+        "aggregations — with one group holding half the corpus. Suggested "
+        "--out=/tmp/sf1_hotsource.",
+    )
     args = ap.parse_args()
-    if sum(bool(x) for x in (args.longdoc, args.skew, args.hotgraph)) > 1:
-        raise SystemExit("--longdoc / --skew / --hotgraph are separate "
-                         "axes; pick one")
+    if sum(bool(x) for x in
+           (args.longdoc, args.skew, args.hotgraph, args.hotsource)) > 1:
+        raise SystemExit("--longdoc / --skew / --hotgraph / --hotsource are "
+                         "separate axes; pick one")
     if args.longdoc:
         _make_longdoc(args)
         return
@@ -293,12 +304,30 @@ COPY (
         ORDER BY n_chars DESC, doc_id LIMIT 1) b, range({m}) f(f)"""
     else:
         farm_union = ""
+    if args.hotsource:
+        # ~50% of the decade's documents collapse into the largest base
+        # source; the remaining sources keep their uniform halves. The
+        # residue is over the FINAL (replica-offset) doc id, so the hot
+        # set is pseudo-random within every replica rather than whole
+        # replicas flipping. Lang keeps the uniform per-replica suffix —
+        # this axis isolates SOURCE heat from the r9 lang-block heat.
+        hot_src = con.execute(
+            f"SELECT source FROM read_parquet('{SRC}/documents.parquet') "
+            "GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1"
+        ).fetchone()[0]
+        source_expr = (
+            f"CASE WHEN ((((doc_id + k.k * {doc_off}) & 2147483647)"
+            f" * {_MIX}) >> 16) % 10 < 5 THEN '{hot_src}'"
+            " ELSE source END"
+        )
+    else:
+        source_expr = "source"
     con.execute(f"""
 COPY (
   SELECT doc_id + k.k * {doc_off} AS doc_id,
          CASE WHEN k.k = 0 THEN text {rot_cases} END AS text,
          {lang_expr} AS lang,
-         source, n_chars
+         {source_expr} AS source, n_chars
   FROM read_parquet('{SRC}/documents.parquet'), range({r}) k(k){farm_union}
 ) TO '{args.out}/documents.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
