@@ -51,9 +51,10 @@ def _generator_digest() -> str:
         return hashlib.md5(f.read()).hexdigest()
 
 
-@pytest.fixture(scope="module")
-def skew_dir():
-    marker = f"{_SKEW_DIR}/.complete"
+def _derive(flag: str, out_dir: str) -> str:
+    """Derive a planted decade variant from sf0.01, cached by generator
+    digest (stale or partial dirs rebuild, never silently pass)."""
+    marker = f"{out_dir}/.complete"
     digest = _generator_digest()
     stale = True
     if os.path.exists(marker):
@@ -62,7 +63,7 @@ def skew_dir():
     if stale:
         import shutil
 
-        shutil.rmtree(_SKEW_DIR, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         subprocess.run(
             [
                 sys.executable,
@@ -71,11 +72,11 @@ def skew_dir():
                     "tools",
                     "make_scale_decade.py",
                 ),
-                "--skew",
+                flag,
                 "--src",
                 "/root/testdata/sf0.01",
                 "--out",
-                _SKEW_DIR,
+                out_dir,
             ],
             check=True,
             capture_output=True,
@@ -84,7 +85,22 @@ def skew_dir():
         # killed run has no marker and is rebuilt next time.
         with open(marker, "w") as f:
             f.write(digest)
-    return _SKEW_DIR
+    return out_dir
+
+
+@pytest.fixture(scope="module")
+def skew_dir():
+    return _derive("--skew", _SKEW_DIR)
+
+
+@pytest.fixture(scope="module")
+def hotsource_dir():
+    return _derive("--hotsource", "/tmp/hotsource_sf01_test")
+
+
+@pytest.fixture(scope="module")
+def hotgraph_dir():
+    return _derive("--hotgraph", "/tmp/hotgraph_sf01_test")
 
 
 
@@ -98,6 +114,32 @@ def test_planted_masses(spark, skew_dir):
     line = spark.read.parquet(f"{skew_dir}/lineitem.parquet")
     hot_supp = line.groupBy("l_suppkey").count().orderBy(F.desc("count")).first()
     assert hot_supp["count"] / line.count() == pytest.approx(0.30, abs=0.03)
+
+
+def test_hotsource_planted_mass(spark, hotsource_dir):
+    """--hotsource plants ~52.5% of documents on one source (50% remapped
+    plus the hot source's own retained half: 0.5 + 0.05*0.5 with 20
+    uniform base sources) and leaves every other source small. The
+    historical failure class for the residue idiom is planting 0% or 50%
+    of whole replicas silently — both would miss this window."""
+    docs = spark.read.parquet(f"{hotsource_dir}/documents.parquet")
+    total = docs.count()
+    by_src = docs.groupBy("source").count().orderBy(F.desc("count")).collect()
+    assert by_src[0]["count"] / total == pytest.approx(0.525, abs=0.02)
+    assert by_src[1]["count"] / total < 0.05
+
+
+def test_hotgraph_planted_masses(spark, hotgraph_dir):
+    """--hotgraph plants ~30% of orders on one customer and a 300-doc
+    near-dup template farm in exactly one (lang, source) blocking
+    bucket."""
+    orders = spark.read.parquet(f"{hotgraph_dir}/orders.parquet")
+    hot = orders.groupBy("o_custkey").count().orderBy(F.desc("count")).first()
+    assert hot["count"] / orders.count() == pytest.approx(0.30, abs=0.03)
+    docs = spark.read.parquet(f"{hotgraph_dir}/documents.parquet")
+    farm = docs.filter(F.col("lang") == "farm0")
+    assert farm.count() == 300
+    assert farm.select("lang", "source").distinct().count() == 1
 
 
 def test_skew_split_fires_on_planted_data(spark, skew_dir):

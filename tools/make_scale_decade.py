@@ -81,7 +81,19 @@ TABLES = [
 # axes plant the same 3-of-10 (~30%) residue mass on one key.
 _HOT_KEY_PCT = 3
 _HOT_SUPP_PCT = _HOT_KEY_PCT  # historical alias used in the r9 docs
+_HOT_SRC_PCT = 5  # --hotsource: 5 of 10 residue classes -> ~50% of documents
 _MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
+
+
+def _mix_residue(expr: str, pct: int) -> str:
+    """Planted-hot predicate: TRUE for ~pct/10 of rows, selected by the
+    HIGH bits of a masked multiplicative mix of expr. The two invariants
+    with a bug track record live HERE and nowhere else: the 31-bit mask
+    BEFORE the multiply (an unmasked key >= ~4.3e8 overflowed DuckDB's
+    signed BIGINT — r10 ADVICE), and the >> 16 high-bit residue (_MIX %
+    10 == 1, so a raw low-bit residue rides the source keys' own mod-10
+    structure and plants 0%-50% instead of the target — r9 review)."""
+    return f"(((({expr}) & 2147483647) * {_MIX}) >> 16) % 10 < {pct}"
 
 
 def _make_longdoc(args) -> None:
@@ -204,14 +216,7 @@ def main() -> None:
             f"SELECT MIN(l_suppkey) FROM read_parquet('{SRC}/lineitem.parquet')"
         ).fetchone()[0]
         suppkey_expr = (
-            # Mask the key to 31 bits BEFORE the multiply: the product then
-            # tops out at (2^31-1)*_MIX ~= 5.7e18 < 2^63-1, so the residue
-            # stays defined at any source SF (an unmasked l_orderkey >= ~4.3e8,
-            # i.e. a --src around sf70, overflowed DuckDB's signed BIGINT).
-            # For every existing source (keys << 2^31) the mask is a no-op,
-            # so committed skew decades are byte-identical.
-            f"CASE WHEN (((((l_orderkey * 8 + l_linenumber) & 2147483647)"
-            f" * {_MIX}) >> 16) % 10) < {_HOT_SUPP_PCT}"
+            f"CASE WHEN {_mix_residue('l_orderkey * 8 + l_linenumber', _HOT_SUPP_PCT)}"
             f" THEN {hot_supp} ELSE l_suppkey END"
         )
         lineitem_sel = (
@@ -242,8 +247,8 @@ COPY (
         ).fetchone()[0]
         orders_sel = (
             f"SELECT o_orderkey + k.k * {off} AS o_orderkey,\n"
-            f"       CASE WHEN ((((o_orderkey & 2147483647) * {_MIX})"
-            f" >> 16) % 10) < {_HOT_KEY_PCT} THEN {hot_cust} ELSE o_custkey END"
+            f"       CASE WHEN {_mix_residue('o_orderkey', _HOT_KEY_PCT)}"
+            f" THEN {hot_cust} ELSE o_custkey END"
             " AS o_custkey,\n"
             "       * EXCLUDE (o_orderkey, o_custkey)"
         )
@@ -316,9 +321,8 @@ COPY (
             "GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1"
         ).fetchone()[0]
         source_expr = (
-            f"CASE WHEN ((((doc_id + k.k * {doc_off}) & 2147483647)"
-            f" * {_MIX}) >> 16) % 10 < 5 THEN '{hot_src}'"
-            " ELSE source END"
+            f"CASE WHEN {_mix_residue(f'doc_id + k.k * {doc_off}', _HOT_SRC_PCT)}"
+            f" THEN '{hot_src}' ELSE source END"
         )
     else:
         source_expr = "source"
