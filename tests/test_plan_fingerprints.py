@@ -101,9 +101,10 @@ def test_pin_covers_heavy_and_core13():
     sys.path.insert(0, _HERE)
     sys.path.insert(0, os.path.join(_HERE, "tools"))
     from bench import CORE13
+    from gen_fingerprints import SCALE_DESIGNED
     from scaling_report import HEAVY
 
-    assert set(PINNED) == set(HEAVY) | set(CORE13)
+    assert set(PINNED) == set(HEAVY) | set(CORE13) | set(SCALE_DESIGNED)
 
 
 def _fp(joins=None, scans=None, **over):

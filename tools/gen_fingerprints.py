@@ -30,9 +30,17 @@ SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "plan_fingerprints.json")
 
+# Queries whose DOCUMENTED scale posture depends on a specific plan
+# shape (not wall-clock-heavy, so HEAVY misses them): the salted
+# two-phase aggregations/windows, where a silent decay — broadcast
+# lost, salt window collapsing to one exchange, pruning lost — would
+# invalidate the PLANS.md skew claims without moving sf0.01 timing.
+SCALE_DESIGNED = ["q_salted_rollup", "q_source_quota"]
+
 # The pinned set: the scale-heavy queries plus the frozen cross-round
-# bench core — a plan regression in either is the one that matters.
-PINNED = sorted(set(HEAVY) | set(CORE13))
+# bench core plus the plan-shape-load-bearing set — a plan regression
+# in any of these is the one that matters.
+PINNED = sorted(set(HEAVY) | set(CORE13) | set(SCALE_DESIGNED))
 
 
 def main() -> None:
