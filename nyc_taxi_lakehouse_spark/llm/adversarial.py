@@ -30,7 +30,9 @@ set, a different hash, a red driver row.
 
 from __future__ import annotations
 
+import os
 import weakref
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,13 +57,40 @@ _EDGE_ROWS = [
     (9_000_000_003, "™©®—…"),       # unicode-only → canonical empty string
 ]
 
-# Per-session set of analyzed-plan semanticHashes whose edge-row-id
-# precondition already passed — see adversarial_documents. Keyed WEAKLY
-# by the live session object, not id(session): CPython reuses ids after
-# GC, so an id-keyed memo could silently skip the safety check in a
-# fresh session over regenerated data (r10 review). A dead session's
-# entries vanish with it.
+# Per-session set of (analyzed-plan semanticHash, source-file snapshot)
+# keys whose edge-row-id precondition already passed — see
+# adversarial_documents. Keyed WEAKLY by the live session object, not
+# id(session): CPython reuses ids after GC, so an id-keyed memo could
+# silently skip the safety check in a fresh session over regenerated data
+# (r10 review). A dead session's entries vanish with it.
 _PRECONDITION_OK: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _source_snapshot(documents: DataFrame) -> tuple | None:
+    """Data-sensitive memo key component (ADVICE r10): the plan
+    semanticHash alone is path/schema-shaped — a parquet dir REGENERATED
+    in place mid-session (the suite's own derived fixtures rmtree-and-
+    rebuild at fixed /tmp paths) re-analyzes to the same hash, so a
+    hash-only memo would silently skip the safety check over new data.
+    Snapshot the source's (path, mtime_ns, size) per file instead; any
+    rewrite changes the key and forces a re-check. Returns None (→ never
+    memoize, check every construction) for non-local URIs or unstatable
+    files — correctness over speed when the snapshot can't be trusted."""
+    sig = []
+    for uri in sorted(documents.inputFiles()):
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = unquote(parsed.path)
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        sig.append((path, st.st_mtime_ns, st.st_size))
+    # No input files (in-memory relations, non-file sources): the plan
+    # hash alone can't distinguish same-schema frames over different
+    # data, so never memoize those either.
+    return tuple(sig) or None
 
 
 def adversarial_documents(documents: DataFrame) -> DataFrame:
@@ -77,19 +106,24 @@ def adversarial_documents(documents: DataFrame) -> DataFrame:
     ids into the edge-row block and flip survivor semantics identically in
     both engines (green hash, broken property), so it raises instead. The
     cost is one single-column MAX over the fixture-sized documents table —
-    memoized per (session, source plan): construction stays effectively
-    lazy on repeat calls (bench/suite sessions build these frames dozens
-    of times over the same parquet), and the first call per source still
-    checks at every SF the corpus is consumed at (ADVICE r9: the eager
-    per-construction scan contradicted the map-only framing and was
-    charged to every timed q_mixedcase_* bench invocation). The memo
-    assumes a source's files are immutable within a session — true for
-    the driver-generated testdata and every derived decade.
+    memoized per (session, source plan, source-file snapshot):
+    construction stays effectively lazy on repeat calls (bench/suite
+    sessions build these frames dozens of times over the same parquet),
+    and the first call per source still checks at every SF the corpus is
+    consumed at (ADVICE r9: the eager per-construction scan contradicted
+    the map-only framing and was charged to every timed q_mixedcase_*
+    bench invocation). The memo key includes each input file's
+    (path, mtime_ns, size), so parquet regenerated IN PLACE mid-session —
+    the suite's fixed-path /tmp fixtures do exactly that — forces a
+    re-check over the new data instead of silently inheriting the old
+    pass (ADVICE r10); unstatable/non-local sources are never memoized.
     """
     session = documents.sparkSession
     plan_hash = documents._jdf.queryExecution().analyzed().semanticHash()
+    snapshot = _source_snapshot(documents)
+    key = (plan_hash, snapshot)
     checked = _PRECONDITION_OK.setdefault(session, set())
-    if plan_hash not in checked:
+    if snapshot is None or key not in checked:
         max_id = documents.agg(F.max("doc_id")).first()[0]
         edge_floor = _EDGE_ROWS[0][0]
         if max_id is not None and max_id * 10 + 2 >= edge_floor:
@@ -99,7 +133,8 @@ def adversarial_documents(documents: DataFrame) -> DataFrame:
                 f"{edge_floor}; min-id survivor semantics would silently "
                 "flip in BOTH engines"
             )
-        checked.add(plan_hash)
+        if snapshot is not None:
+            checked.add(key)
     base = documents.select("doc_id", "text")
     v0 = base.select((F.col("doc_id") * 10).alias("doc_id"), "text")
     v1 = base.select(

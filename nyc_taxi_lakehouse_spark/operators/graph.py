@@ -673,12 +673,19 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("node"), F.lit(_HITS_SCALE).cast("bigint").alias("v")
     )
     tot_a = _HITS_SCALE * stats["m"]
-    # Round-state lifecycle (r10 review): the returned plan reads ONLY the
-    # last rawh (via hub) and the second-to-last (via the returned auth =
-    # f(hub_{last-1})) — every older rawh is dead the moment two newer
-    # rounds have materialized, so evict it in-loop like the other
-    # iterative operators; the two live tail checkpoints go to the run
-    # registry for post-consumption release.
+    # Round-state lifecycle (r10 review; tail depth re-adjudicated r11):
+    # the returned plan reads the last rawh (via hub) AND the second-to-
+    # last — the returned auth is the final iteration's UNcheckpointed
+    # lazy half-step over hub_{last-1}, i.e. a projection of
+    # rawh[last-1]. round_checkpoint truncation cuts only each rawh's OWN
+    # upstream lineage; it does not sever auth's downstream reference, so
+    # a 1-deep tail is NOT safe (ADVICE r10 suggested it; evicting
+    # rawh[last-1] makes the returned collect crash with
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — pinned by
+    # tests/test_checkpoint_failure_domain.py::test_hits_penultimate_round_is_live).
+    # Every OLDER rawh is dead once two newer rounds exist and is evicted
+    # in-loop; the two live tail checkpoints go to the run registry for
+    # post-consumption release.
     rawh_live: list[DataFrame] = []
     for _ in range(_HITS_ITERS):
         auth = norm_lit(half_step(hub, "c", "s"), tot_a)

@@ -180,18 +180,39 @@ def volatile_paths(runs: list) -> list:
     tables = set()
     for g in grouped:
         tables.update(g)
+    def canon(scans_t, masked=()):
+        return sorted(
+            json.dumps(
+                {k: (None if k in masked else v) for k, v in s.items()},
+                sort_keys=True,
+            )
+            for s in scans_t
+        )
+
     for t in tables:
         per_run = [g.get(t, []) for g in grouped]
         if len({len(scans_t) for scans_t in per_run}) > 1:
             paths.add("scans")
             continue
-        for sub in ("columns", "pushed_filters"):
-            projected = [
-                sorted(json.dumps(s[sub]) for s in scans_t)
-                for scans_t in per_run
-            ]
-            if any(p != projected[0] for p in projected[1:]):
-                paths.add(f"scans[{t}].{sub}")
+        # Detect volatility on WHOLE-scan tuples first, then attribute it
+        # to the smallest sub-field mask that restores equality (ADVICE
+        # r10): comparing each sub-field as an independent multiset loses
+        # the (columns, pushed_filters) PAIRING, so runs where the values
+        # permute across same-table scans — run1 [(colsA,pf1),(colsB,pf2)]
+        # vs run2 [(colsA,pf2),(colsB,pf1)] — measured as stable while the
+        # gate's exact sorted-scan comparison later flaked on them. The
+        # both-fields mask always succeeds when the scan counts match
+        # (only the table name remains), so attribution terminates.
+        base_t = canon(per_run[0])
+        if all(canon(scans_t) == base_t for scans_t in per_run[1:]):
+            continue
+        for masked in (("columns",), ("pushed_filters",),
+                       ("columns", "pushed_filters")):
+            ref = canon(per_run[0], masked)
+            if all(canon(scans_t, masked) == ref for scans_t in per_run[1:]):
+                for sub in masked:
+                    paths.add(f"scans[{t}].{sub}")
+                break
     return sorted(paths)
 
 

@@ -64,6 +64,45 @@ def test_id_block_precondition_raises_in_derivation(spark):
         adversarial_documents(bad)
 
 
+def test_precondition_rechecks_after_in_place_regeneration(spark, tmp_path):
+    """ADVICE r10: the (session, plan-semanticHash) memo alone silently
+    skipped the edge-row-id safety check when a fixed-path parquet source
+    was regenerated IN PLACE mid-session — the repo's own derived-fixture
+    helpers rmtree-and-rebuild at fixed /tmp paths, and a re-read of the
+    same path analyzes to the same plan hash. The memo key now snapshots
+    the input files' (path, mtime_ns, size), so regenerated data is
+    re-checked: a violating corpus raises instead of inheriting the old
+    pass."""
+    import pytest
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a doc"), (2, "b doc")], "doc_id LONG, text STRING"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+    assert adversarial_documents(spark.read.parquet(path)).count() == 9
+    # Regenerate in place with an id inside the edge-row block.
+    spark.createDataFrame(
+        [(900_000_000, "huge id doc")], "doc_id LONG, text STRING"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="edge-row id block"):
+        adversarial_documents(spark.read.parquet(path))
+
+
+def test_in_memory_sources_are_never_memoized(spark):
+    """A frame with no input files can't be fingerprinted by data, so the
+    check must run on every construction — two same-schema literal frames
+    must not share a memo entry."""
+    import pytest
+
+    ok = spark.createDataFrame([(1, "fine")], "doc_id LONG, text STRING")
+    adversarial_documents(ok)
+    bad = spark.createDataFrame(
+        [(900_000_000, "huge id")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="edge-row id block"):
+        adversarial_documents(bad)
+
+
 def test_with_counts_matches_independent_group_count(spark):
     """dedup_exact_canonical(with_counts=True) — the single-window form
     VERDICT r8 #3 folded n_variants into — must agree with an

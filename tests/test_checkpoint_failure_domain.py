@@ -216,6 +216,38 @@ def test_local_mode_results_match_reliable_mode(spark, tmp_path):
     assert {c for _, c in local} == {0, 3, 5}
 
 
+def test_hits_penultimate_round_is_live(spark):
+    """ADVICE r10 adjudicated (graph.py q_hits tail depth): the advice
+    claimed rawh[last-1] is dead at loop exit because round_checkpoint
+    truncates lineage, so the tail could shrink to 1. It cannot: the
+    returned auth leg is the FINAL iteration's uncheckpointed lazy
+    half-step over hub_{last-1} — a projection of rawh[last-1] —
+    and truncation severs only each rawh's own UPSTREAM lineage, never a
+    downstream reader. Pin the liveness via the fail-loud model: evicting
+    rawh[last-1] after the query returns must crash the returned plan's
+    action. If a future refactor genuinely kills the reference (e.g. by
+    checkpointing the final auth), this test flips red and the tail can
+    then shrink to 1 deliberately."""
+    from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
+    from nyc_taxi_lakehouse_spark.registry import all_queries
+
+    spark.conf.set(RELIABLE_CONF, "false")
+    captured = []
+    ckpt._post_checkpoint_hook = captured.append
+    try:
+        out = all_queries()["q_hits"].fn(spark, "/root/testdata/sf0.001")
+    finally:
+        ckpt._post_checkpoint_hook = None
+    try:
+        # capture order: pairs, deg_c, rawh1..rawh_k (older rawh evicted
+        # in-loop) — captured[-2] is rawh[last-1], captured[-1] the final.
+        ckpt.evict_round_checkpoint(captured[-2])
+        with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
+            out.count()
+    finally:
+        release_run_checkpoints()
+
+
 @pytest.mark.parametrize(
     "qname",
     ["q_bfs_hops", "q_effective_diameter", "q_spatial_knn_exact",

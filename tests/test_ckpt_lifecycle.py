@@ -199,6 +199,35 @@ def test_materialize_once_checkpoints_release_after_consumption(spark):
     assert persistent_rdd_count(spark) - base <= 0
 
 
+def test_driver_entrypoint_releases_between_queries(spark):
+    """VERDICT r10 #4: the external driver iterates __spark_entry__.
+    queries() and never calls release_run_checkpoints(), so a 50-query
+    correctness window pinned up to ~50 materialize-once RDDs for the
+    session. The exported fns now release the PREVIOUS invocation's
+    registered checkpoints at the next invocation's construction (the
+    driver has fully consumed the previous result by then; fail-loud
+    model preserved). Driver-style loop: pinned RDDs must stay bounded
+    by ONE query's registrations, never accumulate across queries."""
+    import __spark_entry__ as entrymod
+    from nyc_taxi_lakehouse_spark.plans.ckpt import release_run_checkpoints
+
+    qs = entrymod.queries()
+    release_run_checkpoints()  # clean slate from earlier tests
+    base = persistent_rdd_count(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    # q_hits registers 4 (pairs, deg_c, 2-deep rawh tail); chargram and
+    # minhash 1-2 each. Without the wrapper the loop accumulates to ~7.
+    for name in ("q_hits", "q_dedup_chargram", "q_dedup_minhash"):
+        df = qs[name](spark, sf_dir)
+        assert df.count() > 0  # the driver consumes each result
+        assert persistent_rdd_count(spark) - base <= 4, (
+            f"after {name}: previous query's checkpoints not released at "
+            "this query's construction"
+        )
+    assert release_run_checkpoints() > 0  # last query's registrations
+    assert persistent_rdd_count(spark) - base <= 0
+
+
 def test_release_run_checkpoints_is_idempotent(spark):
     from nyc_taxi_lakehouse_spark.plans.ckpt import (
         register_run_checkpoint,

@@ -157,6 +157,49 @@ class TestVolatilePaths:
             "scans[orders.parquet].pushed_filters"
         ]
 
+    def test_permuted_pairing_across_same_table_scans_is_volatile(self):
+        """ADVICE r10: per-sub-field multiset comparison loses the
+        (columns, pushed_filters) PAIRING — runs where the sub-field
+        values permute across two scans of the same table measured as
+        stable, yet the gate's exact sorted-scan comparison flaked on
+        them. Whole-scan-tuple detection must flag them, and masking the
+        attributed path(s) must make the gate comparison stable."""
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import (
+            mask_volatile,
+            volatile_paths,
+        )
+
+        a = _fp(scans=[_scan("t.parquet", ["a"], 1),
+                       _scan("t.parquet", ["b"], 2)])
+        b = _fp(scans=[_scan("t.parquet", ["a"], 2),
+                       _scan("t.parquet", ["b"], 1)])
+        got = volatile_paths([a, b, a])
+        assert got, "permuted pairing must be detected as volatile"
+        assert mask_volatile(a, got) == mask_volatile(b, got)
+
+    def test_pairing_attribution_stays_minimal(self):
+        """When one sub-field alone explains the difference, only that
+        sub-field is attributed (the old per-sub-field behavior, kept)."""
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(scans=[_scan("t.parquet", ["a"], 1),
+                       _scan("t.parquet", ["b"], 2)])
+        b = _fp(scans=[_scan("t.parquet", ["a"], 1),
+                       _scan("t.parquet", ["b"], 3)])
+        assert volatile_paths([a, b, a]) == ["scans[t.parquet].pushed_filters"]
+
+    def test_pairing_attribution_widens_to_both_when_needed(self):
+        from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
+
+        a = _fp(scans=[_scan("t.parquet", ["a"], 1),
+                       _scan("t.parquet", ["b"], 2)])
+        b = _fp(scans=[_scan("t.parquet", ["c"], 3),
+                       _scan("t.parquet", ["b"], 2)])
+        assert volatile_paths([a, b, a]) == [
+            "scans[t.parquet].columns",
+            "scans[t.parquet].pushed_filters",
+        ]
+
     def test_scan_count_instability_falls_back_to_whole_field(self):
         from nyc_taxi_lakehouse_spark.plans.fingerprint import volatile_paths
 
