@@ -73,9 +73,22 @@ FROM {table} WHERE length(text) >= {_SHINGLE_N}
 """
 
 
-def _ppjoin_spark_sql(docsets_view: str) -> str:
+def _ppjoin_spark_sql(docsets_view: str, shuffle_aliases: frozenset = frozenset()) -> str:
     d = SPARK
     tn, td = _T_NUM, _T_DEN
+
+    # Corpus-scaled relations whose MEASURED size exceeds the broadcast
+    # budget get a SHUFFLE_MERGE hint (r11, found by the sf10 composed
+    # decade): the docset/gram-frequency tables sit behind a
+    # localCheckpoint, and Spark 4 propagates the ORIGIN's estimated
+    # stats through the LogicalRDD (SPARK-39834) — array columns are
+    # badly underestimated, so Catalyst broadcast the ~1.1 GB sf10
+    # docset table on a <10 MB estimate and aborted on
+    # spark.driver.maxResultSize. Estimates lie; the gate is measured.
+    def hint(*aliases: str) -> str:
+        names = [a for a in aliases if a in shuffle_aliases]
+        return f"/*+ SHUFFLE_MERGE({', '.join(names)}) */ " if names else ""
+
     # prefix length = n - ceil(t*n) + 1; ceil(tn*n/td) = (tn*n + td - 1) DIV td
     ceil_tn = d.idiv(f"({tn} * n + {td - 1})", str(td))
     return f"""
@@ -84,7 +97,7 @@ grams AS (SELECT doc_id, explode(grams) AS gram FROM docsets),
 ds AS (SELECT doc_id, size(grams) AS n FROM docsets),
 gf AS (SELECT gram, COUNT(*) AS dfreq FROM grams GROUP BY gram),
 ranked AS (
-  SELECT g.doc_id, g.gram, s.n,
+  SELECT {hint("f", "s")}g.doc_id, g.gram, s.n,
          ROW_NUMBER() OVER (PARTITION BY g.doc_id
                             ORDER BY f.dfreq, g.gram) AS rn
   FROM grams g
@@ -120,7 +133,7 @@ cand AS (
   WHERE ({tn} + {td}) * (m + LEAST(n_a - pa, n_b - pb)) >= {tn} * (n_a + n_b)
 ),
 verified AS (
-  SELECT c.doc_a, c.doc_b,
+  SELECT {hint("da", "db")}c.doc_a, c.doc_b,
          size(array_intersect(da.grams, db.grams)) AS inter,
          size(da.grams) AS size_a,
          size(db.grams) AS size_b
@@ -175,13 +188,25 @@ WHERE {td} * p.inter >= {tn} * (sa.n + sb.n - p.inter)
     "tests/test_sketch_cdf.py) -> vectorized array_intersect verify with "
     "integer cross-multiplied threshold (98.7% of sharing-any-shingle "
     "pairs pruned before that). The per-doc shingle-array table materializes "
-    "ONCE (localCheckpoint + temp view — its four plan references would "
-    "otherwise each re-run the shingle explode under Catalyst CTE "
-    "inlining, the q_dedup_minhash lesson). Oracle = the brute-force "
+    "ONCE (round_checkpoint + temp view, run-registry lifecycle — its four "
+    "plan references would otherwise each re-run the shingle explode under "
+    "Catalyst CTE inlining, the q_dedup_minhash lesson). The corpus-scaled "
+    "relations (docset arrays, gram frequencies, sizes) join under "
+    "MEASURED broadcast gates (r11: Spark 4 propagates the origin's "
+    "array-size UNDERestimates through the checkpoint's LogicalRDD — "
+    "SPARK-39834 — and Catalyst broadcast the GB-scale sf10 docset table "
+    "on a <10 MB estimate, aborting on maxResultSize; within the measured "
+    "budget the pinned broadcast shape is kept, beyond it SHUFFLE_MERGE "
+    "hints force the scale-safe shuffle). Oracle = the brute-force "
     "all-pairs join with no prefix logic; hash equality IS the "
     "completeness check.",
 )
 def q_dedup_ppjoin(spark, sf_dir):
+    from ..plans.ckpt import (
+        evict_round_checkpoint,
+        register_run_checkpoint,
+        round_checkpoint,
+    )
     from ..session import DEFAULT_SHUFFLE_PARTITIONS
     from ..sources.tables import load_tables
 
@@ -193,7 +218,12 @@ def q_dedup_ppjoin(spark, sf_dir):
         docs = docs.repartition(DEFAULT_SHUFFLE_PARTITIONS)
     docs.createOrReplaceTempView("pp_documents_sharded")
     docsets = spark.sql(_docsets_spark_sql("pp_documents_sharded"))
-    docsets = docsets.localCheckpoint()
+    # Materialize-once checkpoint lifecycle (r11 — this site predates the
+    # r10 registry convention and had been pinning one RDD per
+    # invocation): the string docsets either back the returned plan (the
+    # string fallback → run registry) or die the moment the hashed twin
+    # materializes (→ eager evict below).
+    docsets = round_checkpoint(docsets)
     docsets.createOrReplaceTempView("pp_docsets_str")
     # Fast path: run the ENTIRE pipeline on xxhash64 shingle identities —
     # string array_intersect measured 2.4x slower than int64 (UTF8String
@@ -206,14 +236,42 @@ def q_dedup_ppjoin(spark, sf_dir):
     # corpus makes the exact global-distinct check itself too expensive to
     # run), the same SQL runs over the string arrays — correct, slower.
     counts = spark.sql(
-        "SELECT COUNT(DISTINCT gram) AS a, COUNT(DISTINCT xxhash64(gram)) AS b "
-        "FROM (SELECT explode(grams) AS gram FROM pp_docsets_str)"
+        "SELECT COUNT(DISTINCT gram) AS a, COUNT(DISTINCT xxhash64(gram)) AS b, "
+        "COUNT(*) AS total, COUNT(DISTINCT doc_id) AS docs "
+        "FROM (SELECT doc_id, explode(grams) AS gram FROM pp_docsets_str)"
     ).collect()[0]  # bounded 1-row driver scalar
-    if counts["a"] == counts["b"]:
-        hashed = spark.sql(
+    hashed_path = counts["a"] == counts["b"]
+    # Measured broadcast gates (r11; see _ppjoin_spark_sql): the sf10
+    # composed decade showed Catalyst broadcasting the GB-scale docset
+    # array table off SPARK-39834-propagated origin ESTIMATES (array
+    # columns underestimated ~100x), aborting on maxResultSize — and the
+    # sf1 decade had silently been broadcasting ~108 MB on the same
+    # estimates, 10x over the 10 MB threshold contract. Gate each
+    # corpus-scaled relation on its measured payload (same scalars as the
+    # injectivity check): docsets carry one element per gram INSTANCE,
+    # gf one row per distinct gram, ds one row per doc. Within budget the
+    # plan keeps its (pinned, bench-measured) broadcast shape; beyond it
+    # the joins are forced to shuffle — the posture a 100 TB corpus needs
+    # on every one of these relations.
+    budget = 16 << 20
+    elem = 8 if hashed_path else 3 * _SHINGLE_N  # int64 vs UTF8 string gram
+    shuffle = set()
+    if counts["total"] * elem > budget:
+        shuffle |= {"da", "db"}
+    if counts["a"] * (elem + 8) > budget:
+        shuffle.add("f")
+    if counts["docs"] * 16 > budget:
+        shuffle.add("s")
+    sql = lambda view: _ppjoin_spark_sql(view, frozenset(shuffle))  # noqa: E731
+    if hashed_path:
+        hashed = register_run_checkpoint(round_checkpoint(spark.sql(
             "SELECT doc_id, transform(grams, g -> xxhash64(g)) AS grams "
             "FROM pp_docsets_str"
-        ).localCheckpoint()
+        )))
+        # The hashed twin is materialized; the string docsets have no
+        # remaining reader and would otherwise stay pinned until the
+        # harness release.
+        evict_round_checkpoint(docsets)
         hashed.createOrReplaceTempView("pp_docsets")
-        return spark.sql(_ppjoin_spark_sql("pp_docsets"))
-    return spark.sql(_ppjoin_spark_sql("pp_docsets_str"))
+        return spark.sql(sql("pp_docsets"))
+    return spark.sql(sql("pp_docsets_str"))

@@ -24,6 +24,7 @@ def get_spark(
     master: str | None = None,
     warehouse_dir: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession configured like the reference cluster.
 
@@ -51,6 +52,11 @@ def get_spark(
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    # Pre-start conf that must be in place before the JVM launches
+    # (executor sizing/env, scheduler toggles like spark.speculation.*) —
+    # runtime spark.conf.set is too late for these.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

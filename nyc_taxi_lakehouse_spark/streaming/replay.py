@@ -37,6 +37,81 @@ from .cdc import file_replay_source, parse_cdc, windowed_aggregation
 
 _REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "nyc_taxi_lakehouse_cdc_replay")
 
+# Chunked-delivery opt-in (VERDICT r10 #2): with N > 1, the replay writes
+# its source as N event-time-ordered files and the drain runs ONE FILE PER
+# MICRO-BATCH, so the watermark advances THROUGH the data and closed
+# state (windows, sessions, join buffers, dedup keys) is evicted
+# mid-drain — the steady-state posture of a real unbounded stream, and
+# the only delivery mode under which "state is watermark-bounded" is
+# OBSERVABLE (a single-batch availableNow drain holds every window of the
+# whole corpus in state at once, so state peaks scale with corpus size no
+# matter how correct the watermark is). Default 1 keeps the committed
+# single-batch semantics the oracles pin. The queries wired to this conf
+# are exactly the delivery-invariant ones — append-mode time aggregates,
+# watermark-expired joins, and the superset-then-exact-recount heavy
+# hitters — whose FINAL output provably doesn't depend on batching;
+# tests/test_streaming_chunked.py pins that invariance by hash.
+REPLAY_CHUNKS_CONF = "spark.lakehouse.replay.chunks"
+
+
+def _replay_chunks(spark: SparkSession) -> int:
+    return int(spark.conf.get(REPLAY_CHUNKS_CONF, "1"))
+
+
+def _chunk_suffix(chunks: int) -> str:
+    return f"_c{chunks}" if chunks > 1 else ""
+
+
+def _write_time_chunks(
+    df: DataFrame,
+    ts_col: str,
+    out_dir: str,
+    chunks: int,
+    encode=None,
+    fmt: str = "text",
+    copies: int = 1,
+) -> str:
+    """Write ``df`` as ``chunks`` event-time-sliced files, sequentially
+    (so file modification times — the FileStreamSource delivery order —
+    are monotone in event time; the q_stream_join_outer flush files
+    already rely on that ordering contract). ``encode`` maps each slice
+    frame to its on-disk frame (e.g. envelope encoding); ``copies`` > 1
+    repeats each slice WITHIN its own chunk file, so at-least-once
+    redeliveries stay inside the duplicate's watermark horizon instead of
+    arriving as droppable late data. Writes a final ``_SUCCESS`` marker
+    (underscore files are invisible to the file stream source), matching
+    the single-file writer's completion contract."""
+    import glob as _glob
+
+    bounds = df.agg(
+        F.min(F.col(ts_col).cast("long")).alias("lo"),
+        F.max(F.col(ts_col).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = max(1, (hi - lo) // chunks + 1)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_dir.rstrip("/") + "__tmpchunk"
+    ext = ".txt" if fmt == "text" else ".parquet"
+    for i in range(chunks):
+        sl = df.filter(
+            (F.col(ts_col).cast("long") >= lo + i * step)
+            & (F.col(ts_col).cast("long") < lo + (i + 1) * step)
+        )
+        if copies > 1:
+            base = sl
+            for _ in range(copies - 1):
+                sl = sl.unionAll(base)
+        out_frame = encode(sl) if encode is not None else sl
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = out_frame.coalesce(1).write.mode("overwrite")
+        getattr(writer, fmt)(tmp)
+        part = sorted(_glob.glob(os.path.join(tmp, "part-*")))[0]
+        os.replace(part, os.path.join(out_dir, f"chunk-{i:04d}{ext}"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return out_dir
+
 
 def _replay_key(sf_dir: str) -> str:
     """Cache key for memoized replay artifacts.
@@ -66,12 +141,9 @@ def _replay_key(sf_dir: str) -> str:
     return f"{base}-{h.hexdigest()[:12]}-pid{os.getpid()}"
 
 
-def write_envelopes(events: DataFrame, out_dir: str, mode: str = "overwrite") -> str:
-    """Encode events as double-encoded Debezium 'c' envelopes (one JSONL
-    file, deterministic order irrelevant — single-batch drain). mode="append"
-    adds a further delivery file (models at-least-once redelivery)."""
+def _envelope_frame(events: DataFrame) -> DataFrame:
     ts_ms = (F.unix_timestamp("ts") * 1000).alias("ts_ms")
-    env = events.select(
+    return events.select(
         F.to_json(
             F.struct(
                 F.lit("c").alias("op"),
@@ -94,8 +166,38 @@ def write_envelopes(events: DataFrame, out_dir: str, mode: str = "overwrite") ->
             )
         ).alias("value")
     )
-    env.coalesce(1).write.mode(mode).text(out_dir)
+
+
+def write_envelopes(events: DataFrame, out_dir: str, mode: str = "overwrite") -> str:
+    """Encode events as double-encoded Debezium 'c' envelopes (one JSONL
+    file, deterministic order irrelevant — single-batch drain). mode="append"
+    adds a further delivery file (models at-least-once redelivery)."""
+    _envelope_frame(events).coalesce(1).write.mode(mode).text(out_dir)
     return out_dir
+
+
+def write_envelopes_chunked(
+    events: DataFrame, out_dir: str, chunks: int, copies: int = 1
+) -> str:
+    """Chunked-delivery twin of write_envelopes: N event-time-ordered
+    envelope files (see _write_time_chunks). ``copies`` keeps redelivery
+    duplicates inside their slice's chunk."""
+    return _write_time_chunks(
+        events, "ts", out_dir, chunks, encode=_envelope_frame, copies=copies
+    )
+
+
+def _prepare_envelopes(spark: SparkSession, events: DataFrame, key: str):
+    """Shared envelope replay dir honoring the chunked-delivery conf.
+    Returns (env_dir, max_files_per_trigger, run-dir suffix)."""
+    chunks = _replay_chunks(spark)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes" + _chunk_suffix(chunks))
+    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
+        if chunks > 1:
+            write_envelopes_chunked(events, env_dir, chunks)
+        else:
+            write_envelopes(events, env_dir)
+    return env_dir, (1 if chunks > 1 else None), _chunk_suffix(chunks)
 
 
 @df_query(
@@ -125,22 +227,33 @@ WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value > 0
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes_x2")
+    chunks = _replay_chunks(spark)
+    suffix = _chunk_suffix(chunks)
+    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes_x2" + suffix)
     marker = os.path.join(env_dir, "_X2_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(env_dir, ignore_errors=True)
-        write_envelopes(t["events"], env_dir)  # delivery 1
-        # Delivery 2: identical payloads, separate file — at-least-once redelivery.
-        write_envelopes(t["events"], env_dir, mode="append")
+        if chunks > 1:
+            # Both deliveries of a time slice share its chunk file, so a
+            # duplicate always arrives within its original's watermark
+            # horizon — separate whole-corpus delivery files would turn
+            # the second delivery into droppable late data mid-drain.
+            write_envelopes_chunked(t["events"], env_dir, chunks, copies=2)
+        else:
+            write_envelopes(t["events"], env_dir)  # delivery 1
+            # Delivery 2: identical payloads, separate file — at-least-once redelivery.
+            write_envelopes(t["events"], env_dir, mode="append")
         with open(marker, "w"):
             pass
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, "dedup_pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "dedup_pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     run_marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(run_marker):
         shutil.rmtree(run_dir, ignore_errors=True)
-        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        parsed = parse_cdc(file_replay_source(
+            spark, env_dir, max_files_per_trigger=1 if chunks > 1 else None
+        ))
         deduped = parsed.withWatermark("event_time", "10 minutes").dropDuplicatesWithinWatermark(
             ["event_id"]
         )
@@ -219,16 +332,14 @@ HAVING MAX(ts_us) + {_SESSION_GAP_US} <= watermark_us
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
-    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+    env_dir, mft, suffix = _prepare_envelopes(spark, t["events"], key)
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, "session_pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "session_pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(run_dir, ignore_errors=True)
-        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=mft))
         sessions = (
             parsed.withWatermark("event_time", "10 minutes")
             .groupBy("user_id", F.session_window("event_time", "30 minutes"))
@@ -294,21 +405,19 @@ HAVING (window_start + 300) * 1000000 <= watermark_us
 def q_cdc_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
-    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+    env_dir, mft, suffix = _prepare_envelopes(spark, t["events"], key)
 
     # Persistent per-sf sink: the envelope replay is deterministic, so the
     # sink contents are too — run the pipeline once per sf_dir and hand back
     # a LAZY parquet read over it. No rows round-trip through the driver
     # (the previous implementation collect()ed the sink so it could delete
     # the temp dir — unbounded driver memory in principle).
-    run_dir = os.path.join(_REPLAY_ROOT, key, "pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(run_dir, ignore_errors=True)  # clear any partial run
-        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=mft))
         q = (
             windowed_aggregation(parsed)
             .writeStream.outputMode("append")
@@ -373,11 +482,9 @@ JOIN ev c
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
-    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+    env_dir, mft, suffix = _prepare_envelopes(spark, t["events"], key)
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, "join_pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "join_pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(marker):
@@ -386,13 +493,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tracks its own watermark/state (a self-joined single scan works
         # too, but separate reads mirror the production two-topic shape).
         purchases = (
-            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=mft))
             .filter(F.col("event_type") == "purchase")
             .withWatermark("event_time", "10 minutes")
             .alias("p")
         )
         clicks = (
-            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+            parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=mft))
             .filter(F.col("event_type") == "click")
             .withWatermark("event_time", "10 minutes")
             .alias("c")
@@ -547,14 +654,23 @@ WHERE p.event_type = 'purchase'
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    run_dir = os.path.join(_REPLAY_ROOT, key, "outer_join_pipeline")
+    chunks = _replay_chunks(spark)
+    run_dir = os.path.join(
+        _REPLAY_ROOT, key, "outer_join_pipeline" + _chunk_suffix(chunks)
+    )
     env_dir = os.path.join(run_dir, "envelopes")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(run_dir, ignore_errors=True)
         events = t["events"]
-        write_envelopes(events, env_dir)
+        # This pipeline is ALREADY file-per-micro-batch (the flush files
+        # below rely on it); the chunks conf additionally slices the real
+        # data so the watermark advances through it, not just past it.
+        if chunks > 1:
+            write_envelopes_chunked(events, env_dir, chunks)
+        else:
+            write_envelopes(events, env_dir)
         # Watermark-flush discipline: two trailing flush batches with event
         # times far past the real data. Batch N's files raise the watermark
         # only for batch N+1, so TWO flushes are needed — the first lifts
@@ -674,16 +790,18 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["events"])
     key = _replay_key(sf_dir)
-    env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
-    if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+    env_dir, mft, suffix = _prepare_envelopes(spark, t["events"], key)
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, "hh_pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "hh_pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(run_dir, ignore_errors=True)
-        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=None))
+        # Chunk-safe by construction: MG state persists across batches, so
+        # the FINAL summary (highest-n emission per shard, selected below)
+        # carries the no-false-negative guarantee whatever the batching,
+        # and the exact recount is invariant on candidate supersets.
+        parsed = parse_cdc(file_replay_source(spark, env_dir, max_files_per_trigger=mft))
         summaries = streaming_heavy_hitter_candidates(parsed, "user_id")
         q = (
             summaries.writeStream.outputMode("append")
@@ -826,7 +944,9 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     key = _replay_key(sf_dir)
-    src_dir = os.path.join(_REPLAY_ROOT, key, "neardup_src")
+    chunks = _replay_chunks(spark)
+    suffix = _chunk_suffix(chunks)
+    src_dir = os.path.join(_REPLAY_ROOT, key, "neardup_src" + suffix)
     src_marker = os.path.join(src_dir, "_SRC_COMPLETE")
     docs = t["documents"].selectExpr(
         "doc_id",
@@ -836,11 +956,21 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(src_marker):
         shutil.rmtree(src_dir, ignore_errors=True)
-        docs.write.mode("overwrite").parquet(os.path.join(src_dir, "data"))
+        if chunks > 1:
+            # Arrival-time-ordered chunk files: an unordered multi-file
+            # drain would deliver some slices below the advanced watermark
+            # (dropped as late), changing the result — ordered slices keep
+            # the chunked drain's output identical to the single batch.
+            _write_time_chunks(
+                docs, "ats", os.path.join(src_dir, "data"), chunks,
+                fmt="parquet",
+            )
+        else:
+            docs.write.mode("overwrite").parquet(os.path.join(src_dir, "data"))
         with open(src_marker, "w"):
             pass
 
-    run_dir = os.path.join(_REPLAY_ROOT, key, "neardup_pipeline")
+    run_dir = os.path.join(_REPLAY_ROOT, key, "neardup_pipeline" + suffix)
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
     run_marker = os.path.join(run_dir, "_REPLAY_COMPLETE")
     if not os.path.exists(run_marker):
@@ -852,7 +982,10 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("ats", T.TimestampType()),
             ]
         )
-        stream = spark.readStream.schema(schema).parquet(os.path.join(src_dir, "data"))
+        reader = spark.readStream.schema(schema)
+        if chunks > 1:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(os.path.join(src_dir, "data"))
         bands = stream.selectExpr(
             "doc_id", "ats", f"explode({_nd_band_expr('spark')}) AS b"
         ).select("doc_id", "ats", "b.band_id", "b.band_key")

@@ -48,3 +48,42 @@ def test_retry_invariance_core():
     assert "injected task fault" in proc.stderr, (
         "no injected fault reached a task; the probe is dead"
     )
+
+
+def test_speculation_invariance_core():
+    """Speculation-invariance gate (VERDICT r10 #5): the CONCURRENT-
+    duplicate cousin of the retry probe. The harness arms
+    spark.speculation aggressively against tools/spec_cluster.py's fake
+    two-host standalone cluster (speculative attempts are only ever
+    scheduled on a DIFFERENT host than the running original, so local[N]
+    / local-cluster can never race one — two workers on distinct
+    loopback addresses can) and SLOWS (partition 0, attempt 0) of every
+    source scan so a duplicate attempt races the original to commit.
+    First-attempt-wins nondeterminism is invisible to fail-once retry
+    because there attempt 0 never completes. The harness itself exits 2
+    on a vacuous sweep (zero duplicate attempts executed), so returncode
+    0 + the PASS line is the full assertion; the duplicate count is
+    re-checked here for a readable failure."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(_HERE, "tools", "retry_invariance.py"),
+            "--speculation",
+            "--sleep=3",
+            "--sf=sf0.001",
+            f"--queries={CORE}",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=_HERE,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 0, (
+        f"speculation invariance FAILED (rc={proc.returncode}):\n"
+        f"{proc.stdout}\n{proc.stderr[-2000:]}"
+    )
+    assert "3/3 PASS" in proc.stdout, proc.stdout
+    assert "duplicate attempts executed: 0" not in proc.stdout, (
+        "vacuous sweep: the scheduler never raced a duplicate attempt"
+    )

@@ -51,9 +51,10 @@ def _generator_digest() -> str:
         return hashlib.md5(f.read()).hexdigest()
 
 
-def _derive(flag: str, out_dir: str) -> str:
-    """Derive a planted decade variant from sf0.01, cached by generator
-    digest (stale or partial dirs rebuild, never silently pass)."""
+def _derive(flag: str, out_dir: str, src: str = "/root/testdata/sf0.01") -> str:
+    """Derive a planted decade variant (default from sf0.01), cached by
+    generator digest (stale or partial dirs rebuild, never silently
+    pass). ``flag`` may be space-separated for multi-flag derivations."""
     marker = f"{out_dir}/.complete"
     digest = _generator_digest()
     stale = True
@@ -72,9 +73,9 @@ def _derive(flag: str, out_dir: str) -> str:
                     "tools",
                     "make_scale_decade.py",
                 ),
-                flag,
+                *flag.split(),
                 "--src",
-                "/root/testdata/sf0.01",
+                src,
                 "--out",
                 out_dir,
             ],
@@ -101,6 +102,27 @@ def hotsource_dir():
 @pytest.fixture(scope="module")
 def hotgraph_dir():
     return _derive("--hotgraph", "/tmp/hotgraph_sf01_test")
+
+
+@pytest.fixture(scope="module")
+def level1_small_dir():
+    """A level-1 decade from sf0.001 — the composition base for the
+    level-2 gates (the gates check STRUCTURE; the measured curves run on
+    the real /tmp/sf10_* derivations from sf0.1)."""
+    return _derive("", "/tmp/level1_sf001_test", src="/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def level2_dir(level1_small_dir):
+    return _derive("--level2", "/tmp/level2_sf001_test", src=level1_small_dir)
+
+
+@pytest.fixture(scope="module")
+def level2_hotsource_dir(level1_small_dir):
+    return _derive(
+        "--level2 --hotsource", "/tmp/level2_hotsource_sf001_test",
+        src=level1_small_dir,
+    )
 
 
 
@@ -140,6 +162,63 @@ def test_hotgraph_planted_masses(spark, hotgraph_dir):
     farm = docs.filter(F.col("lang") == "farm0")
     assert farm.count() == 300
     assert farm.select("lang", "source").distinct().count() == 1
+
+
+def test_level2_composition_is_permutation_disjoint(spark, level2_dir):
+    """VERDICT r10 #1 gate: composing a second decade must keep every
+    shard-of-a-shard letter-permutation-distinct. A second Caesar layer
+    would collapse 100 shards onto 19 rotation sums (~5 byte-identical
+    clones of every base doc — quadratic cross-shard pair blowup); the
+    affine level-2 cipher must keep every shard's texts distinct, so the
+    DISTINCT-text count scales exactly 100x (zero cross-shard collisions
+    AND each shard preserving the base's internal dup structure — with
+    100 shards of the same base, a double-Caesar composition would read
+    ~19x here, not 100x)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lvl2 = spark.read.parquet(f"{level2_dir}/documents.parquet")
+    n_base, n_lvl2 = base.count(), lvl2.count()
+    assert n_lvl2 == 100 * n_base
+    assert (
+        lvl2.select("text").distinct().count()
+        == 100 * base.select("text").distinct().count()
+    )
+    # One base doc's 100 shards must all carry distinct permuted texts.
+    one = lvl2.filter((F.col("doc_id") % n_base) == 7)
+    assert one.count() == 100
+    assert one.select("text").distinct().count() == 100
+
+
+def test_level2_hotsource_replants_mass(spark, level2_hotsource_dir):
+    """--level2 --hotsource must re-plant the ~52.5% hot-source mass at
+    the composed scale (same window as the level-1 gate)."""
+    docs = spark.read.parquet(f"{level2_hotsource_dir}/documents.parquet")
+    total = docs.count()
+    by_src = docs.groupBy("source").count().orderBy(F.desc("count")).collect()
+    assert by_src[0]["count"] / total == pytest.approx(0.525, abs=0.02)
+
+
+def test_level2_refuses_skew():
+    """--skew's hottest-base-lang heuristic is meaningless over a source
+    whose langs are already decade shards; the generator must refuse,
+    not plant garbage."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+                "make_scale_decade.py",
+            ),
+            "--level2",
+            "--skew",
+            "--out",
+            "/tmp/level2_refused_test",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    assert "--level2" in proc.stderr
 
 
 def test_skew_split_fires_on_planted_data(spark, skew_dir):

@@ -52,6 +52,27 @@ uniform shards —
   measurement would capture the perturbation, not the engine (the exact
   failure mode the Caesar design exists to avoid — see the r8 note above).
 
+--level2 (VERDICT r10 #1) COMPOSES a second decade on top of an existing
+one (``--src=/tmp/sf1_decade --out=/tmp/sf10_decade``), producing the
+100x-of-bench-SF (sf10-equivalent) dataset the two-decade scaling curves
+are measured on. A second round of Caesar rotations cannot work: rotations
+compose additively, so 10x10 shards would collapse onto the 19 distinct
+rotation sums and ~5 shards per rotation class would carry byte-identical
+document clones — the quadratic cross-replica pair artifact the rotation
+design exists to avoid. Level 2 therefore ciphers with AFFINE alphabet
+permutations x -> a*x (mod 26) instead, one distinct unit multiplier per
+replica: composed with any level-1 rotation x -> x+7k the combined map is
+x -> a*x + 7k*a, and (a, k) -> (a, 7ka) is injective across all 100
+shards (a determines the multiplier; for fixed a, k determines the
+shift), so every shard of every base document carries a DISTINCT letter
+permutation — token- and char-gram-disjoint shards, near-dup pair space
+scaling linearly through both decades. Replica 0 keeps multiplier 1 (the
+identity — the level-1 data embeds unchanged). The same id-offset and
+lang-suffix discipline applies; --hotgraph / --hotsource re-plant their
+masses at the composed scale (the plantings read only generic properties
+of --src), while --skew is refused: its "hottest base lang" heuristic is
+meaningless over a source whose langs are already decade shards.
+
 --src lets tests derive the same structures from a smaller SF.
 
 Deterministic end to end; DuckDB does the generation so no Spark session
@@ -83,6 +104,16 @@ _HOT_KEY_PCT = 3
 _HOT_SUPP_PCT = _HOT_KEY_PCT  # historical alias used in the r9 docs
 _HOT_SRC_PCT = 5  # --hotsource: 5 of 10 residue classes -> ~50% of documents
 _MIX = 2654435761  # Knuth's multiplicative-hash constant, odd -> bijective mix
+
+# Level-2 cipher multipliers: the units of Z/26 (odd, not 13) — 12 distinct
+# affine maps x -> a*x, each a letter permutation. Index 0 is the identity
+# so replica 0 embeds the source decade unchanged.
+_AFFINE_UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_alphabet(a: int) -> str:
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    return "".join(alpha[(a * i) % 26] for i in range(26))
 
 
 def _mix_residue(expr: str, pct: int) -> str:
@@ -138,6 +169,46 @@ COPY (
           f"(x{args.longdoc} rotations)")
 
 
+def _make_events(args) -> None:
+    """The EVENTS scale axis (VERDICT r10 #2): events is the one table no
+    decade replicates, so watermark state, session-window GC and
+    stream-stream join state had never been measured past sf0.1. R
+    replicas, each shifted FORWARD in event time by k·(span + 1h): the
+    stream gets R× longer (same users, R× the activity history), so under
+    chunked ordered delivery the watermark advances across replicas and
+    per-window state stays flat — the property the streaming decade
+    exists to measure. A same-timestamp replication (the other tables'
+    scheme) would instead multiply every window's cardinality by R, which
+    measures state bloat, not stream length. event_id offsets keep ids
+    unique; all other tables are copied unchanged."""
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+    r = args.events
+    id_off, lo_us, hi_us = con.execute(
+        f"""SELECT MAX(event_id) + 1,
+                   epoch_ns(MIN(ts)) // 1000, epoch_ns(MAX(ts)) // 1000
+            FROM read_parquet('{args.src}/events.parquet')"""
+    ).fetchone()
+    shift_us = hi_us - lo_us + 3_600_000_000  # span + 1h inter-replica gap
+    con.execute(f"""
+COPY (
+  SELECT e.event_id + k.k * {id_off} AS event_id,
+         e.ts + to_microseconds(CAST(k.k * {shift_us} AS BIGINT)) AS ts,
+         e.* EXCLUDE (event_id, ts)
+  FROM read_parquet('{args.src}/events.parquet') e, range({r}) k(k)
+) TO '{args.out}/events.parquet' (FORMAT PARQUET, CODEC ZSTD)
+""")
+    for t in TABLES:
+        dst = f"{args.out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{args.src}/{t}.parquet", dst)
+    n, span_h = con.execute(
+        f"SELECT COUNT(*), (epoch_ns(MAX(ts)) - epoch_ns(MIN(ts))) / 3.6e12 "
+        f"FROM read_parquet('{args.out}/events.parquet')"
+    ).fetchone()
+    print(f"events: {n} rows over {span_h:.1f} h of event time (x{r} shifted replicas)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_decade")
@@ -172,6 +243,24 @@ def main() -> None:
         "extraction. Suggested --out=/tmp/sf1_hotgraph.",
     )
     ap.add_argument(
+        "--events", type=int, nargs="?", const=10, default=0, metavar="R",
+        help="derive the EVENTS/streaming axis instead of a decade: the "
+        "events table replicated R times with event time SHIFTED forward "
+        "by replica (span + 1h each) — an R x LONGER stream with the same "
+        "user population, so watermarks advance realistically across "
+        "replicas and per-window state stays bounded. All other tables "
+        "copied unchanged. Suggested --out=/tmp/sf1_events.",
+    )
+    ap.add_argument(
+        "--level2", action="store_true",
+        help="compose a SECOND decade from an existing one (--src should "
+        "be a level-1 decade dir): affine alphabet permutations instead "
+        "of Caesar rotations, so all replicas-of-replicas stay letter-"
+        "permutation-distinct (see module docstring). Combinable with "
+        "--hotgraph/--hotsource to re-plant those masses at the composed "
+        "scale; --skew is refused at level 2.",
+    )
+    ap.add_argument(
         "--hotsource", action="store_true",
         help="Plant a hot SOURCE: ~50%% of ALL documents (chosen by the "
         "same masked multiplicative doc-id residue as the other plantings, "
@@ -183,18 +272,34 @@ def main() -> None:
     )
     args = ap.parse_args()
     if sum(bool(x) for x in
-           (args.longdoc, args.skew, args.hotgraph, args.hotsource)) > 1:
-        raise SystemExit("--longdoc / --skew / --hotgraph / --hotsource are "
-                         "separate axes; pick one")
+           (args.longdoc, args.skew, args.hotgraph, args.hotsource,
+            args.events)) > 1:
+        raise SystemExit("--longdoc / --skew / --hotgraph / --hotsource / "
+                         "--events are separate axes; pick one")
+    if args.level2 and (args.skew or args.longdoc or args.events):
+        raise SystemExit("--level2 composes a decade; it combines with "
+                         "--hotgraph/--hotsource only (--skew's hottest-"
+                         "base-lang heuristic is meaningless over decade-"
+                         "sharded langs)")
     if args.longdoc:
         _make_longdoc(args)
+        return
+    if args.events:
+        _make_events(args)
         return
     # The Caesar rotations 7k mod 26 are distinct only for k < 26; replica
     # 26 would rotate by 0 — byte-identical to replica 0, silently
     # reintroducing the cross-replica clone artifact this tool exists to
-    # avoid. Grow via a second cipher parameter before raising this.
+    # avoid. Level 2 is that second cipher parameter — but WITHIN level 2
+    # the multiplier pool is the 12 units of Z/26.
     # An explicit raise, not `assert`: the cap must survive `python -O`.
-    if args.replicas > 26:
+    if args.level2:
+        if args.replicas > len(_AFFINE_UNITS):
+            raise SystemExit(
+                f"--level2 replicas > {len(_AFFINE_UNITS)} exceed the "
+                "distinct affine multipliers of Z/26"
+            )
+    elif args.replicas > 26:
         raise SystemExit("replicas > 26 reuse Caesar rotations")
     SRC = args.src
     os.makedirs(args.out, exist_ok=True)
@@ -264,11 +369,18 @@ COPY (
 ) TO '{args.out}/orders.parquet' (FORMAT PARQUET, CODEC ZSTD)
 """)
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    rot_cases = " ".join(
-        f"WHEN k.k = {k} THEN translate(text, '{alpha}', "
-        f"'{alpha[(7 * k) % 26:] + alpha[:(7 * k) % 26]}')"
-        for k in range(1, r)
-    )
+    if args.level2:
+        rot_cases = " ".join(
+            f"WHEN k.k = {k} THEN translate(text, '{alpha}', "
+            f"'{_affine_alphabet(_AFFINE_UNITS[k])}')"
+            for k in range(1, r)
+        )
+    else:
+        rot_cases = " ".join(
+            f"WHEN k.k = {k} THEN translate(text, '{alpha}', "
+            f"'{alpha[(7 * k) % 26:] + alpha[:(7 * k) % 26]}')"
+            for k in range(1, r)
+        )
     # Uniform: replica lang is suffixed (en -> en3) — replicas are disjoint
     # SHARDS, and lang is the blocking/df-cap key, so a 10x corpus of 10
     # shards presents 10 blocking groups, not one group with diluted global

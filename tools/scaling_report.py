@@ -28,9 +28,13 @@ def main():
     # --decade: measure sf0.1 -> the derived 10x dataset (sf1-equivalent,
     # built by tools/make_scale_decade.py) instead of sf0.01 -> sf0.1.
     # SCALE_QUERIES=csv overrides the heavy-16 (the r9 mid-tier sweep).
+    # SCALE_LO/SCALE_HI override the dataset dirs — the r11 two-decade
+    # curves run lo=/tmp/sf1_decade hi=/tmp/sf10_decade (100x bench SF).
     decade = "--decade" in sys.argv
     lo = "/root/testdata/sf0.1" if decade else "/root/testdata/sf0.01"
     hi = "/tmp/sf1_decade" if decade else "/root/testdata/sf0.1"
+    lo = os.environ.get("SCALE_LO", lo)
+    hi = os.environ.get("SCALE_HI", hi)
     sel = os.environ.get("SCALE_QUERIES", "")
     names = [n for n in sel.split(",") if n] or HEAVY
     spark = get_spark()
