@@ -33,6 +33,7 @@ from ..plans.ckpt import (
     evict_round_checkpoint,
     register_run_checkpoint,
     round_checkpoint,
+    round_checkpoint_probe,
 )
 from ..registry import df_query, sql_query
 from ..session import DEFAULT_SHUFFLE_PARTITIONS
@@ -853,23 +854,27 @@ def connected_components(
         nbr_min = edges.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
         ).select(F.col("src").alias("doc_id"), "label")
-        new_labels = round_checkpoint(
-            labels.unionByName(nbr_min)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-        )
-        # The new round materialized eagerly above — the previous round's
-        # blocks are now unreachable; release them instead of letting them
-        # pile up for the session's lifetime (VERDICT r8 #2: the decade-
-        # scale GC-churn / repeat-run-OOM cause at the default 8 GiB heap).
-        evict_round_checkpoint(labels)
-        labels = new_labels
+        # Round materialization and the Σ(label) convergence probe share
+        # ONE action (round_checkpoint_probe — optimization r11, guide
+        # §1.2: at bench scale the loop is job-count bound, and the probe
+        # was a second full query per round).
         # decimal(38,0): raw BIGINT SUM overflows (ANSI crash) once label
         # ids approach 2^63-scale hash/snowflake domains — two such labels
         # already exceed the range (r9 full-file review finding).
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_labels, cur_sum = round_checkpoint_probe(
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label")),
+            lambda d: d.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0],
+        )
+        # The new round materialized above — the previous round's blocks
+        # are now unreachable; release them instead of letting them pile
+        # up for the session's lifetime (VERDICT r8 #2: the decade-scale
+        # GC-churn / repeat-run-OOM cause at the default 8 GiB heap).
+        evict_round_checkpoint(labels)
+        labels = new_labels
         if cur_sum == prev_sum:
             converged = True
             break
@@ -917,9 +922,16 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star contraction to the star-forest
     fixpoint. Returns (fixpoint edge set as (l=center, h=leaf), rounds)."""
 
-    def large_star(e: DataFrame) -> DataFrame:
-        # Symmetric view; for each u, m = min(Γ(u) ∪ {u}); connect every
-        # strictly-larger neighbor v > u to m.
+    def one_round(e: DataFrame) -> DataFrame:
+        # Large star: for each u, m = min(Γ(u) ∪ {u}); connect every
+        # strictly-larger neighbor v > u to m. Output rows already satisfy
+        # b = m <= u < v = a (low end second, no self-loops), and the
+        # small-star min-aggregate below is insensitive to duplicate rows,
+        # so the mid-round canonicalization/DISTINCT the r6 form paid
+        # between the stars is DEFERRED to the round's final edge set —
+        # one dedup shuffle per round instead of two (optimization r11,
+        # guide §2.3/§2.4; measured 7.4 s -> 5.7 s warm on the q_dbscan
+        # core-edge CC at sf0.1, fixpoint edge set identical).
         sym = e.selectExpr("l AS u", "h AS v").unionByName(
             e.selectExpr("h AS u", "l AS v")
         )
@@ -928,23 +940,21 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
-        out = (
+        ls = (
             sym.filter(F.col("v") > F.col("u"))
             .join(m, "u")
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .select(F.col("v").alias("h2"), F.col("m").alias("l2"))
         )
-        return _canon_edges(out, "a", "b")
-
-    def small_star(e: DataFrame) -> DataFrame:
-        # Directed high→low: Γ(h) all smaller; m = min; link every smaller
-        # neighbor (and h itself) to m.
-        m = e.groupBy("h").agg(F.min("l").alias("m"))
+        # Small star on the (possibly duplicated) large-star output,
+        # oriented high→low (h2 > l2 by construction): m2 = min over
+        # Γ_small(h2); link every smaller neighbor (and h2 itself) to m2.
+        m2 = ls.groupBy("h2").agg(F.min("l2").alias("m2"))
         leaves = (
-            e.join(m, "h")
-            .filter(F.col("l") != F.col("m"))
-            .select(F.col("l").alias("a"), F.col("m").alias("b"))
+            ls.join(m2, "h2")
+            .filter(F.col("l2") != F.col("m2"))
+            .select(F.col("l2").alias("a"), F.col("m2").alias("b"))
         )
-        centers = m.select(F.col("h").alias("a"), F.col("m").alias("b"))
+        centers = m2.select(F.col("h2").alias("a"), F.col("m2").alias("b"))
         return _canon_edges(leaves.unionByName(centers), "a", "b")
 
     e = round_checkpoint(edges)
@@ -953,7 +963,11 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     if n_e == 0:
         return e, rounds
     while rounds < max_iter:
-        new_e = round_checkpoint(small_star(large_star(e)))
+        # Checkpoint materialization and the convergence count share ONE
+        # action (round_checkpoint_probe) — the count was a separate job
+        # per round before (optimization r11, guide §1.2: the loop is
+        # driver/job-count bound at bench scale).
+        new_e, n_new = round_checkpoint_probe(one_round(e), DataFrame.count)
         rounds += 1
         # Fixpoint = edge set unchanged by a full round. Both frames are
         # DEDUPED canonical sets (_canon_edges), so set equality is
@@ -962,7 +976,6 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         # second subtract of the old two-way check is never needed
         # (r6: one set-difference shuffle per round instead of two,
         # and zero on the early rounds where the counts still differ).
-        n_new = new_e.count()
         at_fixpoint = n_new == n_e and new_e.subtract(e).isEmpty()
         # The fixpoint probe above was the LAST plan referencing the
         # previous round — release its blocks either way (VERDICT r8 #2).
@@ -1158,7 +1171,33 @@ _STOP_SHINGLE_MIN_DF = 5
 _STOP_SHINGLE_ABS_MAX = 256
 
 
-def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
+def _chargram_sel_sql(d: Dialect, table: str = "documents") -> str:
+    """The modhash-sampled shingle rows (doc_id, lang, gram) — the
+    compute-dense explode + per-shingle md5 pipeline, split out so the
+    Spark caller can materialize it ONCE (see _chargram_keep_sql)."""
+    if d.name == "spark":
+        gram_rows = (
+            f"SELECT doc_id, lang, explode(array_distinct(transform("
+            f"sequence(1, length(text) - {_SHINGLE_N - 1}),"
+            f" i -> substring(text, i, {_SHINGLE_N})))) AS gram"
+            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
+        )
+    else:
+        gram_rows = (
+            f"SELECT doc_id, lang, unnest(list_distinct(list_transform("
+            f"range(1, length(text) - {_SHINGLE_N - 2}),"
+            f" i -> substr(text, i, {_SHINGLE_N})))) AS gram"
+            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
+        )
+    return (
+        f"SELECT doc_id, lang, gram FROM ({gram_rows}) grams"
+        f" WHERE ({d.md5_int32('gram')} % {_SHINGLE_MOD}) = 0"
+    )
+
+
+def _chargram_keep_sql(
+    d: Dialect, table: str = "documents", sel_view: str | None = None
+) -> str:
     """The `keep(doc_id, lang, gram, anchor)` sampled-shingle table.
 
     Every row is a modhash-sampled shingle (Broder '97: the deterministic
@@ -1187,26 +1226,18 @@ def _chargram_keep_sql(d: Dialect, table: str = "documents") -> str:
     stage; it parallelizes with input splits at cluster scale, but the
     local single-row-group file would otherwise run it on one task).
     """
-    if d.name == "spark":
-        gram_rows = (
-            f"SELECT doc_id, lang, explode(array_distinct(transform("
-            f"sequence(1, length(text) - {_SHINGLE_N - 1}),"
-            f" i -> substring(text, i, {_SHINGLE_N})))) AS gram"
-            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
-        )
+    if sel_view is not None:
+        # Spark caller: reference an externally materialized `sel` view
+        # instead of inlining it — Catalyst CTE inlining runs the
+        # explode + per-shingle md5 pipeline once per reference (twice
+        # here: the df aggregate and the final left join), and that
+        # pipeline is the query's compute-dense stage (optimization r11;
+        # the checkpoint lives in q_dedup_chargram).
+        sel_cte = f"sel AS (SELECT * FROM {sel_view})"
     else:
-        gram_rows = (
-            f"SELECT doc_id, lang, unnest(list_distinct(list_transform("
-            f"range(1, length(text) - {_SHINGLE_N - 2}),"
-            f" i -> substr(text, i, {_SHINGLE_N})))) AS gram"
-            f" FROM {table} WHERE length(text) >= {_SHINGLE_N}"
-        )
+        sel_cte = f"sel AS ({_chargram_sel_sql(d, table)})"
     return f"""
-WITH grams AS ({gram_rows}),
-sel AS (
-  SELECT doc_id, lang, gram FROM grams
-  WHERE ({d.md5_int32('gram')} % {_SHINGLE_MOD}) = 0
-),
+WITH {sel_cte},
 lang_docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 informative AS (
   SELECT g.lang, g.gram
@@ -1247,16 +1278,27 @@ def _chargram_pairs_sql(d: Dialect, keep: str, ctes: str = "") -> str:
     if d.name == "spark":
         grams_agg = "collect_list(gram)"
         inter = "size(array_intersect(ga.grams, gb.grams))"
+        # The per-pair array_intersect scoring stage is CPU-dense but
+        # byte-light: AQE's bytes-based coalescing shrank the candidate
+        # exchange to ~8 partitions at sf0.1 (≈1 MB each) and left 3/4 of
+        # the cores idle under an 18.9 s stage (optimization r11, guide
+        # §2.2: size partitions for the work, not the bytes, when CPU per
+        # byte is extreme). Pin the candidate side to the configured
+        # parallelism — an explicit-width REPARTITION is exempt from AQE
+        # coalescing, and it keys on doc_a, the scoring join's key, so it
+        # replaces rather than adds a shuffle at cluster scale.
+        cand_hint = f"/*+ REPARTITION({DEFAULT_SHUFFLE_PARTITIONS}, doc_a) */ "
     else:
         grams_agg = "list(gram)"
         inter = "len(list_intersect(ga.grams, gb.grams))"
+        cand_hint = ""
     return f"""
 WITH {ctes}doc_grams AS (
   SELECT doc_id, lang, {grams_agg} AS grams, COUNT(*) AS n_grams
   FROM {keep} GROUP BY doc_id, lang
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT {cand_hint}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {keep} a
   JOIN {keep} b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE a.anchor AND b.anchor
@@ -1317,11 +1359,23 @@ def q_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < DEFAULT_SHUFFLE_PARTITIONS:
         docs = docs.repartition(DEFAULT_SHUFFLE_PARTITIONS)
     docs.createOrReplaceTempView("documents_sharded")
+    # Materialize the sampled-shingle rows once — the keep query
+    # references `sel` twice (the df aggregate and the final left join)
+    # and Catalyst CTE inlining would re-run the compute-dense explode +
+    # per-shingle md5 pipeline for each reference (optimization r11; the
+    # same lesson as the keep checkpoint below).
+    sel = spark.sql(_chargram_sel_sql(SPARK, table="documents_sharded"))
+    sel = register_run_checkpoint(round_checkpoint(sel))
+    sel.createOrReplaceTempView("chargram_sel")
     # Materialize the shingle table once — the pair query references it
     # three times (doc_grams + both sides of the anchor join) and a
     # scalar-subquery-bearing plan defeats cache matching, so
     # localCheckpoint (truncated lineage) rather than persist.
-    keep = spark.sql(_chargram_keep_sql(SPARK, table="documents_sharded"))
+    keep = spark.sql(
+        _chargram_keep_sql(
+            SPARK, table="documents_sharded", sel_view="chargram_sel"
+        )
+    )
     keep = register_run_checkpoint(round_checkpoint(keep))
     keep.createOrReplaceTempView("chargram_keep")
     return spark.sql(_chargram_pairs_sql(SPARK, "chargram_keep"))

@@ -75,6 +75,41 @@ def round_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+def round_checkpoint_probe(df: DataFrame, probe):
+    """Checkpoint one round AND evaluate a convergence probe with a single
+    Spark action where that is safe (optimization r11, guide §1.2/§2.4:
+    the iterative loops were job-count bound — every round paid one job to
+    materialize the checkpoint and a second to read the convergence
+    scalar off it).
+
+    ``probe`` is a callable ``DataFrame -> value`` that must run exactly
+    one action over the WHOLE frame (count / scalar aggregate — anything
+    that scans every partition; a LIMIT probe would leave partitions
+    unmaterialized and is rejected by the contract below).
+
+    Local mode: ``localCheckpoint(eager=False)`` marks the plan's RDD for
+    checkpointing, and the probe's action is the materializing scan — the
+    partitions are persisted as they are computed, so one job both builds
+    the round state and answers the probe. Reliable mode keeps the eager
+    two-action form: a non-eager reliable ``Dataset.checkpoint()`` writes
+    its files by RECOMPUTING the lineage at job end (the classic
+    reliable-checkpoint gotcha), which would double the round's work.
+
+    The failure-domain hook fires after materialization in both modes,
+    preserving the kill-the-materialized-round injection contract.
+    Returns ``(checkpointed_frame, probe_value)``.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true":
+        out = round_checkpoint(df)  # eager; hook fires inside
+        return out, probe(out)
+    out = df.localCheckpoint(eager=False)
+    value = probe(out)  # materializes the checkpoint blocks in this job
+    if _post_checkpoint_hook is not None:
+        _post_checkpoint_hook(out)
+    return out, value
+
+
 def evict_round_checkpoint(df: DataFrame) -> None:
     """Release the storage behind a round_checkpoint()ed DataFrame.
 
