@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from ..functions.detsql import DUCK, SPARK, Dialect
 from ..registry import df_query, sql_query
+from ..session import DEFAULT_SHUFFLE_PARTITIONS
 
 # Stopword lists per language for the heuristic language scorer. The corpus
 # is synthetic word-salad, so the interesting part is the operator shape
@@ -1303,10 +1304,19 @@ def _unseen_vocab_sql(d: Dialect) -> str:
     full Simple Good-Turing smooth fit the log-log regression on the
     (r, N_r) rows this query already emits."""
     if d.name == "spark":
+        # The documents table is one parquet split at bench SF, and the
+        # 8-gram explode + count partial-aggregates INSIDE the scan task —
+        # the whole corpus-scale stage ran on ONE core (measured 2.7 s
+        # single-task stage at sf0.1; optimization r11, guide §2.2). An
+        # explicit-width round-robin repartition of just the text column
+        # (cheap: one shuffle of the raw bytes) spreads the CPU-dense
+        # explode across the configured parallelism; the count-of-counts
+        # algebra is order-insensitive, so results are unchanged.
         toks = (
             "SELECT explode(transform(sequence(1, length(text) - 7),"
             " i -> substring(text, i, 8))) AS token"
-            " FROM documents WHERE length(text) >= 8"
+            f" FROM (SELECT /*+ REPARTITION({DEFAULT_SHUFFLE_PARTITIONS}) */"
+            " text FROM documents WHERE length(text) >= 8) docs"
         )
     else:
         toks = (

@@ -25,6 +25,7 @@ from ..plans.ckpt import (
     round_checkpoint,
 )
 from ..registry import df_query, sql_query
+from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.tables import load_tables
 
 _PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point grid per unit of rank mass
@@ -109,12 +110,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # One explicit-width src exchange feeds the degree count and the
+    # degree join (the groupBy and the join both reuse it — a single
+    # exchange where the unkeyed form paid two), and fixes the checkpoint
+    # blocks at the configured parallelism instead of AQE's
+    # bytes-coalesced ~10 partitions, so every iteration's stages run on
+    # all cores (optimization r11, guide §2.2/§2.4).
+    p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ekeyed = edges.repartition(p_width, "src")
+    deg = ekeyed.groupBy("src").agg(F.count("*").alias("deg"))
     # Materialize the (src, dst, deg) edge relation once — every iteration
     # re-reads it, so recomputing the orders×lineitem join per round would
     # multiply the dominant cost by the iteration count.
-    e = register_run_checkpoint(round_checkpoint(edges.join(deg, "src")))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    e = register_run_checkpoint(round_checkpoint(ekeyed.join(deg, "src")))
+    # nodes is read six times (initial ranks + one left join per round):
+    # checkpoint the small node list once instead of re-deduplicating the
+    # edge relation per round.
+    nodes = register_run_checkpoint(
+        round_checkpoint(e.select(F.col("src").alias("node")).distinct())
+    )
     ranks = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
         inflow = (
@@ -145,12 +159,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part graph (parts appearing in the same order share an edge).
 # ---------------------------------------------------------------------------
 
-_TRI_SPARK_SQL = """
-WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+_TRI_SPARK_SQL = f"""
+WITH op AS (
+  -- Explicit-width repartition keyed on the dedup/self-join key: AQE's
+  -- bytes-based coalescing ran the CPU-dense wedge stages on 10-20 tasks
+  -- with 32 cores (optimization r11, guide §2.2 — size partitions for the
+  -- work, not the bytes). hash(l_orderkey) satisfies the (okey, pkey)
+  -- dedup clustering, so the GROUP BY and the ON-okey self-join both run
+  -- in place at the configured width with no further exchange.
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT /*+ REPARTITION({DEFAULT_SHUFFLE_PARTITIONS}, l_orderkey) */
+           l_orderkey, l_partkey
+    FROM lineitem
+  ) raw
+  GROUP BY l_orderkey, l_partkey
+),
 e0 AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  SELECT u, v
+  FROM (
+    SELECT /*+ REPARTITION({DEFAULT_SHUFFLE_PARTITIONS}, u) */
+           a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) pairs
+  GROUP BY u, v
 ),
 deg AS (
   SELECT node, COUNT(*) AS d FROM (
@@ -164,16 +197,24 @@ deg AS (
 -- OUT-edges, bounding the wedge explosion that makes id-ordering
 -- quadratic on skewed graphs.
 e AS (
-  SELECT
-    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
-         THEN e0.u ELSE e0.v END AS src,
-    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
-         THEN e0.v ELSE e0.u END AS dst,
-    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
-         THEN dv.d ELSE du.d END AS dst_d
-  FROM e0
-  JOIN deg du ON e0.u = du.node
-  JOIN deg dv ON e0.v = dv.node
+  -- Repartitioned on src at explicit width: the adjacency GROUP BY reuses
+  -- the partitioning in place, the intersect-heavy tri scan runs at full
+  -- configured parallelism, and — because both consumers of e end in this
+  -- IDENTICAL exchange — ReuseExchange computes the oriented edge chain
+  -- once instead of inlining it twice (optimization r11).
+  SELECT /*+ REPARTITION({DEFAULT_SHUFFLE_PARTITIONS}, src) */ src, dst, dst_d
+  FROM (
+    SELECT
+      CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+           THEN e0.u ELSE e0.v END AS src,
+      CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+           THEN e0.v ELSE e0.u END AS dst,
+      CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+           THEN dv.d ELSE du.d END AS dst_d
+    FROM e0
+    JOIN deg du ON e0.u = du.node
+    JOIN deg dv ON e0.v = dv.node
+  ) oriented
 ),
 adj AS (
   -- out-adjacency arrays under the orientation: hub nodes have FEW
@@ -346,10 +387,19 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Edge checkpoint at explicit width (guide §2.2): the union's physical
+    # partition count (AQE-coalesced ~10 at sf0.1) is frozen into the
+    # checkpoint blocks, and every per-round stage that scans them
+    # inherits that under-parallelism. An explicit-width repartition keyed
+    # on the round-join key costs one 10 MB exchange once and puts all
+    # configured cores under each round's scan. (A sortWithinPartitions
+    # was measured useless here: PySpark's localCheckpoint surfaces the
+    # blocks as UnknownPartitioning, so SMJ re-sorts regardless.)
+    p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(p_width, "src")
     )
     # Seeds: nation-0 customers that actually trade (graph nodes only — the
     # oracle's reach sets can never contain an isolated seed, so neither
@@ -362,6 +412,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(in_graph, F.col("node") == F.col("src"), "leftsemi")
         .distinct()
     )
+    from ..plans.ckpt import deferred_round_checkpoint, round_checkpoint_probe
+
+    # ONE Spark action per round (guide §1.2 — the loop was job-count
+    # bound at two eager checkpoint jobs per hop): the round's frontier is
+    # deferred-checkpointed, and the accumulated dist checkpoint's
+    # materializing scan doubles as its probe. (A measured-gate broadcast
+    # of the frontier was tried and reverted: the per-round driver-serial
+    # broadcast builds cost more wall than the 10 MB co-partitioned
+    # shuffles they replaced — OPTIMIZATION_r11.md.)
     dist = round_checkpoint(seeds.withColumn("hop", F.lit(0)))
     frontier = dist
     for i in range(1, _BFS_ROUNDS + 1):
@@ -370,15 +429,16 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = round_checkpoint(
-            neighbors.join(dist, "node", "left_anti")
-            .withColumn("hop", F.lit(i))
+        new = deferred_round_checkpoint(
+            neighbors.join(dist, "node", "left_anti").withColumn("hop", F.lit(i))
         )
-        new_dist = round_checkpoint(dist.unionAll(new))
-        # new_dist materialized eagerly and COPIES the frontier rows, so
-        # the superseded rounds are dead — release them instead of holding
-        # one checkpoint per hop for the session (VERDICT r8 #2). Round 1
-        # guard: the seed frame doubles as dist AND frontier.
+        new_dist, _ = round_checkpoint_probe(
+            dist.unionAll(new), lambda d: d.count()
+        )
+        # new_dist materialized (the probe's scan) and COPIES the frontier
+        # rows, so the superseded rounds are dead — release them instead of
+        # holding one checkpoint per hop for the session (VERDICT r8 #2).
+        # Round 1 guard: the seed frame doubles as dist AND frontier.
         evict_local_checkpoint(dist)
         if frontier is not dist:
             evict_local_checkpoint(frontier)
@@ -480,9 +540,18 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Partition+sort the edge checkpoint on src (preserved through the
+    # checkpoint), so each round's label join streams the edge side with
+    # no exchange and no sort — only the per-round label aggregate output
+    # (node-scaled, ~1% of the edge bytes) moves. Explicit width keeps the
+    # CPU-dense rounds at configured parallelism instead of AQE's
+    # bytes-coalesced count (optimization r11, guide §2.4/§2.2).
+    p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(p_width, "src")
+        .sortWithinPartitions("src")
     )
     register_run_checkpoint(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
@@ -621,23 +690,30 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      hub == SCALE everywhere, so it is SCALE * |pairs|.
     # Same BIGINT recurrence either way — same hash.
     load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = register_run_checkpoint(round_checkpoint(spark.sql(_HITS_PAIRS_SQL)))
+    from ..plans.ckpt import round_checkpoint_probe
+
+    # The cardinality stats ride the pairs checkpoint's materializing scan
+    # (round_checkpoint_probe, optimization r11 — one job instead of two).
+    # One aggregate over the checkpointed pairs yields BOTH node
+    # cardinalities (m = |pairs| since the edge set is already DISTINCT).
+    # The hub table is customer-keyed and the auth table supplier-keyed,
+    # so each half-step's broadcast gate must be fed the count of the side
+    # it actually broadcasts (ADVICE r06: gating the supplier-keyed auth
+    # table on the customer count breaks the measured-row-count contract
+    # whenever |suppliers| > |customers|).
+    pairs, stats = round_checkpoint_probe(
+        spark.sql(_HITS_PAIRS_SQL),
+        lambda p: p.agg(
+            F.countDistinct("c").alias("n_c"),
+            F.countDistinct("s").alias("n_s"),
+            F.count("*").cast("bigint").alias("m"),
+        ).collect()[0],
+    )
+    pairs = register_run_checkpoint(pairs)
     deg_c = register_run_checkpoint(round_checkpoint(
         pairs.groupBy("c")
         .agg(F.count("*").cast("bigint").alias("dc"))
     ))
-    # One job over the checkpointed pairs yields BOTH node cardinalities
-    # (m = |pairs| since the edge set is already DISTINCT). The hub table
-    # is customer-keyed and the auth table supplier-keyed, so each
-    # half-step's broadcast gate must be fed the count of the side it
-    # actually broadcasts (ADVICE r06: gating the supplier-keyed auth
-    # table on the customer count breaks the measured-row-count contract
-    # whenever |suppliers| > |customers|).
-    stats = pairs.agg(
-        F.countDistinct("c").alias("n_c"),
-        F.countDistinct("s").alias("n_s"),
-        F.count("*").cast("bigint").alias("m"),
-    ).collect()[0]
     # scores/deg_c are NODE-scaled tables (customer/supplier cardinality),
     # not dimensions. localCheckpoint hides size stats from Catalyst, so
     # an unhinted join falls back to SortMergeJoin at EVERY scale — the
@@ -686,18 +762,17 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every OLDER rawh is dead once two newer rounds exist and is evicted
     # in-loop; the two live tail checkpoints go to the run registry for
     # post-consumption release.
-    rawh_live: list[DataFrame] = []
-    for _ in range(_HITS_ITERS):
-        auth = norm_lit(half_step(hub, "c", "s"), tot_a)
-        rawh = round_checkpoint(half_step(auth, "s", "c"))
-        rawh_live.append(rawh)
-        if len(rawh_live) > 2:
-            evict_local_checkpoint(rawh_live.pop(0))
-        row = (
-            rawh.crossJoin(
-                F.broadcast(rawh.agg(F.sum("v").cast("bigint").alias("th")))
+    # The per-round totals collect is FUSED into the rawh checkpoint's
+    # materializing action (round_checkpoint_probe, optimization r11):
+    # the th-aggregate broadcast build is the scan that persists the
+    # round's blocks, so each iteration is ONE collect instead of a
+    # checkpoint job followed by a separate 1-row collect.
+    def _totals(r: DataFrame):
+        return (
+            r.crossJoin(
+                F.broadcast(r.agg(F.sum("v").cast("bigint").alias("th")))
             )
-            .join(gated_broadcast(deg_c, stats["n_c"]), rawh.node == F.col("c"))
+            .join(gated_broadcast(deg_c, stats["n_c"]), r.node == F.col("c"))
             .agg(
                 F.max("th").alias("th"),
                 F.sum(
@@ -712,6 +787,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]
         )
+
+    rawh_live: list[DataFrame] = []
+    for _ in range(_HITS_ITERS):
+        auth = norm_lit(half_step(hub, "c", "s"), tot_a)
+        rawh, row = round_checkpoint_probe(half_step(auth, "s", "c"), _totals)
+        rawh_live.append(rawh)
+        if len(rawh_live) > 2:
+            evict_local_checkpoint(rawh_live.pop(0))
         tot_a = row["ta"]
         hub = norm_lit(rawh, row["th"])
     for live in rawh_live:
@@ -1001,9 +1084,16 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Same optimization shape as q_bfs_hops (r11): explicit-width edge
+    # checkpoint for full per-round parallelism, and ONE fused action per
+    # round — the dist checkpoint's materializing scan IS the count probe,
+    # and emptiness of the round's frontier is read off the count delta
+    # instead of a separate isEmpty job (three actions per round before).
+    p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(p_width, "src")
     )
     seeds = (
         edges.select("src")
@@ -1013,10 +1103,13 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ED_SOURCES)
         .select(F.col("src").alias("source"))
     )
-    dist = round_checkpoint(
+    from ..plans.ckpt import deferred_round_checkpoint, round_checkpoint_probe
+
+    dist, n_dist = round_checkpoint_probe(
         seeds.select("source", F.col("source").alias("node")).withColumn(
             "hop", F.lit(0)
-        )
+        ),
+        lambda d: d.count(),
     )
     frontier = dist
     for i in range(1, _ED_ROUNDS + 1):
@@ -1025,19 +1118,26 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("dst").alias("node"))
             .distinct()
         )
-        new = neighbors.join(
-            dist.select("source", "node"), ["source", "node"], "left_anti"
-        ).withColumn("hop", F.lit(i))
-        new = round_checkpoint(new)
-        if new.isEmpty():
+        new = deferred_round_checkpoint(
+            neighbors.join(
+                dist.select("source", "node"), ["source", "node"], "left_anti"
+            ).withColumn("hop", F.lit(i))
+        )
+        new_dist, n_new = round_checkpoint_probe(
+            dist.unionAll(new), lambda d: d.count()
+        )
+        if n_new == n_dist:
+            # Empty frontier: the union added nothing — drop the round's
+            # frames (both materialized under the probe's scan) and stop.
+            evict_local_checkpoint(new_dist)
             evict_local_checkpoint(new)
             break
-        new_dist = round_checkpoint(dist.unionAll(new))
         # Superseded rounds are dead once new_dist materialized (its union
         # copied the frontier rows) — release per round, VERDICT r8 #2.
         evict_local_checkpoint(dist)
         if frontier is not dist:
             evict_local_checkpoint(frontier)
+        n_dist = n_new
         dist, frontier = new_dist, new
     evict_local_checkpoint(edges)
     if frontier is not dist:

@@ -110,6 +110,28 @@ def round_checkpoint_probe(df: DataFrame, probe):
     return out, value
 
 
+def deferred_round_checkpoint(df: DataFrame) -> DataFrame:
+    """Round checkpoint whose materialization is deliberately DEFERRED to a
+    downstream consumer in the same round (optimization r11, guide §1.2:
+    the frontier loops paid one eager job per intermediate frame). Use when
+    the round's fused probe action (round_checkpoint_probe over a union
+    that CONTAINS this frame) is guaranteed to scan every partition — the
+    probe job then materializes both checkpoints at once.
+
+    Local mode: ``localCheckpoint(eager=False)``. Reliable mode keeps the
+    eager form — a non-eager reliable ``Dataset.checkpoint()`` re-runs its
+    lineage at job end to write the round files (the classic gotcha), so
+    deferring would double the round's work there.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true":
+        return round_checkpoint(df)
+    out = df.localCheckpoint(eager=False)
+    if _post_checkpoint_hook is not None:
+        _post_checkpoint_hook(out)
+    return out
+
+
 def evict_round_checkpoint(df: DataFrame) -> None:
     """Release the storage behind a round_checkpoint()ed DataFrame.
 
