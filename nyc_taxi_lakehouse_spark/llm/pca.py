@@ -44,18 +44,53 @@ def _quantized_components(emb: DataFrame) -> DataFrame:
     )
 
 
-def _gram_cells(comp: DataFrame) -> DataFrame:
-    """Upper-triangle exact-BIGINT Gram cells (i, j, g) over quantized
-    components — the d(d+1)/2-row aggregate principal_components collects
-    and eigendecomposes. Shared so the hash-oracled q_pca_gram_step
-    certifies the exact accumulation path the PCA loop executes. One
-    self-join on vec_id (64×64 per key), one (i, j) keyed aggregate that
-    map-side-combines to a constant-size (2080-cell) exchange."""
-    a, b = comp.alias("a"), comp.alias("b")
+# q = floor(x·2^15 + 0.5) as a whole array — the array-native form of
+# _quantized_components, evaluated without exploding per-component rows.
+_QARR_EXPR = (
+    f"transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT))"
+)
+
+# Sentinel-extended upper-triangle layout: with qs' = qs ++ [1] (D+1 = 65
+# entries), the cell (i, j) products cover, in ONE pass, the Gram
+# (i, j < D), the column sums (j = D: q_i · 1), and the row count
+# (i = j = D: 1 · 1). idx is the position in the flattened triangle.
+_TRI_IJ = [
+    (i, i + jo) for i in range(_DIM + 1) for jo in range(_DIM + 1 - i)
+]
+
+
+def _gram_sentinel_cells(emb: DataFrame) -> DataFrame:
+    """(idx, g): exact-BIGINT sentinel-extended upper-triangle Gram cells.
+
+    The r1-r10 form self-joined the exploded (vec_id, i, q) components on
+    vec_id — a full corpus exchange plus a 64×64-per-key join — and then
+    needed two MORE corpus passes for the column sums and the row count.
+    First-principles (optimization r11, guide §1.1/§2.3/§2.4): the Gram
+    accumulation needs exactly ONE corpus pass and a constant-size
+    (2145-cell) exchange, because each row's contribution is computable
+    from its own embedding array. The per-row upper-triangle products are
+    generated array-natively (no join), partial-aggregated map-side to
+    2145 cells per task, and the only exchange is that constant-size
+    combine — zero data shuffles at ANY corpus scale. The sentinel column
+    folds the means/count passes into the same aggregate."""
     return (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("b.i") >= F.col("a.i")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+        emb.select(
+            F.expr(
+                f"concat({_QARR_EXPR}, array(CAST(1 AS BIGINT)))"
+            ).alias("qs")
+        )
+        .select(
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(qs, (qi, i) -> "
+                    "transform(slice(qs, i + 1, size(qs) - i), "
+                    "qj -> qi * qj)))"
+                )
+            ).alias("idx", "p")
+        )
+        .groupBy("idx")
+        .agg(F.sum("p").alias("g"))
     )
 
 
@@ -65,11 +100,12 @@ def principal_components(
     """Top-k PCA of the embedding corpus.
 
     Returns (eigenvalues desc [k], components [k, d] row-major, mean [d]).
-    Cluster cost: two aggregates over the corpus (means: d rows; Gram:
-    d(d+1)/2 rows — both map-side combine to constant-size exchanges),
-    then an O(d³) driver eigh on the 64×64 covariance. The bounded
-    collects ARE the algorithm (MLlib RowMatrix discipline), not a
-    driver-side loop over data.
+    Cluster cost: ONE aggregate over the corpus (the sentinel-extended
+    Gram: (d+1)(d+2)/2 rows covering Gram + column sums + count, map-side
+    combined to a constant-size exchange — optimization r11), then an
+    O(d³) driver eigh on the 64×64 covariance. The bounded collect IS the
+    algorithm (MLlib RowMatrix discipline), not a driver-side loop over
+    data.
 
     Determinism: the Gram is exact BIGINT on the 2^-15 grid (same cells
     q_gram_matrix emits), so the covariance fed to LAPACK is identical on
@@ -78,24 +114,20 @@ def principal_components(
     """
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    comp = _quantized_components(emb)
 
-    n = emb.count()
-    # d-row collect: exact integer column sums → means on the grid.
-    sums = (
-        comp.groupBy("i").agg(F.sum("q").alias("s")).orderBy("i").collect()
-    )
-    mu_q = np.zeros(_DIM, dtype=np.float64)
-    for r in sums:
-        mu_q[r["i"]] = r["s"] / n
-
-    # d(d+1)/2-row collect: exact integer Gram (_gram_cells — the code
-    # path hash-certified by q_pca_gram_step's oracle row).
-    gram_rows = _gram_cells(comp).collect()
-    G = np.zeros((_DIM, _DIM), dtype=np.float64)
-    for r in gram_rows:
-        G[r["i"], r["j"]] = r["g"]
-        G[r["j"], r["i"]] = r["g"]
+    # ONE (d+1)(d+2)/2-row collect (was three actions: count, column-sum
+    # collect, Gram collect — optimization r11): the sentinel-extended
+    # cells carry the exact integer Gram, the column sums (j = d), and the
+    # row count (i = j = d) from a single corpus pass. Same BIGINT cells
+    # as before, so eigh sees a bit-identical covariance; the shared code
+    # path stays hash-certified by q_pca_gram_step's oracle row.
+    Gx = np.zeros((_DIM + 1, _DIM + 1), dtype=np.float64)
+    for r in _gram_sentinel_cells(emb).collect():
+        i, j = _TRI_IJ[r["idx"]]
+        Gx[i, j] = Gx[j, i] = r["g"]
+    n = int(Gx[_DIM, _DIM])
+    mu_q = Gx[:_DIM, _DIM] / n
+    G = Gx[:_DIM, :_DIM]
 
     cov = G / n - np.outer(mu_q, mu_q)  # covariance on the quantized grid
     evals, evecs = np.linalg.eigh(cov)
@@ -110,16 +142,35 @@ def principal_components(
     return evals, comps, mu_q / _QSCALE
 
 
-def _dot_scores(comp: DataFrame, pcs: DataFrame) -> DataFrame:
-    """The projection join both PCA queries run: exploded quantized
-    components equi-joined to the BROADCAST k·d component table (bounded:
-    512 rows), one (vec_id, pc) aggregate of the products. Shared so the
-    hash-oracled q_pca_project_step certifies the exact code path
-    q_pca_project's projection stage executes."""
-    return (
-        comp.join(F.broadcast(pcs), "i")
-        .groupBy("vec_id", "pc")
-        .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+def _dot_scores(emb: DataFrame, pc_lists, val_sql_type: str) -> DataFrame:
+    """(vec_id, pc, dot): the projection stage both PCA queries run.
+
+    Array-native (optimization r11, guide §2.4 — the r1-r10 form exploded
+    the corpus to per-component rows, broadcast-joined the k·d component
+    table, and re-aggregated the k·d products per vector through an
+    exchange): the k component vectors are literal arrays baked into the
+    plan (k·d = 512 constants), each row computes its k dot products via
+    zip_with+aggregate against its own quantized embedding, and the stage
+    is MAP-ONLY — zero exchanges, no 8-M-row intermediate, at any corpus
+    scale. Shared so the hash-oracled q_pca_project_step certifies the
+    exact code path q_pca_project's projection stage executes (BIGINT
+    instantiation; the accumulation is exact integer, order-free)."""
+    arr_lits = ", ".join(
+        "array(" + ", ".join(f"CAST({v!r} AS {val_sql_type})" for v in row) + ")"
+        for row in pc_lists
+    )
+    zero = f"CAST(0 AS {val_sql_type})"
+    return emb.select(
+        "vec_id", F.expr(_QARR_EXPR).alias("qs")
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(array({arr_lits}), pcv -> "
+                f"aggregate(zip_with(qs, pcv, (a, b) -> a * b), "
+                f"{zero}, (acc, x) -> acc + x))"
+            )
+        ).alias("pc", "dot"),
     )
 
 
@@ -147,20 +198,16 @@ def _dot_scores(comp: DataFrame, pcs: DataFrame) -> DataFrame:
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals, comps, mu = principal_components(spark, sf_dir, k=_PCA_K)
     t = load_tables(spark, sf_dir, ["embeddings"])
-    comp = _quantized_components(t["embeddings"])
 
-    pc_rows = [
-        (int(pc), int(i), float(comps[pc, i]))
-        for pc in range(_PCA_K)
-        for i in range(_DIM)
+    pc_lists = [
+        [float(comps[pc, i]) for i in range(_DIM)] for pc in range(_PCA_K)
     ]
-    pcs = spark.createDataFrame(pc_rows, "pc INT, i INT, v DOUBLE")
     mu_dot = [float(np.dot(comps[pc], mu)) for pc in range(_PCA_K)]
     offs = spark.createDataFrame(
         [(int(pc), float(o)) for pc, o in enumerate(mu_dot)], "pc INT, off DOUBLE"
     )
     return (
-        _dot_scores(comp, pcs)
+        _dot_scores(t["embeddings"], pc_lists, "DOUBLE")
         .withColumn("raw", F.col("dot") / F.lit(_QSCALE))
         .join(F.broadcast(offs), "pc")
         .select(
@@ -240,10 +287,15 @@ def q_pca_project_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
     comp = _quantized_components(emb)
-    pc_rows = [
-        (pc, i, ((pc + 1) * _STEP_MULT * (97 * i + 13)) % 65536 - 32768)
+    pc_lists = [
+        [
+            ((pc + 1) * _STEP_MULT * (97 * i + 13)) % 65536 - 32768
+            for i in range(_DIM)
+        ]
         for pc in range(_PCA_K)
-        for i in range(_DIM)
+    ]
+    pc_rows = [
+        (pc, i, v) for pc, row in enumerate(pc_lists) for i, v in enumerate(row)
     ]
     pcs = spark.createDataFrame(pc_rows, "pc INT, i INT, v LONG")
     n = emb.count()
@@ -255,7 +307,7 @@ def q_pca_project_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s") * F.col("v")).alias("off_num"))
     )
     return (
-        _dot_scores(comp, pcs)
+        _dot_scores(emb, pc_lists, "BIGINT")
         .join(F.broadcast(offs), "pc")
         .select(
             "vec_id",
@@ -326,23 +378,38 @@ ORDER BY g.i, g.j
 def q_pca_gram_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    comp = _quantized_components(emb)
-    n = emb.count()
-    colsum = comp.groupBy("i").agg(F.sum("q").alias("s"))
-    si = colsum.select(F.col("i"), F.col("s").alias("s_i"))
-    sj = colsum.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
-    return (
-        _gram_cells(comp)
-        .withColumnRenamed("g", "gram_q")
-        .join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .select(
-            "i",
-            "j",
-            "gram_q",
-            (F.lit(n) * F.col("gram_q") - F.col("s_i") * F.col("s_j"))
-            .cast("bigint")
-            .alias("cov_num"),
+    # One corpus pass, one action total (was four passes: count, gram, and
+    # one colsum per broadcast side — optimization r11): collect the
+    # sentinel-extended cells — DIMENSION-bounded ((d+1)(d+2)/2 = 2145
+    # rows, constant in corpus size, the same bounded-collect discipline
+    # principal_components itself uses — and finish the covariance
+    # numerator algebra on the driver in exact Python BIGINTs. (A
+    # checkpoint-and-slice plan form was tried first: its three broadcast
+    # builds over the 32-block checkpoint cost ~1.3 s of pure per-task/
+    # per-job overhead at sf0.1 for work that is 2145 integer multiplies.)
+    cells = {r["idx"]: int(r["g"]) for r in _gram_sentinel_cells(emb).collect()}
+    gx = {}
+    for idx, (i, j) in enumerate(_TRI_IJ):
+        gx[(i, j)] = cells.get(idx, 0)
+    n = gx[(_DIM, _DIM)]
+    rows = [
+        (
+            i,
+            j,
+            gx[(i, j)],
+            n * gx[(i, j)] - gx[(i, _DIM)] * gx[(j, _DIM)],
         )
-        .orderBy("i", "j")
+        for i in range(_DIM)
+        for j in range(i, _DIM)
+    ]
+    # pandas + Arrow for the literal relation: createDataFrame from Python
+    # tuples pays ~0.5 s of per-row toInternal conversion for 2080 rows;
+    # the Arrow path is ~2x cheaper. Explicit dtypes keep the declared
+    # INT/BIGINT schema. (coalesce(1) on a parallelized local relation was
+    # tried and reverted: it forces the Python-RDD scan path, ~5 s.)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["i", "j", "gram_q", "cov_num"]).astype(
+        {"i": "int32", "j": "int32", "gram_q": "int64", "cov_num": "int64"}
     )
+    return spark.createDataFrame(pdf).orderBy("i", "j")

@@ -825,7 +825,6 @@ def pq_adc_candidates(
     crk). quant is (vec_id, q: array<bigint>)."""
     from pyspark.sql import Window
 
-    spark = quant.sparkSession
     subdim = _DIM // n_sub
 
     # Codebook: per subspace, the subvectors of 16 hash-ranked corpus seeds
@@ -837,39 +836,56 @@ def pq_adc_candidates(
         .limit(n_codes)
         .collect()
     )
-    cb = spark.createDataFrame(
-        [
-            (sub, code, j, int(row.q[sub * subdim + j]))
-            for code, row in enumerate(seeds)
+    # Literal nested codebook CB[code][sub] (n_codes·n_sub·subdim = 1024
+    # constants baked into the plan) and MAP-ONLY encoding (optimization
+    # r11, guide §2.4 — the r1-r10 form exploded the corpus to 1M
+    # component rows, broadcast-joined the codebook into a 16M-row
+    # intermediate, re-aggregated through an exchange, and ran a window
+    # argmin over the 2M d2 rows; the encoding is per-row arithmetic, so
+    # none of those exchanges is fundamental). Each row computes, per
+    # subspace, its exact integer sub-L2 to all 16 codes and takes the
+    # lexicographic array_min of (d2, code) structs — the same (d2, code)
+    # argmin tiebreak the window's row_number gave, bit-for-bit.
+    cb_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"CAST({int(row.q[sub * subdim + j])} AS BIGINT)"
+                for j in range(subdim)
+            ) + ")"
             for sub in range(n_sub)
-            for j in range(subdim)
-        ],
-        "sub int, code int, j int, cv long",
+        ) + ")"
+        for row in seeds
+    ) + ")"
+    d2_sc = (
+        f"aggregate(zip_with(slice(q, s * {subdim} + 1, {subdim}), "
+        f"{cb_lit}[c][s], (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-
-    comp = (
-        quant.select("vec_id", F.posexplode("q").alias("i", "qv"))
-        .withColumn("sub", (F.col("i") / subdim).cast("int"))
-        .withColumn("j", (F.col("i") % subdim).cast("int"))
+    codes = quant.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), s -> "
+                f"array_min(transform(sequence(0, {n_codes - 1}), c -> "
+                f"struct({d2_sc} AS d2, c AS code))).code)"
+            )
+        ).alias("sub", "code"),
     )
-    # Exact integer L2 per (vector, subspace, code) — one broadcast join +
-    # one hash-agg; products stay < 2^63 (|q| ≤ 4·10^6 ⇒ Σ8 diffs² < 10^15).
-    # cb is a bounded literal relation (n_codes · dim rows by construction).
-    d2 = (
-        comp.join(F.broadcast(cb), ["sub", "j"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("d2"))
-    )
-
-    w_enc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (
-        d2.filter(F.col("vec_id") >= n_probes)
-        .withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select(F.col("vec_id").alias("candidate_id"), "sub", "code")
-    )
-    lut = d2.filter(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("query_id"), "sub", "code", "d2"
+    # Probe LUT: the full (sub, code, d2) table — probe-batch-bounded
+    # (n_probes · 8 · 16 rows), generated map-side from the same algebra.
+    lut = (
+        quant.filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {n_sub - 1}), s -> "
+                    f"transform(sequence(0, {n_codes - 1}), c -> "
+                    f"struct(s AS sub, c AS code, {d2_sc} AS d2))))"
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "e.sub", "e.code", "e.d2")
     )
 
     # ADC scan: code table ⋈ broadcast LUT, summed per (query, candidate).
@@ -1252,17 +1268,30 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from ..plans.ckpt import round_checkpoint_probe
+
+    # The per-round argmax collect IS the checkpoint's materializing scan
+    # (round_checkpoint_probe, optimization r11, guide §1.2): orderBy+LIMIT 1
+    # compiles to TakeOrderedAndProject, whose single job computes a local
+    # top-1 in EVERY partition before the driver merge — a whole-frame scan,
+    # so it satisfies the probe contract and persists all blocks. One action
+    # per round instead of two.
+    def _argmax(d: DataFrame):
+        return d.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
+
     c0 = int(comp.agg(F.min("vec_id")).collect()[0][0])
     centers = [(0, c0, 0)]
-    dist = round_checkpoint(dist_to(c0).withColumnRenamed("nd", "dist"))
+    dist, top = round_checkpoint_probe(
+        dist_to(c0).withColumnRenamed("nd", "dist"), _argmax
+    )
     for i in range(1, _KC_K):
-        top = dist.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
         vid, dd = int(top.vec_id), int(top.dist)
         centers.append((i, vid, dd))
         if i < _KC_K - 1:
-            new_dist = round_checkpoint(
+            new_dist, top = round_checkpoint_probe(
                 dist.join(dist_to(vid), "vec_id")
-                .select("vec_id", F.least("dist", "nd").cast("bigint").alias("dist"))
+                .select("vec_id", F.least("dist", "nd").cast("bigint").alias("dist")),
+                _argmax,
             )
             # Superseded min-distance round — release (VERDICT r8 #2).
             evict_local_checkpoint(dist)

@@ -33,6 +33,26 @@ _PR_BASE = (15 * _PR_SCALE) // 100  # (1-d) teleport share, d = 0.85
 _PR_ITERS = 5
 
 
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Both orientations of an undirected (a, b) pair set via ONE explode.
+
+    The ``select(a,b).unionAll(select(b,a))`` mirror INLINES the
+    pair-building subtree (orders x lineitem join + DISTINCT) into each
+    branch, so the plan computes it twice — measured as two identical
+    5.5 MB map stages plus two distinct reductions per edge build at
+    sf0.1 (optimization r11, guide §2.4: remove duplicated subtrees).
+    Exploding a 2-element struct array emits the same row multiset from
+    one pass; downstream consumers are orientation-insensitive sets."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     """The identical integer recurrence, unrolled as chained CTEs."""
     ctes = [
@@ -107,9 +127,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    edges = _sym_edges(pairs)
     # One explicit-width src exchange feeds the degree count and the
     # degree join (the groupBy and the join both reuse it — a single
     # exchange where the unkeyed form paid two), and fixes the checkpoint
@@ -397,8 +415,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks as UnknownPartitioning, so SMJ re-sorts regardless.)
     p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        _sym_edges(pairs)
         .repartition(p_width, "src")
     )
     # Seeds: nation-0 customers that actually trade (graph nodes only — the
@@ -548,8 +565,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes-coalesced count (optimization r11, guide §2.4/§2.2).
     p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        _sym_edges(pairs)
         .repartition(p_width, "src")
         .sortWithinPartitions("src")
     )
@@ -1089,10 +1105,15 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round — the dist checkpoint's materializing scan IS the count probe,
     # and emptiness of the round's frontier is read off the count delta
     # instead of a separate isEmpty job (three actions per round before).
+    # (A persist()-based edge relation — cached plan keeps partitioning+
+    # order, so rounds would join exchange-free — was tried and REVERTED:
+    # the per-round columnar-cache-to-row conversion cost more than the
+    # exchanges it saved, 3.7 s -> 5.6 s warm at sf0.1.)
+    from ..plans.ckpt import deferred_round_checkpoint, round_checkpoint_probe
+
     p_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = round_checkpoint(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        _sym_edges(pairs)
         .repartition(p_width, "src")
     )
     seeds = (
@@ -1103,8 +1124,6 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ED_SOURCES)
         .select(F.col("src").alias("source"))
     )
-    from ..plans.ckpt import deferred_round_checkpoint, round_checkpoint_probe
-
     dist, n_dist = round_checkpoint_probe(
         seeds.select("source", F.col("source").alias("node")).withColumn(
             "hop", F.lit(0)

@@ -101,6 +101,12 @@ ORDER BY anchor, rk
 )
 def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem"])
+    # (r11 measured note: an explicit-width repartition(okey) before this
+    # aggregate — the q_pagerank-style AQE-width fix — was tried and
+    # REVERTED: it forced the basket agg into complete mode and re-ran the
+    # explode consumers at 32 narrow partitions for ~4x the executor CPU
+    # with no wall-clock win; this query's wall is per-query fixed
+    # overhead, not stage width.)
     baskets = (
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("okey"))
@@ -115,6 +121,11 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .localCheckpoint(eager=True)
     )
+    # (r11: widening this explode to 32 partitions — keyed repartition off
+    # the checkpoint — was also tried and REVERTED: the stage's total CPU
+    # tripled from parallel-efficiency collapse on this small input and
+    # the wall stayed flat; only the explode-mirror below survived
+    # measurement.)
     pairs = (
         baskets.select(
             F.explode(
@@ -149,15 +160,28 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
         )
     )
+    # Mirror via ONE explode, not unionAll: the union inlines the whole
+    # explode+pair-aggregate+broadcast-join pipeline into each branch, so
+    # the plan computed it twice (optimization r11, guide §2.4 — measured
+    # as two identical basket-explode stages at sf0.1).
     sym = scored.select(
-        F.col("part_a").alias("anchor"), F.col("part_b").alias("neighbor"),
-        "co_orders", "cosine",
-    ).unionAll(
-        scored.select(
-            F.col("part_b").alias("anchor"), F.col("part_a").alias("neighbor"),
-            "co_orders", "cosine",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("anchor"),
+                    F.col("part_b").alias("neighbor"),
+                    F.col("co_orders").alias("co_orders"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("anchor"),
+                    F.col("part_a").alias("neighbor"),
+                    F.col("co_orders").alias("co_orders"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.anchor", "e.neighbor", "e.co_orders", "e.cosine")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.col("neighbor"))
@@ -433,13 +457,24 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
         )
     )
+    # Explode-mirror, not unionAll — the union inlined (and re-ran) the
+    # whole train-pair pipeline per branch (optimization r11, guide §2.4).
     sym = scored_pairs.select(
-        F.col("pa").alias("anchor"), F.col("pb").alias("neighbor"), "cosine"
-    ).unionAll(
-        scored_pairs.select(
-            F.col("pb").alias("anchor"), F.col("pa").alias("neighbor"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("anchor"),
+                    F.col("pb").alias("neighbor"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("pb").alias("anchor"),
+                    F.col("pa").alias("neighbor"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.anchor", "e.neighbor", "e.cosine")
     w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.col("neighbor"))
     nbr = (
         sym.withColumn("rk", F.row_number().over(w))

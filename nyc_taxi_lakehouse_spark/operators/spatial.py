@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 from ..functions.detsql import DUCK, SPARK, Dialect
 from ..plans.ckpt import (
+    deferred_round_checkpoint,
     evict_local_checkpoint,
     register_run_checkpoint,
     round_checkpoint,
+    round_checkpoint_probe,
 )
 from ..registry import df_query, sql_query
 from ..sources.tables import load_tables
@@ -454,12 +456,15 @@ def _knn_exact_loop(
             .withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= k)
         )
-        new_state = round_checkpoint(new_state)
-        # The previous round's checkpoint (possibly wrapped in the lazy
-        # narrowing join below) was consumed materializing new_state.
-        if prev_state_ckpt is not None:
-            evict_local_checkpoint(prev_state_ckpt)
-        state = prev_state_ckpt = new_state
+        # DEFERRED (optimization r11, guide §1.2 — this loop paid 4 driver
+        # actions per round at sf0.1 and was wall-bound on scheduling, not
+        # executor work): the done-slice checkpoint below is the round's
+        # first action, and its plan aggregates new_state per ck (stats →
+        # complete) before joining it — a whole-frame scan, so that single
+        # job materializes BOTH checkpoints. The previous round's state and
+        # pending stay live until then (eviction moved below the slice).
+        new_state = deferred_round_checkpoint(new_state)
+        state = new_state
         stats = state.groupBy("ck").agg(
             F.count("*").alias("cnt"), F.max("dist2").alias("kth")
         )
@@ -506,12 +511,20 @@ def _knn_exact_loop(
             state.join(complete, "ck")
             .select("ck", "sk", "dist2", "rk")
         )))
-        new_pending = round_checkpoint(
-            pending.join(complete, "ck", "left_anti")
+        # The done-slice job above materialized new_state — the previous
+        # round's checkpoint is now dead and safe to release.
+        if prev_state_ckpt is not None:
+            evict_local_checkpoint(prev_state_ckpt)
+        prev_state_ckpt = new_state
+        # Checkpoint + emptiness test in ONE action (the count probe is the
+        # materializing scan) instead of a checkpoint job followed by
+        # isEmpty (optimization r11).
+        new_pending, n_pending = round_checkpoint_probe(
+            pending.join(complete, "ck", "left_anti"), lambda d: d.count()
         )
         evict_local_checkpoint(pending)
         pending = new_pending
-        if pending.isEmpty():
+        if n_pending == 0:
             # The returned union reads only the materialized done slices.
             evict_local_checkpoint(pending)
             evict_local_checkpoint(state)

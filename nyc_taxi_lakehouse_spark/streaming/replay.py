@@ -168,11 +168,29 @@ def _envelope_frame(events: DataFrame) -> DataFrame:
     )
 
 
-def write_envelopes(events: DataFrame, out_dir: str, mode: str = "overwrite") -> str:
-    """Encode events as double-encoded Debezium 'c' envelopes (one JSONL
-    file, deterministic order irrelevant — single-batch drain). mode="append"
-    adds a further delivery file (models at-least-once redelivery)."""
-    _envelope_frame(events).coalesce(1).write.mode(mode).text(out_dir)
+def write_envelopes(
+    events: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    parallel: int | None = None,
+) -> str:
+    """Encode events as double-encoded Debezium 'c' envelopes.
+
+    Default: ONE JSONL file per call — the "one delivery = one file"
+    primitive the maxFilesPerTrigger=1 replay paths (per-file micro-batch
+    semantics) depend on. ``parallel=n`` instead writes n files via a keyed
+    repartition of the source (no round-robin pre-sort): ONLY for drains
+    that read with maxFilesPerTrigger=None (everything lands in batch 0,
+    row order irrelevant), where the single-file form serialized both the
+    to_json×2 encode AND the drain's from_json×2 parse onto one core
+    (optimization r11, guide §2.2 — measured as the dominant slice of the
+    replay family's first_drain). mode="append" adds further delivery
+    file(s) (models at-least-once redelivery)."""
+    src = events.repartition(parallel, "event_id") if parallel else events
+    frame = _envelope_frame(src)
+    if not parallel:
+        frame = frame.coalesce(1)
+    frame.write.mode(mode).text(out_dir)
     return out_dir
 
 
@@ -187,6 +205,12 @@ def write_envelopes_chunked(
     )
 
 
+def _parallel_width(spark: SparkSession) -> int:
+    """Envelope fan-out for single-batch (mft=None) replays: the session's
+    configured shuffle width — scale-adaptive, not a local constant."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 def _prepare_envelopes(spark: SparkSession, events: DataFrame, key: str):
     """Shared envelope replay dir honoring the chunked-delivery conf.
     Returns (env_dir, max_files_per_trigger, run-dir suffix)."""
@@ -196,7 +220,7 @@ def _prepare_envelopes(spark: SparkSession, events: DataFrame, key: str):
         if chunks > 1:
             write_envelopes_chunked(events, env_dir, chunks)
         else:
-            write_envelopes(events, env_dir)
+            write_envelopes(events, env_dir, parallel=_parallel_width(spark))
     return env_dir, (1 if chunks > 1 else None), _chunk_suffix(chunks)
 
 
@@ -240,9 +264,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the second delivery into droppable late data mid-drain.
             write_envelopes_chunked(t["events"], env_dir, chunks, copies=2)
         else:
-            write_envelopes(t["events"], env_dir)  # delivery 1
-            # Delivery 2: identical payloads, separate file — at-least-once redelivery.
-            write_envelopes(t["events"], env_dir, mode="append")
+            # Both deliveries drain in ONE batch (mft=None below), so the
+            # parallel multi-file form changes nothing semantically.
+            w = _parallel_width(spark)
+            write_envelopes(t["events"], env_dir, parallel=w)  # delivery 1
+            # Delivery 2: identical payloads, separate files — at-least-once redelivery.
+            write_envelopes(t["events"], env_dir, mode="append", parallel=w)
         with open(marker, "w"):
             pass
 
@@ -581,7 +608,7 @@ def q_user_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _replay_key(sf_dir)
     env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
     if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+        write_envelopes(t["events"], env_dir, parallel=_parallel_width(spark))
 
     run_dir = os.path.join(_REPLAY_ROOT, key, "profile_pipeline")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
@@ -1084,7 +1111,7 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _replay_key(sf_dir)
     env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
     if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+        write_envelopes(t["events"], env_dir, parallel=_parallel_width(spark))
 
     run_dir = os.path.join(_REPLAY_ROOT, key, "scd2_enrich_pipeline")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
@@ -1193,7 +1220,7 @@ def run_user_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _replay_key(sf_dir)
     env_dir = os.path.join(_REPLAY_ROOT, key, "envelopes")
     if not os.path.exists(os.path.join(env_dir, "_SUCCESS")):
-        write_envelopes(t["events"], env_dir)
+        write_envelopes(t["events"], env_dir, parallel=_parallel_width(spark))
 
     run_dir = os.path.join(_REPLAY_ROOT, key, "tws_pipeline")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")

@@ -65,3 +65,33 @@ def test_jsonl_roundtrip(spark, tmp_path):
     docs.coalesce(1).write.json(json_dir)
     back = read_jsonl(spark, json_dir, docs.schema).drop(CORRUPT_COL)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_load_tables_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The per-session table memo (optimization r11) must key on the
+    source's on-disk fingerprint: a dataset regenerated IN PLACE at the
+    same path — the fixture rmtree-and-rebuild pattern — must be re-read,
+    never served from the memoized frame (the ADVICE-r10 staleness class)."""
+    import shutil
+    import time as _time
+
+    from nyc_taxi_lakehouse_spark.sources.tables import load_tables
+
+    sf_dir = str(tmp_path / "sfx")
+    p = f"{sf_dir}/orders.parquet"
+    spark.range(0, 100).selectExpr("id AS o_orderkey").write.parquet(p)
+    first = load_tables(spark, sf_dir, ["orders"])["orders"]
+    assert first.count() == 100
+    # Memo hit: same fingerprint returns the same plan object.
+    again = load_tables(spark, sf_dir, ["orders"])["orders"]
+    assert again is first
+    # Regenerate in place (rmtree + rebuild, different row count).
+    shutil.rmtree(p)
+    _time.sleep(0.01)  # ensure a distinct directory mtime_ns
+    spark.range(0, 37).selectExpr("id AS o_orderkey").write.parquet(p)
+    spark.catalog.refreshByPath(p)
+    rebuilt = load_tables(spark, sf_dir, ["orders"])["orders"]
+    assert rebuilt is not first
+    assert rebuilt.count() == 37
+    # The temp view follows the fresh read too.
+    assert spark.sql("SELECT COUNT(*) c FROM orders").first()["c"] == 37
