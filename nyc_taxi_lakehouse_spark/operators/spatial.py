@@ -818,8 +818,20 @@ def _dbscan_frame(
         .select(F.col("p.ck").alias("a"), F.col("q.ck").alias("b"))
     )
     half = cross_cell.unionAll(same_cell)
+    # Mirror via ONE explode, not unionAll(swap): the union INLINES the
+    # whole candidate-join subtree (cell join + distance filter, the
+    # query's CPU-dense stage) into each branch, computing it twice
+    # (optimization r11, guide §2.4 — the _sym_edges lesson applied to
+    # the eps-neighbor build). Same row multiset, one pass.
     nbrs = register_run_checkpoint(round_checkpoint(
-        half.unionAll(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
     ))
     deg = nbrs.groupBy("a").agg((F.count("*") + 1).alias("ncnt"))
     cores = register_run_checkpoint(round_checkpoint(
