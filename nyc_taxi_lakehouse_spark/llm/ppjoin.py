@@ -73,7 +73,11 @@ FROM {table} WHERE length(text) >= {_SHINGLE_N}
 """
 
 
-def _ppjoin_spark_sql(docsets_view: str, shuffle_aliases: frozenset = frozenset()) -> str:
+def _ppjoin_spark_sql(
+    docsets_view: str,
+    shuffle_aliases: frozenset = frozenset(),
+    gf_view: str | None = None,
+) -> str:
     d = SPARK
     tn, td = _T_NUM, _T_DEN
 
@@ -91,11 +95,19 @@ def _ppjoin_spark_sql(docsets_view: str, shuffle_aliases: frozenset = frozenset(
 
     # prefix length = n - ceil(t*n) + 1; ceil(tn*n/td) = (tn*n + td - 1) DIV td
     ceil_tn = d.idiv(f"({tn} * n + {td - 1})", str(td))
+    # The gram-frequency relation is identical to the one the injectivity
+    # gate materializes (optimization r11): reference that checkpoint
+    # instead of re-running the explode + corpus-wide aggregate here.
+    gf_cte = (
+        f"gf AS (SELECT * FROM {gf_view})"
+        if gf_view
+        else "gf AS (SELECT gram, COUNT(*) AS dfreq FROM grams GROUP BY gram)"
+    )
     return f"""
 WITH docsets AS (SELECT * FROM {docsets_view}),
 grams AS (SELECT doc_id, explode(grams) AS gram FROM docsets),
 ds AS (SELECT doc_id, size(grams) AS n FROM docsets),
-gf AS (SELECT gram, COUNT(*) AS dfreq FROM grams GROUP BY gram),
+{gf_cte},
 ranked AS (
   SELECT {hint("f", "s")}g.doc_id, g.gram, s.n,
          ROW_NUMBER() OVER (PARTITION BY g.doc_id
@@ -202,10 +214,13 @@ WHERE {td} * p.inter >= {tn} * (sa.n + sb.n - p.inter)
     "completeness check.",
 )
 def q_dedup_ppjoin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from ..plans.ckpt import (
         evict_round_checkpoint,
         register_run_checkpoint,
         round_checkpoint,
+        round_checkpoint_probe,
     )
     from ..session import DEFAULT_SHUFFLE_PARTITIONS
     from ..sources.tables import load_tables
@@ -235,12 +250,37 @@ def q_dedup_ppjoin(spark, sf_dir):
     # exactly. On the astronomically-unlikely collision (or if a 100 TB
     # corpus makes the exact global-distinct check itself too expensive to
     # run), the same SQL runs over the string arrays — correct, slower.
-    counts = spark.sql(
-        "SELECT COUNT(DISTINCT gram) AS a, COUNT(DISTINCT xxhash64(gram)) AS b, "
-        "COUNT(*) AS total, COUNT(DISTINCT doc_id) AS docs "
-        "FROM (SELECT doc_id, explode(grams) AS gram FROM pp_docsets_str)"
-    ).collect()[0]  # bounded 1-row driver scalar
-    hashed_path = counts["a"] == counts["b"]
+    #
+    # r11 pass structure: the injectivity check used to run two corpus-
+    # wide COUNT(DISTINCT ...) aggregates over the exploded instance rows
+    # (an Expand-multiplied shuffle of every gram instance) while the main
+    # query ran the SAME explode + aggregate again to build its gram-
+    # frequency CTE. Now the gram-frequency table materializes ONCE
+    # (round checkpoint) with the injectivity scalars riding its
+    # materializing scan (distinct grams = |gf| rows, so the distinct
+    # check shrinks from instance-cardinality to distinct-gram
+    # cardinality), and the instance/doc budget scalars come from the
+    # already-materialized docset arrays with no explode at all.
+    basic = spark.sql(
+        "SELECT SUM(size(grams)) AS total, COUNT(*) AS docs "
+        "FROM pp_docsets_str"
+    ).collect()[0]  # bounded 1-row driver scalar off the checkpoint
+    gf_str = spark.sql(
+        "SELECT gram, COUNT(*) AS dfreq "
+        "FROM (SELECT explode(grams) AS gram FROM pp_docsets_str) "
+        "GROUP BY gram"
+    )
+    gf_str, grow = round_checkpoint_probe(
+        gf_str,
+        lambda d: d.agg(
+            F.count("*").alias("a"),
+            F.count_distinct(F.expr("xxhash64(gram)")).alias("b"),
+        ).collect()[0],
+    )
+    register_run_checkpoint(gf_str)
+    gf_str.createOrReplaceTempView("pp_gf_str")
+    counts = {"a": grow["a"], "total": basic["total"], "docs": basic["docs"]}
+    hashed_path = grow["a"] == grow["b"]
     # Measured broadcast gates (r11; see _ppjoin_spark_sql): the sf10
     # composed decade showed Catalyst broadcasting the GB-scale docset
     # array table off SPARK-39834-propagated origin ESTIMATES (array
@@ -262,7 +302,9 @@ def q_dedup_ppjoin(spark, sf_dir):
         shuffle.add("f")
     if counts["docs"] * 16 > budget:
         shuffle.add("s")
-    sql = lambda view: _ppjoin_spark_sql(view, frozenset(shuffle))  # noqa: E731
+    sql = lambda view, gf: _ppjoin_spark_sql(  # noqa: E731
+        view, frozenset(shuffle), gf_view=gf
+    )
     if hashed_path:
         hashed = register_run_checkpoint(round_checkpoint(spark.sql(
             "SELECT doc_id, transform(grams, g -> xxhash64(g)) AS grams "
@@ -270,8 +312,13 @@ def q_dedup_ppjoin(spark, sf_dir):
         )))
         # The hashed twin is materialized; the string docsets have no
         # remaining reader and would otherwise stay pinned until the
-        # harness release.
+        # harness release. (The gf checkpoint stays: its hashed view below
+        # is a projection over the SAME materialized rows — injectivity
+        # makes the per-hash frequencies equal the per-gram ones.)
         evict_round_checkpoint(docsets)
         hashed.createOrReplaceTempView("pp_docsets")
-        return spark.sql(sql("pp_docsets"))
-    return spark.sql(sql("pp_docsets_str"))
+        spark.sql(
+            "SELECT xxhash64(gram) AS gram, dfreq FROM pp_gf_str"
+        ).createOrReplaceTempView("pp_gf")
+        return spark.sql(sql("pp_docsets", "pp_gf"))
+    return spark.sql(sql("pp_docsets_str", "pp_gf_str"))
