@@ -73,21 +73,37 @@ def _gram_sentinel_cells(emb: DataFrame) -> DataFrame:
     generated array-natively (no join), partial-aggregated map-side to
     2145 cells per task, and the only exchange is that constant-size
     combine — zero data shuffles at ANY corpus scale. The sentinel column
-    folds the means/count passes into the same aggregate."""
+    folds the means/count passes into the same aggregate.
+
+    Product generation is two CHAINED posexplode generators (row → (i,
+    qi) → (jo, qj) over the slice above i), not nested higher-order
+    transforms: HOF lambdas are interpreted per element — the r11 interim
+    form paid ~35 M lambda evaluations per corpus pass (~1.3-1.9 s at
+    sf0.1, the whole query's cost), where the Generate/projection chain
+    is whole-stage-codegen'd (measured ~4x faster, identical cells; the
+    same lesson the q_similarity_topk map-only experiment hit and
+    reverted on). idx preserves the flattened-triangle order of _TRI_IJ:
+    offset(i) = i·(d+1) − i(i−1)/2, jo indexes j−i."""
+    d1 = _DIM + 1
     return (
         emb.select(
             F.expr(
                 f"concat({_QARR_EXPR}, array(CAST(1 AS BIGINT)))"
             ).alias("qs")
         )
+        .select("qs", F.posexplode("qs").alias("i0", "qi"))
         .select(
+            F.expr(
+                f"CAST(i0 * {d1} - (i0 * (i0 - 1)) DIV 2 AS INT)"
+            ).alias("off"),
+            "qi",
             F.posexplode(
-                F.expr(
-                    "flatten(transform(qs, (qi, i) -> "
-                    "transform(slice(qs, i + 1, size(qs) - i), "
-                    "qj -> qi * qj)))"
-                )
-            ).alias("idx", "p")
+                F.expr(f"slice(qs, i0 + 1, {d1} - i0)")
+            ).alias("jo", "qj"),
+        )
+        .select(
+            (F.col("off") + F.col("jo")).cast("int").alias("idx"),
+            (F.col("qi") * F.col("qj")).alias("p"),
         )
         .groupBy("idx")
         .agg(F.sum("p").alias("g"))
@@ -155,6 +171,14 @@ def _dot_scores(emb: DataFrame, pc_lists, val_sql_type: str) -> DataFrame:
     scale. Shared so the hash-oracled q_pca_project_step certifies the
     exact code path q_pca_project's projection stage executes (BIGINT
     instantiation; the accumulation is exact integer, order-free)."""
+    # (A flat 64-term multiply-add expression per PC — the
+    # _gram_sentinel_cells de-lambda trick — was tried and REVERTED here:
+    # the 512-literal expression tree cost more in per-run plan
+    # analysis/codegen than the k·d = 512 interpreted lambda evaluations
+    # per row it saved; q_pca_project_step 1.04 -> 2.07 s median-of-5.
+    # The HOF cost scales with ROWS, the plan cost is fixed — at this
+    # corpus/k the fixed cost dominates, the opposite of the 2145-cell
+    # Gram pass.)
     arr_lits = ", ".join(
         "array(" + ", ".join(f"CAST({v!r} AS {val_sql_type})" for v in row) + ")"
         for row in pc_lists
