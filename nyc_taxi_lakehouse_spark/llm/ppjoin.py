@@ -261,8 +261,12 @@ def q_dedup_ppjoin(spark, sf_dir):
     # check shrinks from instance-cardinality to distinct-gram
     # cardinality), and the instance/doc budget scalars come from the
     # already-materialized docset arrays with no explode at all.
+    # COALESCE: SUM over an empty docsets table (no doc long enough to
+    # shingle) is NULL, and the broadcast-budget arithmetic below would
+    # TypeError on it — the pre-r11 COUNT(*)-over-instances form returned
+    # 0 and proceeded (ADVICE r11).
     basic = spark.sql(
-        "SELECT SUM(size(grams)) AS total, COUNT(*) AS docs "
+        "SELECT COALESCE(SUM(size(grams)), 0) AS total, COUNT(*) AS docs "
         "FROM pp_docsets_str"
     ).collect()[0]  # bounded 1-row driver scalar off the checkpoint
     gf_str = spark.sql(

@@ -126,17 +126,20 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tripled from parallel-efficiency collapse on this small input and
     # the wall stayed flat; only the explode-mirror below survived
     # measurement.)
+    # a<b pairs via CHAINED GENERATORS, not nested transform() lambdas:
+    # higher-order functions are interpreted per element, and this explode
+    # fed ~Σ C(k,2) struct constructions through that interpreter — the
+    # same §4-class boundary the r11 Gram pass removed. Two codegen'd
+    # generate nodes (posexplode + explode-of-slice) emit the identical
+    # row multiset; measured 0.92 s -> 0.46 s (median of 5, noop sink) on
+    # the pair-aggregate stage at sf0.1 (optimization r12, guide §4.1).
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+        baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("b"),
         )
-        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count("*").cast("bigint").alias("co_orders"))
         .filter(F.col("co_orders") >= 2)
     )
@@ -276,16 +279,18 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("skey")).alias("supps"))
         .filter(F.size("supps") <= _RA_DEG_CAP)
     )
+    # Chained generators instead of nested transform() lambdas — same
+    # de-lambda as q_item_cf's pair explode (optimization r12, guide §4.1;
+    # HOFs are interpreted per element, generators are codegen'd).
     pair_stream = rare.select(
         F.size("supps").alias("d"),
-        F.explode(
-            F.expr(
-                "flatten(transform(supps, (x, i) -> "
-                "transform(slice(supps, i + 2, size(supps)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p"),
-    ).select("d", "p.a", "p.b")
+        "supps",
+        F.posexplode("supps").alias("i", "a"),
+    ).select(
+        "d",
+        "a",
+        F.explode(F.expr("slice(supps, i + 2, size(supps))")).alias("b"),
+    )
     pairs = (
         pair_stream.groupBy(F.col("a").alias("supp_a"), F.col("b").alias("supp_b"))
         .agg(
@@ -427,17 +432,15 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .localCheckpoint(eager=True)
     )
+    # Chained generators instead of nested transform() lambdas (same
+    # de-lambda as q_item_cf's pair explode — optimization r12, guide §4.1).
     pairs = (
-        train.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+        train.select("parts", F.posexplode("parts").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("b"),
         )
-        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .groupBy(F.col("a").alias("pa"), F.col("b").alias("pb"))
         .agg(F.count("*").cast("bigint").alias("co"))
         .filter(F.col("co") >= 2)
     )
@@ -481,16 +484,15 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("anchor", "neighbor", "rk")
     )
-    test_pairs = test.select(
-        "okey",
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, x -> "
-                "transform(filter(parts, y -> y != x), "
-                "y -> struct(x AS anchor, y AS other))))"
-            )
-        ).alias("p"),
-    ).select("okey", "p.anchor", "p.other")
+    # Both-orientation eval pairs via two codegen'd explodes + a filter —
+    # no transform()/filter() lambdas (optimization r12, guide §4.1). The
+    # parts arrays are distinct part sets, so anchor != other reproduces
+    # the old filter(y != x) multiset exactly.
+    test_pairs = (
+        test.select("okey", "parts", F.explode("parts").alias("anchor"))
+        .select("okey", "anchor", F.explode("parts").alias("other"))
+        .filter(F.col("anchor") != F.col("other"))
+    )
     scored = (
         test_pairs.join(
             # nbr carries <= 5 rows per anchor — item-scaled, same gate

@@ -51,12 +51,12 @@ _VOLATILE: dict[str, set] = {
         "joins.BroadcastHashJoin",
         "joins.SortMergeJoin",
     },
-    # Repeating the fingerprint 4x in one session at sf0.01 alternates
-    # broadcast_exchanges 6/7 (measured while pinning): one per-iteration
-    # broadcast sits at an AQE reuse/threshold boundary, and compressed
-    # shuffle sizes vary with intra-partition row order. Joins, shuffle
-    # exchanges, and scans are stable and stay pinned.
-    "q_pagerank": {"broadcast_exchanges"},
+    # q_pagerank's broadcast_exchanges volatility (6/7 alternation at an
+    # AQE reuse/threshold boundary) moved to the generator-recorded
+    # volatile list in tools/plan_fingerprints.json (r11) — that file is
+    # the single source of truth for it now; a second copy here would
+    # silently mask drift if the JSON entry were ever dropped (ADVICE
+    # r11).
 }
 
 

@@ -55,7 +55,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "plans", "r11")
+                          "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(outdir, exist_ok=True)
 
     for name in args:
