@@ -107,20 +107,34 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode consumers at 32 narrow partitions for ~4x the executor CPU
     # with no wall-clock win; this query's wall is per-query fixed
     # overhead, not stage width.)
-    baskets = (
+    # ONE construction action where there were three (optimization r12,
+    # guide §1.2 — the r11 floor-attribution shows this query's wall is
+    # sequential bounded driver actions, not stage work): the basket
+    # checkpoint is DEFERRED, the degree checkpoint rides the broadcast
+    # gate's count probe, and that single job materializes both. Both
+    # frames are registered for post-consumption release (the raw eager
+    # localCheckpoints used to stay pinned for the session).
+    from ..plans.audit import gated_broadcast
+    from ..plans.ckpt import (
+        deferred_round_checkpoint,
+        register_run_checkpoint,
+        round_checkpoint_probe,
+    )
+
+    baskets = register_run_checkpoint(deferred_round_checkpoint(
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=True)
-    )
+    ))
     # Checkpointed: deg feeds TWO broadcast subtrees (n_a and n_b); lazy it
     # would re-run the explode+agg once per broadcast.
-    deg = (
+    deg, n_items = round_checkpoint_probe(
         baskets.select(F.explode("parts").alias("pkey"))
         .groupBy("pkey")
-        .agg(F.count("*").cast("bigint").alias("n_orders"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").cast("bigint").alias("n_orders")),
+        DataFrame.count,
     )
+    register_run_checkpoint(deg)
     # (r11: widening this explode to 32 partitions — keyed repartition off
     # the checkpoint — was also tried and REVERTED: the stage's total CPU
     # tripled from parallel-efficiency collapse on this small input and
@@ -144,11 +158,9 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("co_orders") >= 2)
     )
     # deg is ITEM-scaled (part vocabulary), not a dimension: gate the
-    # broadcast on its measured count (bounded scalar off the checkpoint)
-    # so the join shuffles at catalog scales instead of OOMing the hint.
-    from ..plans.audit import gated_broadcast
-
-    n_items = deg.count()
+    # broadcast on its measured count (n_items — the scalar that rode
+    # deg's materializing scan above) so the join shuffles at catalog
+    # scales instead of OOMing the hint.
     scored = (
         pairs
         .join(gated_broadcast(deg.select(F.col("pkey").alias("part_a"),
@@ -415,23 +427,34 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = od.agg(F.min("day_no"), F.max("day_no")).first()
     split_day = lo + (hi - lo) * 8 // 10
-    baskets = (
+    # ONE construction action where there were three — deferred basket
+    # checkpoint materialized by the degree checkpoint's broadcast-gate
+    # count probe, both registered for post-consumption release (same
+    # fusion as q_item_cf; optimization r12, guide §1.2).
+    from ..plans.audit import gated_broadcast
+    from ..plans.ckpt import (
+        deferred_round_checkpoint,
+        register_run_checkpoint,
+        round_checkpoint_probe,
+    )
+
+    baskets = register_run_checkpoint(deferred_round_checkpoint(
         t["lineitem"]
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
         .join(od, "okey")
         .groupBy("okey", "day_no")
         .agg(F.sort_array(F.collect_set("pkey")).alias("parts"))
-        .localCheckpoint(eager=True)
-    )
+    ))
     train = baskets.filter(F.col("day_no") < split_day)
     test = baskets.filter(F.col("day_no") >= split_day)
     # Checkpointed: deg feeds TWO broadcast subtrees (n_a and n_b).
-    deg = (
+    deg, n_items = round_checkpoint_probe(
         train.select(F.explode("parts").alias("pkey"))
         .groupBy("pkey")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").cast("bigint").alias("n")),
+        DataFrame.count,
     )
+    register_run_checkpoint(deg)
     # Chained generators instead of nested transform() lambdas (same
     # de-lambda as q_item_cf's pair explode — optimization r12, guide §4.1).
     pairs = (
@@ -444,10 +467,8 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("co"))
         .filter(F.col("co") >= 2)
     )
-    # Same item-scaled posture as q_item_cf: measured-size broadcast gate.
-    from ..plans.audit import gated_broadcast
-
-    n_items = deg.count()
+    # Same item-scaled posture as q_item_cf: measured-size broadcast gate
+    # (n_items rode deg's materializing scan above).
     scored_pairs = (
         pairs
         .join(gated_broadcast(deg.select(F.col("pkey").alias("pa"),
